@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 Table B is declared here as
+  * a named query; [[Oracles]] holds the DuckDB-equivalent SQL the driver
+  * hash-checks against. Queries without an oracle entry (approximate ops)
+  * get the driver's weaker rows-only check and a tolerance test in
+  * src/test instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_filter_pushdown" -> (Relational.filterPushdown _),
+    "q03_broadcast_join" -> (Relational.broadcastJoin _),
+    "q04_fact_join" -> (Relational.factJoin _),
+    "q05_semi_join" -> (Relational.semiJoin _),
+    "q06_anti_join" -> (Relational.antiJoin _),
+    "q07_distinct_agg" -> (Relational.distinctAgg _),
+    "q08_rollup_agg" -> (Relational.rollupAgg _),
+    "q09_window_rank" -> (Relational.windowRank _),
+    "q10_window_lag" -> (Relational.windowLag _),
+    "q11_window_frame" -> (Relational.windowFrame _),
+    "q12_topk_per_group" -> (Relational.topKPerGroup _),
+    "q13_set_ops" -> (Relational.setOps _),
+    "q14_string_fns" -> (Relational.stringFns _),
+    "q15_datetime_fns" -> (Relational.datetimeFns _),
+    "q16_math_fns" -> (Relational.mathFns _),
+    "q17_case_when" -> (Relational.caseWhen _),
+    "q18_json_extract" -> (Relational.jsonExtract _),
+    "q19_approx_distinct" -> (Relational.approxDistinct _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.relational
 }
