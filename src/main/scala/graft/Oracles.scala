@@ -202,4 +202,127 @@ object Oracles {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
   )
+
+  val temporal: Map[String, String] = Map(
+    "q20_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+        | event_type,
+        | count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q21_sliding_window" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 - k * 300 AS BIGINT) AS window_start,
+        | count(*) AS n_events,
+        | round(avg(value), 6) AS avg_value
+        |FROM events, (VALUES (0), (1)) offs(k)
+        |GROUP BY window_start
+        |ORDER BY window_start""".stripMargin,
+
+    "q22_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch(ts) AS t, value FROM events),
+        | l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_t FROM e),
+        | f AS (SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t > 1800.0
+        |                      THEN 1 ELSE 0 END AS new_session FROM l),
+        | s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM f)
+        |SELECT user_id, session_seq,
+        | CAST(floor(min(t)) AS BIGINT) AS session_start,
+        | count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value,
+        | CAST(floor(max(t) - min(t)) AS BIGINT) AS duration_s
+        |FROM s
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q23_late_data" ->
+      """WITH m AS (SELECT max(epoch(ts)) AS max_ts FROM events)
+        |SELECT event_type,
+        | CAST(sum(CASE WHEN epoch(ts) < max_ts - 7200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        | count(*) AS n_total
+        |FROM events, m
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q24_time_partition_keys" ->
+      """SELECT strftime(ts, '%Y%m%dT%H') AS time_key,
+        | count(*) AS n_rows,
+        | round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY time_key
+        |ORDER BY time_key""".stripMargin,
+
+    "q25_manifest_agg" ->
+      """SELECT event_type, count(*) AS n_bands,
+        | string_agg(entry, ',' ORDER BY entry) AS manifest
+        |FROM (
+        | SELECT event_type,
+        |  strftime(ts, '%Y%m%dT%H%M%S') || '=' ||
+        |  printf('https://bucket.example/forecasts/%s/%s_%d.tif',
+        |         event_type, strftime(ts, '%Y%m%dT%H%M%S'), event_id) AS entry
+        | FROM events) t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+  )
+
+  /** Geo oracles embed the exact same cone-constant doubles as the Spark
+    * plan (Scala Double.toString round-trips bit-exactly through DuckDB's
+    * parser), so both engines run identical IEEE arithmetic except for
+    * libm trig ulps — absorbed by the rounding. */
+  val geo: Map[String, String] = {
+    import graft.functions.Lcc.{F, R, lambda0, n, rho0}
+    val rf = (R * F).toString
+    val pi4 = (math.Pi / 4).toString
+    val pi2 = (math.Pi / 2).toString
+    val grid =
+      s"""(SELECT p_partkey,
+         |  CAST(p_partkey % 40 AS DOUBLE) * 0.05 + 54.0 AS lat,
+         |  CAST(CAST(floor(p_partkey / 40.0) AS BIGINT) % 40 AS DOUBLE) * 0.1 - 10.0 AS lon,
+         |  CAST(p_partkey % 100 AS DOUBLE) * 0.5 AS value
+         | FROM part)""".stripMargin
+    val fwd =
+      s"""(SELECT *,
+         |  $rf / power(tan($pi4 + radians(lat) / 2), $n) AS rho,
+         |  $n * (radians(lon) - ${lambda0.toString}) AS theta
+         | FROM $grid g)""".stripMargin
+    Map(
+      "q26_lcc_forward" ->
+        s"""SELECT p_partkey,
+           | round(lat, 6) AS lat, round(lon, 6) AS lon,
+           | round(rho * sin(theta), 4) AS x_m,
+           | round($rho0 - rho * cos(theta), 4) AS y_m
+           |FROM $fwd t
+           |ORDER BY p_partkey""".stripMargin,
+
+      "q27_lcc_roundtrip" ->
+        s"""WITH proj AS (
+           | SELECT p_partkey, lat, lon,
+           |  rho * sin(theta) AS x_m,
+           |  $rho0 - rho * cos(theta) AS y_m
+           | FROM $fwd t),
+           |inv AS (
+           | SELECT p_partkey, lat, lon,
+           |  sqrt(x_m * x_m + ($rho0 - y_m) * ($rho0 - y_m)) AS rho2,
+           |  atan2(x_m, $rho0 - y_m) AS theta2
+           | FROM proj)
+           |SELECT p_partkey,
+           | round(abs(degrees(${lambda0.toString} + theta2 / $n) - lon), 6) AS lon_err,
+           | round(abs(degrees(2.0 * atan(power($rf / rho2, ${(1.0 / n).toString})) - $pi2) - lat), 6) AS lat_err
+           |FROM inv
+           |ORDER BY p_partkey""".stripMargin,
+
+      "q28_regrid" ->
+        s"""SELECT CAST(floor(lat * 4) / 4 AS DOUBLE) AS lat_bin,
+           | CAST(floor(lon * 4) / 4 AS DOUBLE) AS lon_bin,
+           | count(*) AS n_cells,
+           | round(avg(value), 6) AS avg_value,
+           | round(min(value), 2) AS min_value,
+           | round(max(value), 2) AS max_value
+           |FROM $grid g
+           |GROUP BY lat_bin, lon_bin
+           |ORDER BY lat_bin, lon_bin""".stripMargin,
+    )
+  }
 }

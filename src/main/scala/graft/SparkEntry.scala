@@ -38,9 +38,19 @@ object SparkEntry {
     "q17_case_when" -> (Relational.caseWhen _),
     "q18_json_extract" -> (Relational.jsonExtract _),
     "q19_approx_distinct" -> (Relational.approxDistinct _),
+    "q20_tumbling_window" -> (Events.tumblingWindow _),
+    "q21_sliding_window" -> (Events.slidingWindow _),
+    "q22_sessionize" -> (Events.sessionize _),
+    "q23_late_data" -> (Events.lateData _),
+    "q24_time_partition_keys" -> (Manifest.timePartitionKeys _),
+    "q25_manifest_agg" -> (Manifest.manifestAgg _),
+    "q26_lcc_forward" -> (Geo.lccForward _),
+    "q27_lcc_roundtrip" -> (Geo.lccRoundtrip _),
+    "q28_regrid" -> (Geo.regrid _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.relational
+  def oracleSql: Map[String, String] =
+    Oracles.relational ++ Oracles.temporal ++ Oracles.geo
 }

@@ -66,9 +66,13 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
+  /** `ts` is physically INT64 TIMESTAMP(NANOS) — Spark's TimestampType
+    * reader rejects nanos, so it is read as a raw long and converted to a
+    * microsecond TimestampType in [[events]] (truncation, matching what
+    * DuckDB/pandas do when reading the same file). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -96,7 +100,11 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part", partSchema)
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation", nationSchema)
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region", regionSchema)
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events", eventsSchema)
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    read(spark, dir, "events", eventsSchema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 }
