@@ -325,4 +325,176 @@ object Oracles {
            |ORDER BY lat_bin, lon_bin""".stripMargin,
     )
   }
+
+  // ---- text / dedup oracle generation ------------------------------------
+
+  /** DuckDB mirror of Hashing.h32: first 8 hex chars of sha256 parsed as a
+    * base-16 BIGINT (DuckDB has no `conv`, so the parse is an explicit
+    * 8-term polynomial). */
+  private def dHash(e: String): String =
+    (0 until 8).map { i =>
+      val mult = math.pow(16, 7 - i).toLong
+      s"CAST(strpos('0123456789abcdef', substr(sha256($e), ${i + 1}, 1)) - 1 AS BIGINT) * ${mult}"
+    }.mkString("(", " + ", ")")
+
+  private val P = graft.functions.Hashing.P
+  private val Bbase = graft.functions.Hashing.B
+
+  /** Shared CTE fragments: filtered tokens and 3-token shingles. */
+  private val toksCte =
+    "t AS (SELECT doc_id, text, n_chars, lang, list_filter(string_split(text, ' '), s -> len(s) > 0) AS toks FROM documents)"
+  private val shCte =
+    "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t WHERE len(toks) >= 3)"
+
+  private val stopList = graft.operators.Text.stopwords.mkString("['", "', '", "']")
+  private val lexValues = graft.operators.Text.lexicon
+    .map { case (m, l) => s"('$m', '$l')" }.mkString(", ")
+
+  val text: Map[String, String] = Map(
+    "q29_word_count" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |WHERE len(token) > 0
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 100""".stripMargin,
+
+    "q30_text_quality" ->
+      s"""WITH $toksCte,
+         | m AS (SELECT doc_id, text,
+         |   CAST(len(toks) AS BIGINT) AS n_tokens,
+         |   CAST(list_aggregate(list_transform(toks, s -> len(s)), 'sum') AS BIGINT) AS sum_len,
+         |   CAST(len(list_filter(toks, s -> list_contains($stopList, s))) AS BIGINT) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         | round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+         | round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_count,
+         | round(0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+         |   + 0.3 / (1.0 + abs(CAST(sum_len AS DOUBLE) / n_tokens - 5.0))
+         |   + 0.2 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q31_lang_id" ->
+      s"""WITH lex(marker, cand_lang) AS (VALUES $lexValues),
+         | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         | hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+         |          FROM tok JOIN lex ON token = marker GROUP BY doc_id, cand_lang),
+         | pred AS (SELECT doc_id, cand_lang AS pred0 FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY hits DESC, cand_lang) AS rn FROM hits) r WHERE rn = 1)
+         |SELECT lang, coalesce(pred0, 'und') AS pred_lang, count(*) AS n_docs
+         |FROM documents LEFT JOIN pred USING (doc_id)
+         |GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin,
+
+    "q32_token_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        | round(CAST(n_chars AS DOUBLE) /
+        |   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 6) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_fingerprint" ->
+      s"""WITH $toksCte,
+         | hh AS (SELECT doc_id, text,
+         |   list_transform(toks, s -> ${dHash("s")} % ${P}) AS hs FROM t)
+         |SELECT doc_id,
+         | list_reduce(hs, (acc, x) -> (acc * ${Bbase} + x) % ${P}) AS rolling_fp,
+         | substr(sha256(text), 1, 16) AS sha_fp
+         |FROM hh ORDER BY doc_id""".stripMargin,
+  )
+
+  private val sigSelect: String = {
+    import graft.functions.Hashing.{aCoef, bCoef, K}
+    val minExprs = (0 until K).map(i =>
+      f"min((${aCoef(i)}%d * hp + ${bCoef(i)}%d) %% ${P}) AS mh$i%02d").mkString(",\n   ")
+    s"""SELECT doc_id,
+       |   $minExprs
+       |  FROM hh GROUP BY doc_id""".stripMargin
+  }
+
+  private val sigCtes: String =
+    s"""$toksCte,
+       | $shCte,
+       | hh AS (SELECT doc_id, ${dHash("s")} % ${P} AS hp FROM sh),
+       | sig AS ($sigSelect)""".stripMargin
+
+  private val simhashBits: String = {
+    val sums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n   ")
+    val combine = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS token FROM documents),
+       | hh2 AS (SELECT doc_id, ${dHash("token")} AS h FROM tok),
+       | bits AS (SELECT doc_id,
+       |   $sums
+       |  FROM hh2 GROUP BY doc_id),
+       | sim AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  val dedup: Map[String, String] = Map(
+    "q34_dedup_exact" ->
+      """SELECT fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |  sha256(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        | FROM documents) t
+        |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q35_jaccard_neardup" ->
+      s"""WITH $toksCte,
+         | $shCte,
+         | ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         | sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         | com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         |         FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY d1, d2)
+         |SELECT d1, d2, common, n1.n AS n1, n2.n AS n2,
+         | round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) AS jaccard
+         |FROM com JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+         |WHERE round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) >= 0.6
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q36_minhash_sig" ->
+      s"""WITH $sigCtes
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q37_lsh_neardup" -> {
+      val bandEq = (0 until graft.functions.Hashing.Bands).map { bnd =>
+        (0 until graft.functions.Hashing.RowsPerBand)
+          .map { r => val c = f"mh${bnd * graft.functions.Hashing.RowsPerBand + r}%02d"; s"a.$c = b.$c" }
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""WITH $sigCtes,
+         | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
+         | ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         | sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         | com AS (SELECT d1, d2, count(*) AS common
+         |         FROM cand JOIN ds s1 ON d1 = s1.doc_id
+         |                   JOIN ds s2 ON d2 = s2.doc_id AND s1.s = s2.s
+         |         GROUP BY d1, d2)
+         |SELECT d1, d2,
+         | round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) AS jaccard
+         |FROM com JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+         |WHERE round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) >= 0.6
+         |ORDER BY d1, d2""".stripMargin
+    },
+
+    "q38_simhash" ->
+      s"""WITH $simhashBits
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+
+    "q39_simhash_pairs" ->
+      s"""WITH $simhashBits,
+         | sub AS (SELECT * FROM sim WHERE doc_id < 300)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY d1, d2""".stripMargin,
+  )
 }

@@ -47,10 +47,22 @@ object SparkEntry {
     "q26_lcc_forward" -> (Geo.lccForward _),
     "q27_lcc_roundtrip" -> (Geo.lccRoundtrip _),
     "q28_regrid" -> (Geo.regrid _),
+    "q29_word_count" -> (Text.wordCount _),
+    "q30_text_quality" -> (Text.textQuality _),
+    "q31_lang_id" -> (Text.langId _),
+    "q32_token_bpe" -> (Text.tokenCountBpe _),
+    "q33_fingerprint" -> (Text.fingerprint _),
+    "q34_dedup_exact" -> (Dedup.dedupExact _),
+    "q35_jaccard_neardup" -> (Dedup.jaccardNearDup _),
+    "q36_minhash_sig" -> (Dedup.minhashSignatures _),
+    "q37_lsh_neardup" -> (Dedup.lshNearDup _),
+    "q38_simhash" -> (Dedup.simhash _),
+    "q39_simhash_pairs" -> (Dedup.simhashPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Oracles.relational ++ Oracles.temporal ++ Oracles.geo
+    Oracles.relational ++ Oracles.temporal ++ Oracles.geo ++
+      Oracles.text ++ Oracles.dedup
 }

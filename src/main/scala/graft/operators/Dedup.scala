@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * MinHash-LSH, and SimHash (SURVEY.md §2 Table B ★ rows).
+  *
+  * Scale design:
+  *  - Exact dedup is one hash-groupBy on the normalized fingerprint.
+  *  - The exact Jaccard self-join is the CORRECTNESS baseline; it is
+  *    quadratic in the worst case and exists to validate the LSH path.
+  *  - MinHash-LSH is the 100 TB path: signatures are one explode +
+  *    16-way min aggregation (single shuffle on doc_id), banding turns
+  *    the all-pairs problem into equality joins on (band, signature)
+  *    buckets — candidates only where a band collides, then the exact
+  *    Jaccard check runs on candidates alone. Skewed buckets (boilerplate
+  *    shingles) would be salted or capped at real scale.
+  *  - SimHash gives a constant-width bit fingerprint; near-dup pairs are
+  *    Hamming-distance filters, again only within candidate subsets.
+  */
+object Dedup {
+
+  private def toks = filter(split(col("text"), " "), t => length(t) > 0)
+
+  /** 3-token shingles of a document (docs shorter than 3 tokens drop out). */
+  private def shingleCol: Column =
+    transform(
+      sequence(lit(1), size(col("toks")) - 2),
+      i => array_join(slice(col("toks"), i, lit(3)), " "))
+
+  /** doc_id → exploded distinct shingles. */
+  private def distinctShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .distinct()
+
+  /** Exact dedup: normalize (lower, collapse whitespace, trim) → SHA-256 →
+    * keep the smallest doc_id per fingerprint. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp",
+        sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256))
+      .groupBy(col("fp"))
+      .agg(
+        min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  /** Exact 3-shingle Jaccard near-dup pairs (threshold 0.6) via a
+    * distinct-shingle equality self-join — the brute-force baseline. */
+  def jaccardNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ds = distinctShingles(spark, dir)
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = ds.as("a")
+      .join(ds.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select("d1", "d2", "common", "n1", "n2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash signatures: K=16 universal-hash minima over shingle hashes.
+    * One explode + one groupBy(doc_id) — a single shuffle at any scale. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .withColumn("hp", Hashing.h32p(col("s")))
+    val mins = (0 until Hashing.K).map(i =>
+      min(Hashing.perm(i, col("hp"))).as(f"mh$i%02d"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash-LSH near-dup pairs: band the signatures (4 bands × 4 rows),
+    * equality-join on (band, band-signature) to get candidates, then
+    * exact-Jaccard-verify candidates at threshold 0.6. */
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val bandStructs = (0 until Hashing.Bands).map { bnd =>
+      val cols = (0 until Hashing.RowsPerBand)
+        .map(r => col(f"mh${bnd * Hashing.RowsPerBand + r}%02d"))
+      struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("sig"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    val ds = distinctShingles(spark, dir)
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(ds.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(ds.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** 32-bit SimHash fingerprints from token hashes (repeats weighted). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val th = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .withColumn("h", Hashing.h32(col("token")))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"s$b"))
+    val combined = (0 until 32)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    th.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), combined.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 6 within a bounded probe
+    * subset (the full-scale variant bands simhash bits exactly like
+    * MinHash-LSH). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir).filter(col("doc_id") < 300)
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy(col("d1"), col("d2"))
+  }
+}

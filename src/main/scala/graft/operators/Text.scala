@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * All tokenization is `split` + higher-order array functions (codegen'd
+  * builtins); per-document work is embarrassingly parallel, and the only
+  * shuffles are the final small aggregations. At 100 TB the explode-based
+  * queries (word count, lang ID) do one hash shuffle on the token/doc key
+  * with map-side partial aggregation.
+  */
+object Text {
+
+  /** Single-space tokenizer shared by every operator (empty tokens dropped
+    * so double spaces can't skew counts). */
+  private def toks = filter(split(col("text"), " "), t => length(t) > 0)
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "data")
+
+  /** Language-marker lexicon for the n-gram/lexicon language-ID heuristic. */
+  val lexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "is" -> "en", "and" -> "en",
+    "der" -> "de", "und" -> "de", "nicht" -> "de",
+    "le" -> "fr", "et" -> "fr", "est" -> "fr",
+    "el" -> "es", "y" -> "es", "es" -> "es")
+
+  /** Corpus word frequencies, top 100. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+
+  /** Per-document quality features + a composite score (length, token
+    * shape, stopword density, punctuation) — the classic pre-training
+    * quality filter, all in builtin expressions. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stops = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(transform(col("toks"), t => length(t)), lit(0L), (acc, x) => acc + x.cast("long")))
+      .withColumn("avg_token_len",
+        round(col("sum_len").cast("double") / col("n_tokens"), 6))
+      .withColumn("stop_hits",
+        size(filter(col("toks"), t => array_contains(stops, t))).cast("long"))
+      .withColumn("stop_ratio",
+        round(col("stop_hits").cast("double") / col("n_tokens"), 6))
+      .withColumn("punct_count",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+      .withColumn("quality", round(
+        lit(0.5) * (col("stop_hits").cast("double") / col("n_tokens")) +
+          lit(0.3) / (lit(1.0) + abs(col("sum_len").cast("double") / col("n_tokens") - lit(5.0))) +
+          lit(0.2) * least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)), 6))
+      .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio", "punct_count", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Lexicon-based language ID: argmax of marker-word hits per document,
+    * reported as a (true lang × predicted lang) confusion census. Docs with
+    * zero hits predict 'und'. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val lex = lexicon.toDF("marker", "cand_lang")
+    val hits = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(lex), col("token") === col("marker"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("cand_lang"))
+    val pred = hits
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred0"))
+    docs.join(pred, Seq("doc_id"), "left")
+      .withColumn("pred_lang", coalesce(col("pred0"), lit("und")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Whitespace vs BPE-ish tokenization census per document. */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws_tokens", size(toks).cast("long"))
+      .withColumn("n_bpe_tokens",
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "chars_per_token")
+      .orderBy("doc_id")
+
+  /** Document fingerprints: a polynomial rolling hash over token hashes
+    * (order-sensitive) plus a SHA-256 content fingerprint (order plus
+    * exact bytes). Both reproducible in any engine. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hs", transform(toks, t => Hashing.h32p(t)))
+      .withColumn("rolling_fp",
+        aggregate(col("hs"), lit(0L), (acc, x) => (acc * Hashing.B + x) % Hashing.P))
+      .withColumn("sha_fp", substring(sha2(col("text"), 256), 1, 16))
+      .select("doc_id", "rolling_fp", "sha_fp")
+      .orderBy("doc_id")
+}

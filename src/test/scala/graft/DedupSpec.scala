@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Text}
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup is idempotent and keeps min doc_id") {
+    val out = Dedup.dedupExact(spark, sfDir).cache()
+    val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sfDir).count())
+    // distinct fingerprints: dedup(dedup(x)) == dedup(x)
+    assert(out.select("fp").distinct().count() == out.count())
+    out.unpersist()
+  }
+
+  test("LSH near-dup pairs match the exact-Jaccard baseline on this corpus") {
+    val exact = Dedup.jaccardNearDup(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshNearDup(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are verified with the same exact Jaccard, so lsh ⊆ exact;
+    // with 16 hashes and J≥0.6 the planted ~0.9+ dups must all be recalled.
+    assert(lsh.subsetOf(exact))
+    val high = Dedup.jaccardNearDup(spark, sfDir)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high.subsetOf(lsh), s"missed high-sim pairs: ${high.diff(lsh)}")
+  }
+
+  test("minhash signature values lie in [0, P)") {
+    val sig = Dedup.minhashSignatures(spark, sfDir)
+    val cols = sig.columns.filter(_.startsWith("mh"))
+    assert(cols.length == graft.functions.Hashing.K)
+    val mins = sig.select(cols.map(c => min(col(c))): _*).collect()(0)
+    val maxs = sig.select(cols.map(c => max(col(c))): _*).collect()(0)
+    (0 until cols.length).foreach { i =>
+      assert(mins.getLong(i) >= 0L && maxs.getLong(i) < graft.functions.Hashing.P)
+    }
+  }
+
+  test("simhash is a 32-bit value; identical docs would collide") {
+    val sh = Dedup.simhash(spark, sfDir)
+    val range = sh.agg(min("simhash"), max("simhash")).collect()(0)
+    assert(range.getLong(0) >= 0L && range.getLong(1) < (1L << 32))
+  }
+
+  test("text quality scores are in (0, 1] and ratios bounded") {
+    Text.textQuality(spark, sfDir).collect().foreach { r =>
+      val stopRatio = r.getDouble(3)
+      assert(stopRatio >= 0.0 && stopRatio <= 1.0)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("word count totals match token count") {
+    val fromQuality = Text.textQuality(spark, sfDir)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    val allTokens = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(fromQuality == allTokens)
+  }
+
+  test("rolling fingerprint is order-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c", "en", "s", 5L), (2L, "c b a", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("___tmp")
+    val fps = df
+      .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+      .withColumn("hs", transform(col("toks"), t => graft.functions.Hashing.h32p(t)))
+      .withColumn("fp", aggregate(col("hs"), lit(0L),
+        (acc, x) => (acc * graft.functions.Hashing.B + x) % graft.functions.Hashing.P))
+      .select("fp").collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+}
