@@ -497,4 +497,74 @@ object Oracles {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY d1, d2""".stripMargin,
   )
+
+  // ---- similarity / multimodal -------------------------------------------
+
+  /** Explicit left-assoc 64-term dot product — identical accumulation
+    * order to Spark's zip_with+aggregate fold. */
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private val embCte =
+    s"""e AS (SELECT vec_id, label, embedding,
+       |   sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
+
+  val similarity: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      s"""WITH $embCte,
+         | pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
+         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cosine DESC, cand_id) AS rnk FROM pairs)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(cosine, 6) AS cosine
+         |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
+
+    "q41_ann_bucketed" -> {
+      val bucket = (0 until 4)
+        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      s"""WITH $embCte,
+         | eb AS (SELECT *, $bucket AS bucket FROM e),
+         | pairs AS (SELECT p.vec_id AS probe_id, p.bucket, c.vec_id AS cand_id,
+         |    (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
+         |   FROM eb p JOIN eb c ON p.vec_id % 97 = 0 AND p.bucket = c.bucket
+         |                      AND p.vec_id <> c.vec_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cosine DESC, cand_id) AS rnk FROM pairs)
+         |SELECT probe_id, bucket, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(cosine, 6) AS cosine
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+    },
+
+    "q42_embedding_stats" ->
+      s"""WITH $embCte
+         |SELECT label, count(*) AS n_vectors,
+         | round(avg(nrm), 6) AS avg_norm,
+         | round(min(nrm), 6) AS min_norm,
+         | round(max(nrm), 6) AS max_norm,
+         | round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+  )
+
+  val multimodal: Map[String, String] = Map(
+    "q43_multimodal_meta" ->
+      s"""SELECT doc_id,
+         | CAST(strlen(text) AS BIGINT) AS n_bytes,
+         | ${dHash("text")} % 1000 AS fake_feature,
+         | CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+         | CASE WHEN n_chars >= 300 THEN 'video'
+         |      WHEN n_chars >= 150 THEN 'image'
+         |      ELSE 'audio' END AS media_class
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q44_frame_sample" ->
+      s"""WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+         | f AS (SELECT doc_id, unnest(range(0, n_bytes // 256 + 1)) AS frame_id FROM d)
+         |SELECT doc_id, frame_id,
+         | (${dHash("CAST(doc_id AS VARCHAR)")} + frame_id * 2654435761) % 2147483647 AS phash
+         |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+  )
 }

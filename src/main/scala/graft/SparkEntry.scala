@@ -58,11 +58,17 @@ object SparkEntry {
     "q37_lsh_neardup" -> (Dedup.lshNearDup _),
     "q38_simhash" -> (Dedup.simhash _),
     "q39_simhash_pairs" -> (Dedup.simhashPairs _),
+    "q40_cosine_topk" -> (Similarity.cosineTopK _),
+    "q41_ann_bucketed" -> (Similarity.annBucketed _),
+    "q42_embedding_stats" -> (Similarity.embeddingStats _),
+    "q43_multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "q44_frame_sample" -> (Multimodal.frameSample _),
+    "q45_media_decode" -> (Multimodal.mediaDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.temporal ++ Oracles.geo ++
-      Oracles.text ++ Oracles.dedup
+      Oracles.text ++ Oracles.dedup ++ Oracles.similarity ++ Oracles.multimodal
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2 Table B ★ multimodal).
+  *
+  * Media bytes are opaque `BinaryType` columns with typed metadata
+  * alongside. No image/audio codec exists in this container, so the decode
+  * kernel is a clearly-marked deterministic STUB ([[decodeStub]]) — the
+  * Spark-side plumbing (binary columns, per-partition batched decode via
+  * mapPartitions, frame explosion, metadata schema) is real and tested.
+  * In production the stub body is replaced by a JNI/codec call; nothing
+  * about the plan shape changes.
+  */
+object Multimodal {
+
+  /** A "media" row: payload bytes + metadata. Documents stand in as the
+    * binary source (payload = UTF-8 bytes of text). */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], source: String)
+
+  /** Decoded per-item features, produced partition-batched. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Long, byte_sum: Long, stub_feature: Long)
+
+  /** STUB decode kernel: stands in for an image/audio decoder. Pure,
+    * deterministic function of the payload bytes so tests can pin it. */
+  def decodeStub(payload: Array[Byte]): (Long, Long) = {
+    var s = 0L
+    var i = 0
+    while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
+    (s, s % 4096)
+  }
+
+  /** Binary payload metadata query: byte length, a content-derived fake
+    * feature, first byte, and a mime-ish class — all builtin expressions
+    * over the opaque column's source text. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        (Hashing.h32(col("text")) % 1000).as("fake_feature"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+        when(col("n_chars") >= 300, lit("video"))
+          .when(col("n_chars") >= 150, lit("image"))
+          .otherwise(lit("audio")).as("media_class"))
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling: one row per simulated frame (1 frame per 256 payload
+    * bytes), each with a deterministic perceptual-hash stand-in. The
+    * explode is the real plan shape a video pipeline uses; only the hash
+    * is fake. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+      .withColumn("n_frames", floor(col("n_bytes") / 256) + 1)
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
+      .withColumn("phash",
+        (Hashing.h32(col("doc_id").cast("string")) + col("frame_id") * lit(2654435761L)) % lit(2147483647L))
+      .select("doc_id", "frame_id", "phash")
+      .orderBy("doc_id", "frame_id")
+
+  /** The real mapPartitions decode path: batches rows per partition through
+    * the (stub) codec — the plan shape used when decode needs a heavyweight
+    * per-partition-initialized native library. Deterministic, so it is
+    * declared as a rows-only query (no SQL oracle: imperative kernel). */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("source"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      // per-partition init would happen here (codec handles, buffers)
+      rows.map { m =>
+        val (byteSum, feature) = decodeStub(m.payload)
+        DecodedMedia(m.doc_id, m.payload.length.toLong, byteSum, feature)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+}

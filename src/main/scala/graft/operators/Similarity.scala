@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (dim 64, float32).
+  *
+  * Vector math is builtin higher-order functions (`zip_with` +
+  * `aggregate`) — codegen'd, no UDF, exact left-fold order so the DuckDB
+  * oracle (an explicit 64-term sum chain) reproduces results bit-for-bit
+  * before rounding.
+  *
+  * Scale design: the brute-force top-k broadcasts the (small) probe set
+  * against a single scan of the corpus — one window per probe for the
+  * top-k heap, no all-pairs shuffle. The bucketed ANN variant is the
+  * 100 TB path: a cheap sign-bit coarse quantizer prunes the candidate set
+  * to one bucket (IVF-style); both sides shuffle only on bucket_id.
+  */
+object Similarity {
+
+  /** Exact dot product with deterministic left-fold accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Brute-force cosine top-10 per probe (every 97th vector probes) — the
+    * exact baseline every ANN variant is measured against. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val p = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val pairs = broadcast(p)
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm")), col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Sign-bit coarse quantizer: bucket = 4 sign bits of dims 1..4 (an
+    * IVF-style partition of the space into 16 cells). */
+  def bucketOf(emb: Column): Column =
+    (0 until 4).map { i =>
+      when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: probes search only their own bucket — candidate set
+    * shrinks ~16x; join is an equality join on bucket_id (shuffle-light,
+    * broadcastable probe side). Top-5 per probe. */
+  def annBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("bucket", bucketOf(col("embedding")))
+    val p = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"), col("bucket"))
+    val pairs = broadcast(p)
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("bucket").as("c_bucket")),
+        col("bucket") === col("c_bucket") && col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("bucket"), col("rank").cast("long").as("rank"),
+        col("cand_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Per-label embedding statistics — vector aggregation sanity surface. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("c0", element_at(col("embedding"), 1).cast("double"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg(col("nrm")), 6).as("avg_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        round(avg(col("c0")), 6).as("avg_c0"))
+      .orderBy(col("label"))
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k: cosine in [-1,1], ranks dense per probe") {
+    val rows = Similarity.cosineTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.000001))
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to g.length))
+      val cs = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("bucketed ANN results are a subset of each probe's bucket, ranked") {
+    val ann = Similarity.annBucketed(spark, sfDir).collect()
+    assert(ann.nonEmpty)
+    ann.groupBy(_.getLong(0)).foreach { case (_, g) => assert(g.length <= 5) }
+  }
+
+  test("bucketed ANN top-1 agrees with brute force when in-bucket (recall probe)") {
+    // every ANN hit must appear in the brute-force pair set with the same cosine
+    val bf = Similarity.cosineTopK(spark, sfDir)
+      .select("probe_id", "cand_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.annBucketed(spark, sfDir)
+      .select("probe_id", "cand_id", "cosine").collect()
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("media decode stub: byte sums consistent with payload lengths") {
+    val out = Multimodal.mediaDecode(spark, sfDir).collect()
+    assert(out.length == Tables.documents(spark, sfDir).count())
+    out.foreach { r =>
+      val nBytes = r.getLong(1)
+      val byteSum = r.getLong(2)
+      assert(byteSum >= 0L && byteSum <= nBytes * 255)
+      assert(r.getLong(3) == byteSum % 4096)
+    }
+  }
+
+  test("frame sample: 1 + floor(bytes/256) frames per doc") {
+    val frames = Multimodal.frameSample(spark, sfDir)
+      .groupBy("doc_id").count()
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (floor(octet_length(col("text")) / 256) + 1).as("exp"))
+    val joined = frames.join(expected, "doc_id")
+      .filter(col("count") =!= col("exp")).count()
+    assert(joined == 0L)
+  }
+}
