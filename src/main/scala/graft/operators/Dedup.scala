@@ -54,7 +54,8 @@ object Dedup {
   /** Exact 3-shingle Jaccard near-dup pairs (threshold 0.6) via a
     * distinct-shingle equality self-join — the brute-force baseline. */
   def jaccardNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val ds = distinctShingles(spark, dir)
+    // Materialized once: feeds three branches (sizes ×2 via join, self-join).
+    val ds = distinctShingles(spark, dir).localCheckpoint()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = ds.as("a")
       .join(ds.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -89,7 +90,11 @@ object Dedup {
     * equality-join on (band, band-signature) to get candidates, then
     * exact-Jaccard-verify candidates at threshold 0.6. */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+    // Materialize the signature table once (it feeds both sides of the
+    // banding self-join and would otherwise recompute the sha256-heavy
+    // shingle pipeline per branch). At production scale this is "write
+    // signatures to a table, then join" — the standard LSH job shape.
+    val sig = minhashSignatures(spark, dir).localCheckpoint()
     val bandStructs = (0 until Hashing.Bands).map { bnd =>
       val cols = (0 until Hashing.RowsPerBand)
         .map(r => col(f"mh${bnd * Hashing.RowsPerBand + r}%02d"))
@@ -105,7 +110,7 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    val ds = distinctShingles(spark, dir)
+    val ds = distinctShingles(spark, dir).localCheckpoint()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cands
       .join(ds.as("s1"), col("d1") === col("s1.doc_id"))

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sources.Tables
+
+/** Structured Streaming surface (SURVEY.md §2 Table B "Streaming", §7.7).
+  *
+  * The reference is a batch cron job, so streaming is an extension: the
+  * same event-time semantics declared batch-first in operators.Events are
+  * expressed here against unbounded sources — identical logical plans,
+  * swapped source/sink. Watermarks bound state; windowed aggregation state
+  * is per (window × key) and sessionization state is per active user, both
+  * O(active keys), not O(stream length) — the property that matters when
+  * the stream is 100 TB/day.
+  */
+object StreamOps {
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  case class SessionOut(user_id: Long, session_start: Long, n_events: Long,
+                        sum_value: Double)
+
+  /** Unbounded file source over the events layout: new parquet files in
+    * `dir` are discovered and processed incrementally. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 10-minute windowed counts with a 1-hour watermark: late rows
+    * beyond the watermark are dropped, finalized windows are emitted once
+    * (Append mode) and their state evicted. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based session windows (30-minute inactivity) via
+    * flatMapGroupsWithState — the custom-state streaming dual of
+    * operators.Events.sessionize. Sessions close either when a later event
+    * arrives past the gap or when the event-time timeout fires. */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+
+    def fn(userId: Long, batch: Iterator[Ev],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      if (state.hasTimedOut) {
+        cur.foreach(s => out ::= SessionOut(userId, s.start / 1000, s.n, s.sum))
+        state.remove()
+        cur = None
+      }
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            out ::= SessionOut(userId, s.start / 1000, s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Stream the windowed aggregation to a partitioned parquet sink with
+    * checkpointing — the streaming dual of Manifest.writePartitioned. */
+  def writeWindowed(df: DataFrame, outPath: String, checkpoint: String): Unit =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .start()
+      .processAllAvailable()
+}
