@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Lcc
+import graft.operators.Ingest
+import graft.operators.Ingest.IngestConfig
+
+/** End-to-end ingestion pipeline tests over the grid_cube fixture
+  * (FIXTURES.md §B) plus the pyproj-independent golden points. */
+class IngestSpec extends SparkSpec {
+
+  /** FIXTURES.md grid_cube: 2 collections × 4 times × 8×8 cells = 512 rows.
+    * dkss rows carry degrees directly; harmonie rows carry LCC meters of
+    * the same lon/lat grid (so both branches should land on identical
+    * coordinates after cubeToLong). */
+  private def gridCube: DataFrame = {
+    import spark.implicits._
+    val times = (0 until 4).map(h => java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:00:00"))
+    val rows = for {
+      (coll, isLcc) <- Seq(("dkss_if", false), ("harmonie_dini_sf", true))
+      t <- times
+      iy <- 0 until 8
+      ix <- 0 until 8
+    } yield {
+      // strictly inside the bbox: cells on the exact boundary would flip
+      // in/out under the reproject round-trip's ~1e-12 deg residual
+      val lon = 11.51 + ix * 0.08
+      val lat = 55.51 + iy * 0.07
+      val (x, y) = if (isLcc) Lcc.forward(lat, lon) else (lon, lat)
+      val value: java.lang.Double =
+        if (ix == 3 && iy == 3) null else ix * 10.0 + iy // nodata hole
+      (coll, "sea-mean-deviation", t, x, y, value)
+    }
+    rows.toDF("collection", "parameter", "time", "x", "y", "value")
+  }
+
+  private val cfg = IngestConfig(bbox = (11.5, 55.5, 12.2, 56.1))
+
+  test("request plan builds EDR urls with the crs branch (R2/R7)") {
+    val plan = Ingest.requestPlan(spark,
+      cfg.copy(collection = "harmonie_dini_sf", parameters = Seq("wind-speed", "temperature")))
+      .collect()
+    assert(plan.length == 2)
+    plan.foreach { r =>
+      val url = r.getAs[String]("url")
+      assert(r.getAs[String]("crs") == "native")
+      assert(url.contains("collections/harmonie_dini_sf/cube"))
+      assert(url.contains("bbox=11.5,55.5,12.2,56.1"))
+      assert(url.contains("f=NetCDF"))
+    }
+    assert(Ingest.requestPlan(spark, cfg).collect()(0).getAs[String]("crs") == "crs84")
+  }
+
+  test("cubeToLong: reprojected harmonie cells land on the dkss grid (R6/R7)") {
+    val longDf = Ingest.cubeToLong(gridCube, cfg).cache()
+    val byColl = longDf.groupBy("collection").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same grid, same bbox, same nodata hole → identical counts per branch
+    assert(byColl("dkss_if") == byColl("harmonie_dini_sf"))
+    assert(byColl("dkss_if") > 0)
+    // coordinates agree across the reproject branch to < 1e-6 deg
+    val dkss = longDf.filter(col("collection") === "dkss_if")
+      .select("time_key", "lon", "lat", "value").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1e6), math.round(r.getDouble(2) * 1e6)) -> r.getDouble(3)).toMap
+    val harm = longDf.filter(col("collection") === "harmonie_dini_sf")
+      .select("time_key", "lon", "lat", "value").collect()
+    assert(harm.nonEmpty)
+    harm.foreach { r =>
+      val key = (r.getString(0), math.round(r.getDouble(1) * 1e6), math.round(r.getDouble(2) * 1e6))
+      assert(dkss.contains(key), s"no dkss cell at $key")
+      assert(dkss(key) == r.getDouble(3))
+    }
+    longDf.unpersist()
+  }
+
+  test("bbox filter prunes out-of-box cells; nodata dropped (R2)") {
+    val tight = cfg.copy(bbox = (11.5, 55.5, 11.7, 55.7))
+    val longDf = Ingest.cubeToLong(gridCube, tight)
+    val lons = longDf.agg(min("lon"), max("lon"), min("lat"), max("lat")).collect()(0)
+    assert(lons.getDouble(1) <= 11.7 + 1e-9 && lons.getDouble(3) <= 55.7 + 1e-9)
+    assert(longDf.filter(col("value").isNull).count() == 0)
+  }
+
+  test("full ingest: partitioned layout + golden-shaped manifest (R3,R10-R14)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val mf = Ingest.ingest(gridCube, cfg, out).collect()
+    assert(mf.length == 2) // 2 collections × 1 parameter
+    mf.foreach { r =>
+      val json = r.getAs[String]("forecasts_json")
+      // forecasts.json semantics: yyyyMMdd'T'HHmmss keys → public .tif urls
+      val keys = "\"(\\d{8}T\\d{6})\":".r.findAllMatchIn(json).map(_.group(1)).toSeq
+      assert(keys.length == 4, s"expected 4 time keys, got $keys")
+      assert(keys == keys.sorted)
+      assert(json.contains(
+        s"https://bucket.example/forecasts/${r.getAs[String]("collection")}/sea-mean-deviation/20240101T000000.tif"))
+    }
+    // partition dirs: collection=/parameter=/time_key=
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("collection=dkss_if", "collection=harmonie_dini_sf")))
+    val timeDirs = new java.io.File(
+      s"$out/collection=dkss_if/parameter=sea-mean-deviation").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(timeDirs.length == 4 && timeDirs.forall(_.startsWith("time_key=")))
+    // dynamic overwrite: rewriting one collection leaves the other intact
+    val onlyDkss = gridCube.filter(col("collection") === "dkss_if")
+    Ingest.ingest(onlyDkss, cfg, out)
+    assert(new java.io.File(s"$out/collection=harmonie_dini_sf").exists())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  test("golden points: Scala LCC matches the independent Python implementation") {
+    val src = scala.io.Source.fromFile(
+      getClass.getResource("/lcc_golden_points.json").getPath)
+    val json = try src.mkString finally src.close()
+    val pat = """\{"lat": ([-\d.]+), "lon": ([-\d.]+), "x": ([-\d.e+]+), "y": ([-\d.e+]+)\}""".r
+    val points = pat.findAllMatchIn(json).toSeq
+    assert(points.length == 36)
+    points.foreach { m =>
+      val (lat, lon, xg, yg) =
+        (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble)
+      val (x, y) = Lcc.forward(lat, lon)
+      assert(math.abs(x - xg) < 1e-6, s"x mismatch at ($lat,$lon): $x vs $xg")
+      assert(math.abs(y - yg) < 1e-6, s"y mismatch at ($lat,$lon): $y vs $yg")
+      val (lonBack, latBack) = Lcc.inverse(xg, yg)
+      assert(math.abs(lonBack - lon) < 1e-6 && math.abs(latBack - lat) < 1e-6)
+    }
+  }
+}
