@@ -567,4 +567,79 @@ object Oracles {
          | (${dHash("CAST(doc_id AS VARCHAR)")} + frame_id * 2654435761) % 2147483647 AS phash
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
   )
+
+  val advanced: Map[String, String] = Map(
+    "q46_cube_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q47_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q48_above_nation_avg" ->
+      """WITH na AS (SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+        |            FROM customer GROUP BY c_nationkey)
+        |SELECT c_custkey, c_nationkey,
+        | round(c_acctbal - nation_avg, 2) AS above_by
+        |FROM customer JOIN na ON c_nationkey = nk
+        |WHERE c_acctbal > nation_avg
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q49_near_max" ->
+      """WITH m AS (SELECT max(o_totalprice) AS max_price FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        | round(max_price - o_totalprice, 2) AS below_max
+        |FROM orders, m
+        |WHERE o_totalprice >= max_price * 0.9
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q50_percentiles" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 6) AS p50,
+        | round(CAST(quantile_cont(c_acctbal, 0.9) AS DOUBLE), 6) AS p90,
+        | round(CAST(quantile_cont(c_acctbal, 0.99) AS DOUBLE), 6) AS p99
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q51_latest_per_key" ->
+      """SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS latest_epoch
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q52_array_ops" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |   list_sort(embedding, 'DESC') AS sorted FROM embeddings
+        |  WHERE vec_id < 200)
+        |SELECT vec_id,
+        | CAST(len(embedding) AS BIGINT) AS dim,
+        | round(CAST(sorted[1] AS DOUBLE) + CAST(sorted[2] AS DOUBLE) + CAST(sorted[3] AS DOUBLE), 6) AS sum_top3,
+        | round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        | round(CAST(sorted[1] AS DOUBLE), 6) AS max_val,
+        | round(CAST(sorted[64] AS DOUBLE), 6) AS min_val
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q53_map_ops" ->
+      """SELECT event_id,
+        | event_type AS type_from_map,
+        | CAST(user_id AS VARCHAR) AS uid_from_map,
+        | CAST(2 AS BIGINT) AS n_keys
+        |FROM events
+        |WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin,
+  )
 }

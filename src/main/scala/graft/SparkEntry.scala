@@ -64,11 +64,20 @@ object SparkEntry {
     "q43_multimodal_meta" -> (Multimodal.multimodalMeta _),
     "q44_frame_sample" -> (Multimodal.frameSample _),
     "q45_media_decode" -> (Multimodal.mediaDecode _),
+    "q46_cube_agg" -> (Advanced.cubeAgg _),
+    "q47_pivot" -> (Advanced.pivotAgg _),
+    "q48_above_nation_avg" -> (Advanced.aboveNationAvg _),
+    "q49_near_max" -> (Advanced.nearMaxOrders _),
+    "q50_percentiles" -> (Advanced.percentiles _),
+    "q51_latest_per_key" -> (Advanced.latestPerKey _),
+    "q52_array_ops" -> (Advanced.arrayOps _),
+    "q53_map_ops" -> (Advanced.mapOps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.temporal ++ Oracles.geo ++
-      Oracles.text ++ Oracles.dedup ++ Oracles.similarity ++ Oracles.multimodal
+      Oracles.text ++ Oracles.dedup ++ Oracles.similarity ++
+      Oracles.multimodal ++ Oracles.advanced
 }

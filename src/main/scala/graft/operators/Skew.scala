@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join utility (SURVEY.md §7.4 "salting for skew").
+  *
+  * For a fact⋈dim join where a few fact keys dominate: replicate the dim
+  * side `nSalts` times and scatter fact rows across salt buckets, so one
+  * hot key spreads over `nSalts` reducers instead of one straggler task.
+  * AQE's skew-join handles sort-merge cases adaptively; explicit salting
+  * is the deterministic fallback when AQE can't (e.g. aggregations after
+  * the join keyed on the skewed column, or non-AQE environments).
+  *
+  * Result is row-identical to the plain join (asserted in SkewSpec).
+  */
+object Skew {
+
+  /** Deterministic scatter: salt from the row's other columns would risk
+    * correlation; a uniform pseudo-random assignment from the key plus a
+    * per-row discriminator keeps buckets balanced. */
+  private def saltCol(discriminator: Column, nSalts: Int): Column =
+    pmod(xxhash64(discriminator), lit(nSalts.toLong))
+
+  /** fact ⋈ dim on `factKey == dimKey`, salted `nSalts` ways.
+    *
+    * @param discriminator a fact column (any, e.g. the row id) used to
+    *                      scatter rows of the same key across salts
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                 discriminator: String, nSalts: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", saltCol(col(discriminator), nSalts))
+    val saltedDim = dim
+      .withColumn("__salt", explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+    saltedFact
+      .join(saltedDim, col(factKey) === col(dimKey) && saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+}
