@@ -641,5 +641,33 @@ object Oracles {
         |FROM events
         |WHERE event_id < 500
         |ORDER BY event_id""".stripMargin,
+
+    "q54_asof_join" ->
+      """WITH u AS (
+        | SELECT user_id AS k, epoch(ts) AS t, 1 AS side, event_id, event_type,
+        |        NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice
+        | FROM events
+        | UNION ALL
+        | SELECT o_custkey, epoch(o_orderdate), 0, NULL, NULL, o_orderkey, o_totalprice
+        | FROM orders),
+        | w AS (SELECT *,
+        |   last_value(o_orderkey IGNORE NULLS) OVER
+        |     (PARTITION BY k ORDER BY t, side, o_orderkey ROWS UNBOUNDED PRECEDING) AS asof_orderkey,
+        |   last_value(o_totalprice IGNORE NULLS) OVER
+        |     (PARTITION BY k ORDER BY t, side, o_orderkey ROWS UNBOUNDED PRECEDING) AS asof_price
+        |  FROM u)
+        |SELECT event_id, k AS user_id, event_type, asof_orderkey, asof_price
+        |FROM w WHERE side = 1 AND asof_orderkey IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q55_range_join" ->
+      """SELECT type1, type2, count(*) AS n_pairs FROM (
+        | SELECT a.event_id AS e1, b.event_id AS e2,
+        |        a.event_type AS type1, b.event_type AS type2
+        | FROM events a JOIN events b
+        |   ON a.event_id < b.event_id AND a.event_type <> b.event_type
+        |  AND abs(epoch(b.ts) - epoch(a.ts)) <= 60.0) t
+        |GROUP BY type1, type2
+        |ORDER BY type1, type2""".stripMargin,
   )
 }

@@ -72,6 +72,8 @@ object SparkEntry {
     "q51_latest_per_key" -> (Advanced.latestPerKey _),
     "q52_array_ops" -> (Advanced.arrayOps _),
     "q53_map_ops" -> (Advanced.mapOps _),
+    "q54_asof_join" -> (Temporal.asofJoin _),
+    "q55_range_join" -> (Temporal.rangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

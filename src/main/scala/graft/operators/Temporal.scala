@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** As-of and range joins (SURVEY.md §2 Table B "Joins" row: "range/as-of
+  * join for events-vs-forecast-time") — the two temporal join shapes Spark
+  * has no native operator for, composed from builtins.
+  *
+  * As-of: implemented with the union-sort trick — interleave both sides on
+  * (key, time), carry the right side's values forward with a last_value
+  * window, keep left rows. ONE shuffle on (key), no per-row subquery, no
+  * equi+inequality join explosion: this is the formulation that scales to
+  * 100 TB (the naive join-then-filter-then-rank explodes on hot keys).
+  *
+  * Range: bucketize time, join on (bucket ± 1), filter the exact band —
+  * turns an inequality join into an equality join with bounded fanout.
+  */
+object Temporal {
+
+  /** For each event: the most recent order (same user/customer key) placed
+    * at or before the event time. Events with no prior order drop out
+    * (inner as-of). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), col("ts").cast("double").as("t"),
+        col("event_id"), col("event_type"))
+      .withColumn("side", lit(1))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("k"), col("o_orderdate").cast("double").as("t"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("side", lit(0))
+
+    // interleave; at equal t the order sorts first (side 0) so an event at
+    // exactly the order time sees it ("at or before")
+    val unioned = events
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .select("k", "t", "side", "event_id", "event_type", "o_orderkey", "o_totalprice")
+      .unionByName(orders
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("event_type", lit(null).cast("string"))
+        .select("k", "t", "side", "event_id", "event_type", "o_orderkey", "o_totalprice"))
+
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_price", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("event_type"),
+        col("asof_orderkey"), col("asof_price"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range self-join: pairs of events of different types within a 60-second
+    * band, via the bucket-join pattern (equality join on adjacent 60 s
+    * buckets, then the exact band filter). Fanout per row is bounded by
+    * bucket population — no quadratic blowup on the time axis. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts").cast("double").as("t"))
+      .withColumn("bucket", floor(col("t") / 60).cast("long"))
+    val left = ev.select(col("event_id").as("e1"), col("event_type").as("type1"),
+      col("t").as("t1"), col("bucket"))
+    // probe side explodes to its own bucket ± 1 so every in-band pair
+    // shares a bucket with the build side
+    val right = ev
+      .withColumn("bucket", explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+      .select(col("event_id").as("e2"), col("event_type").as("type2"),
+        col("t").as("t2"), col("bucket"))
+    // each qualifying pair matches on exactly one bucket (the left row's
+    // own bucket), so no post-join distinct is needed
+    left.join(right, Seq("bucket"))
+      .filter(col("e1") < col("e2") && col("type1") =!= col("type2") &&
+        abs(col("t2") - col("t1")) <= 60.0)
+      .groupBy(col("type1"), col("type2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("type1"), col("type2"))
+  }
+}
