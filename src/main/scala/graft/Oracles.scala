@@ -17,10 +17,10 @@ object Oracles {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        | floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100 AS sum_disc_price,
         | round(avg(l_quantity), 6) AS avg_qty,
-        | round(avg(l_extendedprice), 6) AS avg_price,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1e6) / 1e6 AS avg_price,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
@@ -36,7 +36,7 @@ object Oracles {
     "q03_broadcast_join" ->
       """SELECT r_name, n_name,
         | count(*) AS n_customers,
-        | round(sum(c_acctbal), 2) AS total_acctbal
+        | round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -46,7 +46,7 @@ object Oracles {
     "q04_fact_join" ->
       """SELECT o_orderpriority,
         | count(*) AS n_lines,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
@@ -110,9 +110,12 @@ object Oracles {
     "q11_window_frame" ->
       """SELECT o_custkey, o_orderkey, moving_avg FROM (
         | SELECT o_custkey, o_orderkey,
-        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    count(*) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 1e4) / 1e4 AS moving_avg
         | FROM orders) t
         |WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -208,7 +211,7 @@ object Oracles {
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
         | event_type,
         | count(*) AS n_events,
-        | round(sum(value), 2) AS sum_value
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
@@ -216,7 +219,7 @@ object Oracles {
     "q21_sliding_window" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 - k * 300 AS BIGINT) AS window_start,
         | count(*) AS n_events,
-        | round(avg(value), 6) AS avg_value
+        | floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1e6) / 1e6 AS avg_value
         |FROM events, (VALUES (0), (1)) offs(k)
         |GROUP BY window_start
         |ORDER BY window_start""".stripMargin,
@@ -231,7 +234,7 @@ object Oracles {
         |SELECT user_id, session_seq,
         | CAST(floor(min(t)) AS BIGINT) AS session_start,
         | count(*) AS n_events,
-        | round(sum(value), 2) AS sum_value,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
         | CAST(floor(max(t) - min(t)) AS BIGINT) AS duration_s
         |FROM s
         |GROUP BY user_id, session_seq
@@ -249,7 +252,7 @@ object Oracles {
     "q24_time_partition_keys" ->
       """SELECT strftime(ts, '%Y%m%dT%H') AS time_key,
         | count(*) AS n_rows,
-        | round(sum(value), 2) AS sum_value
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events
         |GROUP BY time_key
         |ORDER BY time_key""".stripMargin,
@@ -317,7 +320,7 @@ object Oracles {
         s"""SELECT CAST(floor(lat * 4) / 4 AS DOUBLE) AS lat_bin,
            | CAST(floor(lon * 4) / 4 AS DOUBLE) AS lon_bin,
            | count(*) AS n_cells,
-           | round(avg(value), 6) AS avg_value,
+           | floor(avg(value) * 1e6) / 1e6 AS avg_value,
            | round(min(value), 2) AS min_value,
            | round(max(value), 2) AS max_value
            |FROM $grid g
@@ -573,7 +576,7 @@ object Oracles {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,
         | count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS total
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
@@ -588,10 +591,11 @@ object Oracles {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q48_above_nation_avg" ->
-      """WITH na AS (SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+      """WITH na AS (SELECT c_nationkey AS nk,
+        |             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS nation_avg
         |            FROM customer GROUP BY c_nationkey)
         |SELECT c_custkey, c_nationkey,
-        | round(c_acctbal - nation_avg, 2) AS above_by
+        | floor((c_acctbal - nation_avg) * 100) / 100 AS above_by
         |FROM customer JOIN na ON c_nationkey = nk
         |WHERE c_acctbal > nation_avg
         |ORDER BY c_custkey""".stripMargin,

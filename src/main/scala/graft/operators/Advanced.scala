@@ -16,7 +16,8 @@ object Advanced {
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -44,14 +45,16 @@ object Advanced {
     * decorrelates subqueries into, and the only shape that scales (one
     * shuffle on nationkey, no per-row subquery execution). */
   def aboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    // decimal-exact sum so both engines derive the identical average double
     val navg = Tables.customer(spark, dir)
       .groupBy(col("c_nationkey").as("nk"))
-      .agg(avg(col("c_acctbal")).as("nation_avg"))
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("nation_avg"))
     Tables.customer(spark, dir)
       .join(broadcast(navg), col("c_nationkey") === col("nk"))
       .filter(col("c_acctbal") > col("nation_avg"))
       .select(col("c_custkey"), col("c_nationkey"),
-        round(col("c_acctbal") - col("nation_avg"), 2).as("above_by"))
+        (floor((col("c_acctbal") - col("nation_avg")) * 100) / 100).as("above_by"))
       .orderBy(col("c_custkey"))
   }
 

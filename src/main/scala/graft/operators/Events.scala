@@ -31,7 +31,7 @@ object Events {
       .groupBy(col("window_start"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
   /** Sliding windows: 10-minute width, 5-minute slide. Each event lands in
@@ -45,7 +45,7 @@ object Events {
       .groupBy(col("window_start"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(avg(col("value")), 6).as("avg_value"))
+        (floor(sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)) * 1e6) / 1e6).as("avg_value"))
       .orderBy(col("window_start"))
 
   /** Gap-based sessionization (30-minute inactivity gap): the classic
@@ -65,7 +65,7 @@ object Events {
       .agg(
         floor(min(col("ts").cast("double"))).cast("long").as("session_start"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"),
         floor(max(col("ts").cast("double")) - min(col("ts").cast("double"))).cast("long")
           .as("duration_s"))
       .orderBy(col("user_id"), col("session_seq"))

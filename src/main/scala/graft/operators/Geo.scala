@@ -85,7 +85,7 @@ object Geo {
       .groupBy(col("lat_bin"), col("lon_bin"))
       .agg(
         count(lit(1)).as("n_cells"),
-        round(avg(col("value")), 6).as("avg_value"),
+        (floor(avg(col("value")) * 1e6) / 1e6).as("avg_value"),
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"))
       .orderBy(col("lat_bin"), col("lon_bin"))

@@ -28,7 +28,7 @@ object Manifest {
       .groupBy(col("time_key"))
       .agg(
         count(lit(1)).as("n_rows"),
-        round(sum(col("value")), 2).as("sum_value"))
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
       .orderBy(col("time_key"))
 
   /** R13+R14 manifest aggregation: per collection (event_type stands in),

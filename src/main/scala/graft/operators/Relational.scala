@@ -30,11 +30,14 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2000-06-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // decimal-exact sums: both engines then round the IDENTICAL double,
+        // immune to accumulation-order ulps (source values are 2-dp; the
+        // discount product is an exact 4-dp value)
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_base_price"),
+        (floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")).cast("double") * 100) / 100).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        (floor(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1)) * 1e6) / 1e6).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -55,7 +58,7 @@ object Relational {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("total_acctbal"))
       .orderBy(col("r_name"), col("n_name"))
 
   /** Fact-fact join: lineitem ⋈ orders on orderkey. At 100 TB this is a
@@ -67,7 +70,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        (floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")).cast("double") * 100) / 100).as("revenue"))
       .orderBy(col("o_orderpriority"))
 
   /** Left-semi join: customers that have at least one order. Semi joins
@@ -157,7 +160,9 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(-2, 0)
     Tables.orders(spark, dir)
-      .withColumn("moving_avg", round(avg(col("o_totalprice")).over(w), 4))
+      .withColumn("moving_avg", floor(
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w) * 1e4) / 1e4)
       .filter(col("o_custkey") < 100)
       .select(col("o_custkey"), col("o_orderkey"), col("moving_avg"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
