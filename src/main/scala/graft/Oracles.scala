@@ -646,6 +646,24 @@ object Oracles {
         |WHERE event_id < 500
         |ORDER BY event_id""".stripMargin,
 
+    "q56_null_handling" ->
+      """SELECT l_linestatus,
+        | count(*) AS n_all,
+        | count(nullif(l_returnflag, 'N')) AS n_flag_not_n,
+        | CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_n
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q57_hash_sample" ->
+      s"""SELECT o_orderstatus,
+         | count(*) AS n_sampled,
+         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sampled_total
+         |FROM orders
+         |WHERE ${dHash("CAST(o_orderkey AS VARCHAR)")} % 100 < 10
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+
     "q54_asof_join" ->
       """WITH u AS (
         | SELECT user_id AS k, epoch(ts) AS t, 1 AS side, event_id, event_type,

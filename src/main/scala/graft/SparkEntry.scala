@@ -74,6 +74,8 @@ object SparkEntry {
     "q53_map_ops" -> (Advanced.mapOps _),
     "q54_asof_join" -> (Temporal.asofJoin _),
     "q55_range_join" -> (Temporal.rangeJoin _),
+    "q56_null_handling" -> (Advanced.nullHandling _),
+    "q57_hash_sample" -> (Advanced.deterministicSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -113,6 +113,34 @@ object Advanced {
         round(array_min(col("embedding")).cast("double"), 6).as("min_val"))
       .orderBy(col("vec_id"))
 
+  /** Null-handling semantics: nullif/coalesce and count(col)-skips-nulls.
+    * (The driver tables are null-free, so nulls are introduced with
+    * nullif — same function both engines.) */
+  def nullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("flag_or_null", nullif(col("l_returnflag"), lit("N")))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(col("flag_or_null")).as("n_flag_not_n"),
+        sum(when(col("flag_or_null").isNull, 1L).otherwise(0L)).as("n_flag_n"),
+        first(coalesce(col("flag_or_null"), lit("defaulted")), ignoreNulls = false).as("sample_coalesce"))
+      .drop("sample_coalesce") // first() is order-dependent; counts are the check
+      .orderBy(col("l_linestatus"))
+
+  /** Deterministic hash sampling: the scalable, reproducible alternative
+    * to rand()-based TABLESAMPLE — membership is a pure function of the
+    * key, so the same ~10% sample falls out on any engine, any cluster,
+    * any day. */
+  def deterministicSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(graft.functions.Hashing.h32(col("o_orderkey").cast("string")) % 100 < 10)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("sampled_total"))
+      .orderBy(col("o_orderstatus"))
+
   /** Map-function showcase: build a map column, read it back. The oracle
     * mirrors the extracted values (DuckDB's MAP type differs; the check is
     * on the scalar results, which is what matters). */
