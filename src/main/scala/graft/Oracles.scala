@@ -552,6 +552,31 @@ object Oracles {
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
   )
 
+  /** q58: signature expression generated from the same hyperplane
+    * constants (identical literals, identical left-assoc order). */
+  private def rpSigSql(emb: String): String =
+    graft.operators.Similarity.hyperplanes.zipWithIndex.map { case (h, j) =>
+      val dotH = h.zipWithIndex
+        .map { case (w, i) => s"CAST($emb[${i + 1}] AS DOUBLE) * ${w}" }
+        .mkString(" + ")
+      s"CASE WHEN ($dotH) > 0.0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  val similarity2: Map[String, String] = Map(
+    "q58_rp_lsh_ann" ->
+      s"""WITH $embCte,
+         | es AS (SELECT *, ${rpSigSql("embedding")} AS sig FROM e),
+         | pairs AS (SELECT p.vec_id AS probe_id, p.sig, c.vec_id AS cand_id,
+         |    (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
+         |   FROM es p JOIN es c ON p.vec_id % 97 = 0 AND p.sig = c.sig
+         |                      AND p.vec_id <> c.vec_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cosine DESC, cand_id) AS rnk FROM pairs)
+         |SELECT probe_id, sig, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(cosine, 6) AS cosine
+         |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+  )
+
   val multimodal: Map[String, String] = Map(
     "q43_multimodal_meta" ->
       s"""SELECT doc_id,

@@ -76,6 +76,7 @@ object SparkEntry {
     "q55_range_join" -> (Temporal.rangeJoin _),
     "q56_null_handling" -> (Advanced.nullHandling _),
     "q57_hash_sample" -> (Advanced.deterministicSample _),
+    "q58_rp_lsh_ann" -> (Similarity.rpLshAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,5 +84,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.temporal ++ Oracles.geo ++
       Oracles.text ++ Oracles.dedup ++ Oracles.similarity ++
-      Oracles.multimodal ++ Oracles.advanced
+      Oracles.multimodal ++ Oracles.advanced ++ Oracles.similarity2
 }

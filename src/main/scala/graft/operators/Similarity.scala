@@ -85,6 +85,50 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Fixed random-hyperplane set for signed-random-projection LSH: 8
+    * hyperplanes × 64 dims, seeded — identical literals go into the Spark
+    * plan and the oracle SQL. */
+  val hyperplanes: IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(13)
+    IndexedSeq.fill(8)(IndexedSeq.fill(64)((rnd.nextInt(2001) - 1000) / 1000.0))
+  }
+
+  /** 8-bit signed-random-projection signature: bit j = sign(v · h_j).
+    * Vectors with equal signatures are "probably similar" — the classic
+    * cosine-LSH bucket key. */
+  def rpSignature(emb: Column): Column =
+    hyperplanes.zipWithIndex.map { case (h, j) =>
+      val dotH = h.zipWithIndex
+        .map { case (w, i) => element_at(emb, i + 1).cast("double") * lit(w) }
+        .reduce(_ + _)
+      when(dotH > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH ANN: probes search only their signature bucket
+    * (256 cells). The candidate set shrinks ~256x; equality join on the
+    * signature — the second scale path next to [[annBucketed]]. */
+  def rpLshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("sig", rpSignature(col("embedding")))
+    val p = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"), col("sig"))
+    val pairs = broadcast(p)
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("sig").as("c_sig")),
+        col("sig") === col("c_sig") && col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("sig"), col("rank").cast("long").as("rank"),
+        col("cand_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Per-label embedding statistics — vector aggregation sanity surface. */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
