@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.expressions.Sha256Prefix32Expr
+
+/** Session extensions: registers the engine's native expressions.
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (done by Verify, Bench, and the test harness). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("sha256_prefix32"),
+      new ExpressionInfo(classOf[Sha256Prefix32Expr].getName, "sha256_prefix32"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Sha256Prefix32Expr(children.head)))
+  }
+}

@@ -5,6 +5,7 @@ object Plans {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"

@@ -36,8 +36,15 @@ object Hashing {
     (a, b)
   }
 
-  /** H(s): first 32 bits of sha256 as a long in [0, 2^32). */
-  def h32(c: Column): Column =
+  /** H(s): first 32 bits of sha256 as a long in [0, 2^32). Uses the native
+    * codegen'd [[graft.functions.expressions.Sha256Prefix32Expr]]
+    * (registered by [[graft.GraftExtensions]]) — no hex-string round trip
+    * in the MinHash/SimHash inner loop. */
+  def h32(c: Column): Column = call_function("sha256_prefix32", c)
+
+  /** Builtin-composed equivalent (slower; kept as the portable fallback
+    * and the equivalence-test reference). */
+  def h32Composed(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
 
   /** H(s) mod P — the MinHash input. */
