@@ -671,6 +671,16 @@ object Oracles {
         |WHERE event_id < 500
         |ORDER BY event_id""".stripMargin,
 
+    "q59_topk_aggregator" ->
+      """SELECT p_brand, rn, p_partkey, p_retailprice
+        |FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(row_number() OVER (PARTITION BY p_brand
+        |       ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+        | FROM part) t
+        |WHERE rn <= 2
+        |ORDER BY p_brand, rn""".stripMargin,
+
     "q56_null_handling" ->
       """SELECT l_linestatus,
         | count(*) AS n_all,

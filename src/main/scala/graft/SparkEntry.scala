@@ -77,6 +77,7 @@ object SparkEntry {
     "q56_null_handling" -> (Advanced.nullHandling _),
     "q57_hash_sample" -> (Advanced.deterministicSample _),
     "q58_rp_lsh_ann" -> (Similarity.rpLshAnn _),
+    "q59_topk_aggregator" -> (Advanced.topKAggregator _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

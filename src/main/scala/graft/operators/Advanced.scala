@@ -141,6 +141,29 @@ object Advanced {
         round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("sampled_total"))
       .orderBy(col("o_orderstatus"))
 
+  /** Top-2 parts per brand via the typed bounded-heap
+    * [[graft.functions.TopKAggregator]] (UDAF surface) — result-identical
+    * to the window formulation (q12), but carries only k elements through
+    * partial aggregation instead of sorting whole groups. */
+  def topKAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(2).toColumn
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .toDF("p_brand", "topk")
+      .select(col("p_brand"), posexplode(col("topk")))
+      .select(
+        col("p_brand"),
+        (col("pos") + 1).cast("int").as("rn"),
+        col("col._2").as("p_partkey"),
+        col("col._1").as("p_retailprice"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
   /** Map-function showcase: build a map column, read it back. The oracle
     * mirrors the extracted values (DuckDB's MAP type differs; the check is
     * on the scalar results, which is what matters). */
