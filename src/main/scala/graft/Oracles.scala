@@ -63,7 +63,7 @@ object Oracles {
       """SELECT c_mktsegment, count(*) AS n_inactive_customers
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 

@@ -89,7 +89,7 @@ object Relational {
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(
-        Tables.orders(spark, dir).filter(col("o_totalprice") > 150000.0),
+        Tables.orders(spark, dir).filter(col("o_totalprice") > 350000.0),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_inactive_customers"))
