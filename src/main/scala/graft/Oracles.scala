@@ -487,6 +487,22 @@ object Oracles {
          |ORDER BY d1, d2""".stripMargin
     },
 
+    "q60_chargram_neardup" ->
+      """WITH t AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id < 1000 AND length(text) >= 4),
+        | g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, length(text) - 2),
+        |                              i -> substr(text, i, 4))) AS s FROM t),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        | com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |         FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY d1, d2)
+        |SELECT d1, d2,
+        | round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) AS jaccard
+        |FROM com JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+        |WHERE round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
     "q38_simhash" ->
       s"""WITH $simhashBits
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
@@ -509,7 +525,7 @@ object Oracles {
     (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
 
-  private val embCte =
+  private def embCte =
     s"""e AS (SELECT vec_id, label, embedding,
        |   sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
 
@@ -594,6 +610,17 @@ object Oracles {
          |SELECT doc_id, frame_id,
          | (${dHash("CAST(doc_id AS VARCHAR)")} + frame_id * 2654435761) % 2147483647 AS phash
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+  )
+
+  val dedup2: Map[String, String] = Map(
+    "q61_embedding_neardup" ->
+      s"""WITH $embCte,
+         | p AS (SELECT * FROM e WHERE vec_id < 300)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         | round((${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6) AS cosine
+         |FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |WHERE round((${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6) >= 0.35
+         |ORDER BY v1, v2""".stripMargin,
   )
 
   val advanced: Map[String, String] = Map(

@@ -78,6 +78,8 @@ object SparkEntry {
     "q57_hash_sample" -> (Advanced.deterministicSample _),
     "q58_rp_lsh_ann" -> (Similarity.rpLshAnn _),
     "q59_topk_aggregator" -> (Advanced.topKAggregator _),
+    "q60_chargram_neardup" -> (Dedup.chargramNearDup _),
+    "q61_embedding_neardup" -> (Dedup.embeddingNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +87,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.temporal ++ Oracles.geo ++
       Oracles.text ++ Oracles.dedup ++ Oracles.similarity ++
-      Oracles.multimodal ++ Oracles.advanced ++ Oracles.similarity2
+      Oracles.multimodal ++ Oracles.advanced ++ Oracles.similarity2 ++
+      Oracles.dedup2
 }

@@ -127,6 +127,52 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Character 4-gram Jaccard near-dup pairs (threshold 0.5) — the
+    * character-level dual of the word-shingle variant; robust to
+    * whitespace/tokenization differences. Same distinct-gram equality
+    * self-join shape; the char-gram explode is an expr-level transform
+    * (substring over a position sequence). */
+  def chargramNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 1000)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = grams.as("a")
+      .join(grams.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding-cosine near-dup pairs (the vector-space dedup method):
+    * all pairs within a bounded probe range above a cosine threshold. At
+    * scale the pair space is pruned by the ANN bucket join first
+    * (Similarity.annBucketed / rpLshAnn); this is the exact check. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 300)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .localCheckpoint()
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(round(col("cosine"), 6) >= 0.35)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** 32-bit SimHash fingerprints from token hashes (repeats weighted). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val th = Tables.documents(spark, dir)

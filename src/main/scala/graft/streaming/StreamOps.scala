@@ -88,6 +88,19 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (broadcast to every microbatch — the static side is planned once and
+    * reused; no stream-side state). */
+  def enrichedStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("segment"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("segment"), col("n_events"))
+
   /** Stream the windowed aggregation to a partitioned parquet sink with
     * checkpointing — the streaming dual of Manifest.writePartitioned. */
   def writeWindowed(df: DataFrame, outPath: String, checkpoint: String): Unit =

@@ -63,6 +63,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with the customer dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val dim = graft.sources.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment")
+    val q = StreamOps.enrichedStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(1, ts(1), 1, "click", 1.0),      // custkey 1 exists
+        Ev(2, ts(2), 999999, "view", 2.0))  // no such customer → UNKNOWN
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(300), 1, "click", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(rows.getOrElse("UNKNOWN", 0L) == 1L)
+      assert(rows.filter(_._1 != "UNKNOWN").values.sum == 1L)
+    } finally q.stop()
+  }
+
   test("file-source stream over the events directory produces same totals as batch") {
     // copy a small slice of events parquet into a staging dir, stream it
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
