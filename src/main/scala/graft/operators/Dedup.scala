@@ -131,7 +131,15 @@ object Dedup {
     * character-level dual of the word-shingle variant; robust to
     * whitespace/tokenization differences. Same distinct-gram equality
     * self-join shape; the char-gram explode is an expr-level transform
-    * (substring over a position sequence). */
+    * (substring over a position sequence).
+    *
+    * Measured note: document-frequency prefix filtering (candidates from
+    * rare grams only + full-set verify) was implemented and benchmarked at
+    * sf0.1 — SLOWER here (19s vs 15s): this corpus's tiny vocabulary makes
+    * even "rare" grams dense, so the filter pays an extra verify join for
+    * little pruning. On a natural-text corpus the filter wins; on any
+    * corpus the MinHash-LSH path ([[lshNearDup]]) is the true scale
+    * answer, so the exact baseline stays in its simplest form. */
   def chargramNearDup(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .filter(col("doc_id") < 1000)
