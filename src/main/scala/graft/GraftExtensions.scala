@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.Sha256Prefix32Expr
+import graft.functions.expressions.{Sha256Prefix32Expr, SortedIntersectCountExpr}
 
 /** Session extensions: registers the engine's native expressions.
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -15,5 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Sha256Prefix32Expr].getName, "sha256_prefix32"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Sha256Prefix32Expr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCountExpr].getName, "sorted_intersect_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCountExpr(children.head, children(1))))
   }
 }

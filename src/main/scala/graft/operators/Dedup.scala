@@ -133,29 +133,33 @@ object Dedup {
     * self-join shape; the char-gram explode is an expr-level transform
     * (substring over a position sequence).
     *
-    * Measured note: document-frequency prefix filtering (candidates from
-    * rare grams only + full-set verify) was implemented and benchmarked at
-    * sf0.1 — SLOWER here (19s vs 15s): this corpus's tiny vocabulary makes
-    * even "rare" grams dense, so the filter pays an extra verify join for
-    * little pruning. On a natural-text corpus the filter wins; on any
-    * corpus the MinHash-LSH path ([[lshNearDup]]) is the true scale
-    * answer, so the exact baseline stays in its simplest form. */
+    * Formulation note (both measured at sf0.1): the gram-equality
+    * self-join explodes on this corpus's tiny vocabulary — every common
+    * gram contributes df²/2 joined rows before the (d1,d2) re-aggregation
+    * (15.3 s). Holding each doc's distinct grams as ONE array row and
+    * computing `array_intersect` per candidate pair bounds the work at
+    * exactly |pairs| row operations with no gram shuffle at all — the
+    * probe side broadcasts, so the scan side never moves. Document-
+    * frequency prefix filtering was also measured: SLOWER here (19 s) —
+    * dense "rare" grams pay an extra verify join for little pruning. On
+    * any corpus the MinHash-LSH path ([[lshNearDup]]) is the true scale
+    * answer; this is the exact baseline. */
   def chargramNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val nPart = spark.sparkContext.defaultParallelism
     val grams = Tables.documents(spark, dir)
       .filter(col("doc_id") < 1000)
       .filter(length(col("text")) >= 4)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")).as("s"))
-      .distinct()
-      .localCheckpoint()
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = grams.as("a")
-      .join(grams.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        array_sort(array_distinct(expr(
+          "transform(sequence(1, length(text) - 3), i -> xxhash64(substring(text, i, 4)))"))).as("g"))
+      .withColumn("n", size(col("g")).cast("long"))
+    val a = grams.select(col("doc_id").as("d1"), col("g").as("g1"), col("n").as("n1"))
+      // the documents scan is one small file = one partition; spread the
+      // streamed side so the pair loop uses every core
+      .repartition(nPart)
+    val b = grams.select(col("doc_id").as("d2"), col("g").as("g2"), col("n").as("n2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("common", expr("sorted_intersect_count(g1, g2)"))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
       .filter(col("jaccard") >= 0.5)

@@ -42,4 +42,31 @@ class ExpressionSpec extends SparkSpec {
       .select(Hashing.h32(col("s")).as("h")).collect()
     assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    // every pair of document 4-gram hash sets, both formulations
+    val g = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), array_sort(array_distinct(expr(
+        "transform(sequence(1, length(text) - 3), i -> xxhash64(substring(text, i, 4)))"))).as("g"))
+    val pairs = g.select(col("doc_id").as("d1"), col("g").as("g1"))
+      .join(g.select(col("doc_id").as("d2"), col("g").as("g2")), col("d1") < col("d2"))
+      .withColumn("fast", expr("sorted_intersect_count(g1, g2)"))
+      .withColumn("slow", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("fast") =!= col("slow")).count() == 0L)
+  }
+
+  test("sorted_intersect_count edge cases: empty, disjoint, identical, null") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq[Long]()), Some(Seq(1L, 2L))),       // empty left
+      (Some(Seq(1L, 3L)), Some(Seq(2L, 4L))),       // disjoint
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(1L, 2L, 3L))), // identical
+      (None, Some(Seq(1L)))                          // null left
+    ).toDF("a", "b").withColumn("c", expr("sorted_intersect_count(a, b)"))
+    val r = df.select("c").collect()
+    assert(r(0).getLong(0) == 0L && r(1).getLong(0) == 0L && r(2).getLong(0) == 3L)
+    assert(r(3).isNullAt(0))
+  }
 }
