@@ -52,7 +52,16 @@ object Dedup {
       .orderBy(col("fp"))
 
   /** Exact 3-shingle Jaccard near-dup pairs (threshold 0.6) via a
-    * distinct-shingle equality self-join — the brute-force baseline. */
+    * distinct-shingle equality self-join — the brute-force baseline.
+    *
+    * Formulation note (measured at sf0.1): the hashed-array + broadcast
+    * pair-merge formulation that wins for char 4-grams
+    * ([[chargramNearDup]], dense vocabulary, df²/2 join explosion) was
+    * implemented and benchmarked here too — SLOWER (3.9 s vs 2.2 s): word
+    * 3-shingles are a sparse vocabulary, so per-shingle document frequency
+    * is tiny, the equality join never explodes, and the extra per-row
+    * hash/array work plus a repartition is pure overhead. Pick the
+    * formulation by vocabulary density, not by habit. */
   def jaccardNearDup(spark: SparkSession, dir: String): DataFrame = {
     // Materialized once: feeds three branches (sizes ×2 via join, self-join).
     val ds = distinctShingles(spark, dir).localCheckpoint()
