@@ -754,4 +754,42 @@ object Oracles {
         |GROUP BY type1, type2
         |ORDER BY type1, type2""".stripMargin,
   )
+
+  // ---- round 2: analytic wave --------------------------------------------
+
+  val analytic: Map[String, String] = Map(
+    "q62_window_family" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | floor(percent_rank() OVER w * 1e6) / 1e6 AS pct_rank,
+        | floor(cume_dist() OVER w * 1e6) / 1e6 AS cume,
+        | first_value(o_orderkey) OVER wall AS cheapest_order,
+        | last_value(o_orderkey) OVER wall AS priciest_order
+        |FROM orders WHERE o_custkey < 500
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        | wall AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q63_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin,
+
+    "q64_unpivot" ->
+      """WITH m AS (
+        | SELECT 'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        | UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        | UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        | round(CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE), 4) AS total,
+        | round(min(val), 4) AS lo,
+        | round(max(val), 4) AS hi
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+  )
 }

@@ -80,6 +80,9 @@ object SparkEntry {
     "q59_topk_aggregator" -> (Advanced.topKAggregator _),
     "q60_chargram_neardup" -> (Dedup.chargramNearDup _),
     "q61_embedding_neardup" -> (Dedup.embeddingNearDup _),
+    "q62_window_family" -> (Analytic.windowFamily _),
+    "q63_grouping_sets" -> (Analytic.groupingSetsAgg _),
+    "q64_unpivot" -> (Analytic.unpivotMeasures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +91,5 @@ object SparkEntry {
     Oracles.relational ++ Oracles.temporal ++ Oracles.geo ++
       Oracles.text ++ Oracles.dedup ++ Oracles.similarity ++
       Oracles.multimodal ++ Oracles.advanced ++ Oracles.similarity2 ++
-      Oracles.dedup2
+      Oracles.dedup2 ++ Oracles.analytic
 }
