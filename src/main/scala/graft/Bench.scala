@@ -45,15 +45,26 @@ object Bench {
       .foreach(t => t(spark, sfDir).count())
     run(names.min)
 
-    val results = names.map { name =>
+    // A failed query must surface as an err entry, never as a (fast) time —
+    // a silent catch would let a crash *improve* the bench total.
+    val results: Seq[(String, Either[String, Double])] = names.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        run(name)
+        name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(err)) =>
+        "\"" + k + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val nErr = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

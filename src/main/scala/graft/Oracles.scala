@@ -193,6 +193,17 @@ object Oracles {
         |GROUP BY class
         |ORDER BY class""".stripMargin,
 
+    // Each engine judges its OWN HLL sketch against its own exact count —
+    // the boolean (not the engine-specific estimate) is what's compared.
+    "q19_approx_distinct" ->
+      """SELECT o_orderstatus,
+        | count(DISTINCT o_custkey) AS n_exact,
+        | abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+        |   <= count(DISTINCT o_custkey) * 0.15 AS within_15pct
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q18_json_extract" ->
       """SELECT event_type,
         | CAST(sum(k) AS BIGINT) AS sum_k,
@@ -447,10 +458,16 @@ object Oracles {
         | FROM documents) t
         |GROUP BY fp ORDER BY fp""".stripMargin,
 
+    // The df <= cap window filter mirrors Dedup.ShingleDfCap — the skew
+    // guard is part of the declared query semantics, so both engines drop
+    // the same (boilerplate) shingles and the hashes still match.
     "q35_jaccard_neardup" ->
       s"""WITH $toksCte,
          | $shCte,
-         | ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         | ds0 AS (SELECT DISTINCT doc_id, s FROM sh),
+         | ds AS (SELECT doc_id, s FROM (
+         |   SELECT *, count(*) OVER (PARTITION BY s) AS df FROM ds0) t
+         |  WHERE df <= ${graft.operators.Dedup.ShingleDfCap}),
          | sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
          | com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
          |         FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -610,6 +627,20 @@ object Oracles {
          |SELECT doc_id, frame_id,
          | (${dHash("CAST(doc_id AS VARCHAR)")} + frame_id * 2654435761) % 2147483647 AS phash
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+
+    // The mapPartitions stub kernel is a pure byte fold (sum of UTF-8
+    // bytes); documents text is ASCII-only (verified: strlen == length at
+    // every SF), so a per-character ascii() fold reproduces it in SQL.
+    "q45_media_decode" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(list_aggregate(
+        |    list_transform(range(1, strlen(text) + 1), i -> ascii(substr(text, i, 1))),
+        |    'sum'), 0) AS BIGINT) AS byte_sum
+        | FROM documents)
+        |SELECT doc_id, n_bytes, byte_sum, byte_sum % 4096 AS stub_feature
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 
   val dedup2: Map[String, String] = Map(

@@ -1,0 +1,71 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** 8-bit signed-random-projection LSH signature of a float-vector column:
+  * bit j = sign(v · h_j) over the fixed seeded hyperplane set
+  * [[RpSignature.planes]].
+  *
+  * Why a native expression (SURVEY.md §7.6 escalation rule): the Column
+  * formulation unrolls to 8 planes × 64 dims = 512 `element_at` terms —
+  * one giant expression tree that bloats the generated method toward the
+  * JVM 64 KB limit as dims grow (and falls back to interpreted eval when
+  * it trips). A loop in a static kernel is O(1) generated-code size at any
+  * dimensionality and stays inside whole-stage codegen
+  * (codegen-asserted + bit-equivalence-tested in ExpressionSpec).
+  *
+  * Accumulation is the same left-to-right double fold as the unrolled
+  * Column tree and the DuckDB oracle's explicit sum chain, so all three
+  * produce bit-identical signatures.
+  */
+object RpSignature {
+  /** Fixed random hyperplanes: 8 × 64, seeded — the same literals are
+    * embedded in the DuckDB oracle SQL (Oracles.rpSigSql). */
+  val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(13)
+    Array.fill(8)(Array.fill(64)((rnd.nextInt(2001) - 1000) / 1000.0))
+  }
+
+  def sign(v: ArrayData): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      val h = planes(j)
+      val d = if (n < h.length) n else h.length
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += v.getFloat(i).toDouble * h(i); i += 1 }
+      if (acc > 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+case class RpSignatureExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"rp_signature64 requires an array<float> argument, got $t")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rp_signature64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    RpSignature.sign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expressions.RpSignature.sign($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): RpSignatureExpr =
+    copy(child = newChild)
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 import graft.sources.Tables
@@ -51,6 +52,16 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy(col("fp"))
 
+  /** Document-frequency cap for [[jaccardNearDup]]'s shingle join: a
+    * shingle shared by more than this many documents is boilerplate — it
+    * carries no near-dup signal (any J≥0.6 pair shares plenty of rarer
+    * shingles) but contributes O(df²/2) joined rows in a SINGLE task.
+    * Sized at ~3× the observed max df across SFs (25 at sf0.1) so results
+    * are unchanged on this corpus while the worst task stays ≤ 64²/2 rows
+    * per hot shingle at any scale. Declared in the oracle SQL too, so the
+    * hash contract includes the cap. */
+  val ShingleDfCap = 64
+
   /** Exact 3-shingle Jaccard near-dup pairs (threshold 0.6) via a
     * distinct-shingle equality self-join — the brute-force baseline.
     *
@@ -62,9 +73,29 @@ object Dedup {
     * is tiny, the equality join never explodes, and the extra per-row
     * hash/array work plus a repartition is pure overhead. Pick the
     * formulation by vocabulary density, not by habit. */
-  def jaccardNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def jaccardNearDup(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir), 0.6, ShingleDfCap)
+
+  /** Core of [[jaccardNearDup]], parameterized for the skew spec: Jaccard
+    * over the set of shingles whose document frequency is ≤ dfCap. The df
+    * filter is one window count over the same shuffle key as the join, and
+    * it bounds the self-join's worst task at dfCap²/2 rows per shingle —
+    * the skew guard a 100 TB corpus (viral boilerplate) needs. */
+  def jaccardPairs(docs: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
+    val ds0 = docs
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .distinct()
     // Materialized once: feeds three branches (sizes ×2 via join, self-join).
-    val ds = distinctShingles(spark, dir).localCheckpoint()
+    // localCheckpoint is executor-local (fine on local[n]); at cluster scale
+    // substitute persist(StorageLevel.DISK_ONLY) or a reliable checkpoint so
+    // the branches survive executor loss.
+    val ds = ds0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= dfCap)
+      .select("doc_id", "s")
+      .localCheckpoint()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = ds.as("a")
       .join(ds.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -75,7 +106,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "common", "n1", "n2", "jaccard")
       .orderBy("d1", "d2")
   }
@@ -103,6 +134,8 @@ object Dedup {
     // banding self-join and would otherwise recompute the sha256-heavy
     // shingle pipeline per branch). At production scale this is "write
     // signatures to a table, then join" — the standard LSH job shape.
+    // localCheckpoint is executor-local, not fault-tolerant: at cluster
+    // scale use persist(StorageLevel.DISK_ONLY) or the signature table.
     val sig = minhashSignatures(spark, dir).localCheckpoint()
     val bandStructs = (0 until Hashing.Bands).map { bnd =>
       val cols = (0 until Hashing.RowsPerBand)
@@ -119,6 +152,8 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
+    // Same materialize-once rationale; same cluster-scale substitution
+    // (persist(DISK_ONLY) / reliable checkpoint) as in jaccardPairs.
     val ds = distinctShingles(spark, dir).localCheckpoint()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cands
@@ -181,6 +216,8 @@ object Dedup {
     * scale the pair space is pruned by the ANN bucket join first
     * (Similarity.annBucketed / rpLshAnn); this is the exact check. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // Feeds both join sides; executor-local checkpoint is fine on local[n],
+    // persist(DISK_ONLY) at cluster scale.
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 300)
       .withColumn("nrm", Similarity.norm(col("embedding")))

@@ -66,8 +66,9 @@ object Multimodal {
 
   /** The real mapPartitions decode path: batches rows per partition through
     * the (stub) codec — the plan shape used when decode needs a heavyweight
-    * per-partition-initialized native library. Deterministic, so it is
-    * declared as a rows-only query (no SQL oracle: imperative kernel). */
+    * per-partition-initialized native library. The stub is a pure byte fold,
+    * so it IS oracle-checkable: the DuckDB side reproduces it as a
+    * per-character ascii() fold (documents text is ASCII-only). */
   def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaRow] = Tables.documents(spark, dir)

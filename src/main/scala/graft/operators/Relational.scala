@@ -108,11 +108,24 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
-  /** HLL sketch count — rows-only check (approximate by construction). */
+  /** HLL sketch count, made hash-checkable: the raw estimate differs
+    * engine-to-engine (different sketch impls), so the query outputs the
+    * exact distinct count plus a boolean `within_15pct` — each engine
+    * compares ITS OWN HLL estimate against its own exact count. rsd 0.05
+    * (the Spark default) keeps the sketch small (~2^9 registers vs ~2^13
+    * at 0.01); 15% = 3 sigma, so both engines agree `true` on any sane
+    * sketch and the hashes match. ApproxSpec still tolerance-tests the
+    * raw estimate. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), 0.05).as("approx"))
+      .select(
+        col("o_orderstatus"),
+        col("n_exact"),
+        (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.15).as("within_15pct"))
       .orderBy(col("o_orderstatus"))
 
   /** ROLLUP hierarchy aggregate — Catalyst expands to a single shuffle with

@@ -86,23 +86,20 @@ object Similarity {
   }
 
   /** Fixed random-hyperplane set for signed-random-projection LSH: 8
-    * hyperplanes × 64 dims, seeded — identical literals go into the Spark
-    * plan and the oracle SQL. */
-  val hyperplanes: IndexedSeq[IndexedSeq[Double]] = {
-    val rnd = new scala.util.Random(13)
-    IndexedSeq.fill(8)(IndexedSeq.fill(64)((rnd.nextInt(2001) - 1000) / 1000.0))
-  }
+    * hyperplanes × 64 dims, seeded — the same constants are baked into the
+    * native [[graft.functions.expressions.RpSignature]] kernel and the
+    * oracle SQL. */
+  val hyperplanes: IndexedSeq[IndexedSeq[Double]] =
+    graft.functions.expressions.RpSignature.planes.toIndexedSeq.map(_.toIndexedSeq)
 
   /** 8-bit signed-random-projection signature: bit j = sign(v · h_j).
     * Vectors with equal signatures are "probably similar" — the classic
-    * cosine-LSH bucket key. */
-  def rpSignature(emb: Column): Column =
-    hyperplanes.zipWithIndex.map { case (h, j) =>
-      val dotH = h.zipWithIndex
-        .map { case (w, i) => element_at(emb, i + 1).cast("double") * lit(w) }
-        .reduce(_ + _)
-      when(dotH > 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * cosine-LSH bucket key. A native codegen expression: the unrolled
+    * Column formulation was 8×64 = 512 element_at terms — a tree that
+    * risks the JVM 64 KB generated-method limit as dims grow. The kernel
+    * loop is constant code size at any dimensionality (bit-equivalence +
+    * codegen asserted in ExpressionSpec). */
+  def rpSignature(emb: Column): Column = call_function("rp_signature64", emb)
 
   /** Random-hyperplane LSH ANN: probes search only their signature bucket
     * (256 cells). The candidate set shrinks ~256x; equality join on the

@@ -9,9 +9,9 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
-  test("rows-only queries are the documented approximate/imperative ones") {
+  test("every declared query has an oracle (no rows-only checks remain)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly == Set("q19_approx_distinct", "q45_media_decode"), rowsOnly)
+    assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
   }
 
   test("entry() smoke: flagship query returns rows on sf0.001") {

@@ -29,6 +29,33 @@ class DedupSpec extends SparkSpec {
     assert(high.subsetOf(lsh), s"missed high-sim pairs: ${high.diff(lsh)}")
   }
 
+  test("jaccard df-cap drops hot boilerplate shingles, keeps rare-shingle pairs") {
+    import spark.implicits._
+    // 10 docs all sharing one boilerplate shingle ("the same header"), plus
+    // two docs that also share a RARE shingle pair — only the rare-shingle
+    // pair should survive a df cap of 3.
+    val docs = (0 until 10).map { i =>
+      val tail = if (i < 2) "rare common tail" else s"unique$i tok$i word$i"
+      (i.toLong, s"the same header $tail")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(docs, 0.0, dfCap = 3)
+      .select("d1", "d2", "common").collect()
+    // boilerplate shingles ("the same header", "same header <tail0>") with
+    // df > 3 are gone: candidate pairs come only from df<=3 shingles.
+    assert(capped.forall(r => Set(r.getLong(0), r.getLong(1)).subsetOf(Set(0L, 1L))),
+      s"hot shingle leaked pairs: ${capped.mkString(",")}")
+    assert(capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    // uncapped baseline: the hot shingle generates all 45 candidate pairs
+    val uncapped = Dedup.jaccardPairs(docs, 0.0, dfCap = 1000).count()
+    assert(uncapped == 45L)
+    // the production cap leaves the real corpus's result unchanged (max
+    // observed df is 25 < 64 at every SF)
+    val prod = Dedup.jaccardNearDup(spark, sfDir).count()
+    val noCap = Dedup.jaccardPairs(
+      sources.Tables.documents(spark, sfDir), 0.6, Int.MaxValue).count()
+    assert(prod == noCap)
+  }
+
   test("minhash signature values lie in [0, P)") {
     val sig = Dedup.minhashSignatures(spark, sfDir)
     val cols = sig.columns.filter(_.startsWith("mh"))

