@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** R2 fetch stage + R17 per-parameter error isolation.
+  *
+  * Reference behavior (dmi_ingestor/ingestor.py:192-198): GET the cube for
+  * one parameter inside try/except — an HTTPError logs and SKIPS that
+  * parameter, leaving its previously-published output untouched; only the
+  * `else` (success) branch deletes old forecasts and writes new ones.
+  *
+  * Engine shape: the fetch is edge work (a handful of small HTTP requests,
+  * SURVEY.md §7.3), so it runs driver-side with `Try` isolation per
+  * request. The ordering guarantee — truncate old output only AFTER a
+  * successful fetch — falls out of the sink, not hand-sequenced code:
+  * failed parameters contribute no rows, and dynamic partition overwrite
+  * truncates exactly the partitions that receive new rows
+  * ([[Ingest.writeCube]]). URLs resolve through `java.net.URL`, so
+  * `file://` fixtures exercise the whole path offline.
+  */
+object Fetch {
+
+  /** One parameter's fetch outcome: staged bytes or the recorded error. */
+  case class FetchOutcome(parameter: String, url: String, result: Either[String, Array[Byte]]) {
+    def ok: Boolean = result.isRight
+  }
+
+  /** GET every (parameter, url) in the request plan, isolating failures
+    * per parameter — the reference's try/except loop. Never throws. */
+  def fetchAll(plan: Seq[(String, String)]): Seq[FetchOutcome] =
+    plan.map { case (param, url) =>
+      val result = Try {
+        val in = new java.net.URI(url).toURL.openStream()
+        try in.readAllBytes() finally in.close()
+      } match {
+        case Success(bytes) => Right(bytes)
+        case Failure(e) => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      FetchOutcome(param, url, result)
+    }
+
+  /** Decode boundary for staged cube bytes. The offline stand-in for the
+    * NetCDF codec is a CSV cube (`time,x,y,value` header); everything
+    * downstream of the returned long-format frame is codec-agnostic. */
+  def decodeCsvCube(
+      spark: SparkSession, collection: String, parameter: String,
+      bytes: Array[Byte]): DataFrame = {
+    import spark.implicits._
+    val lines = spark.createDataset(new String(bytes, UTF_8).linesIterator.toSeq)
+    spark.read
+      .option("header", "true")
+      .schema("time TIMESTAMP, x DOUBLE, y DOUBLE, value DOUBLE")
+      .csv(lines)
+      .select(
+        lit(collection).as("collection"), lit(parameter).as("parameter"),
+        col("time"), col("x"), col("y"), col("value"))
+  }
+
+  /** Full fetch → ingest pipeline with R17 isolation: fetch every planned
+    * parameter, decode and ingest ONLY the successes (their partitions are
+    * the only ones dynamic overwrite truncates — a failed parameter's old
+    * output survives, per the reference's ordering guarantee), and return
+    * the manifest of what was written plus every outcome for telemetry.
+    * No successes → no write at all, `None` manifest. */
+  def fetchAndIngest(
+      spark: SparkSession,
+      cfg: Ingest.IngestConfig,
+      plan: Seq[(String, String)],
+      outPath: String,
+      decode: (SparkSession, String, String, Array[Byte]) => DataFrame = decodeCsvCube)
+      : (Option[DataFrame], Seq[FetchOutcome]) = {
+    val outcomes = fetchAll(plan)
+    val staged = outcomes.collect {
+      case FetchOutcome(param, _, Right(bytes)) =>
+        decode(spark, cfg.collection, param, bytes)
+    }
+    if (staged.isEmpty) (None, outcomes)
+    else (Some(Ingest.ingest(staged.reduce(_ union _), cfg, outPath)), outcomes)
+  }
+}

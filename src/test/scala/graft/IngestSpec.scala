@@ -109,6 +109,55 @@ class IngestSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("fetch isolation: a failed parameter skips; successes still write (R2+R17)") {
+    import graft.operators.Fetch
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fetch")
+    val out = tmp.resolve("out").toString
+    def fixture(name: String, rows: Seq[String]): String = {
+      val f = tmp.resolve(name)
+      java.nio.file.Files.write(f, ("time,x,y,value" +: rows).mkString("\n").getBytes)
+      f.toUri.toString // file:// URL
+    }
+    val cfg2 = cfg.copy(parameters = Seq("sea-mean-deviation", "wind-speed"))
+    val seaV1 = fixture("sea_v1.csv", Seq("2024-01-01 00:00:00,11.6,55.6,1.5"))
+    val windV1 = fixture("wind_v1.csv", Seq("2024-01-01 00:00:00,11.7,55.7,7.0"))
+
+    // round 1: both parameters fetch OK → both write
+    val (mf1, o1) = Fetch.fetchAndIngest(spark, cfg2,
+      Seq("sea-mean-deviation" -> seaV1, "wind-speed" -> windV1), out)
+    assert(o1.forall(_.ok) && mf1.get.count() == 2)
+
+    // round 2: sea's fetch FAILS (missing file); wind succeeds with a new
+    // value for the same time band (same partition → truncated + replaced)
+    // plus a new time band (fresh partition)
+    val windV2 = fixture("wind_v2.csv", Seq(
+      "2024-01-01 00:00:00,11.7,55.7,9.0",
+      "2024-01-01 06:00:00,11.7,55.7,9.5"))
+    val badUrl = tmp.resolve("missing.csv").toUri.toString
+    val (mf2, o2) = Fetch.fetchAndIngest(spark, cfg2,
+      Seq("sea-mean-deviation" -> badUrl, "wind-speed" -> windV2), out)
+    val byParam = o2.map(o => o.parameter -> o.ok).toMap
+    assert(!byParam("sea-mean-deviation") && byParam("wind-speed"))
+    assert(o2.find(!_.ok).get.result.left.exists(_.nonEmpty)) // error recorded
+    assert(mf2.get.collect().map(_.getString(1)).sameElements(Array("wind-speed")))
+
+    // the failed parameter's ROUND-1 output is untouched; wind was replaced
+    val back = spark.read.parquet(out)
+    val sea = back.filter(col("parameter") === "sea-mean-deviation").collect()
+    assert(sea.length == 1 && sea(0).getAs[Double]("value") == 1.5)
+    val wind = back.filter(col("parameter") === "wind-speed").collect()
+      .map(r => r.getAs[String]("time_key") -> r.getAs[Double]("value")).sorted
+    assert(wind.sameElements(Array("20240101T000000" -> 9.0, "20240101T060000" -> 9.5)),
+      wind.mkString(","))
+
+    // all parameters failing → nothing written, no manifest, no exception
+    val (mf3, o3) = Fetch.fetchAndIngest(spark, cfg2,
+      Seq("sea-mean-deviation" -> badUrl, "wind-speed" -> badUrl), out)
+    assert(mf3.isEmpty && o3.forall(!_.ok))
+    assert(back.filter(col("parameter") === "sea-mean-deviation").count() == 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("golden points: Scala LCC matches the independent Python implementation") {
     val src = scala.io.Source.fromFile(
       getClass.getResource("/lcc_golden_points.json").getPath)
