@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+import graft.sources.GeoTiff
+import graft.sources.GeoTiff.Raster
+
+/** Codec + band sink/source tests for the R9 GeoTIFF surface. */
+class GeoTiffSpec extends SparkSpec {
+
+  private def sampleRaster(w: Int, h: Int): Raster = {
+    val px = Array.tabulate(w * h)(i => if (i % 17 == 3) Float.NaN else i * 0.5f)
+    Raster(w, h, originLon = 11.51, originLat = 56.0, dLon = 0.08, dLat = 0.07, px)
+  }
+
+  test("encode/decode round-trip preserves pixels and georeferencing") {
+    for ((w, h) <- Seq((8, 8), (16, 16), (20, 10), (1, 1), (33, 17))) {
+      val r = sampleRaster(w, h)
+      val back = GeoTiff.decode(GeoTiff.encode(r, tileSize = 16))
+      assert(back.width == w && back.height == h)
+      assert(math.abs(back.originLon - r.originLon) < 1e-12)
+      assert(math.abs(back.originLat - r.originLat) < 1e-12)
+      assert(math.abs(back.dLon - r.dLon) < 1e-12 && math.abs(back.dLat - r.dLat) < 1e-12)
+      r.pixels.zip(back.pixels).foreach { case (a, b) =>
+        assert(a == b || (a.isNaN && b.isNaN), s"$w x $h pixel mismatch: $a vs $b")
+      }
+    }
+  }
+
+  test("TIFF structure: magic, tag order, tile grid and NaN padding") {
+    val r = sampleRaster(20, 10) // 2x1 tiles at size 16
+    val bytes = GeoTiff.encode(r, tileSize = 16)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    assert(buf.getShort(0) == 0x4949.toShort && buf.getShort(2) == 42)
+    val ifd = buf.getInt(4)
+    val n = buf.getShort(ifd).toInt
+    val codes = (0 until n).map(i => buf.getShort(ifd + 2 + i * 12) & 0xffff)
+    assert(codes == codes.sorted, "TIFF 6.0 requires ascending tag order")
+    assert(Seq(256, 257, 322, 323, 324, 325, 33550, 33922, 34735).forall(codes.contains))
+    // out-of-grid tile cells must be NaN padding
+    val back = GeoTiff.decode(bytes)
+    assert(back.pixels.length == 200)
+  }
+
+  test("rasterize: sparse cells become NaN holes on the grid") {
+    val cells = for {
+      iy <- 0 until 4; ix <- 0 until 5
+      if !(ix == 2 && iy == 1) // hole
+    } yield (11.5 + ix * 0.1, 55.5 + iy * 0.1, (ix + 10.0 * iy))
+    val r = GeoTiff.rasterize(cells)
+    assert(r.width == 5 && r.height == 4)
+    assert(math.abs(r.dLon - 0.1) < 1e-9 && math.abs(r.dLat - 0.1) < 1e-9)
+    // row 0 is the NORTH row (lat 55.8 = iy 3 → values 30 + ix)
+    assert(r.pixels(0) == 30.0f)
+    // the hole (ix=2, iy=1 → lat 55.6 → row 2) is the only NaN
+    assert(r.pixels(2 * 5 + 2).isNaN)
+    assert(r.pixels.count(_.isNaN) == 1)
+  }
+
+  test("writeBands/readBands: executor-parallel band split round-trips (R9/R10/R12)") {
+    import spark.implicits._
+    val times = (0 until 3).map(h => java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:00:00"))
+    val longDf = (for {
+      t <- times; iy <- 0 until 6; ix <- 0 until 6
+    } yield ("dkss_if", "sea-mean-deviation",
+      f"20240101T0${times.indexOf(t)}%d0000", 11.5 + ix * 0.1, 55.5 + iy * 0.1,
+      ix + iy * 10.0)).toDF("collection", "parameter", "time_key", "lon", "lat", "value")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_tiff").toString
+    val manifest = GeoTiff.writeBands(spark, longDf, out, tileSize = 16)
+    assert(manifest.count() == 3) // one .tif per band
+    manifest.collect().foreach { r =>
+      assert(r.getAs[Int]("width") == 6 && r.getAs[Int]("height") == 6)
+      assert(new java.io.File(r.getAs[String]("path")).length() == r.getAs[Long]("n_bytes"))
+    }
+    // read back through the binary source and compare against the input
+    val back = GeoTiff.readBands(spark, out)
+    assert(back.count() == longDf.count())
+    val joined = back.as("b").join(longDf.as("a"),
+      col("a.time_key") === col("b.time_key") &&
+        abs(col("a.lon") - col("b.lon")) < 1e-9 && abs(col("a.lat") - col("b.lat")) < 1e-9)
+    assert(joined.count() == longDf.count())
+    // float32 quantization bounds the value error
+    assert(joined.filter(abs(col("a.value") - col("b.value")) > 1e-4).count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+}
