@@ -43,6 +43,56 @@ class GeoTiffSpec extends SparkSpec {
     assert(back.pixels.length == 200)
   }
 
+  test("LZW round-trips adversarial byte patterns incl. table resets") {
+    import graft.functions.Lzw
+    val rnd = new scala.util.Random(7)
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      Array[Byte](0),
+      Array.fill(100000)(0.toByte),                       // max-run: KwKwK + resets
+      Array.tabulate(70000)(i => (i % 251).toByte),       // cycling: fills the table
+      Array.fill(50000)(rnd.nextInt(256).toByte),         // incompressible
+      Array.tabulate(65536)(i => (i / 256).toByte))       // long runs of each byte
+    cases.foreach { data =>
+      val enc = Lzw.encode(data)
+      val dec = Lzw.decode(enc, data.length)
+      assert(java.util.Arrays.equals(dec, data), s"LZW mismatch at n=${data.length}")
+    }
+    // compressible data actually shrinks
+    assert(Lzw.encode(Array.fill(100000)(42.toByte)).length < 2000)
+  }
+
+  test("compressed + pyramid encode round-trips; overviews downsample correctly") {
+    val r = sampleRaster(64, 40)
+    val bytes = GeoTiff.encode(r, tileSize = 16) // defaults: LZW + overviews
+    val levels = GeoTiff.decodeAll(bytes)
+    // 64x40 -> 32x20 -> 16x10 (fits one 16-tile) = 3 IFDs
+    assert(levels.map(l => (l.width, l.height)) == Seq((64, 40), (32, 20), (16, 10)))
+    // full-res level is bit-exact
+    r.pixels.zip(levels(0).pixels).foreach { case (a, b) =>
+      assert(a == b || (a.isNaN && b.isNaN))
+    }
+    // overview pixel = NaN-aware mean of its 2x2 block
+    val l1 = levels(1)
+    for (y <- 0 until l1.height; x <- 0 until l1.width) {
+      val block = for {
+        dy <- 0 until 2; dx <- 0 until 2
+        gx = 2 * x + dx; gy = 2 * y + dy
+        if gx < 64 && gy < 40
+        v = r.pixels(gy * 64 + gx) if !v.isNaN
+      } yield v.toDouble
+      val expected = if (block.isEmpty) Float.NaN else (block.sum / block.size).toFloat
+      val got = l1.pixels(y * l1.width + x)
+      assert(got == expected || (got.isNaN && expected.isNaN), s"($x,$y): $got vs $expected")
+    }
+    // overview georeferencing: doubled pixel size, shifted center
+    assert(math.abs(l1.dLon - 2 * r.dLon) < 1e-12)
+    assert(math.abs(l1.originLon - (r.originLon + r.dLon / 2)) < 1e-12)
+    // LZW on this synthetic raster beats the uncompressed encoding
+    val raw = GeoTiff.encode(r, tileSize = 16, compress = false, overviews = false)
+    assert(bytes.length < raw.length, s"${bytes.length} !< ${raw.length}")
+  }
+
   test("rasterize: sparse cells become NaN holes on the grid") {
     val cells = for {
       iy <- 0 until 4; ix <- 0 until 5
