@@ -130,13 +130,23 @@ object Dedup {
     * equality-join on (band, band-signature) to get candidates, then
     * exact-Jaccard-verify candidates at threshold 0.6. */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // Materialize the signature table once (it feeds both sides of the
-    // banding self-join and would otherwise recompute the sha256-heavy
-    // shingle pipeline per branch). At production scale this is "write
-    // signatures to a table, then join" — the standard LSH job shape.
-    // localCheckpoint is executor-local, not fault-tolerant: at cluster
-    // scale use persist(StorageLevel.DISK_ONLY) or the signature table.
-    val sig = minhashSignatures(spark, dir).localCheckpoint()
+    // ONE materialized shingle table feeds the whole job: the signature
+    // aggregation AND the exact-verify join both derive from it, so the
+    // sha256-heavy tokenize+shingle pipeline runs once, not twice.
+    // (MinHash over the distinct shingle SET equals MinHash over the raw
+    // multiset — min() ignores duplicates — so deriving signatures from
+    // the distinct table is exact.) At production scale this is "write
+    // the shingle table, then run both jobs from it" — localCheckpoint is
+    // executor-local, not fault-tolerant: substitute
+    // persist(StorageLevel.DISK_ONLY) or a real table on a cluster.
+    val ds = distinctShingles(spark, dir).localCheckpoint()
+    val mins = (0 until Hashing.K).map(i =>
+      min(Hashing.perm(i, col("hp"))).as(f"mh$i%02d"))
+    val sig = ds
+      .withColumn("hp", Hashing.h32p(col("s")))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .localCheckpoint() // tiny (one row per doc); feeds both join sides
     val bandStructs = (0 until Hashing.Bands).map { bnd =>
       val cols = (0 until Hashing.RowsPerBand)
         .map(r => col(f"mh${bnd * Hashing.RowsPerBand + r}%02d"))
@@ -152,9 +162,6 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    // Same materialize-once rationale; same cluster-scale substitution
-    // (persist(DISK_ONLY) / reliable checkpoint) as in jaccardPairs.
-    val ds = distinctShingles(spark, dir).localCheckpoint()
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cands
       .join(ds.as("s1"), col("d1") === col("s1.doc_id"))
