@@ -101,6 +101,25 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("segment"), col("n_events"))
 
+  /** A streamed document: payload text + its arrival event time. */
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming exact dedup — the streaming dual of Dedup.dedupExact and
+    * the core LLM-pipeline streaming op: drop re-occurrences of a
+    * normalized document fingerprint inside the dedup horizon.
+    * dropDuplicatesWithinWatermark keeps ONE state entry per distinct
+    * fingerprint and evicts it once event time passes the watermark, so
+    * state is bounded by (dedup horizon × distinct-rate), not stream
+    * length — at 100 TB/day the horizon is the operating knob. Exact
+    * dedup beyond the horizon (or fuzzy dedup) runs as the batch
+    * Dedup.* jobs over the deduped sink. */
+  def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp",
+        sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream the windowed aggregation to a partitioned parquet sink with
     * checkpointing — the streaming dual of Manifest.writePartitioned. */
   def writeWindowed(df: DataFrame, outPath: String, checkpoint: String): Unit =

@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    val input = MemoryStream[Doc]
+    val q = StreamOps.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(1, ts(1), "the quick brown fox"),
+        Doc(2, ts(2), "THE  QUICK   brown fox"), // same after normalization
+        Doc(3, ts(3), "a different document"))
+      q.processAllAvailable()
+      input.addData(
+        Doc(4, ts(10), "the quick brown fox"),   // still inside horizon → dropped
+        Doc(5, ts(11), "yet another one"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && ids.contains(3L) && ids.contains(5L))
+      assert(!ids.contains(2L) && !ids.contains(4L), s"duplicate leaked: $ids")
+      assert(ids.size == 3)
+    } finally q.stop()
+  }
+
   test("file-source stream over the events directory produces same totals as batch") {
     // copy a small slice of events parquet into a staging dir, stream it
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
