@@ -80,7 +80,10 @@ object Dedup {
     * over the set of shingles whose document frequency is ≤ dfCap. The df
     * filter is one window count over the same shuffle key as the join, and
     * it bounds the self-join's worst task at dfCap²/2 rows per shingle —
-    * the skew guard a 100 TB corpus (viral boilerplate) needs. */
+    * the skew guard a 100 TB corpus (viral boilerplate) needs.
+    * (Measured alternative at sf0.1: hot-shingle census + broadcast
+    * anti-join needs a SECOND materialization barrier and came out ~1.5×
+    * slower than folding the filter into the single checkpointed pass.) */
   def jaccardPairs(docs: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
     val ds0 = docs
       .withColumn("toks", toks)
