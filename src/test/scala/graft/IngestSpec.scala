@@ -158,6 +158,47 @@ class IngestSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("full reference-pipeline parity: fetch -> decode -> long -> parquet + COG bands + manifest") {
+    import graft.operators.Fetch
+    import graft.sources.GeoTiff
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e")
+    // a 2-time x 2x2-cell CSV cube fixture per parameter (the NetCDF
+    // stand-in; same long shape the edge decode stages)
+    def cube(name: String, base: Double): String = {
+      val rows = for {
+        t <- Seq("2024-01-01 00:00:00", "2024-01-01 06:00:00")
+        iy <- 0 until 2; ix <- 0 until 2
+      } yield s"$t,${11.6 + ix * 0.1},${55.6 + iy * 0.1},${base + ix + 10 * iy}"
+      val f = tmp.resolve(name)
+      java.nio.file.Files.write(f, ("time,x,y,value" +: rows).mkString("\n").getBytes)
+      f.toUri.toString
+    }
+    val cfg2 = cfg.copy(parameters = Seq("sea-mean-deviation", "wind-speed"))
+    val out = tmp.resolve("parquet").toString
+    val (manifest, outcomes) = Fetch.fetchAndIngest(spark, cfg2,
+      Seq("sea-mean-deviation" -> cube("sea.csv", 0.0),
+        "wind-speed" -> cube("wind.csv", 100.0)), out)
+    assert(outcomes.forall(_.ok))
+    // manifest: {time_key -> public url} per parameter, like forecasts.json
+    val mf = manifest.get.collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(mf.keySet == Set("sea-mean-deviation", "wind-speed"))
+    assert(mf("wind-speed").contains("\"20240101T060000\":\"https://bucket.example/forecasts/dkss_if/wind-speed/20240101T060000.tif\""))
+    // COG band sink over the same long format (R9/R10): 2 params x 2 times
+    val longDf = spark.read.parquet(out)
+      .select("collection", "parameter", "time_key", "lon", "lat", "value")
+    val tifDir = tmp.resolve("cog").toString
+    val bands = GeoTiff.writeBands(spark, longDf, tifDir, tileSize = 16).collect()
+    assert(bands.length == 4 && bands.forall(r => r.getAs[Int]("width") == 2))
+    // read one band back and check a pixel against the fixture value
+    val sea0 = GeoTiff.readBands(spark, tifDir)
+      .filter(col("parameter") === "sea-mean-deviation" &&
+        col("time_key") === "20240101T000000" &&
+        abs(col("lon") - 11.7) < 1e-9 && abs(col("lat") - 55.7) < 1e-9)
+      .collect()
+    assert(sea0.length == 1 && math.abs(sea0(0).getAs[Double]("value") - 11.0) < 1e-6)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("golden points: Scala LCC matches the independent Python implementation") {
     val src = scala.io.Source.fromFile(
       getClass.getResource("/lcc_golden_points.json").getPath)
