@@ -410,6 +410,22 @@ object Oracles {
         |   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 6) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q65_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS token
+        |  FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        | idf AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | s AS (SELECT doc_id, token, tf, df,
+        |   floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1e6) / 1e6 AS tfidf
+        |  FROM tf JOIN idf USING (token), n),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY tfidf DESC, token) AS rn
+        |  FROM s WHERE doc_id < 50)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, token, tf, df, tfidf
+        |FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+
     "q33_fingerprint" ->
       s"""WITH $toksCte,
          | hh AS (SELECT doc_id, text,

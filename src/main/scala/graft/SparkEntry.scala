@@ -83,6 +83,7 @@ object SparkEntry {
     "q62_window_family" -> (Analytic.windowFamily _),
     "q63_grouping_sets" -> (Analytic.groupingSetsAgg _),
     "q64_unpivot" -> (Analytic.unpivotMeasures _),
+    "q65_tfidf" -> (Text.tfidf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

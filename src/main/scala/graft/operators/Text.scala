@@ -112,4 +112,42 @@ object Text {
       .withColumn("sha_fp", substring(sha2(col("text"), 256), 1, 16))
       .select("doc_id", "rolling_fp", "sha_fp")
       .orderBy("doc_id")
+
+  /** TF-IDF: top-5 highest-scoring tokens per document (probe subset) —
+    * the term-weighting primitive behind rare-token filters and sparse
+    * document vectors. Smooth idf = ln((N+1)/(df+1)) + 1.
+    *
+    * Scale shape: tf is one explode + hash shuffle on (doc_id, token)
+    * with map-side combine; df is a second shuffle on token. The df/idf
+    * table is vocabulary-sized, so the tf⋈idf join shuffles on token —
+    * at 100 TB the vocabulary (Zipf) still fits a broadcast after a
+    * min-df filter, which is the standard shortcut; the shuffle join is
+    * the no-assumptions default. The final top-k per doc plans a
+    * WindowGroupLimit (per-partition heaps), not a global sort. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "token")
+      .crossJoin(broadcast(n)) // 1-row scalar subquery shape
+      // floor-truncation, not round(): Spark rounds the decimal repr,
+      // DuckDB the binary value — they diverge on bare-5 boundaries
+      // (Oracles.scala determinism rules)
+      .withColumn("tfidf",
+        floor(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0) * 1e6) / 1e6)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored
+      .filter(col("doc_id") < 50)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "rn", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rn")
+  }
 }

@@ -90,6 +90,27 @@ class DedupSpec extends SparkSpec {
     assert(fromQuality == allTokens)
   }
 
+  test("tfidf: <=5 tokens per doc, scores descend, df bounded by corpus size") {
+    val out = Text.tfidf(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      val ordered = rows.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq == (1L to ordered.length).toSeq)
+      // tfidf non-increasing with rank (ties broken by token)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(5) >= b.getDouble(5))
+        case _           =>
+      }
+    }
+    out.foreach { r =>
+      assert(r.getLong(3) >= 1L)                       // tf
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= nDocs) // df
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
+
   test("rolling fingerprint is order-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "a b c", "en", "s", 5L), (2L, "c b a", "en", "s", 5L))
