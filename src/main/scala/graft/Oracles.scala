@@ -839,4 +839,107 @@ object Oracles {
         | round(max(val), 4) AS hi
         |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
   )
+
+  /** Training-data curation operators (Curation.scala). */
+  val curation: Map[String, String] = Map(
+    "q66_quality_gate" ->
+      s"""WITH $toksCte,
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+         | st AS (SELECT doc_id,
+         |   CAST(sum(c) AS BIGINT) AS n_tokens,
+         |   CAST(count(*) AS BIGINT) AS n_distinct,
+         |   max(c) AS max_tok,
+         |   CAST(sum(len(token) * c) AS BIGINT) AS sum_len
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         | floor(sum_len * 1.0 / n_tokens * 1e6) / 1e6 AS mean_tok_len,
+         | floor(n_distinct * 1.0 / n_tokens * 1e6) / 1e6 AS ttr,
+         | floor(max_tok * 1.0 / n_tokens * 1e6) / 1e6 AS top_ratio,
+         | (n_tokens >= 30
+         |   AND floor(n_distinct * 1.0 / n_tokens * 1e6) / 1e6 >= 0.45
+         |   AND floor(max_tok * 1.0 / n_tokens * 1e6) / 1e6 <= 0.15) AS keep
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q67_repetition" ->
+      s"""WITH $toksCte,
+         | g AS (SELECT doc_id,
+         |   list_transform(range(1, len(toks)),
+         |     i -> array_to_string(toks[i:i+1], ' ')) AS grams
+         |  FROM t WHERE len(toks) >= 2),
+         | r AS (SELECT doc_id,
+         |   CAST(len(grams) AS BIGINT) AS n_grams,
+         |   CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+         |  FROM g)
+         |SELECT doc_id, n_grams, n_distinct,
+         | floor((1.0 - n_distinct * 1.0 / n_grams) * 1e6) / 1e6 AS dup_ratio,
+         | (floor((1.0 - n_distinct * 1.0 / n_grams) * 1e6) / 1e6 > 0.05) AS repetitive
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q68_boilerplate_census" ->
+      s"""WITH $toksCte,
+         | g AS (SELECT doc_id,
+         |   unnest(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3)
+         |SELECT gram,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         | CAST(count(*) AS BIGINT) AS occ
+         |FROM g GROUP BY gram
+         |ORDER BY df DESC, occ DESC, gram LIMIT 20""".stripMargin,
+
+    "q69_stratified_sample" ->
+      s"""WITH r AS (SELECT lang, source, doc_id,
+         |   row_number() OVER (PARTITION BY lang, source
+         |     ORDER BY ${dHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id
+         |FROM r WHERE rk <= 3 ORDER BY lang, source, rk""".stripMargin,
+
+    "q70_kmeans_assign" ->
+      s"""WITH $embCte,
+         | c AS (SELECT vec_id AS cluster_id, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 8),
+         | p AS (SELECT e.vec_id, c.cluster_id,
+         |   (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) AS cos
+         |  FROM e, c),
+         | a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY cos DESC, cluster_id) AS rn FROM p)
+         |SELECT cluster_id,
+         | CAST(count(*) AS BIGINT) AS n_assigned,
+         | round(min(cos), 6) AS min_cos,
+         | round(max(cos), 6) AS max_cos
+         |FROM a WHERE rn = 1 GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q71_chunk_tokens" ->
+      s"""WITH $toksCte,
+         | ch AS (SELECT doc_id,
+         |   list_transform(range(1, len(toks) + 1, 24), s -> toks[s:s+31]) AS chunks
+         |  FROM t),
+         | u AS (SELECT doc_id, unnest(chunks) AS chunk,
+         |   unnest(range(len(chunks))) AS chunk_id FROM ch)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         | CAST(len(chunk) AS BIGINT) AS n_in_chunk,
+         | chunk[1] AS first_tok,
+         | chunk[-1] AS last_tok,
+         | ${dHash("array_to_string(chunk, ' ')")} AS chunk_fp
+         |FROM u ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q72_inverted_index" ->
+      s"""WITH $toksCte,
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | td AS (SELECT DISTINCT doc_id, token FROM tok),
+         | stats AS (SELECT token,
+         |   CAST(count(*) AS BIGINT) AS occ FROM tok GROUP BY token),
+         | dfs AS (SELECT token,
+         |   CAST(count(*) AS BIGINT) AS df FROM td GROUP BY token),
+         | rtop AS (SELECT token, doc_id, row_number() OVER (PARTITION BY token
+         |     ORDER BY doc_id) AS rn FROM td),
+         | post AS (SELECT token,
+         |   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |  FROM rtop WHERE rn <= 10 GROUP BY token)
+         |SELECT token, df, occ, postings
+         |FROM dfs JOIN stats USING (token) JOIN post USING (token)
+         |ORDER BY token""".stripMargin,
+  )
 }

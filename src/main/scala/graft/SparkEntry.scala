@@ -84,6 +84,13 @@ object SparkEntry {
     "q63_grouping_sets" -> (Analytic.groupingSetsAgg _),
     "q64_unpivot" -> (Analytic.unpivotMeasures _),
     "q65_tfidf" -> (Text.tfidf _),
+    "q66_quality_gate" -> (Curation.qualityGate _),
+    "q67_repetition" -> (Curation.repetitionRatio _),
+    "q68_boilerplate_census" -> (Curation.boilerplateCensus _),
+    "q69_stratified_sample" -> (Curation.stratifiedSample _),
+    "q70_kmeans_assign" -> (Curation.kmeansAssign _),
+    "q71_chunk_tokens" -> (Curation.chunkTokens _),
+    "q72_inverted_index" -> (Curation.invertedIndex _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,5 +99,5 @@ object SparkEntry {
     Oracles.relational ++ Oracles.temporal ++ Oracles.geo ++
       Oracles.text ++ Oracles.dedup ++ Oracles.similarity ++
       Oracles.multimodal ++ Oracles.advanced ++ Oracles.similarity2 ++
-      Oracles.dedup2 ++ Oracles.analytic
+      Oracles.dedup2 ++ Oracles.analytic ++ Oracles.curation
 }

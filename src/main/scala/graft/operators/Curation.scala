@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Training-data curation operators — the filter/sample/index stages a
+  * large-scale LLM data pipeline runs between raw ingest and dedup:
+  * heuristic quality gating (Gopher/C4-style rule sets), within-document
+  * repetition scoring, cross-corpus boilerplate detection, stratified
+  * downsampling, clustering assignment, fixed-window chunking, and
+  * inverted-index construction.
+  *
+  * All operators are pure DataFrame plans over builtin (codegen'd)
+  * functions; the only hash is the cross-engine sha256-derived
+  * [[Hashing.h32]] so the DuckDB oracle reproduces every value exactly.
+  */
+object Curation {
+
+  /** Whitespace tokens, empty strings dropped (mirrors Text/Oracles). */
+  private def toks: Column = filter(split(col("text"), " "), t => length(t) > 0)
+
+  /** Truncate to 6 decimals — floor, not round: both engines floor the
+    * same IEEE-754 double, while round() diverges on bare-5 boundaries
+    * (see Oracles.scala determinism rules). */
+  private def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
+
+  /** q66: Gopher-style heuristic quality gate. Per document: token count,
+    * distinct-token count, mean token length, type-token ratio, top-token
+    * dominance — plus the keep/drop decision from fixed rule thresholds
+    * (sized so the synthetic corpus splits ~30/70 keep/drop).
+    *
+    * Scale shape: explode → (doc_id, token) count → per-doc agg. Two
+    * shuffles, both keyed on doc_id-prefixed keys with map-side partial
+    * aggregation; no per-doc state beyond the running counters, so the
+    * plan is insensitive to document length skew. The rule evaluation is
+    * a pure projection over the aggregated row. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cnt = docs.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val st = cnt.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_tok"),
+        sum(length(col("token")) * col("c")).as("sum_len"))
+    val ttr = trunc6(col("n_distinct") * 1.0 / col("n_tokens"))
+    val topRatio = trunc6(col("max_tok") * 1.0 / col("n_tokens"))
+    st.select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        trunc6(col("sum_len") * 1.0 / col("n_tokens")).as("mean_tok_len"),
+        ttr.as("ttr"),
+        topRatio.as("top_ratio"),
+        // rules compare the truncated values so both engines decide
+        // keep/drop on identical doubles
+        (col("n_tokens") >= 30 && ttr >= 0.45 && topRatio <= 0.15).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q67: within-document repetition — the duplicate-bigram fraction
+    * (Gopher's "repetitive document" signal, bigrams because the
+    * synthetic vocabulary is small enough that longer n-grams never
+    * repeat).
+    *
+    * Scale shape: entirely narrow — the bigram array, its distinct
+    * count, and the ratio are per-row projections (`transform` +
+    * `array_distinct`), so the operator is a single scan with ZERO
+    * shuffles at any corpus size. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = transform(
+      sequence(lit(1), size(col("toks")) - 1),
+      i => array_join(slice(col("toks"), i, lit(2)), " "))
+    val dupRatio = trunc6(lit(1.0) - col("n_distinct") * 1.0 / col("n_grams"))
+    docs.withColumn("toks", toks)
+      .filter(size(col("toks")) >= 2)
+      .withColumn("grams", grams)
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("grams"))).cast("long"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct"),
+        dupRatio.as("dup_ratio"),
+        (dupRatio > 0.05).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q68: cross-corpus boilerplate census — the 20 highest-document-
+    * frequency 3-token shingles (headers/footers/license blurbs surface
+    * here first in a real crawl).
+    *
+    * Scale shape: explode → distinct-by-(gram, doc) via countDistinct →
+    * global top-20. The census is a heavy-hitter query: at 100 TB the
+    * exact countDistinct shuffle is the no-assumptions default, and the
+    * documented cheap path is approx_count_distinct or a count-min
+    * sketch — boilerplate detection only needs the head, not exact
+    * tails. The final top-20 is a TakeOrdered over the gram-aggregated
+    * (vocabulary-sized) table, not a global sort of the corpus. */
+  def boilerplateCensus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => array_join(slice(col("toks"), i, lit(3)), " "))).as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+      .orderBy(col("df").desc, col("occ").desc, col("gram"))
+      .limit(20)
+  }
+
+  /** q69: deterministic stratified sample — k=3 documents per
+    * (lang, source) stratum, chosen by sha256-hash order so the sample
+    * is reproducible across engines and runs (no RNG state).
+    *
+    * Scale shape: one shuffle on the stratum key; the row_number ≤ k
+    * predicate plans a WindowGroupLimit (per-partition top-k heaps
+    * before the shuffle), so a 10^9-document stratum moves only its k
+    * winners — this is the scalable form of "reservoir sample per
+    * group". */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val h = Hashing.h32(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(h, col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
+  /** q70: k-means assignment step — every embedding assigned to its
+    * nearest of 8 fixed centroids (the vectors with vec_id < 8) by
+    * cosine; per-cluster size and cosine envelope. One Lloyd iteration's
+    * E-step; the M-step is a groupBy-avg over the same join.
+    *
+    * Scale shape: the centroid table is k rows — broadcast — so
+    * assignment is a single corpus scan with a k-way nested-loop per
+    * row and a per-vector top-1 window (WindowGroupLimit). min/max are
+    * the reported envelope because they are summation-order-independent
+    * (a cross-engine avg over doubles is not). */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val pairs = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos",
+        Similarity.dot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cluster_id"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        round(min(col("cos")), 6).as("min_cos"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q71: fixed-window token chunking with overlap — 32-token chunks on
+    * a 24-token stride (8-token overlap), the unit a training pipeline
+    * feeds to a tokenizer/packer. Each chunk carries its span stats and
+    * a cross-engine content fingerprint.
+    *
+    * Scale shape: narrow transform + explode — no shuffle; chunk count
+    * is ~len/stride per document so output size is linear in input.
+    * The fingerprint is the shared sha256-prefix hash (codegen'd). */
+  def chunkTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.withColumn("toks", toks)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")), lit(24)),
+          s => slice(col("toks"), s, lit(32)))).as(Seq("chunk_id", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_in_chunk"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), -1).as("last_tok"),
+        Hashing.h32(array_join(col("chunk"), " ")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** q72: inverted index — per token: document frequency, total
+    * occurrences, and the first 10 posting doc_ids as a comma string.
+    *
+    * Scale shape: df/occ are plain shuffled aggs with map-side combine.
+    * The posting list is windowed to rank ≤ 10 BEFORE collect_list, so
+    * per-token state is bounded by the cap, never by df — collecting
+    * full posting lists for a million-document token is the classic
+    * OOM; the window-limit-then-collect shape avoids it. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val td = tok.distinct()
+    val stats = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val postings = td
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .groupBy(col("token"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))), d => d.cast("string")),
+        ",").as("postings"))
+    stats.join(postings, "token")
+      .select(col("token"), col("df"), col("occ"), col("postings"))
+      .orderBy(col("token"))
+  }
+}

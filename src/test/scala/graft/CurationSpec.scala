@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.sources.Tables
+
+class CurationSpec extends SparkSpec {
+
+  test("quality gate: ratios bounded, keep splits the corpus, rules consistent") {
+    val out = Curation.qualityGate(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nTok, nDist) = (r.getLong(1), r.getLong(2))
+      assert(nDist >= 1L && nDist <= nTok)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0) // ttr
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0) // top_ratio
+      val expect = nTok >= 30 && r.getDouble(4) >= 0.45 && r.getDouble(5) <= 0.15
+      assert(r.getBoolean(6) == expect)
+    }
+    val kept = out.count(_.getBoolean(6))
+    assert(kept > 0 && kept < out.length, s"gate is degenerate: $kept/${out.length}")
+  }
+
+  test("repetition ratio: bounded, and the plan has no shuffle at all") {
+    val df = Curation.repetitionRatio(spark, sfDir)
+    df.collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // distinct <= total
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+    // narrow per-row projection: the only exchange allowed is the final
+    // orderBy's range partitioning — no hash shuffle anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("boilerplate census: 20 rows ordered by df, occ >= df >= 1") {
+    val out = Curation.boilerplateCensus(spark, sfDir).collect()
+    assert(out.length == 20)
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) >= b.getLong(1))
+      case _           =>
+    }
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1) && r.getLong(1) >= 1L))
+  }
+
+  test("stratified sample: at most 3 per stratum, covers every stratum, reproducible") {
+    val a = Curation.stratifiedSample(spark, sfDir).collect()
+    val perStratum = a.groupBy(r => (r.getString(0), r.getString(1)))
+    perStratum.values.foreach(rows => assert(rows.length <= 3))
+    val allStrata = Tables.documents(spark, sfDir)
+      .select("lang", "source").distinct().count()
+    assert(perStratum.size == allStrata)
+    val b = Curation.stratifiedSample(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("kmeans assign: partitions all vectors, centroids self-assign") {
+    val out = Curation.kmeansAssign(spark, sfDir).collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    // each cluster contains its own centroid, whose self-cosine is 1
+    out.foreach(r => assert(r.getDouble(3) == 1.0))
+    assert(out.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+  }
+
+  test("chunking: stride/window arithmetic holds for every chunk") {
+    val docLen = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = Curation.chunkTokens(spark, sfDir).collect()
+    chunks.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      val len = docLen(doc)
+      assert(rows.length == ((len + 23) / 24).toInt) // ceil(len/stride)
+      rows.foreach { r =>
+        val start = r.getLong(1) * 24 // 0-based offset of chunk start
+        assert(r.getLong(2) == math.min(32L, len - start))
+      }
+    }
+  }
+
+  test("inverted index: postings capped at 10, sorted, df consistent") {
+    val out = Curation.invertedIndex(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (df, occ) = (r.getLong(1), r.getLong(2))
+      assert(occ >= df && df >= 1L)
+      val posts = r.getString(3).split(",").map(_.toLong)
+      assert(posts.length == math.min(df, 10L).toInt)
+      assert(posts.sameElements(posts.sorted))
+    }
+  }
+}
