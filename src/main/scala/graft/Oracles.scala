@@ -941,5 +941,35 @@ object Oracles {
          |SELECT token, df, occ, postings
          |FROM dfs JOIN stats USING (token) JOIN post USING (token)
          |ORDER BY token""".stripMargin,
+
+    "q73_decontaminate" ->
+      s"""WITH $toksCte,
+         | sh AS (SELECT DISTINCT doc_id,
+         |   unnest(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3),
+         | ev AS (SELECT doc_id AS eval_id, gram FROM sh WHERE doc_id % 97 = 0),
+         | ov AS (SELECT s.doc_id, e.eval_id,
+         |   CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sh s JOIN ev e USING (gram)
+         |  WHERE s.doc_id <> e.eval_id
+         |  GROUP BY s.doc_id, e.eval_id)
+         |SELECT doc_id, eval_id, n_shared FROM ov
+         |WHERE n_shared >= 2 ORDER BY doc_id, eval_id""".stripMargin,
+
+    "q74_pack_sequences" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |   CAST(len(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         | r AS (SELECT source, doc_id, n_tokens,
+         |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |  FROM d)
+         |SELECT source,
+         | CAST(floor((running - n_tokens) / 256.0) AS BIGINT) AS bin_id,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens_in_bin
+         |FROM r GROUP BY source, floor((running - n_tokens) / 256.0)
+         |ORDER BY source, bin_id""".stripMargin,
   )
 }

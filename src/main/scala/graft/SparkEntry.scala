@@ -91,6 +91,8 @@ object SparkEntry {
     "q70_kmeans_assign" -> (Curation.kmeansAssign _),
     "q71_chunk_tokens" -> (Curation.chunkTokens _),
     "q72_inverted_index" -> (Curation.invertedIndex _),
+    "q73_decontaminate" -> (Curation.decontaminate _),
+    "q74_pack_sequences" -> (Curation.packSequences _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -194,6 +194,63 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q73: train/eval decontamination — corpus documents sharing ≥2
+    * distinct 3-token shingles with any held-out eval document (every
+    * 97th doc plays the eval set). The overlap report a training
+    * pipeline runs before any benchmark score is trusted.
+    *
+    * Scale shape: the eval set is tiny by construction, so its shingle
+    * table broadcasts — the corpus side is one scan + explode with NO
+    * shuffle until the (corpus_doc, eval_doc) pair counts, whose key
+    * space is bounded by |eval| × contaminated-docs, not the corpus.
+    * At 100 TB the same plan holds as long as eval shingles fit an
+    * executor (they do: benchmarks are MBs); otherwise the join falls
+    * back to shuffle-on-gram, still never all-pairs. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => array_join(slice(col("toks"), i, lit(3)), " "))).as("gram"))
+      .distinct()
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    sh.join(broadcast(ev), "gram")
+      .filter(col("doc_id") =!= col("eval_id"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  /** q74: sequence packing — greedy first-fit of documents into
+    * fixed-budget token bins (256 tokens) within each source stream, the
+    * step that turns a filtered corpus into dense training sequences.
+    * A document that straddles a boundary overflows its bin (streaming
+    * first-fit; exact bin-packing is NP-hard and order-destroying).
+    *
+    * Scale shape: bin assignment is a running token sum per source —
+    * one window shuffle on source. Packing within shards (not globally)
+    * is the point: a global cumulative sum would serialize the corpus
+    * through one task, while per-source packing parallelizes across
+    * streams and preserves shard-local document order. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", floor((col("running") - col("n_tokens")) / 256))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_in_bin"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
   /** q72: inverted index — per token: document frequency, total
     * occurrences, and the first 10 posting doc_ids as a comma string.
     *

@@ -79,6 +79,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: no self-pairs, shared counts >= threshold, eval ids on probe grid") {
+    val out = Curation.decontaminate(spark, sfDir).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      assert(r.getLong(1) % 97 == 0)
+      assert(r.getLong(2) >= 2L)
+    }
+  }
+
+  test("packing: bins partition each source's docs, token totals conserved") {
+    val out = Curation.packSequences(spark, sfDir).collect()
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("total"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(3)).sum == expected(src)._1) // tokens conserved
+      assert(rows.map(_.getLong(2)).sum == expected(src)._2) // docs conserved
+      // bin ids are dense from 0
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1)
+    }
+  }
+
   test("inverted index: postings capped at 10, sorted, df consistent") {
     val out = Curation.invertedIndex(spark, sfDir).collect()
     assert(out.nonEmpty)
