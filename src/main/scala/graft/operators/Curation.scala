@@ -200,27 +200,29 @@ object Curation {
     * pipeline runs before any benchmark score is trusted.
     *
     * Scale shape: the eval set is tiny by construction, so its shingle
-    * table broadcasts — the corpus side is one scan + explode with NO
-    * shuffle until the (corpus_doc, eval_doc) pair counts, whose key
-    * space is bounded by |eval| × contaminated-docs, not the corpus.
-    * At 100 TB the same plan holds as long as eval shingles fit an
-    * executor (they do: benchmarks are MBs); otherwise the join falls
+    * table broadcasts, and — the key ordering decision — the corpus
+    * grams hit that broadcast join BEFORE any dedup: deduping shared
+    * grams after the join shuffles only the rows that matched an eval
+    * shingle (≈ contamination volume), where dedup-then-join would
+    * shuffle every gram in the corpus. At 100 TB the eval shingles fit
+    * an executor easily (benchmarks are MBs); otherwise the join falls
     * back to shuffle-on-gram, still never all-pairs. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs.withColumn("toks", toks)
+    val grams = docs.withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), size(col("toks")) - 2),
           i => array_join(slice(col("toks"), i, lit(3)), " "))).as("gram"))
-      .distinct()
-    val ev = sh.filter(col("doc_id") % 97 === 0)
+    val ev = grams.filter(col("doc_id") % 97 === 0).distinct()
       .select(col("doc_id").as("eval_id"), col("gram"))
-    sh.join(broadcast(ev), "gram")
+    grams.join(broadcast(ev), "gram")
       .filter(col("doc_id") =!= col("eval_id"))
       .groupBy(col("doc_id"), col("eval_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      // distinct-count because the corpus side is NOT pre-deduped: a
+      // gram occurring twice in a doc must still count one shared shingle
+      .agg(countDistinct(col("gram")).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .orderBy(col("doc_id"), col("eval_id"))
   }
