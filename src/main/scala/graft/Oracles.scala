@@ -971,5 +971,35 @@ object Oracles {
          | CAST(sum(n_tokens) AS BIGINT) AS n_tokens_in_bin
          |FROM r GROUP BY source, floor((running - n_tokens) / 256.0)
          |ORDER BY source, bin_id""".stripMargin,
+
+    "q75_unigram_surprisal" ->
+      s"""WITH $toksCte,
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | tot AS (SELECT count(*) AS total_toks FROM tok),
+         | lm AS (SELECT token, -ln(count(*) * 1.0 / total_toks) AS nll
+         |   FROM tok, tot GROUP BY token, total_toks),
+         | sc AS (SELECT doc_id,
+         |   CAST(count(*) AS BIGINT) AS n_tokens,
+         |   sum(CAST(floor(nll * 1e9) AS DECIMAL(28,9))) AS nll_sum
+         |  FROM tok JOIN lm USING (token) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         | floor(CAST(nll_sum AS DOUBLE) / 1e9 / n_tokens * 1e6) / 1e6 AS mean_nll,
+         | floor(exp(floor(CAST(nll_sum AS DOUBLE) / 1e9 / n_tokens * 1e6) / 1e6) * 1e6) / 1e6
+         |   AS perplexity
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q76_mixture_weights" ->
+      s"""WITH s AS (SELECT source,
+         |   CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_toks
+         |  FROM documents),
+         | per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM s GROUP BY source),
+         | tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |   CAST(count(*) AS BIGINT) AS n_sources FROM per)
+         |SELECT source, n_docs, n_tokens,
+         | floor(n_tokens * 1.0 / total_tokens * 1e6) / 1e6 AS token_share,
+         | floor((1.0 / n_sources) / (n_tokens * 1.0 / total_tokens) * 1e6) / 1e6
+         |   AS uniform_weight
+         |FROM per, tot ORDER BY source""".stripMargin,
   )
 }

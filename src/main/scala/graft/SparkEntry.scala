@@ -93,6 +93,8 @@ object SparkEntry {
     "q72_inverted_index" -> (Curation.invertedIndex _),
     "q73_decontaminate" -> (Curation.decontaminate _),
     "q74_pack_sequences" -> (Curation.packSequences _),
+    "q75_unigram_surprisal" -> (Curation.unigramSurprisal _),
+    "q76_mixture_weights" -> (Curation.mixtureWeights _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

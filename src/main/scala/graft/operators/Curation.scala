@@ -253,6 +253,66 @@ object Curation {
       .orderBy(col("source"), col("bin_id"))
   }
 
+  /** q75: unigram LM surprisal — each document scored by its mean
+    * negative log-likelihood under the corpus's own unigram model (the
+    * KenLM-style "how typical is this text" quality filter, with the
+    * n=1 model the offline sandbox can verify exactly).
+    *
+    * Determinism across engines: a float sum over exploded rows is
+    * summation-order-dependent, so each token cost is floor-truncated
+    * to 9 decimals and accumulated as DECIMAL(28,9) — exact integer
+    * arithmetic, any order, both engines. The final mean and
+    * perplexity are projections of identical doubles.
+    *
+    * Scale shape: the unigram table is vocabulary-sized → broadcast
+    * (same Zipf argument as TF-IDF); scoring is then one corpus scan +
+    * one per-doc agg shuffle. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val total = tok.select(count(lit(1)).as("total_toks"))
+    val lm = tok.groupBy(col("token")).agg(count(lit(1)).as("occ"))
+      .crossJoin(broadcast(total)) // 1-row scalar subquery shape
+      .select(col("token"),
+        (-log(col("occ") * 1.0 / col("total_toks"))).as("nll"))
+    val cost = floor(col("nll") * 1e9).cast("decimal(28,9)")
+    tok.join(broadcast(lm), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(cost).as("nll_sum"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        trunc6(col("nll_sum").cast("double") / 1e9 / col("n_tokens")).as("mean_nll"),
+        trunc6(exp(floor(col("nll_sum").cast("double") / 1e9 / col("n_tokens") * 1e6) / 1e6))
+          .as("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q76: domain mixture reweighting — per source stream: its document
+    * and token counts, its share of the corpus, and the up/down-sampling
+    * weight that would flatten the mixture to uniform across sources
+    * (the DoReMi-style knob a pretraining pipeline turns per domain).
+    *
+    * Scale shape: one agg shuffle on source; the share/weight math runs
+    * on the aggregated (n_sources-row) table against one broadcast
+    * scalar. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perSrc = docs
+      .withColumn("n_toks", size(toks).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totals = perSrc.select(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(totals)) // 1-row scalar subquery shape
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        trunc6(col("n_tokens") * 1.0 / col("total_tokens")).as("token_share"),
+        trunc6((lit(1.0) / col("n_sources")) /
+          (col("n_tokens") * 1.0 / col("total_tokens"))).as("uniform_weight"))
+      .orderBy(col("source"))
+  }
+
   /** q72: inverted index — per token: document frequency, total
     * occurrences, and the first 10 posting doc_ids as a comma string.
     *

@@ -104,6 +104,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("unigram surprisal: positive, bounded by rarest token, perplexity = exp(mean)") {
+    val out = Curation.unigramSurprisal(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // the per-doc mean NLL can never exceed the corpus-wide max token NLL
+    val totalToks = Tables.documents(spark, sfDir)
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("t"))
+      .count()
+    val maxNll = -math.log(1.0 / totalToks)
+    out.foreach { r =>
+      val mean = r.getDouble(2)
+      assert(mean > 0.0 && mean <= maxNll)
+      assert(math.abs(r.getDouble(3) - math.exp(mean)) < 1e-4)
+    }
+  }
+
+  test("mixture weights: shares sum to ~1, weights invert the shares") {
+    val out = Curation.mixtureWeights(spark, sfDir).collect()
+    val n = out.length
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    out.foreach { r =>
+      // weight * share == 1/n_sources (up to the 6-dp truncation)
+      assert(math.abs(r.getDouble(4) * r.getDouble(3) - 1.0 / n) < 1e-3)
+    }
+  }
+
   test("inverted index: postings capped at 10, sorted, df consistent") {
     val out = Curation.invertedIndex(spark, sfDir).collect()
     assert(out.nonEmpty)
