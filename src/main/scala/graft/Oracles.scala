@@ -1001,5 +1001,26 @@ object Oracles {
          | floor((1.0 / n_sources) / (n_tokens * 1.0 / total_tokens) * 1e6) / 1e6
          |   AS uniform_weight
          |FROM per, tot ORDER BY source""".stripMargin,
+
+    "q77_kmeans_update" ->
+      s"""WITH $embCte,
+         | c AS (SELECT vec_id AS cluster_id, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 8),
+         | p AS (SELECT e.vec_id, e.embedding, c.cluster_id,
+         |   (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) AS cos
+         |  FROM e, c),
+         | a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY cos DESC, cluster_id) AS rn FROM p),
+         | x AS (SELECT cluster_id,
+         |   unnest(range(len(embedding))) AS dim,
+         |   unnest(embedding) AS v
+         |  FROM a WHERE rn = 1),
+         | m AS (SELECT cluster_id, dim,
+         |   CAST(count(*) AS BIGINT) AS n,
+         |   sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS DECIMAL(28,9))) AS s
+         |  FROM x GROUP BY cluster_id, dim)
+         |SELECT cluster_id, CAST(dim AS BIGINT) AS dim, n,
+         | floor(CAST(s AS DOUBLE) / 1e9 / n * 1e6) / 1e6 AS centroid_mean
+         |FROM m ORDER BY cluster_id, dim""".stripMargin,
   )
 }

@@ -95,6 +95,7 @@ object SparkEntry {
     "q74_pack_sequences" -> (Curation.packSequences _),
     "q75_unigram_surprisal" -> (Curation.unigramSurprisal _),
     "q76_mixture_weights" -> (Curation.mixtureWeights _),
+    "q77_kmeans_update" -> (Curation.kmeansUpdate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -146,7 +146,9 @@ object Curation {
     * row and a per-vector top-1 window (WindowGroupLimit). min/max are
     * the reported envelope because they are summation-order-independent
     * (a cross-engine avg over doubles is not). */
-  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** Nearest-centroid assignment (vec_id, embedding, cluster_id, cos) —
+    * the shared E-step behind q70/q77. */
+  private def assignments(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", Similarity.norm(col("embedding")))
     val cent = emb.filter(col("vec_id") < 8)
@@ -161,13 +163,43 @@ object Curation {
     pairs
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"), col("cos"))
+  }
+
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    assignments(spark, dir)
       .groupBy(col("cluster_id"))
       .agg(
         count(lit(1)).as("n_assigned"),
         round(min(col("cos")), 6).as("min_cos"),
         round(max(col("cos")), 6).as("max_cos"))
       .orderBy(col("cluster_id"))
-  }
+
+  /** q77: k-means centroid update — the M-step closing q70's Lloyd
+    * iteration: the element-wise mean vector of each cluster's members,
+    * one row per (cluster, dimension).
+    *
+    * Determinism: per-element contributions are floor-truncated to 9
+    * decimals and summed as DECIMAL(28,9) (order-independent exact
+    * arithmetic — the same defense as q75; a float sum over shuffled
+    * rows is not cross-engine stable).
+    *
+    * Scale shape: posexplode fans each vector to 64 (dim, value) rows;
+    * the mean is one agg shuffle on (cluster, dim) — 8×64 final groups
+    * regardless of corpus size, with map-side partial sums doing the
+    * heavy lifting. */
+  def kmeansUpdate(spark: SparkSession, dir: String): DataFrame =
+    assignments(spark, dir)
+      .select(col("cluster_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1e9).cast("decimal(28,9)")).as("s"))
+      .select(
+        col("cluster_id"), col("dim").cast("long").as("dim"), col("n"),
+        trunc6(col("s").cast("double") / 1e9 / col("n")).as("centroid_mean"))
+      .orderBy(col("cluster_id"), col("dim"))
 
   /** q71: fixed-window token chunking with overlap — 32-token chunks on
     * a 24-token stride (8-token overlap), the unit a training pipeline

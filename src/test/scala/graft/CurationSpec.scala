@@ -63,6 +63,20 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
   }
 
+  test("kmeans update: 64 dims per cluster, member counts match the E-step") {
+    val assign = Curation.kmeansAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val upd = Curation.kmeansUpdate(spark, sfDir).collect()
+    upd.groupBy(_.getLong(0)).foreach { case (cluster, rows) =>
+      assert(rows.length == 64)
+      assert(rows.map(_.getLong(1)).sorted.sameElements(0L until 64L))
+      rows.foreach { r =>
+        assert(r.getLong(2) == assign(cluster))
+        assert(math.abs(r.getDouble(3)) < 1.0) // means stay in the value range
+      }
+    }
+  }
+
   test("chunking: stride/window arithmetic holds for every chunk") {
     val docLen = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
