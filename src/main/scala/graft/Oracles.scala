@@ -1022,5 +1022,51 @@ object Oracles {
          |SELECT cluster_id, CAST(dim AS BIGINT) AS dim, n,
          | floor(CAST(s AS DOUBLE) / 1e9 / n * 1e6) / 1e6 AS centroid_mean
          |FROM m ORDER BY cluster_id, dim""".stripMargin,
+
+    "q78_curation_funnel" ->
+      s"""WITH $toksCte,
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+         | st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d,
+         |   max(c) AS mx FROM cnt GROUP BY doc_id),
+         | gate AS (SELECT doc_id, (n >= 30
+         |   AND floor(d * 1.0 / n * 1e6) / 1e6 >= 0.45
+         |   AND floor(mx * 1.0 / n * 1e6) / 1e6 <= 0.15) AS keep FROM st),
+         | sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3),
+         | ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM sh WHERE doc_id % 97 = 0),
+         | ov AS (SELECT s.doc_id, e.eval_id, count(DISTINCT s.gram) AS n_shared
+         |  FROM sh s JOIN ev e USING (gram) WHERE s.doc_id <> e.eval_id
+         |  GROUP BY s.doc_id, e.eval_id),
+         | contam AS (SELECT DISTINCT doc_id FROM ov WHERE n_shared >= 2),
+         | base AS (SELECT d.source, d.doc_id,
+         |   CAST(len(t.toks) AS BIGINT) AS n_toks,
+         |   sha256(trim(lower(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp,
+         |   g.keep, (c.doc_id IS NOT NULL) AS contaminated
+         |  FROM documents d
+         |  JOIN t ON d.doc_id = t.doc_id
+         |  JOIN gate g ON d.doc_id = g.doc_id
+         |  LEFT JOIN contam c ON d.doc_id = c.doc_id),
+         | staged AS (SELECT *,
+         |   (keep AND doc_id <> min(CASE WHEN keep THEN doc_id END)
+         |     OVER (PARTITION BY fp)) AS is_dup,
+         |   (keep AND NOT (keep AND doc_id <> min(CASE WHEN keep THEN doc_id END)
+         |     OVER (PARTITION BY fp)) AND NOT contaminated) AS survivor
+         |  FROM base),
+         | packed AS (SELECT *,
+         |   sum(CASE WHEN survivor THEN n_toks ELSE 0 END)
+         |     OVER (PARTITION BY source ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |  FROM staged)
+         |SELECT source,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_after_gate,
+         | CAST(count(CASE WHEN keep AND NOT is_dup THEN 1 END) AS BIGINT) AS n_after_dedup,
+         | CAST(count(CASE WHEN survivor THEN 1 END) AS BIGINT) AS n_after_decontam,
+         | CAST(coalesce(max(CASE WHEN survivor
+         |   THEN CAST(floor((running - n_toks) / 256.0) AS BIGINT) END) + 1, 0) AS BIGINT) AS n_bins,
+         | CAST(coalesce(sum(CASE WHEN survivor THEN n_toks END), 0) AS BIGINT) AS n_tokens_packed
+         |FROM packed GROUP BY source ORDER BY source""".stripMargin,
   )
 }

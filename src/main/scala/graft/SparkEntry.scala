@@ -96,6 +96,7 @@ object SparkEntry {
     "q75_unigram_surprisal" -> (Curation.unigramSurprisal _),
     "q76_mixture_weights" -> (Curation.mixtureWeights _),
     "q77_kmeans_update" -> (Curation.kmeansUpdate _),
+    "q78_curation_funnel" -> (Curation.curationFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

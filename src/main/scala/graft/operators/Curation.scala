@@ -345,6 +345,58 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q78: the composed curation funnel — quality gate → exact dedup →
+    * decontamination → sequence packing, reported as a per-source funnel
+    * (docs in, after each stage, bins and tokens packed). This is the
+    * end-to-end pipeline a user actually runs; each stage reuses the
+    * standalone operator's exact semantics (q66 rules, q34's normalized
+    * sha256 fingerprint keeping min doc_id, q73's ≥2-shared-shingle
+    * contamination set, q74's 256-token per-source packing).
+    *
+    * Scale shape: the stage flags compose as columns over ONE pass of
+    * the corpus — gate flags join back doc-aligned, the contamination
+    * set is a broadcast anti-join-shaped left join (contaminated docs
+    * are few), dedup keeper is one window over the fingerprint, and
+    * packing is the per-source running sum. No stage materializes an
+    * intermediate corpus copy. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gate = qualityGate(spark, dir).select(col("doc_id"), col("keep"))
+    val contam = decontaminate(spark, dir)
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val flagged = docs
+      .withColumn("n_toks", size(toks).cast("long"))
+      .withColumn("fp",
+        sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256))
+      .join(gate, "doc_id")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+    // dedup among gate survivors only: keeper = min kept doc_id per fp
+    val keeper = min(when(col("keep"), col("doc_id")))
+      .over(Window.partitionBy(col("fp")))
+    val staged = flagged
+      .withColumn("is_dup", col("keep") && col("doc_id") =!= keeper)
+      .withColumn("survivor",
+        col("keep") && !col("is_dup") && col("contaminated").isNull)
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn("running",
+        sum(when(col("survivor"), col("n_toks")).otherwise(lit(0L))).over(wSrc))
+      .withColumn("bin",
+        when(col("survivor"), floor((col("running") - col("n_toks")) / 256)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep"), lit(1))).as("n_after_gate"),
+        count(when(col("keep") && !col("is_dup"), lit(1))).as("n_after_dedup"),
+        count(when(col("survivor"), lit(1))).as("n_after_decontam"),
+        coalesce(max(col("bin")) + 1, lit(0L)).as("n_bins"),
+        coalesce(sum(when(col("survivor"), col("n_toks"))), lit(0L))
+          .as("n_tokens_packed"))
+      .orderBy(col("source"))
+  }
+
   /** q72: inverted index — per token: document frequency, total
     * occurrences, and the first 10 posting doc_ids as a comma string.
     *

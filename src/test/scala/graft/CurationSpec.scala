@@ -143,6 +143,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel: stage counts monotone, totals match the standalone operators") {
+    val out = Curation.curationFunnel(spark, sfDir).collect()
+    out.foreach { r =>
+      val (docs, gate, dedup, clean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(docs >= gate && gate >= dedup && dedup >= clean)
+      if (clean == 0) assert(r.getLong(5) == 0L && r.getLong(6) == 0L)
+      else assert(r.getLong(5) >= 1L && r.getLong(6) > 0L)
+    }
+    // funnel's gate stage == the standalone gate, summed over sources
+    val keptStandalone = Curation.qualityGate(spark, sfDir)
+      .filter(col("keep")).count()
+    assert(out.map(_.getLong(2)).sum == keptStandalone)
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sfDir).count())
+  }
+
   test("inverted index: postings capped at 10, sorted, df consistent") {
     val out = Curation.invertedIndex(spark, sfDir).collect()
     assert(out.nonEmpty)
