@@ -120,6 +120,34 @@ object StreamOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming decontamination — the streaming dual of
+    * Curation.decontaminate: drop in-flight documents sharing ≥ minShared
+    * distinct 3-token shingles with a static eval/benchmark shingle set.
+    *
+    * The eval set is benchmark data — static, MB-scale — so it ships to
+    * executors as a literal array and the check is a per-row
+    * `array_intersect` size: completely STATELESS (no watermark, no
+    * streaming state, no shuffle), which is the property that lets this
+    * run inline on a 100 TB/day ingest stream. Threshold semantics match
+    * the batch operator; a stream-static left-anti join would only give
+    * the ≥1-shared variant. */
+  def decontaminateStream(docs: DataFrame, evalGrams: Seq[String],
+                          minShared: Int = 2): DataFrame = {
+    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
+    docs
+      .withColumn("toks", toksC)
+      .withColumn("grams",
+        when(size(col("toks")) >= 3,
+          array_distinct(transform(
+            sequence(lit(1), size(col("toks")) - 2),
+            i => array_join(slice(col("toks"), i, lit(3)), " "))))
+        .otherwise(typedLit(Array.empty[String])))
+      .withColumn("n_shared",
+        size(array_intersect(col("grams"), typedLit(evalGrams.toArray))))
+      .filter(col("n_shared") < minShared)
+      .drop("toks", "grams", "n_shared")
+  }
+
   /** Stream the windowed aggregation to a partitioned parquet sink with
     * checkpointing — the streaming dual of Manifest.writePartitioned. */
   def writeWindowed(df: DataFrame, outPath: String, checkpoint: String): Unit =

@@ -86,6 +86,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops docs sharing >=2 eval shingles, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    // eval doc "a b c d e" → shingles {a b c, b c d, c d e}
+    val evalGrams = Seq("a b c", "b c d", "c d e")
+    val input = MemoryStream[Doc]
+    val stream = StreamOps.decontaminateStream(input.toDF(), evalGrams)
+    // stateless check: the plan needs no watermark/state store
+    val q = stream.writeStream.format("memory").queryName("decontam_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(1, ts(1), "a b c d x"),   // shares {a b c, b c d} = 2 → dropped
+        Doc(2, ts(2), "a b c x y"),   // shares {a b c} = 1 → kept
+        Doc(3, ts(3), "p q r s t"),   // shares 0 → kept
+        Doc(4, ts(4), "x y"))         // too short for shingles → kept
+      q.processAllAvailable()
+      val ids = spark.table("decontam_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 3L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
