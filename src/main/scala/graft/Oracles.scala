@@ -451,6 +451,29 @@ object Oracles {
        | hh AS (SELECT doc_id, ${dHash("s")} % ${P} AS hp FROM sh),
        | sig AS ($sigSelect)""".stripMargin
 
+  /** MinHash-LSH verified near-dup pairs (J ≥ 0.6) as a `pairs` CTE —
+    * shared by q37 (the pair report) and q80 (cluster formation). */
+  private val lshPairCtes: String = {
+    val bandEq = (0 until graft.functions.Hashing.Bands).map { bnd =>
+      (0 until graft.functions.Hashing.RowsPerBand)
+        .map { r => val c = f"mh${bnd * graft.functions.Hashing.RowsPerBand + r}%02d"; s"a.$c = b.$c" }
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""$sigCtes,
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
+       | ds AS (SELECT DISTINCT doc_id, s FROM sh),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       | com AS (SELECT d1, d2, count(*) AS common
+       |         FROM cand JOIN ds s1 ON d1 = s1.doc_id
+       |                   JOIN ds s2 ON d2 = s2.doc_id AND s1.s = s2.s
+       |         GROUP BY d1, d2),
+       | pairs AS (SELECT d1, d2,
+       |   round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) AS jaccard
+       |  FROM com JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+       |  WHERE round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) >= 0.6)""".stripMargin
+  }
+
   private val simhashBits: String = {
     val sums = (0 until 32)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -498,27 +521,9 @@ object Oracles {
       s"""WITH $sigCtes
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
 
-    "q37_lsh_neardup" -> {
-      val bandEq = (0 until graft.functions.Hashing.Bands).map { bnd =>
-        (0 until graft.functions.Hashing.RowsPerBand)
-          .map { r => val c = f"mh${bnd * graft.functions.Hashing.RowsPerBand + r}%02d"; s"a.$c = b.$c" }
-          .mkString("(", " AND ", ")")
-      }.mkString(" OR ")
-      s"""WITH $sigCtes,
-         | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
-         | ds AS (SELECT DISTINCT doc_id, s FROM sh),
-         | sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
-         | com AS (SELECT d1, d2, count(*) AS common
-         |         FROM cand JOIN ds s1 ON d1 = s1.doc_id
-         |                   JOIN ds s2 ON d2 = s2.doc_id AND s1.s = s2.s
-         |         GROUP BY d1, d2)
-         |SELECT d1, d2,
-         | round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) AS jaccard
-         |FROM com JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
-         |WHERE round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) >= 0.6
-         |ORDER BY d1, d2""".stripMargin
-    },
+    "q37_lsh_neardup" ->
+      s"""WITH $lshPairCtes
+         |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin,
 
     "q60_chargram_neardup" ->
       """WITH t AS (SELECT doc_id, text FROM documents
@@ -1068,5 +1073,35 @@ object Oracles {
          |   THEN CAST(floor((running - n_toks) / 256.0) AS BIGINT) END) + 1, 0) AS BIGINT) AS n_bins,
          | CAST(coalesce(sum(CASE WHEN survivor THEN n_toks END), 0) AS BIGINT) AS n_tokens_packed
          |FROM packed GROUP BY source ORDER BY source""".stripMargin,
+
+    "q79_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |   sha256(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        | corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 <> 0),
+        | batch AS (SELECT doc_id, fp,
+        |   min(doc_id) OVER (PARTITION BY fp) AS first_in_batch
+        |  FROM f WHERE doc_id % 7 = 0)
+        |SELECT b.doc_id,
+        | CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+        |      WHEN b.doc_id <> b.first_in_batch THEN 'dup_in_batch'
+        |      ELSE 'novel' END AS status
+        |FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q80_neardup_clusters" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+         | edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |   UNION ALL SELECT d2, d1 FROM pairs),
+         | nodes AS (SELECT DISTINCT src AS id FROM edges),
+         | reach(id, label) AS (
+         |   SELECT id, id FROM nodes
+         |   UNION
+         |   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         | comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+         |SELECT cluster AS cluster_rep,
+         | CAST(count(*) AS BIGINT) AS size,
+         | string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         |FROM comp GROUP BY cluster ORDER BY cluster_rep""".stripMargin,
   )
 }

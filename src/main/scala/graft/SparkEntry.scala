@@ -97,6 +97,8 @@ object SparkEntry {
     "q76_mixture_weights" -> (Curation.mixtureWeights _),
     "q77_kmeans_update" -> (Curation.kmeansUpdate _),
     "q78_curation_funnel" -> (Curation.curationFunnel _),
+    "q79_incremental_dedup" -> (Curation.incrementalDedup _),
+    "q80_neardup_clusters" -> (Curation.nearDupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

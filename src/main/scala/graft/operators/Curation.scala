@@ -397,6 +397,85 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q79: incremental dedup — classify an arriving batch (docs with
+    * doc_id % 7 == 0 play "today's crawl") against the existing corpus
+    * fingerprint index: `novel`, `dup_of_corpus`, or `dup_in_batch`
+    * (first occurrence in the batch wins). The daily-ingest shape: at
+    * 100 TB you never re-dedup the corpus — you keep its distinct-fp
+    * index (the thing this query's right side scans) and join each
+    * increment against it.
+    *
+    * Scale shape: one shuffle join on the fingerprint + one window over
+    * the batch's own fps. The corpus index is pre-distinct so the join
+    * side is |unique docs|, and a bloom filter over the (much smaller)
+    * batch fps would prune the index scan further — noted, not needed
+    * at test scale. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256)
+    val docs = Tables.documents(spark, dir).withColumn("fp", fp)
+    val corpusIndex = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("fp")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val wFp = Window.partitionBy(col("fp"))
+    batch
+      .join(corpusIndex, Seq("fp"), "left")
+      .withColumn("first_in_batch", min(col("doc_id")).over(wFp))
+      .select(
+        col("doc_id"),
+        when(col("in_corpus"), lit("dup_of_corpus"))
+          .when(col("doc_id") =!= col("first_in_batch"), lit("dup_in_batch"))
+          .otherwise(lit("novel")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q80: near-dup cluster formation — connected components over the
+    * MinHash-LSH verified pair graph (q37's output), the step that turns
+    * pairwise "A≈B, B≈C" into "keep one of {A,B,C}". Each cluster is
+    * labeled by its minimum member doc_id.
+    *
+    * Implementation: iterated min-label propagation to fixpoint. The
+    * driver loop is legitimate here — it iterates over the NEAR-DUP
+    * GRAPH (≈ duplicate count, orders of magnitude smaller than the
+    * corpus), each iteration is one distributed join+agg, and the only
+    * driver-side value is the convergence count (same shape as Pregel /
+    * GraphFrames' alternating algorithms, which is what replaces this
+    * loop at 100 TB if the dup graph itself is huge). Iteration count
+    * is bounded by component diameter — for dedup clusters, single
+    * digits. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshNearDup(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint() // cut the LSH lineage; re-read each iteration
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_label")).as("min_nbr"))
+      val updated = labels.as("l")
+        .join(nbrMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.as("u")
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+    }
+    labels.groupBy(col("label").as("cluster_rep"))
+      .agg(
+        count(lit(1)).as("size"),
+        array_join(
+          transform(sort_array(collect_list(col("id"))), d => d.cast("string")),
+          ",").as("members"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** q72: inverted index — per token: document frequency, total
     * occurrences, and the first 10 posting doc_ids as a comma string.
     *
