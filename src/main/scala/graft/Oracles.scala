@@ -474,6 +474,20 @@ object Oracles {
        |  WHERE round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) >= 0.6)""".stripMargin
   }
 
+  /** Connected components over the LSH pair graph as a `comp (id,
+    * cluster)` CTE chain (requires WITH RECURSIVE) — shared by q80
+    * (cluster report) and q82 (representative selection). */
+  private val componentCtes: String =
+    s"""$lshPairCtes,
+       | edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |   UNION ALL SELECT d2, d1 FROM pairs),
+       | nodes AS (SELECT DISTINCT src AS id FROM edges),
+       | reach(id, label) AS (
+       |   SELECT id, id FROM nodes
+       |   UNION
+       |   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       | comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   private val simhashBits: String = {
     val sums = (0 until 32)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -1090,18 +1104,67 @@ object Oracles {
         |ORDER BY b.doc_id""".stripMargin,
 
     "q80_neardup_clusters" ->
-      s"""WITH RECURSIVE $lshPairCtes,
-         | edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |   UNION ALL SELECT d2, d1 FROM pairs),
-         | nodes AS (SELECT DISTINCT src AS id FROM edges),
-         | reach(id, label) AS (
-         |   SELECT id, id FROM nodes
-         |   UNION
-         |   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-         | comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $componentCtes
          |SELECT cluster AS cluster_rep,
          | CAST(count(*) AS BIGINT) AS size,
          | string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
          |FROM comp GROUP BY cluster ORDER BY cluster_rep""".stripMargin,
+
+    "q81_redact_census" ->
+      """SELECT source,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN len(regexp_extract_all(text, '\b(customer|supplier)\b')) > 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+        | CAST(sum(len(regexp_extract_all(text, '\b(customer|supplier)\b'))) AS BIGINT) AS block_hits,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |        + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS pii_hits,
+        | CAST(sum(len(regexp_replace(text, '\b(customer|supplier)\b', '[REDACTED]', 'g')) - len(text)) AS BIGINT) AS masked_delta
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q82_cluster_reps" ->
+      s"""WITH RECURSIVE $componentCtes
+         |SELECT comp.cluster AS cluster_rep, d.doc_id, d.n_chars, d.source,
+         | (row_number() OVER (PARTITION BY comp.cluster
+         |    ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+         |FROM comp JOIN documents d ON d.doc_id = comp.id
+         |ORDER BY cluster_rep, doc_id""".stripMargin,
+
+    "q83_semdedup" ->
+      s"""WITH $embCte,
+         | c AS (SELECT vec_id AS cluster_id, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 8),
+         | p AS (SELECT e.vec_id, c.cluster_id,
+         |   (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) AS cos
+         |  FROM e, c),
+         | a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY cos DESC, cluster_id) AS rn FROM p),
+         | m AS (SELECT a.cluster_id, a.vec_id, e.embedding, e.nrm
+         |   FROM a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1),
+         | pr AS (SELECT x.cluster_id, x.vec_id AS v1, y.vec_id AS v2,
+         |   (${dotSql("x.embedding", "y.embedding")}) / (x.nrm * y.nrm) AS cos
+         |  FROM m x JOIN m y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id),
+         | q AS (SELECT cluster_id, count(*) AS n_dup_pairs,
+         |   count(DISTINCT v2) AS n_pruned
+         |  FROM pr WHERE round(cos, 6) >= 0.3 GROUP BY cluster_id),
+         | mem AS (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY cluster_id)
+         |SELECT mem.cluster_id,
+         | CAST(n_members AS BIGINT) AS n_members,
+         | CAST(coalesce(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+         | CAST(coalesce(n_pruned, 0) AS BIGINT) AS n_pruned,
+         | CAST(n_members - coalesce(n_pruned, 0) AS BIGINT) AS n_kept
+         |FROM mem LEFT JOIN q USING (cluster_id) ORDER BY cluster_id""".stripMargin,
+
+    "q84_split_manifest" ->
+      s"""WITH b AS (SELECT source,
+         |   len(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS n_toks,
+         |   ${dHash("CAST(doc_id AS VARCHAR)")} % 100 AS bkt FROM documents),
+         | s AS (SELECT source, n_toks,
+         |   CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val'
+         |        ELSE 'test' END AS split FROM b)
+         |SELECT source, split,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         | floor(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source) * 1e6) / 1e6 AS pct_docs
+         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
   )
 }

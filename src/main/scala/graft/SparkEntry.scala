@@ -99,6 +99,10 @@ object SparkEntry {
     "q78_curation_funnel" -> (Curation.curationFunnel _),
     "q79_incremental_dedup" -> (Curation.incrementalDedup _),
     "q80_neardup_clusters" -> (Curation.nearDupClusters _),
+    "q81_redact_census" -> (Curation.redactCensus _),
+    "q82_cluster_reps" -> (Curation.clusterReps _),
+    "q83_semdedup" -> (Curation.semDedup _),
+    "q84_split_manifest" -> (Curation.splitManifest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -443,7 +443,19 @@ object Curation {
     * loop at 100 TB if the dup graph itself is huge). Iteration count
     * is bounded by component diameter — for dedup clusters, single
     * digits. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    componentLabels(spark, dir).groupBy(col("label").as("cluster_rep"))
+      .agg(
+        count(lit(1)).as("size"),
+        array_join(
+          transform(sort_array(collect_list(col("id"))), d => d.cast("string")),
+          ",").as("members"))
+      .orderBy(col("cluster_rep"))
+
+  /** Min-label propagation to fixpoint over the LSH-verified pair graph:
+    * (id, label) where label = min doc_id reachable — the shared
+    * component core behind q80 (cluster report) and q82 (rep selection). */
+  private def componentLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.lshNearDup(spark, dir).select(col("d1"), col("d2"))
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -467,13 +479,131 @@ object Curation {
         .filter(col("label") =!= col("old")).count()
       labels = updated
     }
-    labels.groupBy(col("label").as("cluster_rep"))
+    labels
+  }
+
+  /** q82: near-dup resolution — pick one representative per q80 cluster
+    * (max n_chars, ties to min doc_id: "keep the longest copy") and mark
+    * every other member for drop. The decision step between cluster
+    * formation and the final corpus write.
+    *
+    * Scale shape: component labels join back to document metadata on
+    * doc_id (the corpus's natural key), then one window per cluster.
+    * Cluster count ≈ duplicate count, so the window input is tiny
+    * relative to the corpus; the join against documents is the only
+    * full-corpus touch and prunes to (doc_id, n_chars, source). */
+  def clusterReps(spark: SparkSession, dir: String): DataFrame = {
+    val labels = componentLabels(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels.join(docs, labels("id") === docs("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("label").as("cluster_rep"), col("doc_id"), col("n_chars"),
+        col("source"), (col("rn") === 1).as("keep"))
+      .orderBy(col("cluster_rep"), col("doc_id"))
+  }
+
+  /** Blocklist + PII detection patterns for q81. The blocklist terms are
+    * corpus-tuned (this synthetic vocabulary has no real PII); the
+    * email/IPv4 patterns are the standard scrub set and legitimately
+    * report zero here — the point is the verified plumbing. */
+  private val BlockRe = "\\b(customer|supplier)\\b"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** q81: redaction census — per source stream: documents scanned,
+    * documents with any blocklisted term, total blocklist hits, PII hits
+    * (email + IPv4), and the net character delta after replacing every
+    * blocklist hit with the `[REDACTED]` mask. The audit report a
+    * privacy/compliance scrub stage emits alongside the masked corpus.
+    *
+    * Scale shape: per-row regexp work inside whole-stage codegen (no
+    * UDF), then one partial-agg shuffle to source granularity — the
+    * cheapest aggregation shape there is. At 100 TB the regex cost
+    * dominates and scales embarrassingly parallel. */
+  def redactCensus(spark: SparkSession, dir: String): DataFrame = {
+    val hits = (re: String) => size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    val docs = Tables.documents(spark, dir)
+      .withColumn("block_hits", hits(BlockRe))
+      .withColumn("pii_hits", hits(EmailRe) + hits(Ipv4Re))
+      .withColumn("masked_delta",
+        length(regexp_replace(col("text"), BlockRe, "[REDACTED]")) - length(col("text")))
+    docs.groupBy(col("source"))
       .agg(
-        count(lit(1)).as("size"),
-        array_join(
-          transform(sort_array(collect_list(col("id"))), d => d.cast("string")),
-          ",").as("members"))
-      .orderBy(col("cluster_rep"))
+        count(lit(1)).as("n_docs"),
+        sum(when(col("block_hits") > 0, 1L).otherwise(0L)).as("docs_flagged"),
+        sum(col("block_hits")).cast("long").as("block_hits"),
+        sum(col("pii_hits")).cast("long").as("pii_hits"),
+        sum(col("masked_delta")).cast("long").as("masked_delta"))
+      .orderBy(col("source"))
+  }
+
+  /** SemDeDup cosine threshold. Real-embedding pipelines run ε ≈ 0.95+;
+    * these synthetic 64-d vectors are near-orthogonal (within-cluster
+    * max cosine ≈ 0.49), so the declared ε is scaled to exercise the
+    * same plan with a non-trivial match set. */
+  private val SemDedupEps = 0.3
+
+  /** q83: SemDeDup — semantic near-duplicate pruning within k-means
+    * clusters (Abbas et al. 2023's shape): pairwise cosine is computed
+    * only INSIDE each centroid's member set, never across the corpus,
+    * and any vector cosine-≥ε with a lower-id member of its own cluster
+    * is pruned. Per cluster: members, qualifying pairs, pruned, kept.
+    *
+    * Scale shape: the clustering IS the blocking structure — O(Σ c_i²)
+    * instead of O(n²), and each cluster's pair set is an independent
+    * task. At 100 TB, k is chosen so c_i ~ 10⁴-10⁵ and each
+    * within-cluster block fits one executor; the corpus-wide shuffle is
+    * just the assignment join (one broadcast of k centroids). */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val m = assignments(spark, dir)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .select(col("cluster_id"), col("vec_id"), col("embedding"), col("nrm"))
+    val a = m.select(col("cluster_id"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = m.select(col("cluster_id"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos", Similarity.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(round(col("cos"), 6) >= SemDedupEps)
+    val pruned = pairs.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("v2")).as("n_pruned"))
+    m.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      .join(pruned, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        (col("n_members") - coalesce(col("n_pruned"), lit(0L))).as("n_kept"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q84: train/val/test split manifest — every document deterministically
+    * assigned by portable hash (90/5/5 on h32(doc_id) mod 100), reported
+    * per (source, split) with document and token counts and the split's
+    * within-source document share. The same hash everywhere means the
+    * split is stable across re-runs, engines, and machines — the property
+    * a reproducible training pipeline needs from its split function.
+    *
+    * Scale shape: stateless per-row hash + one agg to (source, split)
+    * granularity + one tiny window over ≤ 3k group rows. */
+  def splitManifest(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Hashing.h32(col("doc_id").cast("string")) % 100
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .withColumn("n_toks", size(toks))
+    val wSrc = Window.partitionBy(col("source"))
+    docs.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).cast("long").as("n_tokens"))
+      .withColumn("pct_docs",
+        trunc6(col("n_docs") * lit(1.0) / sum(col("n_docs")).over(wSrc)))
+      .orderBy(col("source"), col("split"))
   }
 
   /** q72: inverted index — per token: document frequency, total

@@ -160,6 +160,66 @@ class CurationSpec extends SparkSpec {
       Tables.documents(spark, sfDir).count())
   }
 
+  test("incremental dedup: every batch doc classified, novel implies first occurrence") {
+    val out = Curation.incrementalDedup(spark, sfDir).collect()
+    val batchCount = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(out.length == batchCount)
+    val statuses = out.map(_.getString(1)).toSet
+    assert(statuses.subsetOf(Set("novel", "dup_of_corpus", "dup_in_batch")))
+  }
+
+  test("neardup clusters: rep = min member, size >= 2, members disjoint and sorted") {
+    val out = Curation.nearDupClusters(spark, sfDir).collect()
+    val allMembers = out.flatMap(_.getString(2).split(",").map(_.toLong))
+    assert(allMembers.distinct.length == allMembers.length)
+    out.foreach { r =>
+      val members = r.getString(2).split(",").map(_.toLong)
+      assert(r.getLong(1) == members.length && members.length >= 2)
+      assert(r.getLong(0) == members.min)
+      assert(members.sameElements(members.sorted))
+    }
+  }
+
+  test("cluster reps: exactly one keep per cluster, and it has the cluster-max n_chars") {
+    val out = Curation.clusterReps(spark, sfDir).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val kept = rows.filter(_.getBoolean(4))
+      assert(kept.length == 1)
+      assert(kept.head.getLong(2) == rows.map(_.getLong(2)).max)
+    }
+  }
+
+  test("redact census: all docs counted, mask delta = 2 chars per hit, no PII in corpus") {
+    val out = Curation.redactCensus(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sum == Tables.documents(spark, sfDir).count())
+    out.foreach { r =>
+      // both blocklist terms are 8 chars; '[REDACTED]' is 10 → +2 per hit
+      assert(r.getLong(5) == 2 * r.getLong(3))
+      assert(r.getLong(4) == 0L) // synthetic vocabulary has no email/IP
+      assert(r.getLong(3) >= r.getLong(2)) // flagged docs carry >= 1 hit each
+    }
+  }
+
+  test("semdedup: members partition the corpus, kept = members - pruned") {
+    val out = Curation.semDedup(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    out.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(3))
+      assert(r.getLong(3) <= r.getLong(2)) // pruned <= qualifying pairs
+    }
+  }
+
+  test("split manifest: covers all docs, within-source shares sum to 1") {
+    val out = Curation.splitManifest(spark, sfDir).collect()
+    assert(out.map(_.getLong(2)).sum == Tables.documents(spark, sfDir).count())
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+    }
+  }
+
   test("inverted index: postings capped at 10, sorted, df consistent") {
     val out = Curation.invertedIndex(spark, sfDir).collect()
     assert(out.nonEmpty)
