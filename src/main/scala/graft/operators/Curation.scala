@@ -463,21 +463,26 @@ object Curation {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Labels only ever decrease (min-propagation), so an unchanged label
+    // SUM is a fixpoint — one scalar agg per iteration as the convergence
+    // probe instead of a join-and-count against the previous labels.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("min_nbr"))
-      val updated = labels.as("l")
+      labels = labels.as("l")
         .join(nbrMin.as("n"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = updated.as("u")
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
     }
     labels
   }

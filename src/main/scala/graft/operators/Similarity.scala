@@ -20,8 +20,14 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Exact dot product with deterministic left-fold accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** Exact dot product with deterministic left-fold accumulation. Uses the
+    * native codegen'd [[graft.functions.expressions.VecDotExpr]] (registered
+    * by [[graft.GraftExtensions]]) — zero allocation in pairwise passes. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Builtin-composed equivalent (slower; kept as the portable fallback and
+    * the equivalence-test reference — identical accumulation order). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

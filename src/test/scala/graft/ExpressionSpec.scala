@@ -88,6 +88,34 @@ class ExpressionSpec extends SparkSpec {
     assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
   }
 
+  test("vec_dot is bit-identical to the composed zip_with+aggregate fold") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir)
+    // all pairs of the first 40 vectors — exercises both eval paths well
+    // beyond float-rounding corner cases
+    val p = e.filter(col("vec_id") < 40)
+    val pairs = p.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      .join(p.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+        col("v1") < col("v2"))
+      .withColumn("fast", Similarity.dot(col("e1"), col("e2")))
+      .withColumn("slow", Similarity.dotComposed(col("e1"), col("e2")))
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("fast") =!= col("slow")).count() == 0L)
+  }
+
+  test("vec_dot participates in whole-stage codegen; null yields null") {
+    import graft.operators.Similarity
+    val plan = Tables.embeddings(spark, sfDir)
+      .select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    import spark.implicits._
+    val r = Seq((Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f)))).toDF("a", "b")
+      .select(expr("vec_dot(a, b)").as("d")).collect()
+    assert(r(0).getDouble(0) == 11.0 && r(1).isNullAt(0))
+  }
+
   test("sorted_intersect_count edge cases: empty, disjoint, identical, null") {
     import spark.implicits._
     val df = Seq(
