@@ -564,9 +564,13 @@ object Curation {
     * within-cluster block fits one executor; the corpus-wide shuffle is
     * just the assignment join (one broadcast of k centroids). */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the assignment once — it feeds both self-join sides and
+    // the member count (3 subtree reuses). At cluster scale this would be
+    // persist(StorageLevel.DISK_ONLY) / a reliable checkpoint instead.
     val m = assignments(spark, dir)
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .select(col("cluster_id"), col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint()
     val a = m.select(col("cluster_id"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val b = m.select(col("cluster_id"), col("vec_id").as("v2"),
