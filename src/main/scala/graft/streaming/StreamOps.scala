@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.sources.Tables
@@ -146,6 +146,36 @@ object StreamOps {
         size(array_intersect(col("grams"), typedLit(evalGrams.toArray))))
       .filter(col("n_shared") < minShared)
       .drop("toks", "grams", "n_shared")
+  }
+
+  /** Streaming quality gate — the streaming dual of Curation.qualityGate:
+    * the same Gopher-style keep rules (≥ 30 tokens, type-token ratio
+    * ≥ 0.45, top-token ratio ≤ 0.15, identical 6-dp floor semantics)
+    * computed STATELESSLY per row, so the gate runs inline on the ingest
+    * stream with no state store and no shuffle.
+    *
+    * The batch gate gets the per-doc token histogram from explode +
+    * groupBy; a streaming groupBy would need state, so here the
+    * histogram max comes from a per-row higher-order-function pass —
+    * O(tokens × distinct) per document, bounded by document length,
+    * embarrassingly parallel, and entirely in codegen. */
+  def gateStream(docs: DataFrame): DataFrame = {
+    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
+    val t6 = (c: Column) => floor(c * 1e6) / 1e6
+    docs
+      .withColumn("toks", toksC)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_distinct",
+        size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("max_tok",
+        array_max(transform(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t)))).cast("long"))
+      .withColumn("keep",
+        col("n_tokens") >= 30 &&
+        t6(col("n_distinct") * lit(1.0) / col("n_tokens")) >= 0.45 &&
+        t6(col("max_tok") * lit(1.0) / col("n_tokens")) <= 0.15)
+      .drop("toks", "n_distinct", "max_tok")
   }
 
   /** Stream the windowed aggregation to a partitioned parquet sink with

@@ -109,6 +109,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate agrees with the batch gate on real corpus docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    import graft.operators.Curation
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    // feed the first 100 real documents through the stream
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.gateStream(input.toDF())
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_out")
+        .select(col("doc_id"), col("keep")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val batch = Curation.qualityGate(spark, sfDir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("keep")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(streamed == batch, s"streaming gate diverged from batch gate")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
