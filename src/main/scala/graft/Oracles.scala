@@ -1166,5 +1166,46 @@ object Oracles {
          | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
          | floor(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source) * 1e6) / 1e6 AS pct_docs
          |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    "q85_length_outliers" ->
+      """WITH med AS (SELECT source,
+        |   CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS med
+        |  FROM documents GROUP BY source),
+        | mad AS (SELECT d.source,
+        |   CAST(quantile_cont(abs(d.n_chars - m.med), 0.5) AS DOUBLE) AS mad
+        |  FROM documents d JOIN med m ON d.source = m.source GROUP BY d.source)
+        |SELECT d.source,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN abs(d.n_chars - m.med) > 3.0 * a.mad
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | any_value(m.med) AS median_len,
+        | any_value(a.mad) AS mad
+        |FROM documents d JOIN med m ON d.source = m.source
+        |                 JOIN mad a ON d.source = a.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q86_zipf_census" ->
+      """WITH tok AS (SELECT lang,
+        |   unnest(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS token
+        |  FROM documents),
+        | freq AS (SELECT lang, token, count(*) AS f FROM tok GROUP BY lang, token),
+        | vocab AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size,
+        |   CAST(sum(f) AS BIGINT) AS n_tokens FROM freq GROUP BY lang),
+        | top AS (SELECT lang, f,
+        |   row_number() OVER (PARTITION BY lang ORDER BY f DESC, token) AS rank
+        |  FROM freq QUALIFY rank <= 100),
+        | t2 AS (SELECT lang,
+        |   CAST(floor(ln(rank) * 1e9) AS DECIMAL(28,9)) AS x,
+        |   CAST(floor(ln(f) * 1e9) AS DECIMAL(28,9)) AS y,
+        |   CAST(floor(ln(rank) * ln(f) * 1e9) AS DECIMAL(28,9)) AS xy,
+        |   CAST(floor(ln(rank) * ln(rank) * 1e9) AS DECIMAL(28,9)) AS xx
+        |  FROM top),
+        | fit AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(x) AS DOUBLE) / 1e9 AS sx, CAST(sum(y) AS DOUBLE) / 1e9 AS sy,
+        |   CAST(sum(xy) AS DOUBLE) / 1e9 AS sxy, CAST(sum(xx) AS DOUBLE) / 1e9 AS sxx
+        |  FROM t2 GROUP BY lang)
+        |SELECT v.lang, v.vocab_size, v.n_tokens,
+        | floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6) / 1e6 AS zipf_slope
+        |FROM vocab v JOIN fit ON v.lang = fit.lang ORDER BY v.lang""".stripMargin,
   )
 }

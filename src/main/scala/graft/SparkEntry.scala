@@ -103,6 +103,8 @@ object SparkEntry {
     "q82_cluster_reps" -> (Curation.clusterReps _),
     "q83_semdedup" -> (Curation.semDedup _),
     "q84_split_manifest" -> (Curation.splitManifest _),
+    "q85_length_outliers" -> (Curation.lengthOutliers _),
+    "q86_zipf_census" -> (Text.zipfCensus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -615,6 +615,41 @@ object Curation {
       .orderBy(col("source"), col("split"))
   }
 
+  /** q85: robust length-outlier filter — per source: the median document
+    * length, the median absolute deviation (MAD), and how many documents
+    * fall outside median ± 3·MAD. Median/MAD instead of mean/stddev
+    * because crawl length distributions are heavy-tailed — a handful of
+    * giant concatenation pages would inflate a stddev cutoff until
+    * nothing is an outlier.
+    *
+    * Determinism: `percentile` (Spark) and `quantile_cont` (DuckDB) are
+    * both exact interpolated quantiles; over integer lengths the result
+    * is exactly representable (x.0 or x.5), so the doubles agree (the
+    * q50 precedent).
+    *
+    * Scale shape: two agg passes to source granularity (exact percentile
+    * needs the sorted group — at real scale approx_percentile with a
+    * declared error would replace it, the documented trade) + two
+    * broadcast joins of the ≤ |sources| stat tables back onto the
+    * corpus scan. */
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+    val med = docs.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val mad = docs.join(broadcast(med), "source")
+      .groupBy(col("source"))
+      .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+    docs.join(broadcast(med), "source").join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(abs(col("n_chars") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        first(col("med")).as("median_len"),
+        first(col("mad")).as("mad"))
+      .orderBy(col("source"))
+  }
+
   /** q72: inverted index — per token: document frequency, total
     * occurrences, and the first 10 posting doc_ids as a comma string.
     *

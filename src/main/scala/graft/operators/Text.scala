@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.Hashing
 import graft.sources.Tables
 
@@ -124,6 +125,55 @@ object Text {
     * min-df filter, which is the standard shortcut; the shuffle join is
     * the no-assumptions default. The final top-k per doc plans a
     * WindowGroupLimit (per-partition heaps), not a global sort. */
+  /** q86: Zipf vocabulary census — per language: distinct vocabulary
+    * size, total token count, and the fitted log-log slope of the top-100
+    * rank-frequency curve (Zipf's law predicts ≈ −1 for natural text;
+    * large deviations flag TEMPLATED or machine-generated sources — a
+    * corpus-level quality signal the per-document gates can't see).
+    *
+    * Determinism: the least-squares sums over (ln rank, ln freq) run as
+    * floor-truncated DECIMAL(28,9) accumulations — order-independent
+    * exact arithmetic, the q75/q77 defense — because a double sum over a
+    * shuffled top-100 is not cross-engine stable.
+    *
+    * Scale shape: one token-count shuffle with map-side combine, a
+    * per-lang top-100 window (WindowGroupLimit bounds state), then a
+    * 100-row-per-lang closed-form regression — no iteration. */
+  def zipfCensus(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => floor(c * 1e9).cast("decimal(28,9)")
+    val freq = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("f"))
+    val vocab = freq.groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("f")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("f").desc, col("token"))
+    val top = freq
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .withColumn("x", dec(log(col("rank"))))
+      .withColumn("y", dec(log(col("f"))))
+      .withColumn("xy", dec(log(col("rank")) * log(col("f"))))
+      .withColumn("xx", dec(log(col("rank")) * log(col("rank"))))
+    // The DECIMAL sums are exactly equal cross-engine; cast to double and
+    // unscale BEFORE the slope arithmetic (decimal division scale/rounding
+    // rules differ between engines, identical-double arithmetic does not).
+    val d = (name: String) => col(name).cast("double") / 1e9
+    val fit = top.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+      .withColumn("slope",
+        floor((col("n") * d("sxy") - d("sx") * d("sy")) /
+          (col("n") * d("sxx") - d("sx") * d("sx")) * 1e6) / 1e6)
+      .select(col("lang"), col("slope").as("zipf_slope"))
+    vocab.join(fit, Seq("lang"))
+      .select(col("lang"), col("vocab_size"), col("n_tokens"), col("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)

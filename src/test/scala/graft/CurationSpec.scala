@@ -220,6 +220,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("length outliers: covers all docs, outliers bounded, mad <= spread") {
+    val out = Curation.lengthOutliers(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sum == Tables.documents(spark, sfDir).count())
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) >= 0.0) // MAD non-negative
+      // by definition at most half the docs deviate more than the MAD,
+      // so > 3*MAD outliers are a strict minority
+      assert(r.getLong(2) <= r.getLong(1) / 2)
+    }
+  }
+
+  test("zipf census: slope negative (frequency decreases with rank), vocab <= tokens") {
+    val out = operators.Text.zipfCensus(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2)) // vocab_size <= n_tokens
+      assert(r.getDouble(3) < 0.0)         // rank-frequency always decreasing
+    }
+  }
+
   test("inverted index: postings capped at 10, sorted, df consistent") {
     val out = Curation.invertedIndex(spark, sfDir).collect()
     assert(out.nonEmpty)
