@@ -114,18 +114,23 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** MinHash signatures: K=16 universal-hash minima over shingle hashes.
-    * One explode + one groupBy(doc_id) — a single shuffle at any scale. */
+  /** MinHash signatures: K=16 universal-hash minima over shingle hashes,
+    * computed entirely PER ROW — the shingle array maps to its hash array
+    * once (one sha256 per shingle), then each permutation is an
+    * arithmetic transform + array_min over it. ZERO shuffle: the
+    * signature is available inline on the ingest scan (and therefore on
+    * a stream), where the old explode + groupBy(doc_id) shape shuffled
+    * one row per shingle — |tokens|-scale traffic at 100 TB. min() over
+    * the same multiset ⇒ values identical to the exploded formulation
+    * (and to the oracle's). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val sigs = Tables.documents(spark, dir)
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingleCol).as("s"))
-      .withColumn("hp", Hashing.h32p(col("s")))
+      .withColumn("hps", transform(shingleCol, s => Hashing.h32p(s)))
     val mins = (0 until Hashing.K).map(i =>
-      min(Hashing.perm(i, col("hp"))).as(f"mh$i%02d"))
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+      array_min(transform(col("hps"), hp => Hashing.perm(i, hp))).as(f"mh$i%02d"))
+    sigs.select(col("doc_id") +: mins: _*)
       .orderBy(col("doc_id"))
   }
 
