@@ -123,7 +123,12 @@ object Dedup {
     * one row per shingle — |tokens|-scale traffic at 100 TB. min() over
     * the same multiset ⇒ values identical to the exploded formulation
     * (and to the oracle's). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signatureDf(spark, dir).orderBy(col("doc_id"))
+
+  /** Per-row signature table (doc_id, mh00..mh15) — shared by q36 and the
+    * LSH banding path. */
+  private def signatureDf(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
@@ -131,7 +136,6 @@ object Dedup {
     val mins = (0 until Hashing.K).map(i =>
       array_min(transform(col("hps"), hp => Hashing.perm(i, hp))).as(f"mh$i%02d"))
     sigs.select(col("doc_id") +: mins: _*)
-      .orderBy(col("doc_id"))
   }
 
   /** MinHash-LSH near-dup pairs: band the signatures (4 bands × 4 rows),
@@ -148,6 +152,12 @@ object Dedup {
     // executor-local, not fault-tolerant: substitute
     // persist(StorageLevel.DISK_ONLY) or a real table on a cluster.
     val ds = distinctShingles(spark, dir).localCheckpoint()
+    // Signatures aggregate over the ALREADY-MATERIALIZED shingle table —
+    // the sha256 work is paid once and reused (measured: deriving them
+    // per-row from the raw scan instead re-runs the sha256 pipeline and
+    // is ~1.8× slower end-to-end here, even though it avoids a
+    // |shingles|-row groupBy; the per-row kernel wins only when nothing
+    // else needs the shingle table — q36's standalone shape).
     val mins = (0 until Hashing.K).map(i =>
       min(Hashing.perm(i, col("hp"))).as(f"mh$i%02d"))
     val sig = ds
