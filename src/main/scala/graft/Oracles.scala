@@ -1207,5 +1207,15 @@ object Oracles {
         |SELECT v.lang, v.vocab_size, v.n_tokens,
         | floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6) / 1e6 AS zipf_slope
         |FROM vocab v JOIN fit ON v.lang = fit.lang ORDER BY v.lang""".stripMargin,
+
+    "q87_cross_source_dups" ->
+      s"""WITH $lshPairCtes,
+         | withsrc AS (SELECT least(da.source, db.source) AS s1,
+         |   greatest(da.source, db.source) AS s2, jaccard
+         |  FROM pairs JOIN documents da ON da.doc_id = d1
+         |             JOIN documents db ON db.doc_id = d2)
+         |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_pairs,
+         | max(jaccard) AS max_jaccard
+         |FROM withsrc GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
   )
 }

@@ -105,6 +105,7 @@ object SparkEntry {
     "q84_split_manifest" -> (Curation.splitManifest _),
     "q85_length_outliers" -> (Curation.lengthOutliers _),
     "q86_zipf_census" -> (Text.zipfCensus _),
+    "q87_cross_source_dups" -> (Curation.crossSourceDups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

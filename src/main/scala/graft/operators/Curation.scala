@@ -650,6 +650,31 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q87: cross-source duplication matrix — for every unordered source
+    * pair: how many LSH-verified near-dup pairs straddle it, and the
+    * tightest (max) Jaccard seen. The provenance view of dedup: which
+    * crawls / dumps are re-serving each other's content — the input to
+    * dedup priority ("drop the mirror, keep the origin") and to buying
+    * decisions about redundant data sources.
+    *
+    * Scale shape: the matrix aggregates the (tiny) verified pair graph,
+    * not the corpus — two joins against the pruned (doc_id, source)
+    * projection label the endpoints, then one agg to ≤ |sources|² rows.
+    * max() is the reported similarity envelope because it is
+    * summation-order-independent (a cross-engine avg over doubles is
+    * not — the q70 rule). */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    Dedup.lshNearDup(spark, dir)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      .groupBy(
+        least(col("src1"), col("src2")).as("s1"),
+        greatest(col("src1"), col("src2")).as("s2"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** q72: inverted index — per token: document frequency, total
     * occurrences, and the first 10 posting doc_ids as a comma string.
     *

@@ -241,6 +241,16 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cross-source dup matrix: pair counts sum to the LSH pair total, jaccard >= threshold") {
+    val out = Curation.crossSourceDups(spark, sfDir).collect()
+    val totalPairs = operators.Dedup.lshNearDup(spark, sfDir).count()
+    assert(out.map(_.getLong(2)).sum == totalPairs)
+    out.foreach { r =>
+      assert(r.getString(0) <= r.getString(1)) // unordered pair canonical form
+      assert(r.getDouble(3) >= 0.6)            // verified at the LSH threshold
+    }
+  }
+
   test("inverted index: postings capped at 10, sorted, df consistent") {
     val out = Curation.invertedIndex(spark, sfDir).collect()
     assert(out.nonEmpty)

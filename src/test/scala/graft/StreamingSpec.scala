@@ -140,6 +140,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed streaming funnel: gate -> decontaminate -> dedup in one query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    import org.apache.spark.sql.functions.col
+    val evalGrams = Seq("a b c", "b c d")
+    val input = MemoryStream[Doc]
+    // the three curation stages compose into ONE streaming plan: two
+    // stateless stages + the single watermark-bounded dedup state store
+    val funnel = StreamOps.dedupStream(
+      StreamOps.decontaminateStream(
+        StreamOps.gateStream(input.toDF()).filter(col("keep")).drop("keep", "n_tokens"),
+        evalGrams))
+    val q = funnel.writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val good = (1 to 40).map(i => s"tok$i").mkString(" ") // passes the gate
+      input.addData(
+        Doc(1, ts(1), good),                         // kept
+        Doc(2, ts(2), good),                         // exact dup of 1 → dropped
+        Doc(3, ts(3), "a b c d " + good),            // contaminated → dropped
+        Doc(4, ts(4), "x y"))                        // fails gate → dropped
+      q.processAllAvailable()
+      val ids = spark.table("funnel_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
