@@ -1208,6 +1208,37 @@ object Oracles {
         | floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6) / 1e6 AS zipf_slope
         |FROM vocab v JOIN fit ON v.lang = fit.lang ORDER BY v.lang""".stripMargin,
 
+    "q88_ann_recall" -> {
+      val bucket = (0 until 4)
+        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      s"""WITH $embCte,
+         | eb AS (SELECT *, $bucket AS bucket FROM e),
+         | ex AS (SELECT probe_id, cand_id FROM (
+         |   SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |     ORDER BY (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) DESC,
+         |       c.vec_id) AS rnk
+         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         | ap AS (SELECT probe_id, cand_id FROM (
+         |   SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |     ORDER BY (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) DESC,
+         |       c.vec_id) AS rnk
+         |   FROM eb p JOIN eb c ON p.vec_id % 97 = 0 AND p.bucket = c.bucket
+         |                      AND p.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         | hits AS (SELECT ex.probe_id, count(*) AS n
+         |   FROM ex JOIN ap ON ex.probe_id = ap.probe_id AND ex.cand_id = ap.cand_id
+         |   GROUP BY ex.probe_id),
+         | probes AS (SELECT DISTINCT vec_id AS probe_id FROM e WHERE vec_id % 97 = 0)
+         |SELECT p.probe_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+         | coalesce(n, 0) / 5.0 AS recall_at_5
+         |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
+         |ORDER BY p.probe_id""".stripMargin
+    },
+
     "q87_cross_source_dups" ->
       s"""WITH $lshPairCtes,
          | withsrc AS (SELECT least(da.source, db.source) AS s1,

@@ -106,6 +106,7 @@ object SparkEntry {
     "q85_length_outliers" -> (Curation.lengthOutliers _),
     "q86_zipf_census" -> (Text.zipfCensus _),
     "q87_cross_source_dups" -> (Curation.crossSourceDups _),
+    "q88_ann_recall" -> (Similarity.annRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -91,6 +91,33 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** q88: ANN recall measurement — per probe: how many of the exact
+    * top-5 neighbors the sign-bucketed ANN (q41) actually returned, and
+    * recall@5. The meta-operator every approximate index needs shipped
+    * next to it: the recall/speedup trade is a MEASURED property of the
+    * data distribution, not a constant of the algorithm, and it must be
+    * re-measured when the embedding model or corpus mix changes.
+    *
+    * Scale shape: composes the two existing plans and joins their (probe,
+    * cand) sets — the join input is |probes|·k rows, never the corpus. At
+    * real scale the exact side runs on a sampled probe set only (as here:
+    * every 97th vector), which is exactly how recall is audited in
+    * production — ground truth on a sample, never the full corpus. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact5 = cosineTopK(spark, dir)
+      .filter(col("rank") <= 5).select(col("probe_id"), col("cand_id"))
+    val approx5 = annBucketed(spark, dir)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = exact5.join(approx5, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n"))
+    exact5.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n"), lit(0L)).as("n_hits"),
+        (coalesce(col("n"), lit(0L)) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Fixed random-hyperplane set for signed-random-projection LSH: 8
     * hyperplanes × 64 dims, seeded — the same constants are baked into the
     * native [[graft.functions.expressions.RpSignature]] kernel and the

@@ -56,4 +56,16 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("count") =!= col("exp")).count()
     assert(joined == 0L)
   }
+
+  test("ann recall: every probe reported, hits in [0,5], recall consistent") {
+    val out = graft.operators.Similarity.annRecall(spark, sfDir).collect()
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 97 === 0).count()
+    assert(out.length == probes)
+    out.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0L && hits <= 5L)
+      assert(r.getDouble(2) == hits / 5.0)
+    }
+  }
 }
