@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{RpSignatureExpr, Sha256Prefix32Expr, SortedIntersectCountExpr, VecDotExpr}
+import graft.functions.expressions.{MinhashSigExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedIntersectCountExpr, VecDotExpr}
 
 /** Session extensions: registers the engine's native expressions.
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCountExpr].getName, "sorted_intersect_count"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectCountExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig16"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig16"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSigExpr(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),

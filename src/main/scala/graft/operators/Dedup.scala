@@ -126,15 +126,19 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signatureDf(spark, dir).orderBy(col("doc_id"))
 
-  /** Per-row signature table (doc_id, mh00..mh15) — shared by q36 and the
-    * LSH banding path. */
+  /** Per-row signature table (doc_id, mh00..mh15): the shingle array maps
+    * to its hash array, then the native `minhash_sig16` kernel computes
+    * all 16 minima in one codegen'd pass (the 16-×-transform HOF
+    * formulation measured 1.5× slower than even the explode+groupBy
+    * shuffle — interpreted lambda dispatch per element per permutation). */
   private def signatureDf(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
-      .withColumn("hps", transform(shingleCol, s => Hashing.h32p(s)))
+      .withColumn("sig", call_function("minhash_sig16",
+        transform(shingleCol, s => Hashing.h32p(s))))
     val mins = (0 until Hashing.K).map(i =>
-      array_min(transform(col("hps"), hp => Hashing.perm(i, hp))).as(f"mh$i%02d"))
+      element_at(col("sig"), i + 1).as(f"mh$i%02d"))
     sigs.select(col("doc_id") +: mins: _*)
   }
 

@@ -116,6 +116,32 @@ class ExpressionSpec extends SparkSpec {
     assert(r(0).getDouble(0) == 11.0 && r(1).isNullAt(0))
   }
 
+  test("minhash_sig16 matches the per-permutation array_min formulation") {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("transform(filter(split(text, ' '), t -> length(t) > 0), s -> sha256_prefix32(s) % 2147483647)").as("hps"))
+      .filter(size(col("hps")) > 0)
+      .withColumn("fast", expr("minhash_sig16(hps)"))
+    val slowCols = (0 until Hashing.K).map(i =>
+      array_min(transform(col("hps"), hp => Hashing.perm(i, hp))))
+    val both = sh.withColumn("slow", array(slowCols: _*))
+    assert(both.count() > 0)
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0L)
+  }
+
+  test("minhash_sig16 codegen + edge cases: empty array, null") {
+    val plan = Tables.documents(spark, sfDir)
+      .select(expr("minhash_sig16(array(sha256_prefix32(text)))").as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    import spark.implicits._
+    val r = Seq(Some(Seq(42L)), Some(Seq[Long]()), None).toDF("a")
+      .select(expr("minhash_sig16(a)").as("s")).collect()
+    assert(r(0).getSeq[Long](0).length == Hashing.K)
+    assert(r(1).getSeq[Long](0).isEmpty)
+    assert(r(2).isNullAt(0))
+  }
+
   test("sorted_intersect_count edge cases: empty, disjoint, identical, null") {
     import spark.implicits._
     val df = Seq(
