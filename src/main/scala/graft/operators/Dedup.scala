@@ -162,6 +162,10 @@ object Dedup {
     // is ~1.8× slower end-to-end here, even though it avoids a
     // |shingles|-row groupBy; the per-row kernel wins only when nothing
     // else needs the shingle table — q36's standalone shape).
+    // Measured (sf0.1 subset, q37+q80+q82): aggregating from the
+    // materialized ds = 8.2s; per-row native kernel = 9.6s — the kernel
+    // re-runs the sha256 pipeline ds has already paid for. The per-row
+    // path wins only standalone (q36) or on a stream.
     val mins = (0 until Hashing.K).map(i =>
       min(Hashing.perm(i, col("hp"))).as(f"mh$i%02d"))
     val sig = ds
