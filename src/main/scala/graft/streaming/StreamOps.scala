@@ -178,6 +178,61 @@ object StreamOps {
       .drop("toks", "n_distinct", "max_tok")
   }
 
+  /** Streaming near-dup candidate flagging — the streaming dual of the
+    * LSH banding join: each in-flight document computes its MinHash
+    * signature PER ROW with the native `minhash_sig16` kernel (zero
+    * shuffle, no state) and its 4 band keys; a stream-static join against
+    * the corpus's band index flags documents that land in an occupied
+    * bucket. Flagged docs are candidates, not verdicts — the exact
+    * verify runs in the batch layer, so the stream stays stateless and
+    * the only stream-side cost is the signature computation.
+    *
+    * At 100 TB the band index is the corpus's (band, sig) → any-doc
+    * projection — far smaller than the corpus and broadcast-joinable;
+    * refreshing it is a batch job, which is exactly the
+    * lambda-architecture split real near-dup pipelines use.
+    *
+    * Output is one row per (doc, matching band) — a candidate FEED, not
+    * a per-doc verdict: collapsing to per-doc would need streaming state
+    * (dropDuplicates over an unbounded key set), and the batch verify
+    * consuming this feed dedups anyway. */
+  def nearDupCandidatesStream(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
+    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
+    val shingles = when(size(col("toks")) >= 3,
+      transform(sequence(lit(1), size(col("toks")) - 2),
+        i => array_join(slice(col("toks"), i, lit(3)), " ")))
+      .otherwise(typedLit(Array.empty[String]))
+    val sig = call_function("minhash_sig16",
+      transform(shingles, s => graft.functions.Hashing.h32p(s)))
+    val bandStructs = (0 until graft.functions.Hashing.Bands).map { bnd =>
+      val cols = (0 until graft.functions.Hashing.RowsPerBand)
+        .map(r => element_at(col("sig"), bnd * graft.functions.Hashing.RowsPerBand + r + 1))
+      struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("band_sig"))
+    }
+    docs
+      .withColumn("toks", toksC)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", sig)
+      .withColumn("bs", explode(array(bandStructs: _*)))
+      .select(col("doc_id"), col("ts"),
+        col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .join(broadcast(bandIndex), Seq("band", "band_sig"), "left_semi")
+  }
+
+  /** Static corpus band index (band, band_sig) for the stream-static
+    * near-dup join — built by one batch pass over the corpus. */
+  def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.operators.Dedup.minhashSignatures(spark, dir)
+    val bandStructs = (0 until graft.functions.Hashing.Bands).map { bnd =>
+      val cols = (0 until graft.functions.Hashing.RowsPerBand)
+        .map(r => col(f"mh${bnd * graft.functions.Hashing.RowsPerBand + r}%02d"))
+      struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("band_sig"))
+    }
+    sigs.withColumn("bs", explode(array(bandStructs: _*)))
+      .select(col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .distinct()
+  }
+
   /** Stream the windowed aggregation to a partitioned parquet sink with
     * checkpointing — the streaming dual of Manifest.writePartitioned. */
   def writeWindowed(df: DataFrame, outPath: String, checkpoint: String): Unit =

@@ -168,6 +168,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates: corpus docs flag, novel docs don't") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val index = StreamOps.corpusBandIndex(spark, sfDir)
+    // a verbatim corpus document must collide with its own band keys; a
+    // novel token sequence must not
+    val corpusText = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val input = MemoryStream[Doc]
+    val q = StreamOps.nearDupCandidatesStream(input.toDF(), index)
+      .writeStream.format("memory").queryName("cand_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(9001, ts(1), corpusText),
+        Doc(9002, ts(2), "zz yy xx ww vv uu tt ss rr qq pp oo"))
+      q.processAllAvailable()
+      val flagged = spark.table("cand_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged == Set(9001L), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
