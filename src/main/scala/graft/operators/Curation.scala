@@ -627,19 +627,18 @@ object Curation {
     * is exactly representable (x.0 or x.5), so the doubles agree (the
     * q50 precedent).
     *
-    * Scale shape: two agg passes to source granularity (exact percentile
-    * needs the sorted group — at real scale approx_percentile with a
-    * declared error would replace it, the documented trade) + two
-    * broadcast joins of the ≤ |sources| stat tables back onto the
-    * corpus scan. */
+    * Scale shape: ONE corpus scan — both percentiles run as window
+    * aggregates over the same source partitioning, so the single
+    * exchange is reused by both windows AND the final agg (the
+    * join-back-three-times formulation scans the corpus 4×). Exact
+    * percentile sorts each source partition; at real scale
+    * approx_percentile with a declared error replaces it — the
+    * documented trade. */
   def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
-    val med = docs.groupBy(col("source"))
-      .agg(expr("percentile(n_chars, 0.5)").as("med"))
-    val mad = docs.join(broadcast(med), "source")
-      .groupBy(col("source"))
-      .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
-    docs.join(broadcast(med), "source").join(broadcast(mad), "source")
+    val w = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+      .withColumn("med", expr("percentile(n_chars, 0.5)").over(w))
+      .withColumn("mad", expr("percentile(abs(n_chars - med), 0.5)").over(w))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -141,10 +141,14 @@ object Text {
     * 100-row-per-lang closed-form regression — no iteration. */
   def zipfCensus(spark: SparkSession, dir: String): DataFrame = {
     val dec = (c: Column) => floor(c * 1e9).cast("decimal(28,9)")
+    // Materialized once: the vocab totals and the top-100 window both
+    // re-read it, and the explode+agg behind it is the dominant cost
+    // (cluster-scale substitute: persist(DISK_ONLY), the Dedup rule).
     val freq = Tables.documents(spark, dir)
       .select(col("lang"), explode(toks).as("token"))
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("f"))
+      .localCheckpoint()
     val vocab = freq.groupBy(col("lang"))
       .agg(count(lit(1)).as("vocab_size"),
         sum(col("f")).cast("long").as("n_tokens"))
