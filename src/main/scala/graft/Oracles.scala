@@ -1239,6 +1239,31 @@ object Oracles {
          |ORDER BY p.probe_id""".stripMargin
     },
 
+    "q89_epoch_plan" ->
+      s"""WITH s AS (SELECT source, doc_id,
+         |   CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_toks
+         |  FROM documents),
+         | per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM s GROUP BY source),
+         | tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |   CAST(count(*) AS BIGINT) AS n_sources FROM per),
+         | wt AS (SELECT source,
+         |   floor((1.0 / n_sources) / (n_tokens * 1.0 / total_tokens) * 1e6) / 1e6 AS w
+         |  FROM per, tot),
+         | r AS (SELECT s.source, s.n_toks, wt.w,
+         |   CAST(floor(wt.w) AS BIGINT) +
+         |   CASE WHEN ${dHash("CAST(s.doc_id AS VARCHAR)")} <
+         |     CAST(floor((wt.w - floor(wt.w)) * 4294967296.0) AS BIGINT)
+         |    THEN 1 ELSE 0 END AS repeats
+         |  FROM s JOIN wt ON s.source = wt.source)
+         |SELECT source,
+         | any_value(w) AS weight,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(repeats) AS BIGINT) AS n_copies,
+         | CAST(sum(n_toks * repeats) AS BIGINT) AS n_tokens_out,
+         | floor(sum(repeats) * 1.0 / count(*) * 1e6) / 1e6 AS realized_factor
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     "q87_cross_source_dups" ->
       s"""WITH $lshPairCtes,
          | withsrc AS (SELECT least(da.source, db.source) AS s1,

@@ -107,6 +107,7 @@ object SparkEntry {
     "q86_zipf_census" -> (Text.zipfCensus _),
     "q87_cross_source_dups" -> (Curation.crossSourceDups _),
     "q88_ann_recall" -> (Similarity.annRecall _),
+    "q89_epoch_plan" -> (Curation.epochPlan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

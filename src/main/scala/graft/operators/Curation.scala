@@ -674,6 +674,55 @@ object Curation {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** q89: epoch materialization plan — turn q76's per-source uniform
+    * mixture weight into a concrete, REPRODUCIBLE replication plan:
+    * every document repeats floor(w) times, plus one extra copy iff its
+    * portable hash falls under frac(w) — so each source's realized
+    * up/down-sampling factor converges to its weight while any two runs
+    * (or engines, or cluster sizes) emit exactly the same copies. Per
+    * source: the weight, documents in, copies out, tokens out, and the
+    * realized factor. The step between "we computed DoReMi weights" and
+    * "the next epoch's shard list exists".
+    *
+    * Determinism: the stochastic-rounding coin is h32(doc_id) compared
+    * to floor(frac·2³²) — an integer compare on a value-derived hash,
+    * never a `rand()` (not reproducible across retries/partitionings).
+    *
+    * Scale shape: the weight table is |sources| rows → broadcast join
+    * onto one corpus scan, then one agg back to source granularity. The
+    * actual copy fan-out at materialization time would be
+    * `explode(sequence(1, repeats))` on the same scan — also
+    * shuffle-free. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_toks", size(toks).cast("long"))
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totals = perSrc.select(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val weights = perSrc.crossJoin(broadcast(totals))
+      .select(col("source"),
+        trunc6((lit(1.0) / col("n_sources")) /
+          (col("n_tokens") * 1.0 / col("total_tokens"))).as("w"))
+    docs.join(broadcast(weights), "source")
+      .withColumn("base", floor(col("w")).cast("long"))
+      .withColumn("extra",
+        when(Hashing.h32(col("doc_id").cast("string")) <
+          floor((col("w") - floor(col("w"))) * lit(4294967296.0)).cast("long"),
+          1L).otherwise(0L))
+      .withColumn("repeats", col("base") + col("extra"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("w")).as("weight"),
+        count(lit(1)).as("n_docs"),
+        sum(col("repeats")).cast("long").as("n_copies"),
+        sum(col("n_toks") * col("repeats")).cast("long").as("n_tokens_out"))
+      .withColumn("realized_factor",
+        trunc6(col("n_copies") * lit(1.0) / col("n_docs")))
+      .orderBy(col("source"))
+  }
+
   /** q72: inverted index — per token: document frequency, total
     * occurrences, and the first 10 posting doc_ids as a comma string.
     *

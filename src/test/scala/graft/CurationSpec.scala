@@ -251,6 +251,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("epoch plan: realized factor brackets the weight, copies consistent") {
+    val out = Curation.epochPlan(spark, sfDir).collect()
+    assert(out.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sfDir).count())
+    out.foreach { r =>
+      val (w, nDocs, nCopies) = (r.getDouble(1), r.getLong(2), r.getLong(3))
+      // floor(w) <= realized factor <= floor(w)+1 by construction
+      assert(nCopies >= nDocs * math.floor(w).toLong)
+      assert(nCopies <= nDocs * (math.floor(w).toLong + 1))
+    }
+  }
+
   test("inverted index: postings capped at 10, sorted, df consistent") {
     val out = Curation.invertedIndex(spark, sfDir).collect()
     assert(out.nonEmpty)
