@@ -1264,6 +1264,39 @@ object Oracles {
          | floor(sum(repeats) * 1.0 / count(*) * 1e6) / 1e6 AS realized_factor
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
+    "q90_filter_calibration" ->
+      s"""WITH $toksCte,
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+         | st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |   CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS max_tok
+         |  FROM cnt GROUP BY doc_id),
+         | g AS (SELECT doc_id, (n_tokens >= 30
+         |   AND floor(n_distinct * 1.0 / n_tokens * 1e6) / 1e6 >= 0.45
+         |   AND floor(max_tok * 1.0 / n_tokens * 1e6) / 1e6 <= 0.15) AS keep FROM st),
+         | tot AS (SELECT count(*) AS total_toks FROM tok),
+         | lm AS (SELECT token, -ln(count(*) * 1.0 / total_toks) AS nll
+         |   FROM tok, tot GROUP BY token, total_toks),
+         | sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |   sum(CAST(floor(nll * 1e9) AS DECIMAL(28,9))) AS nll_sum
+         |  FROM tok JOIN lm USING (token) GROUP BY doc_id),
+         | ml AS (SELECT doc_id,
+         |   floor(CAST(nll_sum AS DOUBLE) / 1e9 / n_tokens * 1e6) / 1e6 AS mean_nll
+         |  FROM sc),
+         | med AS (SELECT CAST(quantile_cont(mean_nll, 0.5) AS DOUBLE) AS med FROM ml),
+         | j AS (SELECT d.source, g.keep, (ml.mean_nll <= med.med) AS lm_good
+         |   FROM g JOIN ml USING (doc_id) JOIN documents d USING (doc_id), med)
+         |SELECT source,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN keep AND lm_good THEN 1 ELSE 0 END) AS BIGINT) AS keep_good,
+         | CAST(sum(CASE WHEN keep AND NOT lm_good THEN 1 ELSE 0 END) AS BIGINT) AS keep_bad,
+         | CAST(sum(CASE WHEN NOT keep AND lm_good THEN 1 ELSE 0 END) AS BIGINT) AS drop_good,
+         | CAST(sum(CASE WHEN NOT keep AND NOT lm_good THEN 1 ELSE 0 END) AS BIGINT) AS drop_bad,
+         | floor((sum(CASE WHEN keep AND lm_good THEN 1 ELSE 0 END)
+         |      + sum(CASE WHEN NOT keep AND NOT lm_good THEN 1 ELSE 0 END)) * 1.0
+         |   / count(*) * 1e6) / 1e6 AS agreement
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     "q87_cross_source_dups" ->
       s"""WITH $lshPairCtes,
          | withsrc AS (SELECT least(da.source, db.source) AS s1,

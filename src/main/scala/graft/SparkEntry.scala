@@ -108,6 +108,7 @@ object SparkEntry {
     "q87_cross_source_dups" -> (Curation.crossSourceDups _),
     "q88_ann_recall" -> (Similarity.annRecall _),
     "q89_epoch_plan" -> (Curation.epochPlan _),
+    "q90_filter_calibration" -> (Curation.filterCalibration _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -723,6 +723,37 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q90: filter calibration — do the cheap heuristic gate (q66) and the
+    * LM surprisal score (q75) agree? Per source: the 2×2 matrix of
+    * gate-keep × LM-good (mean NLL at or below the corpus median) and
+    * the agreement rate. The measurement that tells you whether the
+    * heuristic gate can stand in for the expensive model score on the
+    * next crawl — and on which sources it can't.
+    *
+    * Scale shape: composes two existing per-doc plans joined on doc_id,
+    * one broadcast scalar (the corpus median), one agg to source
+    * granularity. The median over per-doc doubles is exact interpolated
+    * percentile on both engines over identical values (q85 rule). */
+  def filterCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val gate = qualityGate(spark, dir).select(col("doc_id"), col("keep"))
+    val lm = unigramSurprisal(spark, dir).select(col("doc_id"), col("mean_nll"))
+    val med = lm.select(expr("percentile(mean_nll, 0.5)").as("med"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    gate.join(lm, "doc_id").join(src, "doc_id")
+      .crossJoin(broadcast(med)) // 1-row scalar subquery shape
+      .withColumn("lm_good", col("mean_nll") <= col("med"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep") && col("lm_good"), 1L).otherwise(0L)).as("keep_good"),
+        sum(when(col("keep") && !col("lm_good"), 1L).otherwise(0L)).as("keep_bad"),
+        sum(when(!col("keep") && col("lm_good"), 1L).otherwise(0L)).as("drop_good"),
+        sum(when(!col("keep") && !col("lm_good"), 1L).otherwise(0L)).as("drop_bad"))
+      .withColumn("agreement",
+        trunc6((col("keep_good") + col("drop_bad")) * lit(1.0) / col("n_docs")))
+      .orderBy(col("source"))
+  }
+
   /** q72: inverted index — per token: document frequency, total
     * occurrences, and the first 10 posting doc_ids as a comma string.
     *

@@ -263,6 +263,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("filter calibration: quadrants partition the gated docs, agreement consistent") {
+    val out = Curation.filterCalibration(spark, sfDir).collect()
+    out.foreach { r =>
+      val (n, kg, kb, dg, db) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(kg + kb + dg + db == n)
+      assert(math.abs(r.getDouble(6) - math.floor((kg + db) * 1.0 / n * 1e6) / 1e6) < 1e-9)
+    }
+    // every doc that got both scores appears exactly once
+    assert(out.map(_.getLong(1)).sum == Curation.qualityGate(spark, sfDir).count())
+  }
+
   test("inverted index: postings capped at 10, sorted, df consistent") {
     val out = Curation.invertedIndex(spark, sfDir).collect()
     assert(out.nonEmpty)
