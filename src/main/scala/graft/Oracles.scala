@@ -1264,6 +1264,30 @@ object Oracles {
          | floor(sum(repeats) * 1.0 / count(*) * 1e6) / 1e6 AS realized_factor
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
+    "q91_chunk_dedup" ->
+      s"""WITH $toksCte,
+         | tk AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+         |  FROM t WHERE len(toks) > 0),
+         | tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM tk),
+         | b AS (SELECT doc_id, pos, tok,
+         |   CASE WHEN ${dHash("tok")} % 8 = 0 THEN 1 ELSE 0 END AS be FROM tok),
+         | c AS (SELECT doc_id, pos, tok,
+         |   sum(be) OVER (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - be AS chunk_id
+         |  FROM b),
+         | ch AS (SELECT doc_id, chunk_id,
+         |   string_agg(tok, ' ' ORDER BY pos) AS chunk
+         |  FROM c GROUP BY doc_id, chunk_id),
+         | fp AS (SELECT doc_id, sha256(chunk) AS f FROM ch),
+         | df AS (SELECT f, count(DISTINCT doc_id) AS d FROM fp GROUP BY f)
+         |SELECT fp.doc_id,
+         | CAST(count(*) AS BIGINT) AS n_chunks,
+         | CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         | floor(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) * 1e6) / 1e6
+         |   AS dup_fraction
+         |FROM fp JOIN df ON fp.f = df.f GROUP BY fp.doc_id
+         |ORDER BY fp.doc_id""".stripMargin,
+
     "q90_filter_calibration" ->
       s"""WITH $toksCte,
          | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),

@@ -109,6 +109,7 @@ object SparkEntry {
     "q88_ann_recall" -> (Similarity.annRecall _),
     "q89_epoch_plan" -> (Curation.epochPlan _),
     "q90_filter_calibration" -> (Curation.filterCalibration _),
+    "q91_chunk_dedup" -> (Curation.chunkDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

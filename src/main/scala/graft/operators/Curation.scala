@@ -754,6 +754,49 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q91: content-defined chunk dedup census — substring-level dedup
+    * (Lee et al. 2021's "deduplicating training data" granularity, CCNet's
+    * paragraph hashing): token streams split at content-defined
+    * boundaries (a token whose portable hash ≡ 0 mod 8 ends its chunk —
+    * boundaries move with the CONTENT, so an insertion resynchronizes
+    * within one chunk instead of shifting every window), each chunk
+    * fingerprinted, and every document scored by the fraction of its
+    * chunks appearing in at least one other document. Whole-doc dedup
+    * (q34) misses this entirely: two documents sharing half their text
+    * have distinct fingerprints.
+    *
+    * Scale shape: explode + one per-doc window (cumulative boundary
+    * count), one (doc, chunk) agg, one chunk-df agg, a join back on the
+    * high-entropy fingerprint (unskewable key), one agg to doc
+    * granularity. All shuffles are token- or chunk-volume with map-side
+    * combine. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("be", when(Hashing.h32(col("tok")) % 8 === 0, 1L).otherwise(0L))
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = tok
+      .withColumn("chunk_id", sum(col("be")).over(wCum) - col("be"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("chunk"))
+      .select(col("doc_id"), sha2(col("chunk"), 256).as("f"))
+    val df = chunks.groupBy(col("f"))
+      .agg(countDistinct(col("doc_id")).as("d"))
+    chunks.join(df, "f")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("d") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_fraction",
+        trunc6(col("n_shared") * lit(1.0) / col("n_chunks")))
+      .orderBy(col("doc_id"))
+  }
+
   /** q72: inverted index — per token: document frequency, total
     * occurrences, and the first 10 posting doc_ids as a comma string.
     *

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.Curation
 import graft.sources.Tables
 
@@ -273,6 +274,24 @@ class CurationSpec extends SparkSpec {
     }
     // every doc that got both scores appears exactly once
     assert(out.map(_.getLong(1)).sum == Curation.qualityGate(spark, sfDir).count())
+  }
+
+  test("chunk dedup: exact duplicate docs share all chunks, fractions bounded") {
+    val out = Curation.chunkDedup(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // shared <= chunks
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // whole-doc exact duplicates (q34's groups) must score dup_fraction 1.0
+    val fp = sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256)
+    val dupIds = Tables.documents(spark, sfDir).withColumn("fp", fp)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("n") >= 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    // (sf0.001 has no exact dups — the invariant binds when they exist)
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    dupIds.foreach { id => assert(byId(id) == 1.0, s"doc $id") }
   }
 
   test("inverted index: postings capped at 10, sorted, df consistent") {
