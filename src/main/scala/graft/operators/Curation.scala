@@ -785,6 +785,9 @@ object Curation {
         sort_array(collect_list(struct(col("pos"), col("tok")))),
         s => s.getField("tok")), " ").as("chunk"))
       .select(col("doc_id"), sha2(col("chunk"), 256).as("f"))
+      // materialized once — feeds the df census AND the join back
+      // (cluster-scale substitute: persist(DISK_ONLY), the Dedup rule)
+      .localCheckpoint()
     val df = chunks.groupBy(col("f"))
       .agg(countDistinct(col("doc_id")).as("d"))
     chunks.join(df, "f")
