@@ -36,6 +36,16 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Release a query's localCheckpoint blocks before the next one runs:
+    // 91 queries' worth of accumulated executor-memory blocks otherwise
+    // turn the bench tail into a GC measurement (the r3 run showed q82+
+    // inflated 3-4× vs an isolated run for exactly this reason). Runs
+    // OUTSIDE the per-query timer — block release is cleanup, not query.
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
+
     // warmup: touch every table (schema-declared readers — the raw events
     // file has a nanos timestamp Spark won't infer), exercise codegen once
     import graft.sources.Tables
@@ -44,27 +54,42 @@ object Bench {
       Tables.documents _, Tables.embeddings _)
       .foreach(t => t(spark, sfDir).count())
     run(names.min)
+    release()
 
     // A failed query must surface as an err entry, never as a (fast) time —
     // a silent catch would let a crash *improve* the bench total.
     val results: Seq[(String, Either[String, Double])] = names.map { name =>
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         run(name)
         name -> Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
           name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
+      release()
+      r
     }
-    val qs = results.map {
-      case (k, Right(v)) => "\"" + k + "\":" + v
+    def entries(short: Boolean): String = results.map {
+      case (k, Right(v)) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + (math.rint(v * 1000) / 1000)
       case (k, Left(err)) =>
-        "\"" + k + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"}"
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
+    val total = math.rint(results.collect { case (_, Right(v)) => v }.sum * 1000) / 1000
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"queries":$qs,"sf":"$sfDir"}""")
+    def line(short: Boolean) =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"queries":${entries(short)},"sf":"$sfDir"}"""
+    // Full query names → BENCH_LOCAL.json (committed per round); the stdout
+    // line uses the qNN short keys and 3-decimal times so the whole line
+    // fits the driver's bounded stdout-tail capture (the r2/r3 full-name
+    // line overflowed it and parsed as null — see BASELINE.md §keys).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line(short = false) + "\n").getBytes("UTF-8"))
+    println(line(short = true))
     spark.stop()
   }
 }

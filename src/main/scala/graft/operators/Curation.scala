@@ -457,8 +457,16 @@ object Curation {
     * component core behind q80 (cluster report) and q82 (rep selection). */
   private def componentLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.lshNearDup(spark, dir).select(col("d1"), col("d2"))
+    // The dup graph ≈ duplicate count — orders of magnitude smaller than
+    // the corpus — so after the one expensive LSH pass it collapses to a
+    // handful of partitions; every fixpoint iteration then runs single-task
+    // joins instead of 32-way shuffles of a 25-row table (measured: the
+    // uncoalesced loop spent ~10× its runtime on empty-task scheduling).
+    // At 100 TB-with-a-huge-dup-graph, drop the coalesce and let AQE size
+    // the iteration shuffles instead.
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .coalesce(1)
       .localCheckpoint() // cut the LSH lineage; re-read each iteration
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
