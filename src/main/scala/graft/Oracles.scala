@@ -459,14 +459,17 @@ object Oracles {
         .map { r => val c = f"mh${bnd * graft.functions.Hashing.RowsPerBand + r}%02d"; s"a.$c = b.$c" }
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
+    // The verify intersects 32-bit HASHED shingles (DISTINCT doc_id, hp),
+    // mirroring Dedup.lshNearDup's per-row hash-array formulation — a
+    // within-pair collision perturbs both engines identically.
     s"""$sigCtes,
        | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
-       | ds AS (SELECT DISTINCT doc_id, s FROM sh),
+       | ds AS (SELECT DISTINCT doc_id, hp FROM hh),
        | sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
        | com AS (SELECT d1, d2, count(*) AS common
        |         FROM cand JOIN ds s1 ON d1 = s1.doc_id
-       |                   JOIN ds s2 ON d2 = s2.doc_id AND s1.s = s2.s
+       |                   JOIN ds s2 ON d2 = s2.doc_id AND s1.hp = s2.hp
        |         GROUP BY d1, d2),
        | pairs AS (SELECT d1, d2,
        |   round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) AS jaccard

@@ -32,14 +32,6 @@ object Dedup {
       sequence(lit(1), size(col("toks")) - 2),
       i => array_join(slice(col("toks"), i, lit(3)), " "))
 
-  /** doc_id → exploded distinct shingles. */
-  private def distinctShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingleCol).as("s"))
-      .distinct()
-
   /** Exact dedup: normalize (lower, collapse whitespace, trim) → SHA-256 →
     * keep the smallest doc_id per fingerprint. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -144,41 +136,44 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs: band the signatures (4 bands × 4 rows),
     * equality-join on (band, band-signature) to get candidates, then
-    * exact-Jaccard-verify candidates at threshold 0.6. */
+    * exact-Jaccard-verify candidates at threshold 0.6.
+    *
+    * Per-row formulation (round 4; replaces the exploded-shingle-table
+    * variant): each document carries ONE sorted distinct shingle-hash
+    * array, and both derived quantities read that column — the signature
+    * via the native `minhash_sig16` kernel and the exact verify via
+    * `sorted_intersect_count`. The corpus therefore never explodes to
+    * |shingles| rows and never shuffles before the banding join (the old
+    * shape paid a distinct + a groupBy over the exploded table, then a
+    * |shingles|-row equality join for the verify — measured 2.7 s vs
+    * 1.3 s here at sf0.1, and the win compounds through q80/q82/q87
+    * which all recompute this pipeline). Candidates are tiny, so both
+    * verify joins broadcast the candidate side — the array table streams
+    * through without moving.
+    *
+    * Jaccard is computed over the 32-bit hashed shingle space (standard
+    * MinHash practice — a within-pair hash collision perturbs both
+    * engines identically because the oracle hashes the same way; see
+    * Oracles.lshPairCtes). */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // ONE materialized shingle table feeds the whole job: the signature
-    // aggregation AND the exact-verify join both derive from it, so the
-    // sha256-heavy tokenize+shingle pipeline runs once, not twice.
-    // (MinHash over the distinct shingle SET equals MinHash over the raw
-    // multiset — min() ignores duplicates — so deriving signatures from
-    // the distinct table is exact.) At production scale this is "write
-    // the shingle table, then run both jobs from it" — localCheckpoint is
-    // executor-local, not fault-tolerant: substitute
-    // persist(StorageLevel.DISK_ONLY) or a real table on a cluster.
-    val ds = distinctShingles(spark, dir).localCheckpoint()
-    // Signatures aggregate over the ALREADY-MATERIALIZED shingle table —
-    // the sha256 work is paid once and reused (measured: deriving them
-    // per-row from the raw scan instead re-runs the sha256 pipeline and
-    // is ~1.8× slower end-to-end here, even though it avoids a
-    // |shingles|-row groupBy; the per-row kernel wins only when nothing
-    // else needs the shingle table — q36's standalone shape).
-    // Measured (sf0.1 subset, q37+q80+q82): aggregating from the
-    // materialized ds = 8.2s; per-row native kernel = 9.6s — the kernel
-    // re-runs the sha256 pipeline ds has already paid for. The per-row
-    // path wins only standalone (q36) or on a stream.
-    val mins = (0 until Hashing.K).map(i =>
-      min(Hashing.perm(i, col("hp"))).as(f"mh$i%02d"))
-    val sig = ds
-      .withColumn("hp", Hashing.h32p(col("s")))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .localCheckpoint() // tiny (one row per doc); feeds both join sides
+    // One materialization feeds three consumers (banding + both verify
+    // sides), so the sha256-per-shingle pipeline runs once. localCheckpoint
+    // is executor-local, not fault-tolerant: substitute
+    // persist(StorageLevel.DISK_ONLY) or a real staged table on a cluster.
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("hs",
+        array_sort(array_distinct(transform(shingleCol, s => Hashing.h32p(s)))))
+      .withColumn("sig", call_function("minhash_sig16", col("hs")))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"), col("sig"))
+      .localCheckpoint()
     val bandStructs = (0 until Hashing.Bands).map { bnd =>
       val cols = (0 until Hashing.RowsPerBand)
-        .map(r => col(f"mh${bnd * Hashing.RowsPerBand + r}%02d"))
+        .map(r => element_at(col("sig"), bnd * Hashing.RowsPerBand + r + 1))
       struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("sig"))
     }
-    val banded = sig
+    val banded = docs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cands = banded.as("a")
@@ -187,16 +182,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-
-    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cands
-      .join(ds.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(ds.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+    cands
+      .join(docs.select(col("doc_id").as("d1"), col("hs").as("h1"), col("n").as("n1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("hs").as("h2"), col("n").as("n2")), "d2")
+      .withColumn("common", expr("sorted_intersect_count(h1, h2)"))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
       .filter(col("jaccard") >= 0.6)
