@@ -24,7 +24,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: unpersisting locally-checkpointed RDDs between
+    // queries emits one "cannot be recomputed after unpersisting" WARN per
+    // block, which floods the same bounded stdout/stderr tail the JSON
+    // result line has to survive.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Dev-only subset filter (comma-separated name prefixes); the driver
     // sets neither env var and always benches the full surface.
@@ -41,8 +45,11 @@ object Bench {
     // turn the bench tail into a GC measurement (the r3 run showed q82+
     // inflated 3-4× vs an isolated run for exactly this reason). Runs
     // OUTSIDE the per-query timer — block release is cleanup, not query.
+    // blocking=true: async unpersist defers block removal into the NEXT
+    // query's timed window — the exact contamination release() exists to
+    // prevent. The wait happens outside the timer, so it costs nothing.
     def release(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
     }
 
@@ -70,10 +77,13 @@ object Bench {
       release()
       r
     }
+    // Short keys get 3-decimal times (the stdout line must fit the
+    // driver's bounded tail capture); full-name entries keep full
+    // precision for the committed BENCH_LOCAL.json profile.
     def entries(short: Boolean): String = results.map {
       case (k, Right(v)) =>
         val key = if (short) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + (math.rint(v * 1000) / 1000)
+        "\"" + key + "\":" + (if (short) math.rint(v * 1000) / 1000 else v)
       case (k, Left(err)) =>
         val key = if (short) k.takeWhile(_ != '_') else k
         "\"" + key + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"}"
@@ -86,8 +96,16 @@ object Bench {
     // line uses the qNN short keys and 3-decimal times so the whole line
     // fits the driver's bounded stdout-tail capture (the r2/r3 full-name
     // line overflowed it and parsed as null — see BASELINE.md §keys).
+    // Anchor BENCH_LOCAL.json at the repo root (the dir holding build.sbt),
+    // not the cwd — `sbt run` forks with cwd = base dir, but a bare
+    // java invocation may not.
+    val repoRoot = Iterator.iterate(
+        java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(8)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(java.nio.file.Paths.get(sys.props("user.dir")))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      repoRoot.resolve("BENCH_LOCAL.json"),
       (line(short = false) + "\n").getBytes("UTF-8"))
     println(line(short = true))
     spark.stop()

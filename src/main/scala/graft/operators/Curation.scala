@@ -464,10 +464,16 @@ object Curation {
     // uncoalesced loop spent ~10× its runtime on empty-task scheduling).
     // At 100 TB-with-a-huge-dup-graph, drop the coalesce and let AQE size
     // the iteration shuffles instead.
+    // Checkpoint FIRST, then coalesce: coalesce(1) before the checkpoint
+    // would pull the whole upstream LSH verify scan into a single task
+    // (the verify join broadcasts the candidate side, so there is no
+    // shuffle boundary to stop the collapse from propagating). This way
+    // materialization runs fully parallel and only the per-iteration
+    // reads of the tiny edge table are 1-partition.
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .coalesce(1)
       .localCheckpoint() // cut the LSH lineage; re-read each iteration
+      .coalesce(1)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
