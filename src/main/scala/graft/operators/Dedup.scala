@@ -77,6 +77,12 @@ object Dedup {
     * anti-join needs a SECOND materialization barrier and came out ~1.5×
     * slower than folding the filter into the single checkpointed pass.) */
   def jaccardPairs(docs: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
+    // Two-exchange shape kept deliberately: a single up-front
+    // repartition(s) (so the distinct and the df window share one
+    // exchange) was measured SLOWER (3.0 s vs 2.45 s at sf0.1) — the
+    // distinct's map-side partial aggregate dedups repeated in-document
+    // shingles before its shuffle, and a raw repartition ships the full
+    // exploded volume instead.
     val ds0 = docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
