@@ -10,7 +10,15 @@ import org.apache.spark.sql.SparkSession
   *    to whichever query happens to run first;
   *  - results are materialized with a noop-format write, which evaluates
   *    every output column — `count()` would let Catalyst prune the very
-  *    expressions being benchmarked.
+  *    expressions being benchmarked;
+  *  - each query runs 3× and reports the MEDIAN (total = sum of medians).
+  *    The r6 single-shot snapshot charged ~10 s of one transient machine
+  *    stall to whichever queries were running (q75-q78 showed 4-10× an
+  *    isolated re-run with a comments-only code diff) and would have
+  *    triggered a false regression hunt. BENCH_LOCAL.json additionally
+  *    records min/max of the 3 runs per query so future rounds can
+  *    separate noise (wide min-max spread) from regression (tight spread
+  *    at a new level) without a judge re-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,31 +72,44 @@ object Bench {
     release()
 
     // A failed query must surface as an err entry, never as a (fast) time —
-    // a silent catch would let a crash *improve* the bench total.
-    val results: Seq[(String, Either[String, Double])] = names.map { name =>
-      val t0 = System.nanoTime()
-      val r = try {
-        run(name)
-        name -> Right((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    // a silent catch would let a crash *improve* the bench total. A query
+    // that fails on ANY of its 3 runs is an err (partial medians would
+    // quietly drop the slow-failing run).
+    val trials = sys.env.get("SPARK_GRAFT_TRIALS").map(_.toInt).getOrElse(3)
+    val results: Seq[(String, Either[String, Seq[Double]])] = names.map { name =>
+      val runs: Seq[Either[String, Double]] = (1 to trials).map { _ =>
+        val t0 = System.nanoTime()
+        val r = try {
+          run(name)
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+        release()
+        r
       }
-      release()
-      r
+      name -> runs.collectFirst { case Left(err) => err }
+        .toLeft(runs.collect { case Right(v) => v })
     }
-    // Short keys get 3-decimal times (the stdout line must fit the
-    // driver's bounded tail capture); full-name entries keep full
-    // precision for the committed BENCH_LOCAL.json profile.
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      s(s.size / 2) // odd trial counts: the true median; even: upper-median
+    }
+    // Short keys get 3-decimal median times (the stdout line must fit the
+    // driver's bounded tail capture); full-name entries carry
+    // {sec: median, min, max} for the committed BENCH_LOCAL.json profile.
     def entries(short: Boolean): String = results.map {
-      case (k, Right(v)) =>
-        val key = if (short) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + (if (short) math.rint(v * 1000) / 1000 else v)
+      case (k, Right(vs)) =>
+        if (short)
+          "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(median(vs) * 1000) / 1000)
+        else
+          "\"" + k + "\":{\"sec\":" + median(vs) + ",\"min\":" + vs.min + ",\"max\":" + vs.max + "}"
       case (k, Left(err)) =>
         val key = if (short) k.takeWhile(_ != '_') else k
         "\"" + key + "\":{\"err\":\"" + err.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"}"
     }.mkString("{", ",", "}")
-    val total = math.rint(results.collect { case (_, Right(v)) => v }.sum * 1000) / 1000
+    val total = math.rint(results.collect { case (_, Right(vs)) => median(vs) }.sum * 1000) / 1000
     val nErr = results.count(_._2.isLeft)
     def line(short: Boolean) =
       s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"queries":${entries(short)},"sf":"$sfDir"}"""
