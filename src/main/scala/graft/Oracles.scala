@@ -52,6 +52,15 @@ object Oracles {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // q92's oracle is deliberately the PLAIN join: salting is a physical
+    // rewrite that must not change the result.
+    "q92_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+
     "q05_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_active_customers
         |FROM customer

@@ -110,6 +110,7 @@ object SparkEntry {
     "q89_epoch_plan" -> (Curation.epochPlan _),
     "q90_filter_calibration" -> (Curation.filterCalibration _),
     "q91_chunk_dedup" -> (Curation.chunkDedup _),
+    "q92_salted_join" -> (Skew.saltedJoinQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -37,9 +37,20 @@ object Curation {
     * aggregation; no per-doc state beyond the running counters, so the
     * plan is insensitive to document length skew. The rule evaluation is
     * a pure projection over the aggregated row. */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val cnt = docs.select(col("doc_id"), explode(toks).as("token"))
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityGateFrom(tokenTable(Tables.documents(spark, dir)))
+
+  /** The exploded (doc_id, token) table the token-level operators share.
+    * Callers composing several of them (q90) materialize this ONCE
+    * (localCheckpoint — at cluster scale substitute
+    * persist(StorageLevel.DISK_ONLY)) so each operator re-reads the
+    * token rows instead of re-scanning + re-exploding the corpus. */
+  def tokenTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks).as("token"))
+
+  /** [[qualityGate]] over an already-exploded (doc_id, token) table. */
+  def qualityGateFrom(tok: DataFrame): DataFrame = {
+    val cnt = tok
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("c"))
     val st = cnt.groupBy(col("doc_id"))
@@ -297,11 +308,19 @@ object Curation {
     * perplexity are projections of identical doubles.
     *
     * Scale shape: the unigram table is vocabulary-sized → broadcast
-    * (same Zipf argument as TF-IDF); scoring is then one corpus scan +
-    * one per-doc agg shuffle. */
-  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    * (same Zipf argument as TF-IDF). The token explode feeds THREE
+    * consumers (the total-count scalar, the LM build, the scoring join),
+    * so it is materialized once — r6's PlanAudit showed the
+    * unmaterialized plan scanning documents.parquet 3×; with the
+    * checkpoint the corpus is read once and the branches re-read token
+    * rows. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisalFrom(
+      tokenTable(Tables.documents(spark, dir)).localCheckpoint())
+
+  /** [[unigramSurprisal]] over an already-materialized (doc_id, token)
+    * table — pass a checkpointed/persisted `tok`, it is consumed 3×. */
+  def unigramSurprisalFrom(tok: DataFrame): DataFrame = {
     val total = tok.select(count(lit(1)).as("total_toks"))
     val lm = tok.groupBy(col("token")).agg(count(lit(1)).as("occ"))
       .crossJoin(broadcast(total)) // 1-row scalar subquery shape
@@ -353,12 +372,15 @@ object Curation {
     * sha256 fingerprint keeping min doc_id, q73's ≥2-shared-shingle
     * contamination set, q74's 256-token per-source packing).
     *
-    * Scale shape: the stage flags compose as columns over ONE pass of
-    * the corpus — gate flags join back doc-aligned, the contamination
-    * set is a broadcast anti-join-shaped left join (contaminated docs
-    * are few), dedup keeper is one window over the fingerprint, and
-    * packing is the per-source running sum. No stage materializes an
-    * intermediate corpus copy. */
+    * Scale shape: each stage makes one pass of the corpus *rows* and no
+    * stage materializes an intermediate corpus copy — but the stages are
+    * separate sub-plans joined back on doc_id, so the executed plan
+    * (PlanAudit r6) tokenize-explodes the corpus three times (gate,
+    * decontaminate, and the funnel's own n_toks/fp pass). The
+    * composition stays shuffle-sane: gate flags join back doc-aligned,
+    * the contamination set is a broadcast anti-join-shaped left join
+    * (contaminated docs are few), dedup keeper is one window over the
+    * fingerprint, and packing is the per-source running sum. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val gate = qualityGate(spark, dir).select(col("doc_id"), col("keep"))
@@ -747,10 +769,15 @@ object Curation {
     * Scale shape: composes two existing per-doc plans joined on doc_id,
     * one broadcast scalar (the corpus median), one agg to source
     * granularity. The median over per-doc doubles is exact interpolated
-    * percentile on both engines over identical values (q85 rule). */
+    * percentile on both engines over identical values (q85 rule).
+    * The gate and the LM are derived from ONE shared checkpointed token
+    * table (r6's PlanAudit showed the compose-by-name version re-scanning
+    * documents.parquet per sub-plan); only the doc_id→source projection
+    * reads the corpus a second time. */
   def filterCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val gate = qualityGate(spark, dir).select(col("doc_id"), col("keep"))
-    val lm = unigramSurprisal(spark, dir).select(col("doc_id"), col("mean_nll"))
+    val tok = tokenTable(Tables.documents(spark, dir)).localCheckpoint()
+    val gate = qualityGateFrom(tok).select(col("doc_id"), col("keep"))
+    val lm = unigramSurprisalFrom(tok).select(col("doc_id"), col("mean_nll"))
     val med = lm.select(expr("percentile(mean_nll, 0.5)").as("med"))
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     gate.join(lm, "doc_id").join(src, "doc_id")

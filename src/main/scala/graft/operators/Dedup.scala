@@ -79,10 +79,12 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
     // Two-exchange shape kept deliberately: a single up-front
     // repartition(s) (so the distinct and the df window share one
-    // exchange) was measured SLOWER (3.0 s vs 2.45 s at sf0.1) — the
-    // distinct's map-side partial aggregate dedups repeated in-document
-    // shingles before its shuffle, and a raw repartition ships the full
-    // exploded volume instead.
+    // exchange) was measured SLOWER (3.0 s vs 2.45 s, isolated
+    // single-query runs at sf0.1; the full-suite BENCH_LOCAL figure for
+    // q35 runs higher, ~3.1-3.6 s, because 90 other queries share the
+    // JVM) — the distinct's map-side partial aggregate dedups repeated
+    // in-document shingles before its shuffle, and a raw repartition
+    // ships the full exploded volume instead.
     val ds0 = docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)

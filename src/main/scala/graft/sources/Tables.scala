@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   * immediately and guarantees stable types across scale factors.
   *
   * All readers return plain scans; Catalyst pushes filters/projection into
-  * the Parquet reader (verified in PlanSpec via `PushedFilters`/`ReadSchema`).
+  * the Parquet reader (verified in RelationalSpec via
+  * `PushedFilters`/`ReadSchema` assertions).
   */
 object Tables {
 

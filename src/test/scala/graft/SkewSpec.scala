@@ -22,6 +22,20 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0L)
   }
 
+  test("q92 plan fans the dim side out nSalts× via explode") {
+    val q = SparkEntry.queries("q92_salted_join")(spark, sfDir)
+    // the dim side must carry a Generate(explode) of the 8 salt literals
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), s"no explode in plan:\n$plan")
+    assert(plan.contains("explode([0,1,2,3,4,5,6,7])"),
+      s"expected the 8-salt literal array in plan:\n$plan")
+    // and the fan-out is exactly nSalts× the dim row count
+    val dim = Tables.supplier(spark, sfDir)
+    val salted = dim.withColumn("__salt",
+      explode(array((0 until 8).map(i => lit(i.toLong)): _*)))
+    assert(salted.count() == 8L * dim.count())
+  }
+
   test("salt values spread rows across buckets") {
     val fact = Tables.lineitem(spark, sfDir)
     val buckets = fact
