@@ -466,7 +466,26 @@ object Curation {
     * is bounded by component diameter — for dedup clusters, single
     * digits. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    componentLabels(spark, dir).groupBy(col("label").as("cluster_rep"))
+    nearDupClustersFrom(Dedup.lshNearDup(spark, dir))
+
+  /** The LSH-verified near-dup pair table (q37's output), materialized
+    * ONCE for every downstream consumer — deployment mode. The declared
+    * queries q80/q82/q87 each recompute the LSH pipeline because the
+    * driver benches them in isolation; a deployment composing several of
+    * them calls this once and passes the result to the `*From` variants,
+    * so the ~per-query LSH cost is paid once (BASELINE.md documents the
+    * repeated work as a per-query-isolation artifact — this entry point
+    * is that claim as code, asserted equivalent in CurationSpec).
+    * localCheckpoint is executor-local; at cluster scale substitute
+    * persist(StorageLevel.DISK_ONLY) or write the pair table to a
+    * parquet sink (it is duplicate-count-sized, tiny next to the
+    * corpus). */
+  def pairTable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshNearDup(spark, dir).localCheckpoint()
+
+  /** [[nearDupClusters]] over an existing pair table ([[pairTable]]). */
+  def nearDupClustersFrom(pairs: DataFrame): DataFrame =
+    componentLabels(pairs).groupBy(col("label").as("cluster_rep"))
       .agg(
         count(lit(1)).as("size"),
         array_join(
@@ -477,8 +496,8 @@ object Curation {
   /** Min-label propagation to fixpoint over the LSH-verified pair graph:
     * (id, label) where label = min doc_id reachable — the shared
     * component core behind q80 (cluster report) and q82 (rep selection). */
-  private def componentLabels(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.lshNearDup(spark, dir).select(col("d1"), col("d2"))
+  private def componentLabels(pairTable: DataFrame): DataFrame = {
+    val pairs = pairTable.select(col("d1"), col("d2"))
     // The dup graph ≈ duplicate count — orders of magnitude smaller than
     // the corpus — so after the one expensive LSH pass it collapses to a
     // handful of partitions; every fixpoint iteration then runs single-task
@@ -533,9 +552,13 @@ object Curation {
     * Cluster count ≈ duplicate count, so the window input is tiny
     * relative to the corpus; the join against documents is the only
     * full-corpus touch and prunes to (doc_id, n_chars, source). */
-  def clusterReps(spark: SparkSession, dir: String): DataFrame = {
-    val labels = componentLabels(spark, dir)
-    val docs = Tables.documents(spark, dir)
+  def clusterReps(spark: SparkSession, dir: String): DataFrame =
+    clusterRepsFrom(Dedup.lshNearDup(spark, dir), Tables.documents(spark, dir))
+
+  /** [[clusterReps]] over an existing pair table ([[pairTable]]). */
+  def clusterRepsFrom(pairs: DataFrame, documents: DataFrame): DataFrame = {
+    val labels = componentLabels(pairs)
+    val docs = documents
       .select(col("doc_id"), col("n_chars"), col("source"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("n_chars").desc, col("doc_id"))
@@ -698,9 +721,14 @@ object Curation {
     * max() is the reported similarity envelope because it is
     * summation-order-independent (a cross-engine avg over doubles is
     * not — the q70 rule). */
-  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    Dedup.lshNearDup(spark, dir)
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame =
+    crossSourceDupsFrom(Dedup.lshNearDup(spark, dir),
+      Tables.documents(spark, dir))
+
+  /** [[crossSourceDups]] over an existing pair table ([[pairTable]]). */
+  def crossSourceDupsFrom(pairs: DataFrame, documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
       .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
       .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
       .groupBy(

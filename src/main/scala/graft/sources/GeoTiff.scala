@@ -15,8 +15,10 @@ import graft.functions.Lzw
   *
   * The reference shells out to GDAL (`gdal.Translate(..., format="COG")`);
   * no raster library exists in this container, so the codec is written
-  * against the public TIFF 6.0 + GeoTIFF 1.1 specs directly: little-endian
-  * classic TIFF, single-band float32, square tiles, LZW compression
+  * against the public TIFF 6.0 + BigTIFF + GeoTIFF 1.1 specs directly:
+  * little-endian classic TIFF (magic 42, 32-bit offsets) or BigTIFF
+  * (magic 43, 64-bit offsets — the reference writes `BIGTIFF=YES`,
+  * ingestor.py:106), single-band float32, square tiles, LZW compression
   * ([[graft.functions.Lzw]]), a 2× overview pyramid in chained
   * reduced-resolution IFDs, metadata at the head of the file, and
   * ModelTiepoint + ModelPixelScale + a WGS84 GeoKeyDirectory — the COG
@@ -60,8 +62,14 @@ object GeoTiff {
   private val TypeShort = 3
   private val TypeLong = 4
   private val TypeDouble = 12
+  private val TypeLong8 = 16 // BigTIFF 64-bit unsigned
 
   private val TNewSubfileType = 254
+
+  /** Classic TIFF's hard ceiling: every offset is uint32. Past this the
+    * encoder auto-promotes to BigTIFF even without the flag. (Kept a
+    * little under 2³² so the final even-byte padding can't straddle it.) */
+  private val ClassicTiffMax = (1L << 32) - 16
 
   /** 2×2 NaN-aware average downsample — one overview pyramid level. */
   def downsample(r: Raster): Raster = {
@@ -97,14 +105,25 @@ object GeoTiff {
       r.dLon * 2, r.dLat * 2, px)
   }
 
-  /** Encode a raster as a Cloud-Optimized GeoTIFF: little-endian classic
-    * TIFF, single-band float32, square tiles, LZW-compressed, overview
-    * pyramid (2× levels until one fits a single tile), all IFDs at the
-    * head of the file — the COG layout. Tile size must be a multiple of
-    * 16 (TIFF 6.0 §15); 256 is the COG default, tests use 16 to keep
-    * fixture files small. */
+  /** Encode a raster as a Cloud-Optimized GeoTIFF: little-endian TIFF,
+    * single-band float32, square tiles, LZW-compressed, overview pyramid
+    * (2× levels until one fits a single tile), all IFDs at the head of
+    * the file — the COG layout. Tile size must be a multiple of 16
+    * (TIFF 6.0 §15); 256 is the COG default, tests use 16 to keep
+    * fixture files small.
+    *
+    * Layout is classic TIFF by default and BigTIFF (magic 43, 8-byte
+    * offsets — BigTIFF spec / the reference's `BIGTIFF=YES`,
+    * ingestor.py:106) when `bigTiff` is set OR the exact computed file
+    * size exceeds classic TIFF's uint32 ceiling — the compressed tile
+    * lengths are known before allocation, so the promotion threshold is
+    * exact, not an estimate. A single in-memory band is still capped at
+    * the JVM's 2 GiB array limit (a >2 GiB band needs a streaming
+    * writer — per-band bboxes in the reference are ~3 orders of
+    * magnitude below this). */
   def encode(r: Raster, tileSize: Int = 256,
-      compress: Boolean = true, overviews: Boolean = true): Array[Byte] = {
+      compress: Boolean = true, overviews: Boolean = true,
+      bigTiff: Boolean = false): Array[Byte] = {
     require(tileSize % 16 == 0 && tileSize > 0, s"tile size $tileSize not a multiple of 16")
 
     val levels = scala.collection.mutable.ArrayBuffer(r)
@@ -138,27 +157,52 @@ object GeoTiff {
     }
 
     val nTags = 15
-    val ifdSize = 2 + nTags * 12 + 4
-    def extSize(l: Level): Int =
-      32 + 24 + 48 + (if (l.tiles.length > 1) 8 * l.tiles.length else 0)
-    // layout: header | IFD+ext per level (COG: all metadata first) | tiles
-    val ifdOffs = new Array[Int](lvls.length)
-    var cur = 8
-    lvls.indices.foreach { i => ifdOffs(i) = cur; cur += ifdSize + extSize(lvls(i)) }
-    val tileOffs: IndexedSeq[IndexedSeq[Int]] = lvls.map { l =>
-      l.tiles.map { t => val o = cur; cur += t.length + (t.length & 1); o } // word-align
-    }
-    val buf = ByteBuffer.allocate(cur).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffs(0))
-
-    def tag(code: Int, tpe: Int, count: Int, value: Long): Unit = {
-      buf.putShort(code.toShort).putShort(tpe.toShort).putInt(count)
-      tpe match {
-        // inline values are left-justified in the 4-byte slot (LE)
-        case TypeShort if count == 1 => buf.putShort(value.toShort).putShort(0)
-        case _ => buf.putInt(value.toInt)
+    // layout: header | IFD+ext per level (COG: all metadata first) | tiles;
+    // word size W doubles in BigTIFF (offsets, counts, IFD entry slots)
+    case class Layout(big: Boolean) {
+      val W: Int = if (big) 8 else 4
+      val headerSize: Int = if (big) 16 else 8
+      val entrySize: Int = if (big) 20 else 12
+      val ifdSize: Int =
+        (if (big) 8 else 2) + nTags * entrySize + (if (big) 8 else 4)
+      def extSize(l: Level): Long =
+        32L + 24 + 48 + (if (l.tiles.length > 1) 2L * W * l.tiles.length else 0L)
+      val ifdOffs = new Array[Long](lvls.length)
+      var end: Long = headerSize
+      lvls.indices.foreach { i =>
+        ifdOffs(i) = end; end += ifdSize + extSize(lvls(i))
+      }
+      val tileOffs: IndexedSeq[IndexedSeq[Long]] = lvls.map { l =>
+        l.tiles.map { t => val o = end; end += t.length + (t.length & 1); o } // word-align
       }
     }
+    val big = bigTiff || Layout(big = false).end > ClassicTiffMax
+    val lay = Layout(big)
+    import lay.{W, ifdSize, ifdOffs, tileOffs}
+    require(lay.end <= Int.MaxValue.toLong,
+      s"band file would be ${lay.end} bytes — exceeds the JVM single-array cap; " +
+        "a >2 GiB band needs a streaming writer (split the bbox or the time key)")
+    val buf = ByteBuffer.allocate(lay.end.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    if (big) // BigTIFF header: magic 43, offset size 8, pad 0, 8-byte IFD0 offset
+      buf.put('I'.toByte).put('I'.toByte).putShort(43)
+        .putShort(8).putShort(0).putLong(ifdOffs(0))
+    else
+      buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffs(0).toInt)
+
+    def putWord(v: Long): Unit = if (big) buf.putLong(v) else buf.putInt(v.toInt)
+    def tag(code: Int, tpe: Int, count: Int, value: Long): Unit = {
+      buf.putShort(code.toShort).putShort(tpe.toShort)
+      putWord(count.toLong)
+      tpe match {
+        // inline values are left-justified in the W-byte slot (LE)
+        case TypeShort if count == 1 =>
+          buf.putShort(value.toShort).putShort(0)
+          if (big) buf.putInt(0)
+        case _ => putWord(value)
+      }
+    }
+    // offset/count arrays: uint32 in classic, uint64 in BigTIFF
+    val typeOffsetArray = if (big) TypeLong8 else TypeLong
 
     lvls.indices.foreach { i =>
       val l = lvls(i)
@@ -168,8 +212,8 @@ object GeoTiff {
       val tiepointOff = pixScaleOff + 24
       val arraysOff = tiepointOff + 48
 
-      buf.position(ifdOffs(i))
-      buf.putShort(nTags.toShort)
+      buf.position(ifdOffs(i).toInt)
+      if (big) buf.putLong(nTags.toLong) else buf.putShort(nTags.toShort)
       tag(TNewSubfileType, TypeLong, 1, if (i == 0) 0 else 1) // 1 = reduced-res
       tag(TImageWidth, TypeLong, 1, l.r.width)
       tag(TImageLength, TypeLong, 1, l.r.height)
@@ -179,15 +223,15 @@ object GeoTiff {
       tag(TSamplesPerPixel, TypeShort, 1, 1)
       tag(TTileWidth, TypeShort, 1, tileSize)
       tag(TTileLength, TypeShort, 1, tileSize)
-      tag(TTileOffsets, TypeLong, nTiles,
+      tag(TTileOffsets, typeOffsetArray, nTiles,
         if (nTiles > 1) arraysOff else tileOffs(i)(0))
-      tag(TTileByteCounts, TypeLong, nTiles,
-        if (nTiles > 1) arraysOff + 4 * nTiles else l.tiles(0).length)
+      tag(TTileByteCounts, typeOffsetArray, nTiles,
+        if (nTiles > 1) arraysOff + W.toLong * nTiles else l.tiles(0).length.toLong)
       tag(TSampleFormat, TypeShort, 1, 3) // IEEE float
       tag(TModelPixelScale, TypeDouble, 3, pixScaleOff)
       tag(TModelTiepoint, TypeDouble, 6, tiepointOff)
       tag(TGeoKeyDirectory, TypeShort, 16, geoKeysOff)
-      buf.putInt(if (i + 1 < lvls.length) ifdOffs(i + 1) else 0)
+      putWord(if (i + 1 < lvls.length) ifdOffs(i + 1) else 0L)
 
       // GeoKeyDirectory: v1.1.0, 3 keys — ModelType=Geographic(2),
       // RasterType=PixelIsArea(1), GeographicCRS=EPSG:4326
@@ -200,11 +244,11 @@ object GeoTiff {
         .putDouble(l.r.originLat + l.r.dLat / 2).putDouble(0.0)
 
       if (nTiles > 1) {
-        tileOffs(i).foreach(buf.putInt)
-        l.tiles.foreach(t => buf.putInt(t.length))
+        tileOffs(i).foreach(putWord)
+        l.tiles.foreach(t => putWord(t.length.toLong))
       }
       l.tiles.indices.foreach { t =>
-        buf.position(tileOffs(i)(t))
+        buf.position(tileOffs(i)(t).toInt)
         buf.put(l.tiles(t))
       }
     }
@@ -212,35 +256,50 @@ object GeoTiff {
   }
 
   /** Decode every IFD of a GeoTIFF produced by [[encode]] (full-res level
-    * first, then any overview levels). */
+    * first, then any overview levels) — classic TIFF or BigTIFF, keyed
+    * off the header magic. */
   def decodeAll(bytes: Array[Byte]): IndexedSeq[Raster] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(buf.getShort(0) == 0x4949.toShort && buf.getShort(2) == 42, "not a LE classic TIFF")
+    require(buf.getShort(0) == 0x4949.toShort, "not a little-endian TIFF")
+    val magic = buf.getShort(2).toInt
+    require(magic == 42 || magic == 43, s"TIFF magic $magic is neither classic (42) nor BigTIFF (43)")
+    val big = magic == 43
+    if (big) require(buf.getShort(4) == 8 && buf.getShort(6) == 0, "malformed BigTIFF header")
+    val entrySize = if (big) 20 else 12
+    def word(pos: Int): Long =
+      if (big) buf.getLong(pos) else buf.getInt(pos) & 0xffffffffL
 
     def parseIfd(ifdOff: Int): (Raster, Int) = {
-      val nTags = buf.getShort(ifdOff).toInt
+      val nTags = (if (big) buf.getLong(ifdOff) else buf.getShort(ifdOff).toLong).toInt
       // tag code -> (type, count, value-or-offset slot position)
       val tags = (0 until nTags).map { i =>
-        val p = ifdOff + 2 + i * 12
+        val p = ifdOff + (if (big) 8 else 2) + i * entrySize
         val code = buf.getShort(p) & 0xffff
-        code -> ((buf.getShort(p + 2).toInt, buf.getInt(p + 4), p + 8))
+        val count = (if (big) buf.getLong(p + 4) else buf.getInt(p + 4).toLong).toInt
+        code -> ((buf.getShort(p + 2).toInt, count, p + (if (big) 12 else 8)))
       }.toMap
       def scalar(code: Int): Long = {
         val (tpe, _, slot) = tags(code)
-        if (tpe == TypeShort) (buf.getShort(slot) & 0xffff).toLong
-        else (buf.getInt(slot) & 0xffffffffL)
+        tpe match {
+          case TypeShort => (buf.getShort(slot) & 0xffff).toLong
+          case TypeLong8 => buf.getLong(slot)
+          case _ => buf.getInt(slot) & 0xffffffffL
+        }
       }
       def longs(code: Int): IndexedSeq[Long] = {
-        val (_, count, slot) = tags(code)
-        if (count == 1) IndexedSeq(buf.getInt(slot) & 0xffffffffL)
+        val (tpe, count, slot) = tags(code)
+        val elem = if (tpe == TypeLong8) 8 else 4
+        def at(pos: Int): Long =
+          if (tpe == TypeLong8) buf.getLong(pos) else buf.getInt(pos) & 0xffffffffL
+        if (count == 1) IndexedSeq(at(slot))
         else {
-          val off = buf.getInt(slot)
-          (0 until count).map(i => buf.getInt(off + i * 4) & 0xffffffffL)
+          val off = word(slot).toInt
+          (0 until count).map(i => at(off + i * elem))
         }
       }
       def doubles(code: Int): IndexedSeq[Double] = {
         val (_, count, slot) = tags(code)
-        val off = buf.getInt(slot)
+        val off = word(slot).toInt
         (0 until count).map(i => buf.getDouble(off + i * 8))
       }
       val compression = scalar(TCompression)
@@ -281,15 +340,15 @@ object GeoTiff {
       val raster = Raster(w, h,
         originLon = tie(3) + scale(0) / 2, originLat = tie(4) - scale(1) / 2,
         dLon = scale(0), dLat = scale(1), pixels = pixels)
-      (raster, ifdOff + 2 + nTags * 12)
+      (raster, ifdOff + (if (big) 8 else 2) + nTags * entrySize)
     }
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Raster]
-    var off = buf.getInt(4)
+    var off = word(if (big) 8 else 4)
     while (off != 0) {
-      val (raster, nextSlot) = parseIfd(off)
+      val (raster, nextSlot) = parseIfd(off.toInt)
       out += raster
-      off = buf.getInt(nextSlot)
+      off = word(nextSlot)
     }
     out.toIndexedSeq
   }

@@ -22,6 +22,25 @@ class CurationSpec extends SparkSpec {
     assert(kept > 0 && kept < out.length, s"gate is degenerate: $kept/${out.length}")
   }
 
+  test("pairTable deployment mode: q80/q82/q87 identical via shared pairs") {
+    // One materialized pair table feeding all three consumers must give
+    // exactly the per-query-isolated (recompute-the-LSH) results.
+    val pairs = Curation.pairTable(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val shared = Seq(
+      Curation.nearDupClustersFrom(pairs),
+      Curation.clusterRepsFrom(pairs, docs),
+      Curation.crossSourceDupsFrom(pairs, docs))
+    val isolated = Seq(
+      Curation.nearDupClusters(spark, sfDir),
+      Curation.clusterReps(spark, sfDir),
+      Curation.crossSourceDups(spark, sfDir))
+    shared.zip(isolated).foreach { case (a, b) =>
+      assert(a.columns.sameElements(b.columns))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+
   test("repetition ratio: bounded, and the plan has no shuffle at all") {
     val df = Curation.repetitionRatio(spark, sfDir)
     df.collect().foreach { r =>

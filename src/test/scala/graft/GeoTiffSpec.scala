@@ -43,6 +43,34 @@ class GeoTiffSpec extends SparkSpec {
     assert(back.pixels.length == 200)
   }
 
+  test("BigTIFF layout: magic 43, 8-byte offsets, round-trip matches classic") {
+    for ((w, h) <- Seq((8, 8), (20, 10), (1, 1), (64, 40))) {
+      val r = sampleRaster(w, h)
+      val bytes = GeoTiff.encode(r, tileSize = 16, bigTiff = true)
+      // BigTIFF header: II, magic 43, offset size 8, pad 0, 8-byte IFD0 offset
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      assert(buf.getShort(0) == 0x4949.toShort && buf.getShort(2) == 43)
+      assert(buf.getShort(4) == 8 && buf.getShort(6) == 0)
+      val ifd = buf.getLong(8)
+      assert(ifd == 16L, "IFD0 must directly follow the 16-byte BigTIFF header")
+      // 8-byte entry count; 20-byte entries; ascending tag order
+      val n = buf.getLong(ifd.toInt).toInt
+      val codes = (0 until n).map(i => buf.getShort(ifd.toInt + 8 + i * 20) & 0xffff)
+      assert(codes == codes.sorted, "TIFF requires ascending tag order")
+      // every level decodes bit-identically to the classic encoding
+      val classic = GeoTiff.decodeAll(GeoTiff.encode(r, tileSize = 16))
+      val bigLvls = GeoTiff.decodeAll(bytes)
+      assert(bigLvls.length == classic.length)
+      bigLvls.zip(classic).foreach { case (b, c) =>
+        assert(b.width == c.width && b.height == c.height)
+        assert(b.originLon == c.originLon && b.originLat == c.originLat)
+        b.pixels.zip(c.pixels).foreach { case (x, y) =>
+          assert(x == y || (x.isNaN && y.isNaN))
+        }
+      }
+    }
+  }
+
   test("LZW round-trips adversarial byte patterns incl. table resets") {
     import graft.functions.Lzw
     val rnd = new scala.util.Random(7)
