@@ -379,9 +379,12 @@ object GeoTiff {
     * true for any staged cube; reprojected collections go through
     * Geo.regrid first, the engine-side warp). outDir must be a shared
     * filesystem / object-store mount at cluster scale (same contract as
-    * any Spark file sink). */
+    * any Spark file sink). `bigTiff = true` forces the BigTIFF layout
+    * for every band (the reference writes `BIGTIFF=YES` unconditionally,
+    * ingestor.py:106); left false, bands auto-promote only past the
+    * classic-TIFF 4 GiB ceiling. */
   def writeBands(spark: SparkSession, longDf: DataFrame, outDir: String,
-      tileSize: Int = 256): DataFrame = {
+      tileSize: Int = 256, bigTiff: Boolean = false): DataFrame = {
     import spark.implicits._
     val written = longDf
       .groupBy(col("collection"), col("parameter"), col("time_key"))
@@ -390,7 +393,7 @@ object GeoTiff {
         val cells = row.getSeq[org.apache.spark.sql.Row](3)
           .map(c => (c.getDouble(0), c.getDouble(1), c.getDouble(2)))
         val raster = rasterize(cells)
-        val bytes = encode(raster, tileSize)
+        val bytes = encode(raster, tileSize, bigTiff = bigTiff)
         val dir = Paths.get(outDir, row.getString(0), row.getString(1))
         Files.createDirectories(dir)
         val path = dir.resolve(s"${row.getString(2)}.tif")

@@ -162,5 +162,17 @@ class GeoTiffSpec extends SparkSpec {
     // float32 quantization bounds the value error
     assert(joined.filter(abs(col("a.value") - col("b.value")) > 1e-4).count() == 0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+
+    // forced-BigTIFF sink (the reference's BIGTIFF=YES): magic 43 on disk,
+    // same rows back through the source
+    val outBig = java.nio.file.Files.createTempDirectory("graft_bigtiff").toString
+    GeoTiff.writeBands(spark, longDf, outBig, tileSize = 16, bigTiff = true)
+      .collect().foreach { r =>
+        val head = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(r.getAs[String]("path"))).take(4)
+        assert(head(2) == 43.toByte && head(3) == 0.toByte, "band is not BigTIFF")
+      }
+    assert(GeoTiff.readBands(spark, outBig).count() == longDf.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBig))
   }
 }
