@@ -158,11 +158,19 @@ object Curation {
     * the reported envelope because they are summation-order-independent
     * (a cross-engine avg over doubles is not). */
   /** Nearest-centroid assignment (vec_id, embedding, cluster_id, cos) —
-    * the shared E-step behind q70/q77. */
-  private def assignments(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("nrm", Similarity.norm(col("embedding")))
-    val cent = emb.filter(col("vec_id") < 8)
+    * the shared E-step behind q70/q77 (fixed k=8 seed centroids). */
+  private def assignments(spark: SparkSession, dir: String): DataFrame =
+    assignmentsK(Tables.embeddings(spark, dir), 8)
+
+  /** The E-step over an arbitrary embedding table with the first `k`
+    * vec_ids as seed centroids. `k` is q83's blocking knob: SemDeDup's
+    * pair work is Σ c_i², so at scale k grows WITH the corpus to keep
+    * cluster sizes bounded — the sf1 smoke (BASELINE.md round 7)
+    * measured the fixed-k declared query at 17× for 10× data, which is
+    * exactly what a corpus-proportional k flattens back to linear. */
+  def assignmentsK(emb0: DataFrame, k: Int): DataFrame = {
+    val emb = emb0.withColumn("nrm", Similarity.norm(col("embedding")))
+    val cent = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
     val pairs = emb.select(col("vec_id"), col("embedding"), col("nrm"))
@@ -622,11 +630,18 @@ object Curation {
     * task. At 100 TB, k is chosen so c_i ~ 10⁴-10⁵ and each
     * within-cluster block fits one executor; the corpus-wide shuffle is
     * just the assignment join (one broadcast of k centroids). */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupK(spark, dir, 8)
+
+  /** [[semDedup]] with an explicit cluster count — the blocking knob
+    * ([[assignmentsK]]): larger k ⇒ smaller c_i ⇒ less Σ c_i² pair work
+    * per corpus row. The declared q83 pins k=8 for the oracle; a
+    * deployment sizes k so each within-cluster block fits one executor. */
+  def semDedupK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     // Materialize the assignment once — it feeds both self-join sides and
     // the member count (3 subtree reuses). At cluster scale this would be
     // persist(StorageLevel.DISK_ONLY) / a reliable checkpoint instead.
-    val m = assignments(spark, dir)
+    val m = assignmentsK(Tables.embeddings(spark, dir), k)
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .select(col("cluster_id"), col("vec_id"), col("embedding"), col("nrm"))
       .localCheckpoint()

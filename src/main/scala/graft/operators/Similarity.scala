@@ -37,23 +37,41 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** The declared queries' probe set: every 97th vector — a fixed
+    * FRACTION of the corpus, so the exact baseline's cost is O(n²/97).
+    * That is fine for a bench surface but NOT the deployment shape: the
+    * sf1 smoke (BASELINE.md round 7) measured q40 at 23× for 10× data,
+    * exactly the quadratic this fraction implies. Deployments pass a
+    * bounded probe set (a fixed probe budget, not a corpus share) to the
+    * `*From` variants below; recall audits need hundreds of probes, not
+    * a percentage. */
+  private def gridProbes(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 97 === 0)
+
   /** Brute-force cosine top-10 per probe (every 97th vector probes) — the
     * exact baseline every ANN variant is measured against. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("nrm", norm(col("embedding")))
-    val p = emb.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nrm").as("p_nrm"))
+    cosineTopKFrom(emb, gridProbes(emb), k = 10)
+  }
+
+  /** [[cosineTopK]] over an explicit probe set — `emb` and `probes` are
+    * plain (vec_id, embedding) tables; cost is |probes| × one corpus
+    * scan, so a bounded `probes` keeps the exact baseline linear in the
+    * corpus at any scale. */
+  def cosineTopKFrom(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val cand = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_nrm"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+      norm(col("embedding")).as("p_nrm"))
     val pairs = broadcast(p)
-      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm")), col("probe_id") =!= col("cand_id"))
+      .join(cand, col("probe_id") =!= col("cand_id"))
       .withColumn("cosine", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     pairs
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("probe_id"), col("rank"))
@@ -71,13 +89,23 @@ object Similarity {
     * broadcastable probe side). Top-5 per probe. */
   def annBucketed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    annBucketedFrom(emb, gridProbes(emb), k = 5)
+  }
+
+  /** [[annBucketed]] over an explicit probe set (plain (vec_id,
+    * embedding) tables both sides) — the bounded-probe-budget dual of
+    * [[cosineTopKFrom]]. */
+  def annBucketedFrom(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val cand = emb
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("bucket", bucketOf(col("embedding")))
-    val p = emb.filter(col("vec_id") % 97 === 0)
+    val p = probes
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("bucket", bucketOf(col("embedding")))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"), col("bucket"))
     val pairs = broadcast(p)
-      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      .join(cand.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"), col("bucket").as("c_bucket")),
         col("bucket") === col("c_bucket") && col("probe_id") =!= col("cand_id"))
       .withColumn("cosine", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
@@ -85,7 +113,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("cand_id"))
     pairs
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("probe_id"), col("bucket"), col("rank").cast("long").as("rank"),
         col("cand_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("probe_id"), col("rank"))
@@ -100,13 +128,23 @@ object Similarity {
     *
     * Scale shape: composes the two existing plans and joins their (probe,
     * cand) sets — the join input is |probes|·k rows, never the corpus. At
-    * real scale the exact side runs on a sampled probe set only (as here:
-    * every 97th vector), which is exactly how recall is audited in
-    * production — ground truth on a sample, never the full corpus. */
+    * real scale the exact side runs on a BOUNDED probe sample only —
+    * the declared query inherits q40's fixed-fraction grid (so its cost
+    * is the baseline's, O(n²/97)); production audits pass a fixed probe
+    * budget to [[annRecallFrom]] — ground truth on a bounded sample,
+    * never a corpus share. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact5 = cosineTopK(spark, dir)
-      .filter(col("rank") <= 5).select(col("probe_id"), col("cand_id"))
-    val approx5 = annBucketed(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    annRecallFrom(emb, gridProbes(emb))
+  }
+
+  /** [[annRecall]] over an explicit probe set — the recall audit with a
+    * fixed probe budget (the deployment shape; see BASELINE.md sf1
+    * smoke). */
+  def annRecallFrom(emb: DataFrame, probes: DataFrame): DataFrame = {
+    val exact5 = cosineTopKFrom(emb, probes, k = 5)
+      .select(col("probe_id"), col("cand_id"))
+    val approx5 = annBucketedFrom(emb, probes, k = 5)
       .select(col("probe_id"), col("cand_id"))
     val hits = exact5.join(approx5, Seq("probe_id", "cand_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n"))

@@ -22,6 +22,21 @@ class CurationSpec extends SparkSpec {
     assert(kept > 0 && kept < out.length, s"gate is degenerate: $kept/${out.length}")
   }
 
+  test("semDedup blocking knob: larger k partitions the corpus and shrinks pair work") {
+    def stats(k: Int): (Long, Long) = {
+      val rows = Curation.semDedupK(spark, sfDir, k).collect()
+      (rows.map(_.getAs[Long]("n_members")).sum,
+        rows.map(r => { val m = r.getAs[Long]("n_members"); m * m }).sum)
+    }
+    val n = Tables.embeddings(spark, sfDir).count()
+    val (members8, work8) = stats(8)
+    val (members32, work32) = stats(32)
+    // every vector lands in exactly one cluster at any k
+    assert(members8 == n && members32 == n)
+    // the blocking bound Σ c_i² tightens as k grows — the scale knob
+    assert(work32 < work8, s"expected less pair work at k=32: $work32 !< $work8")
+  }
+
   test("pairTable deployment mode: q80/q82/q87 identical via shared pairs") {
     // One materialized pair table feeding all three consumers must give
     // exactly the per-query-isolated (recompute-the-LSH) results.

@@ -36,6 +36,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bounded probe budget: *From variants equal the declared queries on those probes") {
+    // A fixed-SIZE probe set (the deployment shape — BASELINE.md sf1
+    // smoke) must give exactly the declared fixed-fraction query's rows
+    // for the probes it covers: per-probe results are independent.
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < 97L * 3)
+    assert(probes.count() >= 2)
+
+    val fullTopK = Similarity.cosineTopK(spark, sfDir).filter(col("probe_id") < 97L * 3)
+    val subTopK = Similarity.cosineTopKFrom(emb, probes, k = 10)
+    assert(subTopK.exceptAll(fullTopK).isEmpty && fullTopK.exceptAll(subTopK).isEmpty)
+
+    val fullRecall = Similarity.annRecall(spark, sfDir).filter(col("probe_id") < 97L * 3)
+    val subRecall = Similarity.annRecallFrom(emb, probes)
+    assert(subRecall.exceptAll(fullRecall).isEmpty && fullRecall.exceptAll(subRecall).isEmpty)
+  }
+
   test("media decode stub: byte sums consistent with payload lengths") {
     val out = Multimodal.mediaDecode(spark, sfDir).collect()
     assert(out.length == Tables.documents(spark, sfDir).count())
