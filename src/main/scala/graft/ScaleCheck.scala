@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Similarity}
+import graft.sources.Tables
+
+/** Dev tool (PlanAudit's sibling): time the BOUNDED variants of the
+  * queries the sf1 smoke measured as super-linear — the probe-budget ANN
+  * family ([[Similarity.annRecallFrom]]) and corpus-proportional-k
+  * SemDeDup ([[Curation.semDedupK]]) — so BASELINE.md's "the scale answer
+  * is a parameter, not a plan change" claim is a measurement, not prose.
+  *
+  * `runMain graft.ScaleCheck` against `SPARK_GRAFT_SF_DIR`; compare two
+  * SF dirs by running twice. Emits one JSON line like Bench (3 trials,
+  * median).
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    // fixed probe BUDGET (21 = the sf0.1 grid's size, constant at any SF);
+    // deterministic hash order so the sample doesn't favor low vec_ids
+    val probes = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(21)
+      .select(col("vec_id"), col("embedding"))
+    // corpus-proportional cluster count: keep c_i ≈ 250 like sf0.1's k=8
+    val k = math.max(8, (n / 250).toInt)
+
+    val cases: Seq[(String, () => Unit)] = Seq(
+      ("recall_budget21", () =>
+        Similarity.annRecallFrom(emb, probes)
+          .write.format("noop").mode("overwrite").save()),
+      (s"semdedup_k$k", () =>
+        Curation.semDedupK(spark, sfDir, k)
+          .write.format("noop").mode("overwrite").save()))
+
+    cases.foreach { case (_, f) => f() } // warmup
+    val timed = cases.map { case (name, f) =>
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> ts(1)
+    }
+    println(timed.map { case (k2, v) => "\"" + k2 + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString(s"""{"n_vecs":$n,""", ",", s""","sf":"$sfDir"}"""))
+    spark.stop()
+  }
+}
