@@ -60,6 +60,23 @@ object Fetch {
         col("time"), col("x"), col("y"), col("value"))
   }
 
+  /** Format-sniffing decode: classic NetCDF magic (`CDF\x01|02|05`) routes
+    * to the real codec ([[graft.sources.NetCdf.decodeCube]]) — the engine
+    * dual of the reference's `xarray.open_dataset(BytesIO(...))`
+    * (ingestor.py:200) — and anything else falls back to the CSV cube
+    * stand-in. An HDF5-backed NetCDF-4 stream (magic `\x89HDF`) fails with
+    * an explicit unsupported-container message rather than a misparse. */
+  def decodeAuto(
+      spark: SparkSession, collection: String, parameter: String,
+      bytes: Array[Byte]): DataFrame =
+    if (bytes.length >= 4 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F')
+      graft.sources.NetCdf.decodeCube(spark, collection, parameter, bytes)
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F')
+      throw new IllegalArgumentException(
+        "NetCDF-4 (HDF5 container) is not supported by the classic codec")
+    else decodeCsvCube(spark, collection, parameter, bytes)
+
   /** Full fetch → ingest pipeline with R17 isolation: fetch every planned
     * parameter, decode and ingest ONLY the successes (their partitions are
     * the only ones dynamic overwrite truncates — a failed parameter's old
@@ -71,7 +88,7 @@ object Fetch {
       cfg: Ingest.IngestConfig,
       plan: Seq[(String, String)],
       outPath: String,
-      decode: (SparkSession, String, String, Array[Byte]) => DataFrame = decodeCsvCube)
+      decode: (SparkSession, String, String, Array[Byte]) => DataFrame = decodeAuto)
       : (Option[DataFrame], Seq[FetchOutcome]) = {
     val outcomes = fetchAll(plan)
     val staged = outcomes.collect {

@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.{Fetch, Ingest}
+import graft.operators.Ingest.IngestConfig
+import graft.sources.NetCdf
+import graft.sources.NetCdf._
+
+/** Classic NetCDF codec (CDF-1/2/5) — byte-structure, round-trip, CF
+  * decode semantics, and the end-to-end fetch→decode→ingest path the
+  * reference runs via xarray (ingestor.py:200). */
+class NetCdfSpec extends SparkSpec {
+
+  /** A 2-time × 3-y × 4-x float cube, CF-packed the way forecast files
+    * ship: short data var with scale/offset and a fill hole, `hours since`
+    * time coordinate, named x/y coords. */
+  private def cube(version: Int, recordTime: Boolean): Array[Byte] = {
+    val nT = 2; val nY = 3; val nX = 4
+    // data(t,y,x) = t*100 + y*10 + x, packed as short with scale 0.1
+    val packed = Array.tabulate(nT * nY * nX) { i =>
+      if (i == 5) -32767.0 // fill hole
+      else {
+        val t = i / (nY * nX); val r = i % (nY * nX)
+        (t * 100 + (r / nX) * 10 + (r % nX)) * 10.0 // value / scale
+      }
+    }
+    NetCdf.write(
+      dims = Seq("time" -> (if (recordTime) 0L else nT.toLong), "y" -> nY.toLong, "x" -> nX.toLong),
+      gattrs = Seq("Conventions" -> "CF-1.8", "source" -> "graft-fixture"),
+      vars = Seq(
+        WriteVar("time", Seq("time"), NcDouble,
+          Seq("units" -> "hours since 2024-01-01 00:00:00"),
+          Array(0.0, 6.0)),
+        WriteVar("y", Seq("y"), NcDouble, Seq("units" -> "degrees_north"),
+          Array(55.51, 55.58, 55.65)),
+        WriteVar("x", Seq("x"), NcDouble, Seq("units" -> "degrees_east"),
+          Array(11.51, 11.59, 11.67, 11.75)),
+        WriteVar("sea_mean_deviation", Seq("time", "y", "x"), NcShort,
+          Seq("scale_factor" -> 0.1, "add_offset" -> 0.0,
+            "_FillValue" -> (-32767: Short)),
+          packed)),
+      version = version,
+      numRecs = if (recordTime) nT.toLong else 0L)
+  }
+
+  test("writer emits the version magic and the reader rejects non-classic bytes") {
+    assert(cube(1, recordTime = false).slice(0, 4).toSeq ==
+      Seq[Byte]('C', 'D', 'F', 1))
+    assert(cube(2, recordTime = false).slice(0, 4).toSeq ==
+      Seq[Byte]('C', 'D', 'F', 2))
+    assert(cube(5, recordTime = true).slice(0, 4).toSeq ==
+      Seq[Byte]('C', 'D', 'F', 5))
+    intercept[IllegalArgumentException](NetCdf.parse("not netcdf".getBytes))
+    intercept[IllegalArgumentException](
+      NetCdf.parse(Array[Byte]('C', 'D', 'F', 3)))
+  }
+
+  test("header round-trip: dims, attrs, var metadata, offsets (all versions)") {
+    for (v <- Seq(1, 2, 5); rec <- Seq(false, true)) {
+      val f = NetCdf.parse(cube(v, rec))
+      assert(f.version == v)
+      assert(f.dims.map(_.name) == Seq("time", "y", "x"))
+      assert(f.dims.map(_.length) == Seq(if (rec) 0L else 2L, 3L, 4L))
+      if (rec) assert(f.numRecs == 2L)
+      assert(f.gattrs.find(_.name == "Conventions").get.text == "CF-1.8")
+      val dv = f.variable("sea_mean_deviation").get
+      assert(dv.ncType == NcShort)
+      assert(dv.dimIds == Seq(0, 1, 2))
+      assert(dv.attr("scale_factor").get.first.contains(0.1))
+      assert(dv.attr("_FillValue").get.first.contains(-32767.0))
+      // begins are 4-byte aligned and inside the file
+      f.vars.foreach { vr =>
+        assert(vr.begin % 4 == 0 && vr.begin > 0 && vr.begin < f.bytes.length)
+      }
+    }
+  }
+
+  test("data round-trip is exact for fixed and record layouts (all versions)") {
+    val expected = Array.tabulate(24) { i =>
+      if (i == 5) -32767.0
+      else {
+        val t = i / 12; val r = i % 12
+        (t * 100 + (r / 4) * 10 + (r % 4)) * 10.0
+      }
+    }
+    for (v <- Seq(1, 2, 5); rec <- Seq(false, true)) {
+      val f = NetCdf.parse(cube(v, rec))
+      val dv = f.variable("sea_mean_deviation").get
+      assert(NetCdf.readValues(f, dv).toSeq == expected.toSeq, s"v$v rec=$rec")
+      assert(NetCdf.readValues(f, f.variable("time").get).toSeq == Seq(0.0, 6.0))
+      assert(NetCdf.readValues(f, f.variable("x").get).length == 4)
+    }
+  }
+
+  test("single record variable is packed tight; multiple record vars pad to 4") {
+    // one record var of 3 shorts per record → 6-byte records, no padding
+    val one = NetCdf.write(
+      dims = Seq("time" -> 0L, "x" -> 3L),
+      gattrs = Nil,
+      vars = Seq(WriteVar("v", Seq("time", "x"), NcShort,
+        values = Array(1, 2, 3, 4, 5, 6))),
+      numRecs = 2L)
+    val fOne = NetCdf.parse(one)
+    assert(fOne.recSize == 6L)
+    assert(NetCdf.readValues(fOne, fOne.variable("v").get).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // two record vars → each per-record chunk rounds up to 4
+    val two = NetCdf.write(
+      dims = Seq("time" -> 0L, "x" -> 3L),
+      gattrs = Nil,
+      vars = Seq(
+        WriteVar("a", Seq("time", "x"), NcShort, values = Array(1, 2, 3, 4, 5, 6)),
+        WriteVar("b", Seq("time"), NcByte, values = Array(7, 8))),
+      numRecs = 2L)
+    val fTwo = NetCdf.parse(two)
+    assert(fTwo.recSize == 12L) // 6→8 for a, 1→4 for b
+    assert(NetCdf.readValues(fTwo, fTwo.variable("a").get).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    assert(NetCdf.readValues(fTwo, fTwo.variable("b").get).toSeq == Seq(7.0, 8.0))
+  }
+
+  test("CDF-5 exotic types survive the round-trip") {
+    val bytes = NetCdf.write(
+      dims = Seq("x" -> 3L), gattrs = Nil,
+      vars = Seq(
+        WriteVar("u8", Seq("x"), NcUByte, values = Array(0, 127, 255)),
+        WriteVar("u16", Seq("x"), NcUShort, values = Array(0, 40000, 65535)),
+        WriteVar("u32", Seq("x"), NcUInt, values = Array(0, 3.0e9, 4.2e9)),
+        WriteVar("i64", Seq("x"), NcInt64, values = Array(-1.0e15, 0, 1.0e15))),
+      version = 5)
+    val f = NetCdf.parse(bytes)
+    assert(NetCdf.readValues(f, f.variable("u8").get).toSeq == Seq(0.0, 127.0, 255.0))
+    assert(NetCdf.readValues(f, f.variable("u16").get).toSeq == Seq(0.0, 40000.0, 65535.0))
+    assert(NetCdf.readValues(f, f.variable("u32").get).toSeq == Seq(0.0, 3.0e9, 4.2e9))
+    assert(NetCdf.readValues(f, f.variable("i64").get).toSeq == Seq(-1.0e15, 0.0, 1.0e15))
+  }
+
+  test("CF time units parse: seconds/hours/days since, date-only and T-separated") {
+    val h = NetCdf.cfTimeToEpochSeconds("hours since 2024-01-01 00:00:00")
+    assert(h(0.0) == 1704067200.0 && h(6.0) == 1704067200.0 + 6 * 3600)
+    val d = NetCdf.cfTimeToEpochSeconds("days since 2024-01-01")
+    assert(d(1.0) == 1704067200.0 + 86400)
+    val s = NetCdf.cfTimeToEpochSeconds("seconds since 1970-01-01T00:00:00Z")
+    assert(s(42.0) == 42.0)
+    intercept[IllegalArgumentException](
+      NetCdf.cfTimeToEpochSeconds("fortnights since 2024-01-01"))
+  }
+
+  test("decodeCube: CF unpacking, fill→null, long-format schema parity with the CSV stand-in") {
+    for (rec <- Seq(false, true)) {
+      val df = NetCdf.decodeCube(spark, "dkss_if", "sea_mean_deviation", cube(1, rec))
+      assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
+        Seq("collection" -> "string", "parameter" -> "string",
+          "time" -> "timestamp", "x" -> "double", "y" -> "double",
+          "value" -> "double"))
+      val rows = df.collect()
+      assert(rows.length == 24)
+      assert(rows.count(_.isNullAt(5)) == 1) // the fill hole
+      val byKey = rows.filterNot(_.isNullAt(5)).map { r =>
+        (r.getTimestamp(2).getTime, r.getDouble(4), r.getDouble(3)) -> r.getDouble(5)
+      }.toMap
+      // t=1 (06:00), y=2, x=3 → (100 + 20 + 3) * 10 * 0.1 = 123.0
+      val t1 = 1704067200000L + 6 * 3600 * 1000L
+      assert(math.abs(byKey((t1, 55.65, 11.75)) - 123.0) < 1e-9)
+      // t=0, y=0, x=0 → 0.0
+      assert(math.abs(byKey((1704067200000L, 55.51, 11.51)) - 0.0) < 1e-9)
+    }
+  }
+
+  test("decodeAuto sniffs NetCDF magic, rejects HDF5, falls back to CSV") {
+    val nc = Fetch.decodeAuto(spark, "dkss_if", "sea_mean_deviation", cube(2, recordTime = true))
+    assert(nc.count() == 24)
+    val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F') ++ Array.fill[Byte](16)(0)
+    val err = intercept[IllegalArgumentException](
+      Fetch.decodeAuto(spark, "c", "p", hdf5))
+    assert(err.getMessage.contains("HDF5"))
+    val csv = "time,x,y,value\n2024-01-01 00:00:00,11.51,55.51,7.5\n".getBytes
+    val df = Fetch.decodeAuto(spark, "dkss_if", "p", csv)
+    assert(df.collect().map(_.getDouble(5)).toSeq == Seq(7.5))
+  }
+
+  test("end-to-end: fetchAndIngest over a file:// NetCDF fixture (R2/R4/R17)") {
+    val dir = Files.createTempDirectory("graft-nc").toFile
+    dir.deleteOnExit()
+    val ncPath = Paths.get(dir.toString, "cube.nc")
+    Files.write(ncPath, cube(2, recordTime = true))
+    val out = Paths.get(dir.toString, "out").toString
+    val cfg = IngestConfig(parameters = Seq("sea_mean_deviation"),
+      bbox = (11.5, 55.5, 12.2, 56.1))
+    val plan = Seq(
+      "sea_mean_deviation" -> ncPath.toUri.toString,
+      "broken_param" -> Paths.get(dir.toString, "missing.nc").toUri.toString)
+    val (manifest, outcomes) = Fetch.fetchAndIngest(spark, cfg, plan, out)
+    // R17: the broken parameter is isolated, the good one lands
+    assert(outcomes.map(_.ok) == Seq(true, false))
+    assert(manifest.isDefined)
+    val written = spark.read.parquet(out)
+    assert(written.count() == 23) // 24 cells minus the fill hole
+    assert(written.select("time_key").distinct().count() == 2)
+    val mrow = manifest.get.collect().head
+    assert(mrow.getAs[String]("forecasts_json").contains("20240101T060000"))
+  }
+}
