@@ -425,6 +425,49 @@ object NetCdf {
         col("time"), col("x"), col("y"), col("value"))
   }
 
+  /** Encode a long-format cube back to classic NetCDF bytes — the engine
+    * dual of the reference's `ds.to_netcdf(...)` materialization
+    * (ingestor.py:204), making the codec bidirectional like the COG one.
+    * Input is one parameter's long frame `(time, x, y, value)` (extra
+    * columns ignored); output is a CDF-2 file with time as the record
+    * (unlimited) dimension, double x/y/time coordinates (`seconds since
+    * 1970-01-01`), and a double data variable where absent/null cells are
+    * NaN — which [[decodeCube]] masks back to null, so encode∘decode is
+    * the identity on the defined cells.
+    *
+    * Edge-sized by design (SURVEY §7.3): one DMI cube response is a few
+    * MB, and the collect here is the same driver-side staging the fetch
+    * path already does. For corpus-scale rasters use the partitioned
+    * parquet or COG band sinks instead. */
+  def encodeCube(df: DataFrame, parameter: String, version: Int = 2): Array[Byte] = {
+    val rows = df.select(col("time"), col("x"), col("y"), col("value")).collect()
+    require(rows.nonEmpty, "empty cube")
+    val times = rows.map(_.getTimestamp(0).getTime).distinct.sorted
+    val xs = rows.map(_.getDouble(1)).distinct.sorted
+    val ys = rows.map(_.getDouble(2)).distinct.sorted
+    val tIdx = times.zipWithIndex.toMap
+    val xIdx = xs.zipWithIndex.toMap
+    val yIdx = ys.zipWithIndex.toMap
+    val grid = Array.fill(times.length * ys.length * xs.length)(Double.NaN)
+    rows.foreach { r =>
+      val at = (tIdx(r.getTimestamp(0).getTime) * ys.length + yIdx(r.getDouble(2))) *
+        xs.length + xIdx(r.getDouble(1))
+      grid(at) = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+    }
+    write(
+      dims = Seq("time" -> 0L, "y" -> ys.length.toLong, "x" -> xs.length.toLong),
+      gattrs = Seq("Conventions" -> "CF-1.8"),
+      vars = Seq(
+        WriteVar("time", Seq("time"), NcDouble,
+          Seq("units" -> "seconds since 1970-01-01 00:00:00"),
+          times.map(_ / 1000.0)),
+        WriteVar("y", Seq("y"), NcDouble, Seq("units" -> "degrees_north"), ys),
+        WriteVar("x", Seq("x"), NcDouble, Seq("units" -> "degrees_east"), xs),
+        WriteVar(parameter, Seq("time", "y", "x"), NcDouble, Nil, grid)),
+      version = version,
+      numRecs = times.length.toLong)
+  }
+
   /** CF time units: `<seconds|minutes|hours|days> since <date[ time]>` →
     * a conversion from coordinate value to epoch seconds. */
   private[graft] def cfTimeToEpochSeconds(units: String): Double => Double = {

@@ -180,6 +180,23 @@ class NetCdfSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(5)).toSeq == Seq(7.5))
   }
 
+  test("encodeCube: encode∘decode is the identity on defined cells (R8 dual)") {
+    val original = NetCdf.decodeCube(spark, "dkss_if", "sea_mean_deviation",
+      cube(1, recordTime = true))
+    val bytes = NetCdf.encodeCube(original, "sea_mean_deviation")
+    assert(bytes.slice(0, 4).toSeq == Seq[Byte]('C', 'D', 'F', 2))
+    val back = NetCdf.decodeCube(spark, "dkss_if", "sea_mean_deviation", bytes)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getTimestamp(2).getTime, r.getDouble(3), r.getDouble(4)) ->
+        (if (r.isNullAt(5)) null else r.getDouble(5))
+    }.toMap
+    assert(keyed(back) == keyed(original)) // 23 defined cells + the null hole
+    // the parameter name names the data variable, xarray-style
+    val f = NetCdf.parse(bytes)
+    assert(f.variable("sea_mean_deviation").exists(v => v.dimIds.size == 3))
+    assert(f.numRecs == 2L)
+  }
+
   test("end-to-end: fetchAndIngest over a file:// NetCDF fixture (R2/R4/R17)") {
     val dir = Files.createTempDirectory("graft-nc").toFile
     dir.deleteOnExit()
