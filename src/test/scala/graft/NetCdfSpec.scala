@@ -197,6 +197,51 @@ class NetCdfSpec extends SparkSpec {
     assert(f.numRecs == 2L)
   }
 
+  test("full reference chain: NetCDF bytes → ingest → COG band split → read-back (R2-R14)") {
+    import graft.sources.GeoTiff
+    val dir = Files.createTempDirectory("graft-chain").toFile
+    dir.deleteOnExit()
+    val ncPath = Paths.get(dir.toString, "cube.nc")
+    Files.write(ncPath, cube(2, recordTime = true))
+    val out = Paths.get(dir.toString, "parquet").toString
+    val bands = Paths.get(dir.toString, "bands").toString
+    val cfg = IngestConfig(parameters = Seq("sea_mean_deviation"),
+      bbox = (11.5, 55.5, 12.2, 56.1))
+
+    // fetch → NetCDF decode → long format → partitioned parquet + manifest
+    val (manifest, _) = Fetch.fetchAndIngest(
+      spark, cfg, Seq("sea_mean_deviation" -> ncPath.toUri.toString), out)
+    val longDf = spark.read.parquet(out)
+      .select("collection", "parameter", "time_key", "lon", "lat", "value")
+
+    // COG band split (ingestor.py:84-99): one .tif per time slice
+    val written = GeoTiff.writeBands(spark, longDf, bands)
+    assert(written.count() == 2)
+
+    // read the bands back; every defined cell survives the whole chain
+    // (float32 pixels → 1e-4 tolerance)
+    // keys rounded: read-back coords are reconstructed as origin + i*step
+    def key(tk: String, lon: Double, lat: Double) =
+      (tk, math.round(lon * 1e6), math.round(lat * 1e6))
+    val back = GeoTiff.readBands(spark, bands).collect()
+      .map(r => key(r.getString(2), r.getDouble(3), r.getDouble(4)) -> r.getDouble(5))
+      .toMap
+    val expected = longDf.collect()
+      .map(r => key(r.getString(2), r.getDouble(3), r.getDouble(4)) -> r.getDouble(5))
+      .toMap
+    assert(back.size == expected.size) // 23 = 24 cells minus the fill hole
+    expected.foreach { case (k, v) =>
+      assert(math.abs(back(k) - v) < 1e-4, s"cell $k: ${back.get(k)} vs $v")
+    }
+
+    // manifest names exactly the band files the split produced
+    val json = manifest.get.collect().head.getAs[String]("forecasts_json")
+    Seq("20240101T000000", "20240101T060000").foreach { tk =>
+      assert(json.contains(s"$tk.tif"))
+      assert(Files.exists(Paths.get(bands, "dkss_if", "sea_mean_deviation", s"$tk.tif")))
+    }
+  }
+
   test("end-to-end: fetchAndIngest over a file:// NetCDF fixture (R2/R4/R17)") {
     val dir = Files.createTempDirectory("graft-nc").toFile
     dir.deleteOnExit()
