@@ -118,7 +118,17 @@ object NetCdf {
       val begin = if (version == 1) in.u32() else in.i64()
       NcVar(name, dimIds, ncType, attrs, vsize, begin)
     }
-    NcFile(version, numRecs, dims, gattrs, vars, bytes)
+    // STREAMING sentinel (all-ones numrecs): the producer didn't know the
+    // record count up front — derive it from the file length, like the
+    // reference implementation does.
+    val streaming = numRecs == (if (version == 5) -1L else 0xffffffffL)
+    val f = NcFile(version, if (streaming) 0L else numRecs, dims, gattrs, vars, bytes)
+    if (!streaming) f
+    else {
+      val recVars = vars.filter(f.isRecordVar)
+      if (recVars.isEmpty) f
+      else f.copy(numRecs = (bytes.length - recVars.map(_.begin).min) / f.recSize)
+    }
   }
 
   private def readTagList[A](in: Reader, tag: Int)(one: () => A): Seq[A] = {

@@ -120,6 +120,18 @@ class NetCdfSpec extends SparkSpec {
     assert(NetCdf.readValues(fTwo, fTwo.variable("b").get).toSeq == Seq(7.0, 8.0))
   }
 
+  test("STREAMING numrecs sentinel derives the record count from the file length") {
+    for (v <- Seq(1, 2, 5)) {
+      val bytes = cube(v, recordTime = true)
+      // overwrite numrecs (right after the 4-byte magic) with the sentinel
+      if (v == 5) (4 until 12).foreach(i => bytes(i) = 0xff.toByte)
+      else (4 until 8).foreach(i => bytes(i) = 0xff.toByte)
+      val f = NetCdf.parse(bytes)
+      assert(f.numRecs == 2L, s"v$v")
+      assert(NetCdf.readValues(f, f.variable("time").get).toSeq == Seq(0.0, 6.0))
+    }
+  }
+
   test("CDF-5 exotic types survive the round-trip") {
     val bytes = NetCdf.write(
       dims = Seq("x" -> 3L), gattrs = Nil,
