@@ -61,6 +61,11 @@ class ExpressionSpec extends SparkSpec {
     import graft.operators.Similarity
     // the formulation the native kernel replaced: 8×64 unrolled element_at
     // terms with the same left-assoc accumulation order
+    // NOTE: this baseline's generated aggregate method exceeds janino's
+    // 64 KB limit, so the suite logs one expected "ERROR CodeGenerator:
+    // Failed to compile … Code grows beyond 64 KB" and Spark falls back
+    // to interpreted eval for THIS plan only — precisely the blowup the
+    // native kernel exists to avoid; engine plans are unaffected.
     val unrolled = Similarity.hyperplanes.zipWithIndex.map { case (h, j) =>
       val dotH = h.zipWithIndex
         .map { case (w, i) => element_at(col("embedding"), i + 1).cast("double") * lit(w) }

