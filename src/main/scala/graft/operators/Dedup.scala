@@ -35,7 +35,12 @@ object Dedup {
   /** Exact dedup: normalize (lower, collapse whitespace, trim) → SHA-256 →
     * keep the smallest doc_id per fingerprint. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    dedupExactFrom(Tables.documents(spark, dir))
+
+  /** [[dedupExact]] over any (doc_id, text) frame — the injectable shape
+    * PropertySpec's idempotence property (SURVEY.md §5.3) runs on. */
+  def dedupExactFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("fp",
         sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256))
       .groupBy(col("fp"))

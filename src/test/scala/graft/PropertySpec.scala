@@ -1,0 +1,132 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Lcc, Lzw}
+import graft.operators.{Dedup, Similarity}
+
+/** Property-based tests (SURVEY.md §5.3 item 3): ScalaCheck generators
+  * with fixed seeds, driven directly (no scalatest-plus bridge on the
+  * offline classpath). Pure-JVM kernels get real `forAll` fuzzing; Spark
+  * properties sample a deterministic batch with `Gen` and verify the
+  * universal claim in ONE job over the batch (a job per ScalaCheck case
+  * would be 100 Spark jobs for no extra coverage).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val params = ScTest.Parameters.default
+    .withMinSuccessfulTests(200)
+    .withInitialSeed(Seed(20260812L))
+
+  private def check(prop: Prop): Unit = {
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Deterministic batch sampling for the Spark-side properties. */
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(20260812L)).get
+
+  // ---------------------------------------------------------------- LCC
+
+  test("lcc forward/inverse round-trips across the DMI domain") {
+    // HARMONIE's grid covers the wider Nordic domain, not just the
+    // reference bbox — fuzz the whole plausible window.
+    val latG = Gen.choose(45.0, 65.0)
+    val lonG = Gen.choose(-5.0, 25.0)
+    // NoShrink: Double shrinking walks toward 0, outside the projection's
+    // intended domain. Note inverse returns (lon, lat) — GDAL's axis order.
+    check(Prop.forAllNoShrink(latG, lonG) { (lat, lon) =>
+      val (x, y) = Lcc.forward(lat, lon)
+      val (lon2, lat2) = Lcc.inverse(x, y)
+      math.abs(lat2 - lat) < 1e-8 && math.abs(lon2 - lon) < 1e-8
+    })
+  }
+
+  // ---------------------------------------------------------------- LZW
+
+  test("lzw encode/decode round-trips arbitrary and low-entropy bytes") {
+    val anyBytes = Gen.choose(0, 4096)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    // low-entropy runs grow the dictionary fastest — past 4096 entries
+    // this forces the 12-bit width ceiling and the ClearCode reset path
+    val lowEntropy = Gen.choose(0, 20000)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0, 3).map(_.toByte)))
+    check(Prop.forAll(Gen.oneOf(anyBytes, lowEntropy)) { bs =>
+      val data = bs.toArray
+      Lzw.decode(Lzw.encode(data), data.length).sameElements(data)
+    })
+  }
+
+  // ------------------------------------------------------ dedup idempotence
+
+  test("exact dedup is idempotent: dedup(keepers(dedup(x))) is a no-op") {
+    // corpora with planted duplicates that differ only by the normalized
+    // dimensions (case, whitespace runs, leading/trailing space)
+    val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val text = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val texts = sample(text, 60)
+    val noisy = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq(t, t.toUpperCase, s"  ${t.replace(" ", "   ")} ").take(1 + i % 3)
+    }
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(noisy.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 4),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+    val first = Dedup.dedupExactFrom(docs).cache()
+    val keepers = docs.join(
+      first.select(col("keeper_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val second = Dedup.dedupExactFrom(keepers)
+
+    assert(second.filter(col("n_copies") =!= 1L).count() == 0L,
+      "second pass still found duplicates")
+    assert(first.select("fp", "keeper_doc_id")
+      .exceptAll(second.select("fp", "keeper_doc_id")).count() == 0L,
+      "fingerprint/keeper set changed across passes")
+    assert(first.count() == second.count())
+  }
+
+  // ------------------------------------------------------ cosine properties
+
+  test("vec_dot cosine is symmetric and bounded on generated vectors") {
+    val vec = Gen.listOfN(16, Gen.choose(-10.0f, 10.0f))
+      .suchThat(_.exists(v => math.abs(v) > 1e-3f)).map(_.toArray)
+    val pairs = sample(Gen.zip(vec, vec), 100)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) => Row(a.toSeq, b.toSeq) }, 4),
+      StructType(Seq(
+        StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType)))))
+      .withColumn("cab",
+        Similarity.cosine(col("a"), col("b"), Similarity.norm(col("a")), Similarity.norm(col("b"))))
+      .withColumn("cba",
+        Similarity.cosine(col("b"), col("a"), Similarity.norm(col("b")), Similarity.norm(col("a"))))
+    // symmetry is BIT-exact: the fold multiplies a_i*b_i in index order
+    val bad = df.filter(col("cab") =!= col("cba") ||
+      abs(col("cab")) > lit(1.0 + 1e-9)).count()
+    assert(bad == 0L)
+  }
+
+  // ------------------------------------------------------ minhash algebra
+
+  test("minhash signature of a union is the elementwise min of signatures") {
+    val hashes = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue)))
+    val pairs = sample(Gen.zip(hashes, hashes), 100)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) => Row(a, b) }, 4),
+      StructType(Seq(
+        StructField("a", ArrayType(LongType)), StructField("b", ArrayType(LongType)))))
+      .withColumn("sig_union", call_function("minhash_sig16", concat(col("a"), col("b"))))
+      .withColumn("min_of_sigs", zip_with(
+        call_function("minhash_sig16", col("a")),
+        call_function("minhash_sig16", col("b")),
+        (x, y) => least(x, y)))
+    val bad = df.filter(col("sig_union") =!= col("min_of_sigs")).count()
+    assert(bad == 0L)
+  }
+}
