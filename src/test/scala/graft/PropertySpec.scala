@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{Lcc, Lzw}
 import graft.operators.{Dedup, Similarity}
+import graft.sources.{GeoTiff, NetCdf}
 
 /** Property-based tests (SURVEY.md §5.3 item 3): ScalaCheck generators
   * with fixed seeds, driven directly (no scalatest-plus bridge on the
@@ -128,5 +129,73 @@ class PropertySpec extends SparkSpec {
         (x, y) => least(x, y)))
     val bad = df.filter(col("sig_union") =!= col("min_of_sigs")).count()
     assert(bad == 0L)
+  }
+
+  // ------------------------------------------------------ codec fuzzing
+
+  test("geotiff encode/decode round-trips random rasters in every layout") {
+    // ragged sizes (not tile multiples), NaN holes, each of the
+    // compress × overviews × bigTiff corners; tileSize 16 keeps the
+    // fixtures small while exercising real tiling/padding
+    val px = Gen.frequency(
+      9 -> Gen.choose(-1e6f, 1e6f), 1 -> Gen.const(Float.NaN))
+    val raster = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40)
+      pixels <- Gen.listOfN(w * h, px)
+      lon <- Gen.choose(-20.0, 20.0); lat <- Gen.choose(40.0, 70.0)
+    } yield GeoTiff.Raster(w, h, lon, lat, 0.01, 0.01, pixels.toArray)
+    val flags = Gen.oneOf(Seq(
+      (false, false, false), (true, false, false), (true, true, false),
+      (true, true, true), (false, false, true)))
+    check(Prop.forAllNoShrink(raster, flags) { case (r, (compress, ovr, big)) =>
+      val back = GeoTiff.decode(GeoTiff.encode(r, tileSize = 16,
+        compress = compress, overviews = ovr, bigTiff = big))
+      back.width == r.width && back.height == r.height &&
+        back.originLon == r.originLon && back.originLat == r.originLat &&
+        back.dLon == r.dLon && back.dLat == r.dLat &&
+        back.pixels.length == r.pixels.length &&
+        back.pixels.zip(r.pixels).forall { case (a, b) =>
+          a == b || (a.isNaN && b.isNaN)
+        }
+    })
+  }
+
+  test("netcdf cube encode/decode round-trips random grids (CDF-1/2/5)") {
+    // a Spark job per cube, so sample a handful rather than forAll 200×
+    val cubeG = for {
+      nT <- Gen.choose(1, 3); nY <- Gen.choose(1, 5); nX <- Gen.choose(1, 5)
+      t0 <- Gen.choose(0L, 2000000000L)
+      vals <- Gen.listOfN(nT * nY * nX, Gen.frequency(
+        8 -> Gen.choose(-1e6, 1e6).map(v => math.rint(v * 1000) / 1000.0),
+        1 -> Gen.const(Double.NaN)))
+    } yield (nT, nY, nX, t0, vals)
+    sample(cubeG, 8).zip(LazyList.continually(Seq(1, 2, 5)).flatten).foreach {
+      case ((nT, nY, nX, t0, vals), version) =>
+        val rows = for {
+          t <- 0 until nT; y <- 0 until nY; x <- 0 until nX
+        } yield Row(
+          new java.sql.Timestamp((t0 + t * 3600L) * 1000L),
+          8.0 + x * 0.25, 54.0 + y * 0.25,
+          vals(t * nY * nX + y * nX + x) match {
+            case v if v.isNaN => null
+            case v => java.lang.Double.valueOf(v)
+          })
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2),
+          StructType(Seq(
+            StructField("time", TimestampType), StructField("x", DoubleType),
+            StructField("y", DoubleType), StructField("value", DoubleType))))
+        val bytes = NetCdf.encodeCube(df, "param", version = version)
+        assert(bytes(3) == version.toByte)
+        def keyed(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+          (r.getTimestamp(2).getTime, r.getDouble(3), r.getDouble(4)) ->
+            (if (r.isNullAt(5)) null else r.getDouble(5))
+        }.toMap
+        val back = NetCdf.decodeCube(spark, "c", "param", bytes)
+        assert(keyed(back) == keyed(df.select(
+          lit("c").as("collection"), lit("param").as("parameter"),
+          col("time"), col("x"), col("y"), col("value"))),
+          s"cube ${nT}x${nY}x$nX v$version mismatch")
+    }
   }
 }
