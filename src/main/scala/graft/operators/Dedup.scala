@@ -85,9 +85,10 @@ object Dedup {
     // Two-exchange shape kept deliberately: a single up-front
     // repartition(s) (so the distinct and the df window share one
     // exchange) was measured SLOWER (3.0 s vs 2.45 s, isolated
-    // single-query runs at sf0.1; the full-suite BENCH_LOCAL figure for
-    // q35 runs higher, ~3.1-3.6 s, because 90 other queries share the
-    // JVM) — the distinct's map-side partial aggregate dedups repeated
+    // single-query runs at sf0.1; full-suite BENCH_LOCAL figures differ
+    // by methodology — ~3.1-3.6 s single-shot with 90 queries sharing
+    // the JVM, ~2.0 s as the round-7 median-of-3, which picks warm
+    // runs) — the distinct's map-side partial aggregate dedups repeated
     // in-document shingles before its shuffle, and a raw repartition
     // ships the full exploded volume instead.
     val ds0 = docs
