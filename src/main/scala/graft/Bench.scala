@@ -76,6 +76,7 @@ object Bench {
     // that fails on ANY of its 3 runs is an err (partial medians would
     // quietly drop the slow-failing run).
     val trials = sys.env.get("SPARK_GRAFT_TRIALS").map(_.toInt).getOrElse(3)
+    require(trials >= 1, s"SPARK_GRAFT_TRIALS must be >= 1, got $trials")
     val results: Seq[(String, Either[String, Seq[Double]])] = names.map { name =>
       val runs: Seq[Either[String, Double]] = (1 to trials).map { _ =>
         val t0 = System.nanoTime()

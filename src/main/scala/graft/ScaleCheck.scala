@@ -51,8 +51,11 @@ object ScaleCheck {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         f()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release OUTSIDE the timed span — Bench measures the same way,
+        // so the sf0.1 vs sf1 comparison stays methodology-identical
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        (System.nanoTime() - t0) / 1e9
+        dt
       }.sorted
       name -> ts(1)
     }

@@ -82,6 +82,9 @@ object Fetch {
     * the only ones dynamic overwrite truncates — a failed parameter's old
     * output survives, per the reference's ordering guarantee), and return
     * the manifest of what was written plus every outcome for telemetry.
+    * Decode failures (an HDF5 container, malformed classic bytes, an
+    * unsupported CF time unit) are isolated exactly like fetch failures:
+    * the outcome records the error and the other parameters still ingest.
     * No successes → no write at all, `None` manifest. */
   def fetchAndIngest(
       spark: SparkSession,
@@ -90,11 +93,17 @@ object Fetch {
       outPath: String,
       decode: (SparkSession, String, String, Array[Byte]) => DataFrame = decodeAuto)
       : (Option[DataFrame], Seq[FetchOutcome]) = {
-    val outcomes = fetchAll(plan)
-    val staged = outcomes.collect {
-      case FetchOutcome(param, _, Right(bytes)) =>
-        decode(spark, cfg.collection, param, bytes)
+    val decoded = fetchAll(plan).map {
+      case o @ FetchOutcome(param, url, Right(bytes)) =>
+        Try(decode(spark, cfg.collection, param, bytes)) match {
+          case Success(df) => (o, Some(df))
+          case Failure(e) => (FetchOutcome(param, url,
+            Left(s"decode ${e.getClass.getSimpleName}: ${e.getMessage}")), None)
+        }
+      case o => (o, None)
     }
+    val outcomes = decoded.map(_._1)
+    val staged = decoded.flatMap(_._2)
     if (staged.isEmpty) (None, outcomes)
     else (Some(Ingest.ingest(staged.reduce(_ union _), cfg, outPath)), outcomes)
   }

@@ -66,11 +66,6 @@ object GeoTiff {
 
   private val TNewSubfileType = 254
 
-  /** Classic TIFF's hard ceiling: every offset is uint32. Past this the
-    * encoder auto-promotes to BigTIFF even without the flag. (Kept a
-    * little under 2³² so the final even-byte padding can't straddle it.) */
-  private val ClassicTiffMax = (1L << 32) - 16
-
   /** 2×2 NaN-aware average downsample — one overview pyramid level. */
   def downsample(r: Raster): Raster = {
     val w2 = (r.width + 1) / 2
@@ -114,13 +109,14 @@ object GeoTiff {
     *
     * Layout is classic TIFF by default and BigTIFF (magic 43, 8-byte
     * offsets — BigTIFF spec / the reference's `BIGTIFF=YES`,
-    * ingestor.py:106) when `bigTiff` is set OR the exact computed file
-    * size exceeds classic TIFF's uint32 ceiling — the compressed tile
-    * lengths are known before allocation, so the promotion threshold is
-    * exact, not an estimate. A single in-memory band is still capped at
-    * the JVM's 2 GiB array limit (a >2 GiB band needs a streaming
-    * writer — per-band bboxes in the reference are ~3 orders of
-    * magnitude below this). */
+    * ingestor.py:106) when `bigTiff` is set. The binding size limit is
+    * the JVM's 2 GiB single-array cap, which sits BELOW classic TIFF's
+    * 4 GiB uint32 offset ceiling — so classic offsets always suffice for
+    * what this in-memory writer can produce, and there is deliberately
+    * no size-triggered auto-promotion (it would be unreachable). A
+    * >2 GiB band needs a streaming writer — split the bbox or the time
+    * key; per-band bboxes in the reference are ~3 orders of magnitude
+    * below the cap. */
   def encode(r: Raster, tileSize: Int = 256,
       compress: Boolean = true, overviews: Boolean = true,
       bigTiff: Boolean = false): Array[Byte] = {
@@ -176,7 +172,11 @@ object GeoTiff {
         l.tiles.map { t => val o = end; end += t.length + (t.length & 1); o } // word-align
       }
     }
-    val big = bigTiff || Layout(big = false).end > ClassicTiffMax
+    // BigTIFF only by request: the in-memory writer is bounded by the JVM
+    // 2 GiB array cap below, which sits UNDER classic TIFF's 4 GiB uint32
+    // offset ceiling — so classic offsets always suffice here and size-
+    // triggered promotion would be unreachable dead code.
+    val big = bigTiff
     val lay = Layout(big)
     import lay.{W, ifdSize, ifdOffs, tileOffs}
     require(lay.end <= Int.MaxValue.toLong,
@@ -379,10 +379,11 @@ object GeoTiff {
     * true for any staged cube; reprojected collections go through
     * Geo.regrid first, the engine-side warp). outDir must be a shared
     * filesystem / object-store mount at cluster scale (same contract as
-    * any Spark file sink). `bigTiff = true` forces the BigTIFF layout
+    * any Spark file sink). `bigTiff = true` writes the BigTIFF layout
     * for every band (the reference writes `BIGTIFF=YES` unconditionally,
-    * ingestor.py:106); left false, bands auto-promote only past the
-    * classic-TIFF 4 GiB ceiling. */
+    * ingestor.py:106); left false, bands stay classic TIFF — always
+    * valid here, since the in-memory encoder's 2 GiB cap is below the
+    * classic 4 GiB offset ceiling (see [[encode]]). */
   def writeBands(spark: SparkSession, longDf: DataFrame, outDir: String,
       tileSize: Int = 256, bigTiff: Boolean = false): DataFrame = {
     import spark.implicits._

@@ -370,32 +370,60 @@ object NetCdf {
       bytes: Array[Byte]): DataFrame = {
     val f = parse(bytes)
     val dimNames = f.dims.map(_.name).toSet
-    val candidates = f.vars.filter(v =>
+    val gridded = f.vars.filter(v =>
       v.ncType != NcChar && !dimNames.contains(v.name) && v.dimIds.size >= 2)
-    require(candidates.nonEmpty, "no gridded data variable in NetCDF stream")
+    require(gridded.nonEmpty, "no gridded data variable in NetCDF stream")
+    // a rank-4+ variable (e.g. pressure-level output with a level axis)
+    // cannot be flattened to the (time, x, y, value) frame — reject it
+    // explicitly rather than decoding a truncated, mis-labeled subset
+    gridded.find(_.name.equalsIgnoreCase(parameter)).foreach { v =>
+      require(v.dimIds.size <= 3,
+        s"variable '$parameter' has rank ${v.dimIds.size}; decodeCube " +
+          "supports rank 2 (y,x) and rank 3 (time,y,x)")
+    }
+    val candidates = gridded.filter(_.dimIds.size <= 3)
+    require(candidates.nonEmpty,
+      s"only rank-${gridded.map(_.dimIds.size).max} data variables " +
+        "present; decodeCube supports rank 2 (y,x) and rank 3 (time,y,x)")
     val data = candidates
       .sortBy(v => (if (v.name.equalsIgnoreCase(parameter)) 0 else 1, -v.dimIds.size))
       .head
 
     val varDims = data.dimIds.map(f.dims(_))
-    def coord(names: Set[String], pos: Int): (Array[Double], Option[NcVar]) = {
-      val dim = varDims.lift(pos)
-      val byName = varDims.zipWithIndex.collectFirst {
-        case (d, _) if names.contains(d.name.toLowerCase) => d
+    val rank = data.dimIds.size
+    val shape = f.shape(data).map(_.toInt)
+
+    // Resolve each axis to its POSITION in the variable's dim list — by
+    // CF name where one matches, with the unnamed axes taking the
+    // remaining positions in conventional (time, y, x) order — then walk
+    // the raw values with the true strides. A cube declared (time, x, y)
+    // decodes correctly instead of silently transposing.
+    def namedPos(names: Set[String]): Option[Int] =
+      varDims.zipWithIndex.collectFirst {
+        case (d, i) if names.contains(d.name.toLowerCase) => i
       }
-      val d = byName.orElse(dim).getOrElse(
-        throw new IllegalArgumentException(s"no dimension for $names"))
-      val cv = f.variable(d.name)
-      val len = f.shape(data)(varDims.indexOf(d))
-      val vals = cv.map(readValues(f, _)).getOrElse(Array.tabulate(len.toInt)(_.toDouble))
+    val namedT = if (rank == 3) namedPos(TimeNames) else None
+    val namedY = namedPos(YNames)
+    val namedX = namedPos(XNames)
+    val free = (0 until rank).filterNot(
+      Set(namedT, namedY, namedX).flatten.contains).iterator
+    val tPos = if (rank == 3) Some(namedT.getOrElse(free.next())) else None
+    val yPos = namedY.getOrElse(free.next())
+    val xPos = namedX.getOrElse(free.next())
+
+    val strides = Array.fill(rank)(1)
+    var s = rank - 2
+    while (s >= 0) { strides(s) = strides(s + 1) * shape(s + 1); s -= 1 }
+
+    def coordVals(pos: Int): (Array[Double], Option[NcVar]) = {
+      val cv = f.variable(varDims(pos).name)
+      val vals = cv.map(readValues(f, _))
+        .getOrElse(Array.tabulate(shape(pos))(_.toDouble))
       (vals, cv)
     }
-
-    val rank = data.dimIds.size
-    val (timeVals, timeVar) =
-      if (rank >= 3) coord(TimeNames, 0) else (Array(0.0), None)
-    val (yVals, _) = coord(YNames, rank - 2)
-    val (xVals, _) = coord(XNames, rank - 1)
+    val (timeVals, timeVar) = tPos.map(coordVals).getOrElse((Array(0.0), None))
+    val (yVals, _) = coordVals(yPos)
+    val (xVals, _) = coordVals(xPos)
 
     val toEpochSec: Double => Double =
       timeVar.flatMap(_.attr("units")).map(_.text) match {
@@ -409,8 +437,10 @@ object NetCdf {
 
     val raw = readValues(f, data)
     val nT = timeVals.length; val nY = yVals.length; val nX = xVals.length
+    val tStride = tPos.map(strides(_)).getOrElse(0)
+    val yStride = strides(yPos); val xStride = strides(xPos)
     val rows = new Array[(Timestamp, Double, Double, java.lang.Double)](nT * nY * nX)
-    var i = 0
+    var k = 0
     var t = 0
     while (t < nT) {
       val ts = new Timestamp(math.round(toEpochSec(timeVals(t)) * 1000.0))
@@ -418,11 +448,11 @@ object NetCdf {
       while (y < nY) {
         var x = 0
         while (x < nX) {
-          val v = raw(i)
+          val v = raw(t * tStride + y * yStride + x * xStride)
           val unpacked: java.lang.Double =
             if (fill.contains(v) || v.isNaN) null else v * scale + offset
-          rows(i) = (ts, xVals(x), yVals(y), unpacked)
-          i += 1; x += 1
+          rows(k) = (ts, xVals(x), yVals(y), unpacked)
+          k += 1; x += 1
         }
         y += 1
       }
@@ -489,13 +519,38 @@ object NetCdf {
       case "day" => 86400.0
       case u => throw new IllegalArgumentException(s"unsupported CF time unit $u")
     }
-    val base = rest.trim.replace("T", " ").replace("Z", "") match {
-      case d if d.contains(" ") =>
-        LocalDateTime.parse(d, DateTimeFormatter.ofPattern("yyyy-M-d H:m[:s[.S]]"))
-          .toEpochSecond(ZoneOffset.UTC)
-      case d =>
-        LocalDate.parse(d, DateTimeFormatter.ofPattern("yyyy-M-d"))
-          .atStartOfDay.toEpochSecond(ZoneOffset.UTC)
+    // split date/time so an offset suffix can't be confused with the
+    // date's own '-' separators; accept any-width fractional seconds and
+    // ±HH[:MM] / ±HHMM offsets (all emitted by real CF writers)
+    val (datePart, timePart) =
+      rest.trim.replace("T", " ").split("\\s+", 2) match {
+        case Array(d) => (d, None)
+        case Array(d, t) => (d, Some(t))
+      }
+    var offSec = 0.0
+    var frac = 0.0
+    val timeClean = timePart.map { t0 =>
+      var t = t0.trim.stripSuffix("Z")
+      "([+-])(\\d{1,2})(?::?(\\d{2}))?\\s*$".r.findFirstMatchIn(t).foreach { m =>
+        val sign = if (m.group(1) == "-") -1 else 1
+        offSec = sign * (m.group(2).toDouble * 3600.0 +
+          Option(m.group(3)).map(_.toDouble * 60.0).getOrElse(0.0))
+        t = t.substring(0, m.start).trim
+      }
+      "\\.(\\d+)$".r.findFirstMatchIn(t).foreach { m =>
+        frac = ("0." + m.group(1)).toDouble
+        t = t.substring(0, m.start)
+      }
+      t
+    }
+    val base: Double = timeClean match {
+      case Some(t) =>
+        LocalDateTime.parse(s"$datePart $t",
+            DateTimeFormatter.ofPattern("yyyy-M-d H:m[:s]"))
+          .toEpochSecond(ZoneOffset.UTC) + frac - offSec
+      case None =>
+        LocalDate.parse(datePart, DateTimeFormatter.ofPattern("yyyy-M-d"))
+          .atStartOfDay.toEpochSecond(ZoneOffset.UTC).toDouble
     }
     v => base + v * perUnit
   }

@@ -254,6 +254,59 @@ class NetCdfSpec extends SparkSpec {
     }
   }
 
+  test("decodeCube honors a non-conventional (time, x, y) dim order") {
+    // x varies SLOWER than y on disk; the named-axis stride lookup must
+    // attach every value to its true (x, y) — not assume (time, y, x)
+    val nT = 2; val nX = 3; val nY = 2
+    val vals = Array.tabulate(nT * nX * nY) { i =>
+      val t = i / (nX * nY); val r = i % (nX * nY)
+      t * 100.0 + (r / nY) * 10 + (r % nY) // = t*100 + x_idx*10 + y_idx
+    }
+    val bytes = NetCdf.write(
+      dims = Seq("time" -> nT.toLong, "x" -> nX.toLong, "y" -> nY.toLong),
+      gattrs = Nil,
+      vars = Seq(
+        WriteVar("time", Seq("time"), NcDouble,
+          Seq("units" -> "seconds since 1970-01-01 00:00:00"), Array(0.0, 3600.0)),
+        WriteVar("x", Seq("x"), NcDouble, Nil, Array(10.0, 11.0, 12.0)),
+        WriteVar("y", Seq("y"), NcDouble, Nil, Array(55.0, 56.0)),
+        WriteVar("v", Seq("time", "x", "y"), NcDouble, Nil, vals)),
+      version = 1, numRecs = 0L)
+    val m = NetCdf.decodeCube(spark, "c", "v", bytes).collect().map { r =>
+      (r.getTimestamp(2).getTime / 1000, r.getDouble(3), r.getDouble(4)) ->
+        r.getDouble(5)
+    }.toMap
+    assert(m.size == nT * nX * nY)
+    assert(m((0L, 10.0, 55.0)) == 0.0)
+    assert(m((0L, 12.0, 56.0)) == 21.0)
+    assert(m((3600L, 11.0, 55.0)) == 110.0)
+    assert(m((3600L, 12.0, 56.0)) == 121.0)
+  }
+
+  test("decodeCube rejects rank-4 variables instead of mis-decoding") {
+    val bytes = NetCdf.write(
+      dims = Seq("time" -> 1L, "level" -> 2L, "y" -> 2L, "x" -> 2L),
+      gattrs = Nil,
+      vars = Seq(WriteVar("v", Seq("time", "level", "y", "x"), NcDouble,
+        Nil, Array.tabulate(8)(_.toDouble))),
+      version = 1, numRecs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      NetCdf.decodeCube(spark, "c", "v", bytes)
+    }
+    assert(e.getMessage.contains("rank 4"))
+  }
+
+  test("CF time base parses fractional seconds and UTC offsets") {
+    val f1 = NetCdf.cfTimeToEpochSeconds("hours since 2024-01-01 00:00:00.000")
+    assert(f1(1.0) == 1704070800.0)
+    val f2 = NetCdf.cfTimeToEpochSeconds("seconds since 1970-01-01T00:00:00+00:00")
+    assert(f2(5.0) == 5.0)
+    val f3 = NetCdf.cfTimeToEpochSeconds("seconds since 1970-01-01 02:00:00+02:00")
+    assert(f3(0.0) == 0.0) // 02:00 at +02:00 IS the epoch
+    val f4 = NetCdf.cfTimeToEpochSeconds("seconds since 1970-01-01 00:00:00.5")
+    assert(f4(0.0) == 0.5)
+  }
+
   test("end-to-end: fetchAndIngest over a file:// NetCDF fixture (R2/R4/R17)") {
     val dir = Files.createTempDirectory("graft-nc").toFile
     dir.deleteOnExit()
@@ -274,5 +327,27 @@ class NetCdfSpec extends SparkSpec {
     assert(written.select("time_key").distinct().count() == 2)
     val mrow = manifest.get.collect().head
     assert(mrow.getAs[String]("forecasts_json").contains("20240101T060000"))
+  }
+
+  test("decode failures are isolated like fetch failures (R17)") {
+    // one good classic cube + one HDF5-container stream: the HDF5 decode
+    // error must be RECORDED, not thrown — the good parameter still lands
+    val dir = Files.createTempDirectory("graft-nc-iso").toFile
+    dir.deleteOnExit()
+    val good = Paths.get(dir.toString, "good.nc")
+    Files.write(good, cube(1, recordTime = false))
+    val bad = Paths.get(dir.toString, "bad.nc")
+    Files.write(bad, Array[Byte](0x89.toByte, 'H', 'D', 'F') ++ new Array[Byte](64))
+    val out = Paths.get(dir.toString, "out").toString
+    val cfg = IngestConfig(parameters = Seq("sea_mean_deviation", "hdf5_param"),
+      bbox = (11.5, 55.5, 12.2, 56.1))
+    val plan = Seq(
+      "sea_mean_deviation" -> good.toUri.toString,
+      "hdf5_param" -> bad.toUri.toString)
+    val (manifest, outcomes) = Fetch.fetchAndIngest(spark, cfg, plan, out)
+    assert(outcomes.map(_.ok) == Seq(true, false))
+    assert(outcomes(1).result.swap.exists(_.contains("HDF5")))
+    assert(manifest.isDefined)
+    assert(spark.read.parquet(out).count() == 23)
   }
 }
