@@ -54,4 +54,30 @@ class PlanGuardSpec extends SparkSpec {
     val p = plans("q40_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"), s"probes not broadcast:\n$p")
   }
+
+  test("ANN bucket joins broadcast the probe side (q41, q58)") {
+    // the corpus is pruned by an equality join on bucket/signature with
+    // the probe side broadcast — a sort-merge here would reshuffle the
+    // whole corpus for a handful of probes
+    assert(plans("q41_ann_bucketed").contains("BroadcastHashJoin"))
+    assert(plans("q58_rp_lsh_ann").contains("BroadcastHashJoin"))
+    assert(plans("q55_range_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q36 minhash signatures shuffle only for the deterministic output sort") {
+    // the per-row native kernel needs ZERO shuffles; the single Exchange
+    // is the rangepartitioning the oracle's orderBy requires
+    val p = plans("q36_minhash_sig")
+    val exchanges = "Exchange \\w+".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected one range-sort exchange, got $exchanges:\n$p")
+  }
+
+  test("column pruning: no plan reads the wide TPC-H comment columns") {
+    // no declared query touches *_comment — if one ever shows up in a
+    // ReadSchema the scan stopped pruning (e.g. a select(*) before a join)
+    val offenders = plans.keys.toSeq.sorted
+      .filter(q => plans(q).contains("_comment"))
+    assert(offenders.isEmpty, s"comment column scanned in: $offenders")
+  }
 }
