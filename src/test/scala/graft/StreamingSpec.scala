@@ -33,6 +33,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark bounds state: finalized windows evicted, late rows dropped") {
+    // the 100 TB guard for unbounded streams — aggregation state must not
+    // grow with stream length, and data older than the watermark must not
+    // resurrect an already-emitted window
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = StreamOps.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wm_state_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 30 distinct 10-minute windows, then jump event time far ahead so
+      // the 1-hour watermark passes all of them
+      input.addData((0 until 30).map(i => Ev(i, ts(i * 10L), 10, "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData(Ev(100, ts(1000), 10, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(101, ts(1001), 10, "click", 1.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows < 10, s"state kept growing: $stateRows rows for 30 closed windows")
+      // a row behind the watermark is dropped — window 0 was emitted once
+      // with n_events=1 and must not reappear or change
+      input.addData(Ev(102, ts(5), 10, "click", 99.0))
+      q.processAllAvailable()
+      input.addData(Ev(103, ts(1002), 10, "click", 1.0))
+      q.processAllAvailable()
+      val w0 = spark.table("wm_state_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+      assert(w0.length == 1 && w0.head.getLong(2) == 1L,
+        s"late row resurrected window 0: ${w0.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
