@@ -20,7 +20,7 @@ import graft.sources.Tables
 object Curation {
 
   /** Whitespace tokens, empty strings dropped (mirrors Text/Oracles). */
-  private def toks: Column = filter(split(col("text"), " "), t => length(t) > 0)
+  private def toks: Column = Dedup.toks
 
   /** Truncate to 6 decimals — floor, not round: both engines floor the
     * same IEEE-754 double, while round() diverges on bare-5 boundaries
@@ -116,10 +116,7 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val grams = docs.withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("toks")) - 2),
-          i => array_join(slice(col("toks"), i, lit(3)), " "))).as("gram"))
+      .select(col("doc_id"), explode(Dedup.shingleCol).as("gram"))
     grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
       .orderBy(col("df").desc, col("occ").desc, col("gram"))
@@ -182,7 +179,8 @@ object Curation {
     pairs
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cluster_id"), col("cos"))
+      // nrm rides along so semDedupK doesn't re-run the O(n×dim) norm pass
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster_id"), col("cos"))
   }
 
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
@@ -262,10 +260,7 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val grams = docs.withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("toks")) - 2),
-          i => array_join(slice(col("toks"), i, lit(3)), " "))).as("gram"))
+      .select(col("doc_id"), explode(Dedup.shingleCol).as("gram"))
     val ev = grams.filter(col("doc_id") % 97 === 0).distinct()
       .select(col("doc_id").as("eval_id"), col("gram"))
     grams.join(broadcast(ev), "gram")
@@ -397,8 +392,7 @@ object Curation {
       .withColumn("contaminated", lit(true))
     val flagged = docs
       .withColumn("n_toks", size(toks).cast("long"))
-      .withColumn("fp",
-        sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256))
+      .withColumn("fp", Dedup.textFp)
       .join(gate, "doc_id")
       .join(broadcast(contam), Seq("doc_id"), "left")
     // dedup among gate survivors only: keeper = min kept doc_id per fp
@@ -441,8 +435,7 @@ object Curation {
     * batch fps would prune the index scan further — noted, not needed
     * at test scale. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val fp = sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256)
-    val docs = Tables.documents(spark, dir).withColumn("fp", fp)
+    val docs = Tables.documents(spark, dir).withColumn("fp", Dedup.textFp)
     val corpusIndex = docs.filter(col("doc_id") % 7 =!= 0)
       .select(col("fp")).distinct()
       .withColumn("in_corpus", lit(true))
@@ -530,7 +523,10 @@ object Curation {
     // SUM is a fixpoint — one scalar agg per iteration as the convergence
     // probe instead of a join-and-count against the previous labels.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).collect()(0).getLong(0)
+      // coalesce: sum over an EMPTY labels frame (a corpus with zero
+      // near-dup pairs) is null — treat it as 0 so the fixpoint converges
+      // immediately and the caller gets an empty result, not an NPE
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -642,7 +638,6 @@ object Curation {
     // the member count (3 subtree reuses). At cluster scale this would be
     // persist(StorageLevel.DISK_ONLY) / a reliable checkpoint instead.
     val m = assignmentsK(Tables.embeddings(spark, dir), k)
-      .withColumn("nrm", Similarity.norm(col("embedding")))
       .select(col("cluster_id"), col("vec_id"), col("embedding"), col("nrm"))
       .localCheckpoint()
     val a = m.select(col("cluster_id"), col("vec_id").as("v1"),
@@ -894,7 +889,7 @@ object Curation {
     * OOM; the window-limit-then-collect shape avoids it. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val tok = tokenTable(docs)
     val td = tok.distinct()
     val stats = tok.groupBy(col("token"))
       .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("df"))

@@ -24,13 +24,24 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  private def toks = filter(split(col("text"), " "), t => length(t) > 0)
+  /** Whitespace tokenization of `text` — THE tokenizer every dedup /
+    * curation / streaming operator shares; one definition so they can
+    * never silently disagree on what a token is. */
+  private[graft] def toks = filter(split(col("text"), " "), t => length(t) > 0)
 
-  /** 3-token shingles of a document (docs shorter than 3 tokens drop out). */
-  private def shingleCol: Column =
+  /** 3-token shingles over a `toks` column (docs shorter than 3 tokens
+    * drop out) — shared for the same reason as [[toks]]: the stream-side
+    * band index and the batch LSH only match if shingling is identical. */
+  private[graft] def shingleCol: Column =
     transform(
       sequence(lit(1), size(col("toks")) - 2),
       i => array_join(slice(col("toks"), i, lit(3)), " "))
+
+  /** Canonical exact-dedup fingerprint: normalize (lower, collapse
+    * whitespace, trim) → SHA-256 — shared by batch dedup, the curation
+    * funnel, incremental dedup, and the streaming dedup stage. */
+  private[graft] def textFp: Column =
+    sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256)
 
   /** Exact dedup: normalize (lower, collapse whitespace, trim) → SHA-256 →
     * keep the smallest doc_id per fingerprint. */
@@ -41,8 +52,7 @@ object Dedup {
     * PropertySpec's idempotence property (SURVEY.md §5.3) runs on. */
   def dedupExactFrom(docs: DataFrame): DataFrame =
     docs
-      .withColumn("fp",
-        sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256))
+      .withColumn("fp", textFp)
       .groupBy(col("fp"))
       .agg(
         min(col("doc_id")).as("keeper_doc_id"),

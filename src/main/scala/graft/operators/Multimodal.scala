@@ -38,7 +38,6 @@ object Multimodal {
     * over the opaque column's source text. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("payload", encode(col("text"), "UTF-8"))
       .select(
         col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),

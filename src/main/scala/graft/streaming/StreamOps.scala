@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Dedup
 import graft.sources.Tables
 
 /** Structured Streaming surface (SURVEY.md §2 Table B "Streaming", §7.7).
@@ -67,7 +68,12 @@ object StreamOps {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.last <= gapMs =>
-            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+            // min/max, not overwrite: a LATER microbatch can deliver an
+            // in-watermark event older than s.last — taking last = t
+            // there would rewind the activity horizon and falsely split
+            // the session on the next on-time event
+            cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+              s.n + 1, s.sum + e.value))
           case Some(s) =>
             out ::= SessionOut(userId, s.start / 1000, s.n, s.sum)
             cur = Some(SessionState(t, t, 1, e.value))
@@ -115,35 +121,34 @@ object StreamOps {
     * Dedup.* jobs over the deduped sink. */
   def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fp",
-        sha2(trim(lower(regexp_replace(col("text"), "\\s+", " "))), 256))
+      .withColumn("fp", Dedup.textFp)
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
   /** Streaming decontamination — the streaming dual of
     * Curation.decontaminate: drop in-flight documents sharing ≥ minShared
-    * distinct 3-token shingles with a static eval/benchmark shingle set.
+    * distinct 3-token shingles with ANY SINGLE eval/benchmark document
+    * (`evalDocs` is one shingle set per eval doc — the same
+    * per-(doc, eval-doc) threshold the batch operator's groupBy applies;
+    * pooling all eval grams into one set would over-drop docs that share
+    * one shingle each with two different eval docs).
     *
     * The eval set is benchmark data — static, MB-scale — so it ships to
-    * executors as a literal array and the check is a per-row
-    * `array_intersect` size: completely STATELESS (no watermark, no
-    * streaming state, no shuffle), which is the property that lets this
-    * run inline on a 100 TB/day ingest stream. Threshold semantics match
-    * the batch operator; a stream-static left-anti join would only give
-    * the ≥1-shared variant. */
-  def decontaminateStream(docs: DataFrame, evalGrams: Seq[String],
+    * executors as a literal array-of-arrays and the check is a per-row
+    * `transform` + `array_intersect` max: completely STATELESS (no
+    * watermark, no streaming state, no shuffle), which is the property
+    * that lets this run inline on a 100 TB/day ingest stream. */
+  def decontaminateStream(docs: DataFrame, evalDocs: Seq[Seq[String]],
                           minShared: Int = 2): DataFrame = {
-    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
+    if (evalDocs.isEmpty) return docs
+    val evalArr = typedLit(evalDocs.map(_.toArray).toArray)
     docs
-      .withColumn("toks", toksC)
+      .withColumn("toks", Dedup.toks)
       .withColumn("grams",
-        when(size(col("toks")) >= 3,
-          array_distinct(transform(
-            sequence(lit(1), size(col("toks")) - 2),
-            i => array_join(slice(col("toks"), i, lit(3)), " "))))
+        when(size(col("toks")) >= 3, array_distinct(Dedup.shingleCol))
         .otherwise(typedLit(Array.empty[String])))
       .withColumn("n_shared",
-        size(array_intersect(col("grams"), typedLit(evalGrams.toArray))))
+        array_max(transform(evalArr, ev => size(array_intersect(col("grams"), ev)))))
       .filter(col("n_shared") < minShared)
       .drop("toks", "grams", "n_shared")
   }
@@ -197,10 +202,7 @@ object StreamOps {
     * (dropDuplicates over an unbounded key set), and the batch verify
     * consuming this feed dedups anyway. */
   def nearDupCandidatesStream(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
-    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
-    val shingles = when(size(col("toks")) >= 3,
-      transform(sequence(lit(1), size(col("toks")) - 2),
-        i => array_join(slice(col("toks"), i, lit(3)), " ")))
+    val shingles = when(size(col("toks")) >= 3, Dedup.shingleCol)
       .otherwise(typedLit(Array.empty[String]))
     val sig = call_function("minhash_sig16",
       transform(shingles, s => graft.functions.Hashing.h32p(s)))
@@ -210,7 +212,7 @@ object StreamOps {
       struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("band_sig"))
     }
     docs
-      .withColumn("toks", toksC)
+      .withColumn("toks", Dedup.toks)
       .filter(size(col("toks")) >= 3)
       .withColumn("sig", sig)
       .withColumn("bs", explode(array(bandStructs: _*)))
@@ -234,13 +236,18 @@ object StreamOps {
   }
 
   /** Stream the windowed aggregation to a partitioned parquet sink with
-    * checkpointing — the streaming dual of Manifest.writePartitioned. */
-  def writeWindowed(df: DataFrame, outPath: String, checkpoint: String): Unit =
-    df.writeStream
+    * checkpointing — the streaming dual of Manifest.writePartitioned.
+    * Drains whatever the source currently has, then STOPS the query
+    * (leaving it running would leak the query thread and keep the
+    * checkpoint locked against any later run); a continuous deployment
+    * calls `.start()` itself and manages the query handle. */
+  def writeWindowed(df: DataFrame, outPath: String, checkpoint: String): Unit = {
+    val q = df.writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .start()
-      .processAllAvailable()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

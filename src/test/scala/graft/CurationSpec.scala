@@ -37,6 +37,13 @@ class CurationSpec extends SparkSpec {
     assert(work32 < work8, s"expected less pair work at k=32: $work32 !< $work8")
   }
 
+  test("an empty pair table yields empty clusters, not a crash") {
+    // a pre-deduped corpus produces zero LSH pairs; the label-propagation
+    // fixpoint must converge immediately on the empty graph
+    val empty = Curation.pairTable(spark, sfDir).filter(lit(false))
+    assert(Curation.nearDupClustersFrom(empty).count() == 0L)
+  }
+
   test("pairTable deployment mode: q80/q82/q87 identical via shared pairs") {
     // One materialized pair table feeding all three consumers must give
     // exactly the per-query-isolated (recompute-the-LSH) results.

@@ -97,6 +97,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization absorbs an out-of-order event without rewinding state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("sess_ooo_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: on-time event at min 60
+      input.addData(Ev(1, ts(60), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: in-watermark LATE event at min 40 — merges (20min <= gap)
+      // and must extend start DOWN without rewinding last
+      input.addData(Ev(2, ts(40), 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 3: min 80 — 20min after last activity (min 60), so it is
+      // the SAME session; a rewound last=40 would falsely split here
+      input.addData(Ev(3, ts(80), 1, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Ev(9, ts(500), 2, "click", 0.5)) // advance watermark
+      q.processAllAvailable()
+      input.addData(Ev(10, ts(900), 2, "click", 0.5)) // fire the timeout
+      q.processAllAvailable()
+      val rows = spark.table("sess_ooo_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((1L, 40L * 60, 3L, 7.0)),
+        s"expected ONE session (start 40min, 3 events, sum 7.0), got ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -124,22 +154,27 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamOps.Doc
-    // eval doc "a b c d e" → shingles {a b c, b c d, c d e}
-    val evalGrams = Seq("a b c", "b c d", "c d e")
+    // eval doc "a b c d e" → shingles {a b c, b c d, c d e}; a second
+    // eval doc contributes {m n o}
+    val evalDocs = Seq(Seq("a b c", "b c d", "c d e"), Seq("m n o"))
     val input = MemoryStream[Doc]
-    val stream = StreamOps.decontaminateStream(input.toDF(), evalGrams)
+    val stream = StreamOps.decontaminateStream(input.toDF(), evalDocs)
     // stateless check: the plan needs no watermark/state store
     val q = stream.writeStream.format("memory").queryName("decontam_out")
       .outputMode(OutputMode.Append).start()
     try {
       input.addData(
-        Doc(1, ts(1), "a b c d x"),   // shares {a b c, b c d} = 2 → dropped
+        Doc(1, ts(1), "a b c d x"),   // shares {a b c, b c d} with doc A → dropped
         Doc(2, ts(2), "a b c x y"),   // shares {a b c} = 1 → kept
         Doc(3, ts(3), "p q r s t"),   // shares 0 → kept
-        Doc(4, ts(4), "x y"))         // too short for shingles → kept
+        Doc(4, ts(4), "x y"),         // too short for shingles → kept
+        // one shingle with EACH of two eval docs: the per-eval-doc
+        // threshold (batch semantics) keeps it; a pooled union would
+        // wrongly count 2 and drop it
+        Doc(5, ts(5), "a b c z m n o"))
       q.processAllAvailable()
       val ids = spark.table("decontam_out").collect().map(_.getLong(0)).toSet
-      assert(ids == Set(2L, 3L, 4L), s"got $ids")
+      assert(ids == Set(2L, 3L, 4L, 5L), s"got $ids")
     } finally q.stop()
   }
 
@@ -179,14 +214,14 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.streaming.StreamOps.Doc
     import org.apache.spark.sql.functions.col
-    val evalGrams = Seq("a b c", "b c d")
+    val evalDocs = Seq(Seq("a b c", "b c d"))
     val input = MemoryStream[Doc]
     // the three curation stages compose into ONE streaming plan: two
     // stateless stages + the single watermark-bounded dedup state store
     val funnel = StreamOps.dedupStream(
       StreamOps.decontaminateStream(
         StreamOps.gateStream(input.toDF()).filter(col("keep")).drop("keep", "n_tokens"),
-        evalGrams))
+        evalDocs))
     val q = funnel.writeStream.format("memory").queryName("funnel_out")
       .outputMode(OutputMode.Append).start()
     try {
