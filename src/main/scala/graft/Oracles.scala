@@ -623,13 +623,18 @@ object Oracles {
     },
 
     "q42_embedding_stats" ->
-      s"""WITH $embCte
-         |SELECT label, count(*) AS n_vectors,
-         | round(avg(nrm), 6) AS avg_norm,
-         | round(min(nrm), 6) AS min_norm,
-         | round(max(nrm), 6) AS max_norm,
-         | round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0
-         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+      s"""WITH $embCte,
+         | m AS (SELECT label, count(*) AS n_vectors,
+         |   sum(CAST(floor(nrm * 1e9) AS DECIMAL(28,9))) AS nrm_s,
+         |   round(min(nrm), 6) AS min_norm,
+         |   round(max(nrm), 6) AS max_norm,
+         |   sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e9) AS DECIMAL(28,9))) AS c0_s
+         |  FROM e GROUP BY label)
+         |SELECT label, n_vectors,
+         | floor(CAST(nrm_s AS DOUBLE) / 1e9 / n_vectors * 1e6) / 1e6 AS avg_norm,
+         | min_norm, max_norm,
+         | floor(CAST(c0_s AS DOUBLE) / 1e9 / n_vectors * 1e6) / 1e6 AS avg_c0
+         |FROM m ORDER BY label""".stripMargin,
   )
 
   /** q58: signature expression generated from the same hyperplane

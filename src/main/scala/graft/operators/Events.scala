@@ -59,8 +59,7 @@ object Events {
         when(col("prev_ts").isNull ||
           (col("ts").cast("double") - col("prev_ts")) > 1800.0, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("new_session")).over(
-        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         floor(min(col("ts").cast("double"))).cast("long").as("session_start"),

@@ -43,7 +43,11 @@ object Ingest {
       .withColumn("url", format_string(
         "https://dmigw.govcloud.dk/v1/forecastedr/collections/%s/cube?crs=%s&parameter-name=%s&bbox=%s&f=NetCDF",
         col("collection"), col("crs"), col("parameter"),
-        lit(f"$x0%.1f,$y0%.1f,$x1%.1f,$y1%.1f")))
+        // full precision, like the reference's verbatim BBOX env string
+        // (ingestor.py:146): rendering at fixed 1 dp would request a
+        // DIFFERENT box than cubeToLong later filters on, silently
+        // dropping the edge cells between the two
+        lit(s"$x0,$y0,$x1,$y1")))
   }
 
   /** Decode boundary: a staged long-format cube (collection, parameter,
@@ -89,8 +93,8 @@ object Ingest {
     * (ingestor.py:116-118, 219-220). O(partitions), not O(cells). */
   def manifest(longDf: DataFrame, cfg: IngestConfig): DataFrame =
     longDf
-      .groupBy(col("collection"), col("parameter"), col("time_key"))
-      .agg(count(lit(1)).as("n_cells"))
+      .select(col("collection"), col("parameter"), col("time_key"))
+      .distinct()
       .withColumn("url", format_string(
         "https://%s/%s/%s/%s/%s.tif",
         lit(cfg.bucket), lit(cfg.prefix), col("collection"), col("parameter"), col("time_key")))
@@ -103,7 +107,13 @@ object Ingest {
   /** Full pipeline: staged cube → long format → partitioned write →
     * manifest (returned; caller serializes next to the data). */
   def ingest(cube: DataFrame, cfg: IngestConfig, outPath: String): DataFrame = {
-    val longDf = cubeToLong(cube, cfg)
+    // materialize once: the sink AND the manifest consume longDf, and
+    // without this the reproject + filter chain runs twice over every
+    // cell. (Manifest stays over THIS batch's rows, not a read-back of
+    // outPath — dynamic overwrite preserves other parameters' old
+    // partitions there, which must not leak into this batch's manifest.)
+    // At cluster scale substitute persist(StorageLevel.DISK_ONLY).
+    val longDf = cubeToLong(cube, cfg).localCheckpoint()
     writeCube(longDf, outPath)
     manifest(longDf, cfg)
   }

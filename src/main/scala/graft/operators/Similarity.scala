@@ -58,14 +58,19 @@ object Similarity {
   /** [[cosineTopK]] over an explicit probe set — `emb` and `probes` are
     * plain (vec_id, embedding) tables; cost is |probes| × one corpus
     * scan, so a bounded `probes` keeps the exact baseline linear in the
-    * corpus at any scale. */
-  def cosineTopKFrom(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    * corpus at any scale. `excludeSelf` assumes probe vec_ids LIVE IN the
+    * corpus id space (the declared queries' probes are corpus rows) —
+    * pass false for an external probe set whose ids are assigned
+    * independently, or a colliding id would silently drop a legitimate
+    * candidate. */
+  def cosineTopKFrom(emb: DataFrame, probes: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val cand = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       norm(col("embedding")).as("c_nrm"))
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
       norm(col("embedding")).as("p_nrm"))
     val pairs = broadcast(p)
-      .join(cand, col("probe_id") =!= col("cand_id"))
+      .join(cand, if (excludeSelf) col("probe_id") =!= col("cand_id") else lit(true))
       .withColumn("cosine", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -94,8 +99,9 @@ object Similarity {
 
   /** [[annBucketed]] over an explicit probe set (plain (vec_id,
     * embedding) tables both sides) — the bounded-probe-budget dual of
-    * [[cosineTopKFrom]]. */
-  def annBucketedFrom(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    * [[cosineTopKFrom]]; same `excludeSelf` contract. */
+  def annBucketedFrom(emb: DataFrame, probes: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val cand = emb
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("bucket", bucketOf(col("embedding")))
@@ -107,7 +113,8 @@ object Similarity {
     val pairs = broadcast(p)
       .join(cand.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"), col("bucket").as("c_bucket")),
-        col("bucket") === col("c_bucket") && col("probe_id") =!= col("cand_id"))
+        col("bucket") === col("c_bucket") &&
+          (if (excludeSelf) col("probe_id") =!= col("cand_id") else lit(true)))
       .withColumn("cosine", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -177,37 +184,60 @@ object Similarity {
     * signature — the second scale path next to [[annBucketed]]. */
   def rpLshAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    rpLshAnnFrom(emb, gridProbes(emb), kRank = 3)
+  }
+
+  /** [[rpLshAnn]] over an explicit probe set — the bounded-probe-budget
+    * dual, same contract (and `excludeSelf` caveat) as
+    * [[cosineTopKFrom]]. */
+  def rpLshAnnFrom(emb: DataFrame, probes: DataFrame, kRank: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cand = emb
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("sig", rpSignature(col("embedding")))
-    val p = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("sig").as("c_sig"))
+    val p = probes
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("sig", rpSignature(col("embedding")))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"), col("sig"))
     val pairs = broadcast(p)
-      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"), col("sig").as("c_sig")),
-        col("sig") === col("c_sig") && col("probe_id") =!= col("cand_id"))
+      .join(cand, col("sig") === col("c_sig") &&
+        (if (excludeSelf) col("probe_id") =!= col("cand_id") else lit(true)))
       .withColumn("cosine", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     pairs
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= kRank)
       .select(col("probe_id"), col("sig"), col("rank").cast("long").as("rank"),
         col("cand_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("probe_id"), col("rank"))
   }
 
-  /** Per-label embedding statistics — vector aggregation sanity surface. */
-  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+  /** Per-label embedding statistics — vector aggregation sanity surface.
+    * Averages use the repo's decimal-exact-sum rule (floor to 1e-9,
+    * DECIMAL sum, truncate to 6 dp): a plain `avg` over irrational
+    * norms is accumulation-order-dependent and can round differently in
+    * each engine when a group mean lands on a 1e-6 boundary. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val t6 = (c: Column) => floor(c * 1e6) / 1e6
+    val decSum = (c: Column) => sum(floor(c * 1e9).cast("decimal(28,9)"))
     Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("c0", element_at(col("embedding"), 1).cast("double"))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vectors"),
-        round(avg(col("nrm")), 6).as("avg_norm"),
+        decSum(col("nrm")).as("nrm_s"),
         round(min(col("nrm")), 6).as("min_norm"),
         round(max(col("nrm")), 6).as("max_norm"),
-        round(avg(col("c0")), 6).as("avg_c0"))
+        decSum(col("c0")).as("c0_s"))
+      .select(col("label"), col("n_vectors"),
+        t6(col("nrm_s").cast("double") / 1e9 / col("n_vectors")).as("avg_norm"),
+        col("min_norm"), col("max_norm"),
+        t6(col("c0_s").cast("double") / 1e9 / col("n_vectors")).as("avg_c0"))
       .orderBy(col("label"))
+  }
 }

@@ -77,6 +77,10 @@ object Temporal {
     left.join(right, Seq("bucket"))
       .filter(col("e1") < col("e2") && col("type1") =!= col("type2") &&
         abs(col("t2") - col("t1")) <= 60.0)
+      // (type1, type2) is ORIENTED by the e1 < e2 dedup filter, so one
+      // unordered type pair can appear as two rows; the oracle mirrors
+      // this exactly. An unordered census would group on
+      // least/greatest(type1, type2) instead.
       .groupBy(col("type1"), col("type2"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("type1"), col("type2"))

@@ -17,9 +17,10 @@ import graft.sources.Tables
   */
 object Text {
 
-  /** Single-space tokenizer shared by every operator (empty tokens dropped
-    * so double spaces can't skew counts). */
-  private def toks = filter(split(col("text"), " "), t => length(t) > 0)
+  /** THE shared whitespace tokenizer ([[Dedup.toks]]) — delegated, not
+    * re-defined, so text stats can never disagree with dedup/curation on
+    * what a token is. */
+  private def toks = Dedup.toks
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "data")
 
@@ -49,18 +50,23 @@ object Text {
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("sum_len",
         aggregate(transform(col("toks"), t => length(t)), lit(0L), (acc, x) => acc + x.cast("long")))
+      // n_tokens = 0 guard (empty/whitespace-only doc): emit null, not
+      // the IEEE NaN a double 0/0 produces — NaN poisons downstream
+      // threshold filters and hashes differently from DuckDB's result
       .withColumn("avg_token_len",
-        round(col("sum_len").cast("double") / col("n_tokens"), 6))
+        when(col("n_tokens") > 0,
+          round(col("sum_len").cast("double") / col("n_tokens"), 6)))
       .withColumn("stop_hits",
         size(filter(col("toks"), t => array_contains(stops, t))).cast("long"))
       .withColumn("stop_ratio",
-        round(col("stop_hits").cast("double") / col("n_tokens"), 6))
+        when(col("n_tokens") > 0,
+          round(col("stop_hits").cast("double") / col("n_tokens"), 6)))
       .withColumn("punct_count",
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
-      .withColumn("quality", round(
+      .withColumn("quality", when(col("n_tokens") > 0, round(
         lit(0.5) * (col("stop_hits").cast("double") / col("n_tokens")) +
           lit(0.3) / (lit(1.0) + abs(col("sum_len").cast("double") / col("n_tokens") - lit(5.0))) +
-          lit(0.2) * least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)), 6))
+          lit(0.2) * least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)), 6)))
       .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio", "punct_count", "quality")
       .orderBy("doc_id")
   }
@@ -98,7 +104,8 @@ object Text {
       .withColumn("n_bpe_tokens",
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)))
       .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "chars_per_token")
       .orderBy("doc_id")
 
