@@ -9,31 +9,39 @@ import graft.functions.expressions.{MinhashSigExpr, RpSignatureExpr, Sha256Prefi
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (done by Verify, Bench, and the test harness). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Arity-checked builder: a wrong argument count must fail analysis
+    * with a real message, not IndexOutOfBounds — and extra arguments
+    * must never be silently dropped. */
+  private def arity(name: String, n: Int)(build: Seq[Expr] => Expr): Seq[Expr] => Expr =
+    children => {
+      require(children.size == n,
+        s"$name expects $n argument(s), got ${children.size}")
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("sha256_prefix32"),
       new ExpressionInfo(classOf[Sha256Prefix32Expr].getName, "sha256_prefix32"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Sha256Prefix32Expr(children.head)))
+      arity("sha256_prefix32", 1)(c => Sha256Prefix32Expr(c.head))))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCountExpr].getName, "sorted_intersect_count"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SortedIntersectCountExpr(children.head, children(1))))
+      arity("sorted_intersect_count", 2)(c => SortedIntersectCountExpr(c.head, c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig16"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig16"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinhashSigExpr(children.head)))
+      arity("minhash_sig16", 1)(c => MinhashSigExpr(c.head))))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDotExpr(children.head, children(1))))
+      arity("vec_dot", 2)(c => VecDotExpr(c.head, c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("rp_signature64"),
       new ExpressionInfo(classOf[RpSignatureExpr].getName, "rp_signature64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RpSignatureExpr(children.head)))
+      arity("rp_signature64", 1)(c => RpSignatureExpr(c.head))))
   }
 }

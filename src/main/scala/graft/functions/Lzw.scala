@@ -106,7 +106,13 @@ object Lzw {
         val entry: Array[Byte] =
           if (code < 256) Array((code & 0xff).toByte)
           else if (code < next && table(code) != null) table(code)
-          else prev :+ prev(0) // the KwKwK case
+          else {
+            // KwKwK needs a previous string; reaching here without one
+            // means the stream is corrupt (e.g. first code after Clear
+            // is >= 258) — fail clean, not with a NullPointerException
+            require(prev != null, s"corrupt LZW stream: code $code before any literal")
+            prev :+ prev(0)
+          }
         emit(entry)
         if (prev != null && next < 4096) {
           table(next) = prev :+ entry(0)

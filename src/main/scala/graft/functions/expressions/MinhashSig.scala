@@ -35,16 +35,23 @@ object MinhashSig {
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val mins = Array.fill(K)(Long.MaxValue)
     var i = 0
+    var nonNull = 0
     while (i < n) {
-      val h = hps.getLong(i)
-      var k = 0
-      while (k < K) {
-        val v = (A(k) * h + B(k)) % P
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      // skip null slots (array_min skips nulls too; reading one via
+      // getLong would hash a phantom h=0 into every permutation)
+      if (!hps.isNullAt(i)) {
+        nonNull += 1
+        val h = hps.getLong(i)
+        var k = 0
+        while (k < K) {
+          val v = (A(k) * h + B(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }
+    if (nonNull == 0) return new GenericArrayData(Array.emptyLongArray)
     new GenericArrayData(mins)
   }
 }

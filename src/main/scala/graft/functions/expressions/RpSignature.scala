@@ -32,15 +32,22 @@ object RpSignature {
 
   def sign(v: ArrayData): Long = {
     val n = v.numElements()
+    val d = if (n < 64) n else 64
+    // a null slot folds every plane's dot product to null in the unrolled
+    // Column formulation; `when(null > 0)` is false there, so ALL bits
+    // come out clear — mirror that exactly
+    var i = 0
+    while (i < d) { if (v.isNullAt(i)) return 0L; i += 1 }
     var sig = 0L
     var j = 0
     while (j < planes.length) {
       val h = planes(j)
-      val d = if (n < h.length) n else h.length
       var acc = 0.0
-      var i = 0
+      i = 0
       while (i < d) { acc += v.getFloat(i).toDouble * h(i); i += 1 }
-      if (acc > 0.0) sig |= (1L << j)
+      // NaN sets the bit: both Spark SQL and DuckDB order NaN above every
+      // number, so their `acc > 0.0` is true where Java's is false
+      if (acc > 0.0 || java.lang.Double.isNaN(acc)) sig |= (1L << j)
       j += 1
     }
     sig

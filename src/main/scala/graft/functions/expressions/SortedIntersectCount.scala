@@ -26,10 +26,17 @@ object SortedIntersectCount {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { c += 1L; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      // skip null slots: reading one via getLong would yield 0 and could
+      // FALSE-MATCH a genuine 0 hash on the other side (callers build
+      // these arrays from non-null hashes, so this is dirty-data armor)
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1L; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     c
   }

@@ -24,14 +24,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * are ignored (the engine only ever compares same-dimension vectors).
   */
 object VecDot {
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  /** Boxed so a null element can yield null, exactly like the composed
+    * fold (a null slot nulls the zip_with product, which nulls the
+    * aggregate sum). The box is one allocation per CALL, dwarfed by the
+    * 64-float loop it wraps, and typically scalarized by the JIT. */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0; var acc = 0.0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }
 
@@ -48,13 +53,20 @@ case class VecDotExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VecDot.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.expressions.VecDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("vecDot")
+      s"""
+         |java.lang.Double $boxed = graft.functions.expressions.VecDot.dotOrNull($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDotExpr =

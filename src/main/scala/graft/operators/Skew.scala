@@ -17,9 +17,11 @@ import graft.sources.Tables
   */
 object Skew {
 
-  /** Deterministic scatter: salt from the row's other columns would risk
-    * correlation; a uniform pseudo-random assignment from the key plus a
-    * per-row discriminator keeps buckets balanced. */
+  /** Deterministic scatter: the salt hashes the DISCRIMINATOR column only
+    * (not the join key — hashing the key would send a hot key's rows to
+    * one salt and defeat the whole point). Choose a high-cardinality
+    * discriminator (a row id): a low-cardinality one collapses the
+    * scatter the same way. */
   private def saltCol(discriminator: Column, nSalts: Int): Column =
     pmod(xxhash64(discriminator), lit(nSalts.toLong))
 

@@ -159,4 +159,49 @@ class ExpressionSpec extends SparkSpec {
     assert(r(0).getLong(0) == 0L && r(1).getLong(0) == 0L && r(2).getLong(0) == 3L)
     assert(r(3).isNullAt(0))
   }
+
+  test("kernel edge semantics: null elements and NaN match the builtins") {
+    import spark.implicits._
+    // sorted_intersect_count: a null slot must not false-match a real 0
+    val sic = Seq((Seq[Option[Long]](Some(0L), Some(5L)), Seq[Option[Long]](None, Some(5L))))
+      .toDF("a", "b").selectExpr("sorted_intersect_count(a, b) AS c").head()
+    assert(sic.getLong(0) == 1L, "null slot must not match hash 0")
+    // vec_dot: a null element nulls the result, like the composed fold
+    val vd = Seq((Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(2f), Some(3f))))
+      .toDF("a", "b")
+      .withColumn("fast", expr("vec_dot(a, b)"))
+      .withColumn("slow", aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .head()
+    assert(vd.isNullAt(2) && vd.isNullAt(3), s"expected null/null, got $vd")
+    // rp_signature64: NaN dot products set the bit (Spark/DuckDB order
+    // NaN above every number), so an all-NaN vector signs 0xFF
+    val nan = Seq(Seq.fill(64)(Float.NaN)).toDF("embedding")
+      .selectExpr("rp_signature64(embedding) AS s").head().getLong(0)
+    assert(nan == 0xFFL, s"NaN dots must set all 8 bits, got $nan")
+    // rp_signature64: a null element clears every bit, like the unrolled
+    // when(null > 0) formulation
+    val nul = Seq(Seq[Option[Float]](None) ++ Seq.fill(63)(Option(1f))).toDF("embedding")
+      .selectExpr("rp_signature64(embedding) AS s").head().getLong(0)
+    assert(nul == 0L, s"null element must clear the signature, got $nul")
+    // minhash_sig16: null slots are skipped, like array_min
+    val mh = Seq((Seq[Option[Long]](Some(42L), None), Seq[Option[Long]](Some(42L))))
+      .toDF("a", "b")
+      .selectExpr("minhash_sig16(a) AS sa", "minhash_sig16(b) AS sb").head()
+    assert(mh.getSeq[Long](0) == mh.getSeq[Long](1), "null slot must not perturb the minima")
+  }
+
+  test("registered functions reject wrong arity with a clear message") {
+    import spark.implicits._
+    val df = Seq((Seq(1L), Seq(2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.selectExpr("sorted_intersect_count(a, b, a)").collect()
+    }
+    assert(e.getMessage.contains("expects 2 argument"), e.getMessage)
+    val e2 = intercept[Exception] {
+      df.selectExpr("vec_dot(a)").collect()
+    }
+    assert(e2.getMessage.contains("expects 2 argument"), e2.getMessage)
+  }
 }
