@@ -932,6 +932,25 @@ object Oracles {
          |SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id
          |FROM r WHERE rk <= 3 ORDER BY lang, source, rk""".stripMargin,
 
+    // q93: the coin divides the 32-bit hash by 2^32 (exact in doubles),
+    // and quality is rounded to 6 dp on both sides, so the comparison is
+    // engine-identical — same determinism defense as q89's epoch coin.
+    "q93_weighted_sample" ->
+      s"""WITH $toksCte,
+         | m AS (SELECT doc_id,
+         |   CAST(len(toks) AS BIGINT) AS n_tokens,
+         |   CAST(list_aggregate(list_transform(toks, s -> len(s)), 'sum') AS BIGINT) AS sum_len,
+         |   CAST(len(list_filter(toks, s -> list_contains($stopList, s))) AS BIGINT) AS stop_hits
+         |  FROM t),
+         | q AS (SELECT doc_id,
+         |   round(0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+         |     + 0.3 / (1.0 + abs(CAST(sum_len AS DOUBLE) / n_tokens - 5.0))
+         |     + 0.2 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0), 6) AS quality
+         |  FROM m)
+         |SELECT doc_id, quality FROM q
+         |WHERE CAST(${dHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < quality
+         |ORDER BY doc_id""".stripMargin,
+
     "q70_kmeans_assign" ->
       s"""WITH $embCte,
          | c AS (SELECT vec_id AS cluster_id, embedding AS cvec, nrm AS cnrm

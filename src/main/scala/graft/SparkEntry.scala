@@ -111,6 +111,7 @@ object SparkEntry {
     "q90_filter_calibration" -> (Curation.filterCalibration _),
     "q91_chunk_dedup" -> (Curation.chunkDedup _),
     "q92_salted_join" -> (Skew.saltedJoinQuery _),
+    "q93_weighted_sample" -> (Curation.weightedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -144,6 +144,26 @@ object Curation {
       .orderBy(col("lang"), col("source"), col("rk"))
   }
 
+  /** q93: quality-weighted Bernoulli sampling — keep each document with
+    * probability equal to its quality score via a value-derived hash
+    * coin (u = sha256_prefix32(doc_id) / 2³² < quality). The DCLM-style
+    * quality-weighted downsampling step that sits between hard gating
+    * (keep/drop, q66) and uniform sampling (q69): better documents
+    * survive proportionally more often, and the decision replays
+    * identically in any engine — no `rand()`, same defense as q89's
+    * epoch coin. The coin divides by a power of two, so u is EXACT in
+    * both engines and the comparison can't straddle a rounding boundary.
+    *
+    * Scale shape: quality features and the coin are per-row expressions
+    * over one narrow scan — zero shuffles except the output sort. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Text.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .filter(
+        Hashing.h32(col("doc_id").cast("string")).cast("double") / lit(4294967296.0)
+          < col("quality"))
+      .orderBy(col("doc_id"))
+
   /** q70: k-means assignment step — every embedding assigned to its
     * nearest of 8 fixed centroids (the vectors with vec_id < 8) by
     * cosine; per-cluster size and cosine envelope. One Lloyd iteration's

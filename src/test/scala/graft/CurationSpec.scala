@@ -37,6 +37,22 @@ class CurationSpec extends SparkSpec {
     assert(work32 < work8, s"expected less pair work at k=32: $work32 !< $work8")
   }
 
+  test("weighted sample is deterministic and biased toward quality") {
+    val q = graft.operators.Text.textQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+    val kept = Curation.weightedSample(spark, sfDir)
+    val nKept = kept.count(); val nAll = q.count()
+    // a Bernoulli keep with p = quality thins the corpus, never empties it
+    assert(nKept > 0 && nKept < nAll, s"kept $nKept of $nAll")
+    // value-derived coin: identical output on every evaluation
+    assert(Curation.weightedSample(spark, sfDir).exceptAll(kept).count() == 0L)
+    // survivors must average HIGHER quality than the full corpus — the
+    // whole point of weighting the coin by the score
+    val avgAll = q.agg(avg(col("quality"))).head().getDouble(0)
+    val avgKept = kept.agg(avg(col("quality"))).head().getDouble(0)
+    assert(avgKept > avgAll, s"kept avg $avgKept !> corpus avg $avgAll")
+  }
+
   test("an empty pair table yields empty clusters, not a crash") {
     // a pre-deduped corpus produces zero LSH pairs; the label-propagation
     // fixpoint must converge immediately on the empty graph
