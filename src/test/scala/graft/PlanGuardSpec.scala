@@ -64,13 +64,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(plans("q55_range_join").contains("BroadcastHashJoin"))
   }
 
-  test("q36 minhash signatures shuffle only for the deterministic output sort") {
-    // the per-row native kernel needs ZERO shuffles; the single Exchange
-    // is the rangepartitioning the oracle's orderBy requires
-    val p = plans("q36_minhash_sig")
-    val exchanges = "Exchange \\w+".r.findAllIn(p).toSeq
-    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
-      s"expected one range-sort exchange, got $exchanges:\n$p")
+  test("per-row kernel queries shuffle only for the deterministic output sort") {
+    // q36 (minhash) and q93 (weighted sample) are single narrow scans —
+    // the one Exchange each is the rangepartitioning the oracle's
+    // orderBy requires, nothing else
+    for (q <- Seq("q36_minhash_sig", "q93_weighted_sample")) {
+      val exchanges = "Exchange \\w+".r.findAllIn(plans(q)).toSeq
+      assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+        s"$q: expected one range-sort exchange, got $exchanges:\n${plans(q)}")
+    }
   }
 
   test("column pruning: no plan reads the wide TPC-H comment columns") {
