@@ -22,7 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Empty input yields an empty result (callers filter `size(toks) >= 3`
   * first, matching the aggregation shape which emits no row for an empty
-  * group).
+  * group). An ALL-NULL non-empty input yields the same empty result by
+  * convention: it carries zero usable shingles, exactly like an empty
+  * array, so both degenerate shapes collapse to one sentinel. A
+  * per-permutation `array_min` composition would instead produce 16 null
+  * minima, but this expression declares `containsNull = false`, and no
+  * caller can observe the difference: every consumer filters
+  * `size(toks) >= 3` first and hashes non-null tokens, so null slots
+  * never reach the kernel in a query path. The convention is pinned in
+  * ExpressionSpec's edge-semantics test.
   */
 object MinhashSig {
   private val P = graft.functions.Hashing.P
@@ -51,6 +59,7 @@ object MinhashSig {
       }
       i += 1
     }
+    // all-null collapses to the empty-array sentinel (see scaladoc)
     if (nonNull == 0) return new GenericArrayData(Array.emptyLongArray)
     new GenericArrayData(mins)
   }

@@ -67,13 +67,22 @@ object StreamOps {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            // min/max, not overwrite: a LATER microbatch can deliver an
-            // in-watermark event older than s.last — taking last = t
-            // there would rewind the activity horizon and falsely split
-            // the session on the next on-time event
+          case Some(s) if t - s.last <= gapMs && s.start - t <= gapMs =>
+            // merge only when t is within the gap of the session INTERVAL
+            // [start, last] on both sides. min/max, not overwrite: a LATER
+            // microbatch can deliver an in-watermark event older than
+            // s.last — taking last = t there would rewind the activity
+            // horizon and falsely split the session on the next on-time
+            // event
             cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
               s.n + 1, s.sum + e.value))
+          case Some(s) if s.start - t > gapMs =>
+            // in-watermark straggler preceding the open session's start by
+            // MORE than the gap: the batch dual (Events.sessionize) puts a
+            // >gap silence between them and emits two sessions, so absorb
+            // it as its own already-closed earlier session and leave the
+            // open state untouched (no start rewind across the silence)
+            out ::= SessionOut(userId, t / 1000, 1, e.value)
           case Some(s) =>
             out ::= SessionOut(userId, s.start / 1000, s.n, s.sum)
             cur = Some(SessionState(t, t, 1, e.value))

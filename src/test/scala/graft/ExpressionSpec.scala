@@ -190,6 +190,15 @@ class ExpressionSpec extends SparkSpec {
       .toDF("a", "b")
       .selectExpr("minhash_sig16(a) AS sa", "minhash_sig16(b) AS sb").head()
     assert(mh.getSeq[Long](0) == mh.getSeq[Long](1), "null slot must not perturb the minima")
+    // minhash_sig16: an ALL-NULL non-empty array collapses to the same
+    // empty-signature sentinel as an empty array (documented convention —
+    // the expression declares containsNull=false, so the 16-null-minima
+    // shape of a composed array_min is not representable, and callers
+    // filter degenerate docs before the kernel anyway)
+    val mhNull = Seq(Seq[Option[Long]](None, None)).toDF("a")
+      .selectExpr("minhash_sig16(a) AS s").head()
+    assert(mhNull.getSeq[Long](0).isEmpty,
+      "all-null input must yield the empty-signature sentinel")
   }
 
   test("registered functions reject wrong arity with a clear message") {

@@ -127,6 +127,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization emits a straggler beyond the gap as its own session") {
+    // an in-watermark event that PRECEDES the open session's start by more
+    // than the gap must not be absorbed (that would rewind session_start
+    // across a >gap silence); the batch dual emits two sessions there
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("sess_straggler_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: on-time event at min 100 opens a session
+      input.addData(Ev(1, ts(100), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: straggler at min 60 — inside the 1 h watermark (40 min
+      // late) but 40 min > 30 min gap BEFORE the open session's start →
+      // its own immediately-emitted session; open state untouched
+      input.addData(Ev(2, ts(60), 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 3: min 120 — 20 min after last activity, SAME open session
+      input.addData(Ev(3, ts(120), 1, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Ev(9, ts(500), 2, "click", 0.5)) // advance watermark
+      q.processAllAvailable()
+      input.addData(Ev(10, ts(900), 2, "click", 0.5)) // fire the timeout
+      q.processAllAvailable()
+      val rows = spark.table("sess_straggler_out").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((60L * 60, 1L, 2.0), (100L * 60, 2L, 5.0)),
+        s"expected straggler session + unrewound main session, got $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
