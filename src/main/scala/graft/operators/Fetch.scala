@@ -29,15 +29,33 @@ object Fetch {
     def ok: Boolean = result.isRight
   }
 
+  /** Staged-bytes validation at the FETCH boundary. The DMI EDR API can
+    * serve NetCDF-4 — an HDF5 container (magic `\x89HDF`) the classic
+    * codec cannot decode — and R17's skip semantics say an undecodable
+    * parameter must be SKIPPED here (error recorded, old partitions
+    * preserved), exactly like an HTTP failure, rather than surfacing as a
+    * decode throw later in the job. Returns the rejection message, or
+    * None when the bytes may proceed to decode. A future NetCDF-4 subset
+    * reader only needs to narrow this guard (and widen [[decodeAuto]]) —
+    * callers are unaffected. */
+  def containerGuard(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F')
+      Some("unsupported container: NetCDF-4/HDF5 (classic CDF-1/2/5 only); parameter skipped")
+    else None
+
   /** GET every (parameter, url) in the request plan, isolating failures
-    * per parameter — the reference's try/except loop. Never throws. */
-  def fetchAll(plan: Seq[(String, String)]): Seq[FetchOutcome] =
+    * per parameter — the reference's try/except loop. Staged bytes pass
+    * through `validate` (default [[containerGuard]]): a rejection is a
+    * per-parameter failure, same as an HTTP error. Never throws. */
+  def fetchAll(plan: Seq[(String, String)],
+               validate: Array[Byte] => Option[String] = containerGuard): Seq[FetchOutcome] =
     plan.map { case (param, url) =>
       val result = Try {
         val in = new java.net.URI(url).toURL.openStream()
         try in.readAllBytes() finally in.close()
       } match {
-        case Success(bytes) => Right(bytes)
+        case Success(bytes) => validate(bytes).toLeft(bytes)
         case Failure(e) => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       FetchOutcome(param, url, result)

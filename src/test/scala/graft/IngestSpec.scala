@@ -158,6 +158,49 @@ class IngestSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("NetCDF-4/HDF5 bytes are skipped at the fetch boundary (R17)") {
+    // the DMI API can serve NetCDF-4; the classic codec can't decode it.
+    // R17 semantics: the parameter is SKIPPED at the fetch boundary (error
+    // recorded, job completes, old partitions intact) — never a mid-job
+    // decode throw.
+    import graft.operators.Fetch
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hdf5")
+    val out = tmp.resolve("out").toString
+    def fixture(name: String, bytes: Array[Byte]): String = {
+      val f = tmp.resolve(name)
+      java.nio.file.Files.write(f, bytes)
+      f.toUri.toString
+    }
+    val cfg2 = cfg.copy(parameters = Seq("sea-mean-deviation", "wind-speed"))
+    val seaV1 = fixture("sea_v1.csv",
+      "time,x,y,value\n2024-01-01 00:00:00,11.6,55.6,1.5".getBytes)
+    // round 1: both parameters publish classic-decodable output
+    val (mf1, o1) = Fetch.fetchAndIngest(spark, cfg2,
+      Seq("sea-mean-deviation" -> seaV1, "wind-speed" -> fixture("wind_v1.csv",
+        "time,x,y,value\n2024-01-01 00:00:00,11.7,55.7,7.0".getBytes)), out)
+    assert(o1.forall(_.ok) && mf1.get.count() == 2)
+    // round 2: sea now serves an HDF5 container (real HDF5 superblock
+    // magic + filler), wind serves a new value
+    val hdf5 = fixture("sea_v2.nc4",
+      Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n') ++
+        Array.fill[Byte](64)(0))
+    val (mf2, o2) = Fetch.fetchAndIngest(spark, cfg2,
+      Seq("sea-mean-deviation" -> hdf5, "wind-speed" -> fixture("wind_v2.csv",
+        "time,x,y,value\n2024-01-01 00:00:00,11.7,55.7,9.0".getBytes)), out)
+    // job completed; the HDF5 parameter is a recorded per-parameter skip
+    val sea2 = o2.find(_.parameter == "sea-mean-deviation").get
+    assert(!sea2.ok && sea2.result.left.exists(_.contains("NetCDF-4/HDF5")),
+      s"expected an unsupported-container skip, got $sea2")
+    assert(mf2.get.collect().map(_.getString(1)).sameElements(Array("wind-speed")))
+    // the skipped parameter's ROUND-1 partitions are untouched
+    val back = spark.read.parquet(out)
+    val sea = back.filter(col("parameter") === "sea-mean-deviation").collect()
+    assert(sea.length == 1 && sea(0).getAs[Double]("value") == 1.5)
+    assert(back.filter(col("parameter") === "wind-speed").head()
+      .getAs[Double]("value") == 9.0)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("full reference-pipeline parity: fetch -> decode -> long -> parquet + COG bands + manifest") {
     import graft.operators.Fetch
     import graft.sources.GeoTiff
