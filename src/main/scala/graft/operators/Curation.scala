@@ -498,11 +498,25 @@ object Curation {
     * repeated work as a per-query-isolation artifact — this entry point
     * is that claim as code, asserted equivalent in CurationSpec).
     * localCheckpoint is executor-local; at cluster scale substitute
-    * persist(StorageLevel.DISK_ONLY) or write the pair table to a
-    * parquet sink (it is duplicate-count-sized, tiny next to the
-    * corpus). */
+    * persist(StorageLevel.DISK_ONLY) or stage it durably via
+    * [[persistPairTable]]. */
   def pairTable(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshNearDup(spark, dir).localCheckpoint()
+
+  /** [[pairTable]], durably: write the verified pair table to a parquet
+    * sink and return the re-read frame. localCheckpoint is executor-local
+    * state that dies with the executors; a deployment that wants the pair
+    * table to survive restarts — or to feed later jobs without re-running
+    * the LSH pass — stages it here instead. The table is
+    * duplicate-count-sized (one row per verified near-dup pair), orders
+    * of magnitude smaller than the corpus, so the sink is one tiny
+    * parquet dataset. Every `*From` consumer is staging-indifferent:
+    * CurationSpec asserts q80/q82/q87 outputs from the re-read table are
+    * identical to the recompute-per-query isolation results. */
+  def persistPairTable(spark: SparkSession, dir: String, sink: String): DataFrame = {
+    Dedup.lshNearDup(spark, dir).write.mode("overwrite").parquet(sink)
+    spark.read.parquet(sink)
+  }
 
   /** [[nearDupClusters]] over an existing pair table ([[pairTable]]). */
   def nearDupClustersFrom(pairs: DataFrame): DataFrame =

@@ -79,6 +79,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pairTable survives a parquet round-trip: q80/q82/q87 identical from the sink") {
+    // the durable deployment entry: localCheckpoint dies with the
+    // executors, so persistPairTable stages the (duplicate-count-sized)
+    // pair table in parquet — consumers must be provably indifferent
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pairs")
+    val sink = tmp.resolve("pairs.parquet").toString
+    val reread = Curation.persistPairTable(spark, sfDir, sink)
+    // the sink really is the source: a fresh read, not lineage reuse
+    assert(new java.io.File(sink).exists())
+    val docs = Tables.documents(spark, sfDir)
+    val fromSink = Seq(
+      Curation.nearDupClustersFrom(reread),
+      Curation.clusterRepsFrom(reread, docs),
+      Curation.crossSourceDupsFrom(reread, docs))
+    val isolated = Seq(
+      Curation.nearDupClusters(spark, sfDir),
+      Curation.clusterReps(spark, sfDir),
+      Curation.crossSourceDups(spark, sfDir))
+    fromSink.zip(isolated).foreach { case (a, b) =>
+      assert(a.columns.sameElements(b.columns))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("repetition ratio: bounded, and the plan has no shuffle at all") {
     val df = Curation.repetitionRatio(spark, sfDir)
     df.collect().foreach { r =>
