@@ -75,6 +75,38 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("exchange budgets hold for the top-cost queries") {
+    // The bench host's ambient load swings totals by ~20 s at identical
+    // code, so formulation regressions in the most expensive queries are
+    // caught STRUCTURALLY: each plan's shuffle-exchange count (broadcasts
+    // excluded — they move dim/probe/verify sides, not the corpus) is
+    // pinned at its audited value. A new exchange here means a new corpus
+    // shuffle — at 100 TB that is the regression, whatever the clock says.
+    def shuffles(q: String): Int =
+      "(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)"
+        .r.findAllMatchIn(plans(q)).length
+    val budgets = Map(
+      // exact-Jaccard baseline: explode→distinct agg, pair-group agg,
+      // verify broadcast joins, output range sort (two-exchange core is a
+      // measured choice over the single-exchange variant, Dedup.scala)
+      "q35_jaccard_neardup" -> 4,
+      // LSH pairs feed the checkpointed label fixpoint; final plan = one
+      // cluster agg + output sort
+      "q80_neardup_clusters" -> 2,
+      "q82_cluster_reps" -> 2,
+      // three tokenize sub-plans joined doc-aligned + funnel rollup
+      "q78_curation_funnel" -> 9,
+      // capped char-gram baseline: round-robin rebalance of the capped
+      // doc set + output sort; the pair loop itself broadcasts
+      "q60_chargram_neardup" -> 2)
+    val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
+      val n = shuffles(q)
+      if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
+    }
+    assert(over.isEmpty, over.mkString("; ") + "\n" +
+      over.map(o => plans(o.takeWhile(_ != ':'))).mkString("\n----\n"))
+  }
+
   test("column pruning: no plan reads the wide TPC-H comment columns") {
     // no declared query touches *_comment — if one ever shows up in a
     // ReadSchema the scan stopped pruning (e.g. a select(*) before a join)
