@@ -122,13 +122,66 @@ pq.write_table(
     f"{OUT}/embeddings.parquet",
 )
 
-# ---- the remaining tables stay at sf0.1 (doc/embedding queries only) ----
-for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"]:
+# ---- facts: orders/lineitem/events at 10x (round 8) ---------------------
+# Replication with key shifting, not resampling: copy k shifts every
+# order key by k*ORDER_SPAN (and the lineitem side identically), so
+# referential integrity holds exactly and every per-key distribution is
+# preserved — each customer simply owns 10x orders, which is how TPC-H
+# facts grow against slower-growing dims. Events additionally shift ts by
+# k*(span + 1h) so the timeline EXTENDS (constant per-window density, 10x
+# windows/sessions per user) instead of densifying one month 10x.
+# pyarrow, not duckdb COPY: the physical column types must survive
+# byte-for-byte (orders/lineitem timestamp[ms]; events timestamp[ns],
+# which the engine reads as raw int64 nanos).
+
+
+def _replicate(table, shift):
+    src = pq.read_table(f"{SRC}/{table}.parquet")
+    src = src.replace_schema_metadata(None)
+    copies = [shift(src, k) for k in range(SCALE)]
+    dst = f"{OUT}/{table}.parquet"
+    if os.path.islink(dst):  # earlier rounds symlinked the sf0.1 table
+        os.unlink(dst)
+    pq.write_table(pa.concat_tables(copies), dst)
+
+
+def _shift_col(tbl, name, delta):
+    i = tbl.schema.get_field_index(name)
+    col = tbl.column(name)
+    typ = col.type
+    shifted = pa.compute.add(col.cast(pa.int64()), delta).cast(typ)
+    return tbl.set_column(i, tbl.schema.field(i), shifted)
+
+
+ORDER_SPAN = 1 + con.execute(
+    f"SELECT max(o_orderkey) FROM '{SRC}/orders.parquet'"
+).fetchone()[0]
+_replicate("orders", lambda t, k: _shift_col(t, "o_orderkey", k * ORDER_SPAN))
+_replicate("lineitem", lambda t, k: _shift_col(t, "l_orderkey", k * ORDER_SPAN))
+
+EVENT_SPAN = 1 + con.execute(
+    f"SELECT max(event_id) FROM '{SRC}/events.parquet'"
+).fetchone()[0]
+ts_lo, ts_hi = con.execute(
+    f"SELECT min(ts), max(ts) FROM '{SRC}/events.parquet'"
+).fetchone()
+TS_STEP_NS = int((ts_hi - ts_lo).total_seconds() * 1e9) + 3_600_000_000_000
+_replicate(
+    "events",
+    lambda t, k: _shift_col(
+        _shift_col(t, "event_id", k * EVENT_SPAN), "ts", k * TS_STEP_NS
+    ),
+)
+
+# ---- the dimension tables stay at sf0.1 ---------------------------------
+for t in ["region", "nation", "customer", "supplier", "part"]:
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
 
 print(
     f"sf1: {n_docs} docs (p_exact={p_exact:.4f}, p_near={p_near}), "
-    f"{n_vecs} vecs, mean_len={statistics.mean(doc_lens):.1f}"
+    f"{n_vecs} vecs, mean_len={statistics.mean(doc_lens):.1f}, "
+    f"facts 10x: orders/lineitem (key shift {ORDER_SPAN}), "
+    f"events (ts step {TS_STEP_NS} ns)"
 )
