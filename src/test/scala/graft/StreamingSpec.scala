@@ -322,6 +322,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: windows emit exactly once across three runs") {
+    // round 7 fixed the writeWindowed query leak that kept checkpoints
+    // locked; this pins the recovery behavior itself — a restarted query
+    // resumes from the checkpointed offsets + state and never re-emits an
+    // already-finalized window
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+    // raw events layout (ts as int64 nanos — eventsStream owns conversion)
+    def stage(rows: (Long, Long, String, Double)*): Unit =
+      rows.map { case (id, min, typ, v) =>
+        (id, min * 60L * 1000000000L, 1L, typ, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+    def run(): Unit = StreamOps.writeWindowed(
+      StreamOps.windowedCounts(StreamOps.eventsStream(spark, src)), out, ckpt)
+    def sink() = spark.read.schema(
+      "window_start TIMESTAMP, event_type STRING, n_events BIGINT, sum_value DOUBLE")
+      .parquet(out).collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1)) -> r.getLong(2))
+    // run 1: three events, two windows — watermark (max 11min − 1h) < 0,
+    // nothing finalizes yet
+    stage((1, 1, "click", 1.0), (2, 2, "click", 2.0), (3, 11, "view", 3.0))
+    run()
+    // run 2 (RESTART): one event at min 200 pushes the watermark to 140 —
+    // windows 0 and 10 finalize and emit
+    stage((4, 200, "click", 4.0))
+    run()
+    val afterTwo = sink()
+    assert(afterTwo.toMap == Map((0L, "click") -> 2L, (10L, "view") -> 1L),
+      s"run 2 should finalize exactly windows 0 and 10: ${afterTwo.mkString(";")}")
+    // run 3 (RESTART): watermark to 340 — window 200 finalizes; windows
+    // 0/10 must NOT re-emit (their state was evicted, offsets committed)
+    stage((5, 400, "click", 5.0))
+    run()
+    val finals = sink()
+    assert(finals.length == 3, s"duplicate emission across restarts: ${finals.mkString(";")}")
+    assert(finals.toMap == Map(
+      (0L, "click") -> 2L, (10L, "view") -> 1L, (200L, "click") -> 1L),
+      finals.mkString(";"))
+  }
+
   test("file-source stream over the events directory produces same totals as batch") {
     // copy a small slice of events parquet into a staging dir, stream it
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
