@@ -61,6 +61,16 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // Ambient host load swings the total 42-62 s at identical code
+    // (measured round 7); snapshotting /proc/loadavg at run start/end
+    // lets a later round adjudicate noise vs regression from the
+    // committed artifact alone, without a judge re-run.
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3).mkString(" ")
+      catch { case _: Exception => "" }
+    val loadStart = loadavg()
+
     // warmup: touch every table (schema-declared readers — the raw events
     // file has a nanos timestamp Spark won't infer), exercise codegen once
     import graft.sources.Tables
@@ -112,8 +122,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = math.rint(results.collect { case (_, Right(vs)) => median(vs) }.sum * 1000) / 1000
     val nErr = results.count(_._2.isLeft)
+    val loadEnd = loadavg()
     def line(short: Boolean) =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"queries":${entries(short)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":${entries(short)},"sf":"$sfDir"}"""
     // Full query names → BENCH_LOCAL.json (committed per round); the stdout
     // line uses the qNN short keys and 3-decimal times so the whole line
     // fits the driver's bounded stdout-tail capture (the r2/r3 full-name
