@@ -30,18 +30,20 @@ object Fetch {
   }
 
   /** Staged-bytes validation at the FETCH boundary. The DMI EDR API can
-    * serve NetCDF-4 — an HDF5 container (magic `\x89HDF`) the classic
-    * codec cannot decode — and R17's skip semantics say an undecodable
-    * parameter must be SKIPPED here (error recorded, old partitions
-    * preserved), exactly like an HTTP failure, rather than surfacing as a
-    * decode throw later in the job. Returns the rejection message, or
-    * None when the bytes may proceed to decode. A future NetCDF-4 subset
-    * reader only needs to narrow this guard (and widen [[decodeAuto]]) —
-    * callers are unaffected. */
+    * serve NetCDF-4 — an HDF5 container (magic `\x89HDF`) — and R17's
+    * skip semantics say an undecodable parameter must be SKIPPED here
+    * (error recorded, old partitions preserved), exactly like an HTTP
+    * failure, rather than surfacing as a decode throw later in the job.
+    * HDF5 streams inside the [[graft.sources.NetCdf4]] subset (flat
+    * contiguous-layout classic-model files) pass through to decode; the
+    * header-only probe rejects anything beyond the subset (chunked,
+    * "latest format", nested groups, …) with the probe's reason in the
+    * skip message. Returns the rejection message, or None when the bytes
+    * may proceed to decode. */
   def containerGuard(bytes: Array[Byte]): Option[String] =
-    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
-      bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F')
-      Some("unsupported container: NetCDF-4/HDF5 (classic CDF-1/2/5 only); parameter skipped")
+    if (graft.sources.NetCdf4.isHdf5(bytes))
+      graft.sources.NetCdf4.probe(bytes).left.toOption.map(reason =>
+        s"unsupported NetCDF-4/HDF5 container ($reason); parameter skipped")
     else None
 
   /** GET every (parameter, url) in the request plan, isolating failures
@@ -78,21 +80,20 @@ object Fetch {
         col("time"), col("x"), col("y"), col("value"))
   }
 
-  /** Format-sniffing decode: classic NetCDF magic (`CDF\x01|02|05`) routes
-    * to the real codec ([[graft.sources.NetCdf.decodeCube]]) — the engine
-    * dual of the reference's `xarray.open_dataset(BytesIO(...))`
-    * (ingestor.py:200) — and anything else falls back to the CSV cube
-    * stand-in. An HDF5-backed NetCDF-4 stream (magic `\x89HDF`) fails with
-    * an explicit unsupported-container message rather than a misparse. */
+  /** Format-sniffing decode — the engine dual of the reference's
+    * `xarray.open_dataset(BytesIO(...))` (ingestor.py:200): classic
+    * NetCDF magic (`CDF\x01|02|05`) routes to
+    * [[graft.sources.NetCdf.decodeCube]], HDF5 magic (`\x89HDF`,
+    * NetCDF-4) to the [[graft.sources.NetCdf4]] subset codec (whose parse
+    * rejects out-of-subset files explicitly rather than misparsing), and
+    * anything else falls back to the CSV cube stand-in. */
   def decodeAuto(
       spark: SparkSession, collection: String, parameter: String,
       bytes: Array[Byte]): DataFrame =
     if (bytes.length >= 4 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F')
       graft.sources.NetCdf.decodeCube(spark, collection, parameter, bytes)
-    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
-      bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F')
-      throw new IllegalArgumentException(
-        "NetCDF-4 (HDF5 container) is not supported by the classic codec")
+    else if (graft.sources.NetCdf4.isHdf5(bytes))
+      graft.sources.NetCdf4.decodeCube(spark, collection, parameter, bytes)
     else decodeCsvCube(spark, collection, parameter, bytes)
 
   /** Full fetch → ingest pipeline with R17 isolation: fetch every planned

@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   * variables, all classic external types plus the CDF-5 extensions, and the
   * CF conventions a forecast cube actually uses: `scale_factor` /
   * `add_offset` packing, `_FillValue` masking, and `<unit> since <epoch>`
-  * time coordinates. NetCDF-4 (HDF5 container, magic `\x89HDF`) is out of
-  * scope — that is a different container format, and the sniffing decoder
-  * ([[graft.operators.Fetch.decodeAuto]]) reports it explicitly rather than
-  * misparsing.
+  * time coordinates. NetCDF-4 (HDF5 container, magic `\x89HDF`) is a
+  * different container format: the common flat contiguous-layout shape is
+  * handled by the [[NetCdf4]] subset codec, and anything beyond that
+  * subset is skipped at the fetch boundary
+  * ([[graft.operators.Fetch.containerGuard]]) with R17 semantics.
   *
   * Scale note: decode runs at the edge on a single staged response
   * (SURVEY.md §7.3 — a DMI cube response is a few MB); everything after the
@@ -436,9 +437,23 @@ object NetCdf {
     val fill = data.attr("_FillValue").orElse(data.attr("missing_value")).flatMap(_.first)
 
     val raw = readValues(f, data)
+    cubeFrame(spark, collection, parameter, timeVals, yVals, xVals, raw,
+      tPos.map(strides(_)).getOrElse(0), strides(yPos), strides(xPos),
+      scale, offset, fill, toEpochSec)
+  }
+
+  /** Shared long-frame builder for both container formats (classic here,
+    * HDF5 in [[NetCdf4]]): walk the raw row-major values with the
+    * caller-resolved axis strides, apply CF packing/fill/time semantics,
+    * and return the pipeline's `(collection, parameter, time, x, y,
+    * value)` frame. */
+  private[sources] def cubeFrame(
+      spark: SparkSession, collection: String, parameter: String,
+      timeVals: Array[Double], yVals: Array[Double], xVals: Array[Double],
+      raw: Array[Double], tStride: Int, yStride: Int, xStride: Int,
+      scale: Double, offset: Double, fill: Option[Double],
+      toEpochSec: Double => Double): DataFrame = {
     val nT = timeVals.length; val nY = yVals.length; val nX = xVals.length
-    val tStride = tPos.map(strides(_)).getOrElse(0)
-    val yStride = strides(yPos); val xStride = strides(xPos)
     val rows = new Array[(Timestamp, Double, Double, java.lang.Double)](nT * nY * nX)
     var k = 0
     var t = 0

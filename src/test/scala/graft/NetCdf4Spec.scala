@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Fetch
+import graft.operators.Ingest.IngestConfig
+import graft.sources.{NetCdf, NetCdf4}
+
+/** NetCDF-4 (HDF5 container) subset codec: writer/reader round-trips,
+  * CF decode parity with the classic codec, subset rejection messages,
+  * fuzz robustness, and the fetch-boundary guard integration. */
+class NetCdf4Spec extends SparkSpec {
+
+  private def ts(h: Int): Timestamp = new Timestamp(h * 3600L * 1000)
+
+  /** A 2×2×3 cube frame with one null hole, as the long format. */
+  private def cubeDf(): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      t <- 0 until 2; y <- 0 until 2; x <- 0 until 3
+    } yield (ts(t), 11.0 + x, 55.0 + y,
+      if (t == 1 && y == 0 && x == 2) null
+      else java.lang.Double.valueOf(t * 100 + y * 10 + x))
+    rows.toDF("time", "x", "y", "value")
+  }
+
+  test("writer emits the HDF5 magic; parse finds the flat root datasets") {
+    val bytes = NetCdf4.encodeCube(cubeDf(), "sea_mean_deviation")
+    assert(NetCdf4.isHdf5(bytes))
+    assert(bytes(4) == 0x0d && bytes(5) == 0x0a && bytes(6) == 0x1a && bytes(7) == 0x0a)
+    val f = NetCdf4.parse(bytes)
+    assert(f.datasets.map(_.name).sorted ==
+      Seq("sea_mean_deviation", "time", "x", "y"))
+    assert(f.dataset("sea_mean_deviation").get.shape == Seq(2L, 2L, 3L))
+    assert(f.dataset("time").get.attr("units").exists(
+      _.text == "seconds since 1970-01-01 00:00:00"))
+  }
+
+  test("encode∘decode is the identity on defined cells, null hole preserved") {
+    val original = cubeDf()
+    val bytes = NetCdf4.encodeCube(original, "sea_mean_deviation")
+    val back = NetCdf4.decodeCube(spark, "dkss_if", "sea_mean_deviation", bytes)
+    def keyed(df: DataFrame) = df.collect().map { r =>
+      (r.getTimestamp(2).getTime, r.getDouble(3), r.getDouble(4)) ->
+        (if (r.isNullAt(5)) null else r.getDouble(5))
+    }.toMap
+    val expect = original.collect().map { r =>
+      (r.getTimestamp(0).getTime, r.getDouble(1), r.getDouble(2)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))
+    }.toMap
+    assert(keyed(back) == expect) // 11 defined cells + the null hole
+    // schema parity with the CSV stand-in / classic decode
+    assert(back.columns.toSeq ==
+      Seq("collection", "parameter", "time", "x", "y", "value"))
+  }
+
+  test("decode parity: the classic and HDF5 containers yield identical frames") {
+    val df = cubeDf()
+    def keyed(d: DataFrame) = d.collect().map { r =>
+      (r.getTimestamp(2).getTime, r.getDouble(3), r.getDouble(4)) ->
+        (if (r.isNullAt(5)) null else r.getDouble(5))
+    }.toMap
+    val classic = NetCdf.decodeCube(spark, "c", "p", NetCdf.encodeCube(df, "p"))
+    val hdf5 = NetCdf4.decodeCube(spark, "c", "p", NetCdf4.encodeCube(df, "p"))
+    assert(keyed(classic) == keyed(hdf5))
+  }
+
+  test("float32 datasets and CF packing attributes decode like the classic codec") {
+    // a packed f32 variable: raw value 7 → 7*0.5+100 = 103.5; fill 9 → null
+    val raw = Array[Double](7, 9, 1, 2) // (y=2, x=2)
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("y", Seq(2L), Array(55.0, 56.0)),
+      NetCdf4.WriteDs("x", Seq(2L), Array(11.0, 12.0)),
+      NetCdf4.WriteDs("wind_speed", Seq(2L, 2L), raw, f32 = true,
+        attrs = Seq("scale_factor" -> 0.5, "add_offset" -> 100.0,
+          "_FillValue" -> 9.0))))
+    val out = NetCdf4.decodeCube(spark, "c", "wind_speed", bytes).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)) ->
+        (if (r.isNullAt(5)) null else r.getDouble(5))).toMap
+    assert(out((11.0, 55.0)) == 103.5)
+    assert(out((12.0, 55.0)) == null) // fill masked
+    assert(out((11.0, 56.0)) == 100.5)
+    assert(out((12.0, 56.0)) == 101.0)
+  }
+
+  test("out-of-subset streams are rejected with a message naming the feature") {
+    val good = NetCdf4.encodeCube(cubeDf(), "p")
+    // superblock version
+    val sbv = good.clone(); sbv(8) = 2
+    assert(NetCdf4.probe(sbv).left.exists(_.contains("superblock version")))
+    // chunked layout: flip the class byte inside the layout message
+    // (header 08 00 18 00 00 00 00 00, body 03 <class>)
+    val pat = Array[Byte](0x08, 0x00, 0x18, 0x00, 0x00, 0x00, 0x00, 0x00, 0x03, 0x01)
+    val at = good.indices.find(i =>
+      i + pat.length <= good.length && pat.indices.forall(j => good(i + j) == pat(j)))
+    assert(at.nonEmpty, "layout message pattern not found")
+    val chunked = good.clone(); chunked(at.get + 9) = 2
+    assert(NetCdf4.probe(chunked).left.exists(_.contains("chunked")))
+    // the valid stream probes clean
+    assert(NetCdf4.probe(good).isRight)
+  }
+
+  test("fuzz: truncations and corruptions never escape probe") {
+    val good = NetCdf4.encodeCube(cubeDf(), "p")
+    val rnd = new scala.util.Random(42)
+    (0 until good.length by 7).foreach { n =>
+      NetCdf4.probe(good.take(n)) // must return, not throw
+    }
+    (1 to 300).foreach { _ =>
+      val mutated = good.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      NetCdf4.probe(mutated) // must return, not throw
+    }
+  }
+
+  test("fetch boundary: subset HDF5 passes the guard and ingests end-to-end (R17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc4")
+    val out = tmp.resolve("out").toString
+    def fixture(name: String, bytes: Array[Byte]): String = {
+      val f = tmp.resolve(name)
+      java.nio.file.Files.write(f, bytes)
+      f.toUri.toString
+    }
+    val good = NetCdf4.encodeCube(cubeDf(), "sea-mean-deviation")
+    assert(Fetch.containerGuard(good).isEmpty) // in-subset → proceeds
+    val junk = Array[Byte](0x89.toByte, 'H', 'D', 'F') ++ Array.fill[Byte](16)(0)
+    assert(Fetch.containerGuard(junk).exists(_.contains("NetCDF-4/HDF5")))
+    // end-to-end: an HDF5 cube response decodes and publishes
+    val cfg2 = IngestConfig(bbox = (10.0, 54.0, 14.0, 57.0),
+      parameters = Seq("sea-mean-deviation"))
+    val (mf, o) = Fetch.fetchAndIngest(spark, cfg2,
+      Seq("sea-mean-deviation" -> fixture("cube.nc4", good)), out)
+    assert(o.forall(_.ok), o.mkString(";"))
+    assert(mf.get.count() == 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 11) // 12 cells minus the null hole (nodata dropped)
+    assert(back.filter(col("parameter") === "sea-mean-deviation").count() == 11)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+}
