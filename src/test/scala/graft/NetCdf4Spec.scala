@@ -86,6 +86,27 @@ class NetCdf4Spec extends SparkSpec {
     assert(out((12.0, 56.0)) == 101.0)
   }
 
+  test("big-endian and unsigned fixed-point values decode correctly") {
+    // the writer emits LE only, so drive readValues' BE/unsigned branches
+    // directly on hand-built blobs (a BE-host libnetcdf writes BE data)
+    import java.nio.{ByteBuffer, ByteOrder}
+    def file(blob: Array[Byte], t: NetCdf4.NumType, n: Long) = {
+      val ds = NetCdf4.H5Dataset("v", Seq(n), t, 0L, blob.length.toLong, None, Nil)
+      (NetCdf4.H5File(Seq(ds), blob), ds)
+    }
+    val beF64 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      .putDouble(1.5).putDouble(-2.25).array()
+    val (f1, d1) = file(beF64, NetCdf4.NumType(float = true, 8, bigEndian = true, signed = true), 2)
+    assert(NetCdf4.readValues(f1, d1).toSeq == Seq(1.5, -2.25))
+    val beI16 = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      .putShort(300.toShort).putShort((-5).toShort).array()
+    val (f2, d2) = file(beI16, NetCdf4.NumType(float = false, 2, bigEndian = true, signed = true), 2)
+    assert(NetCdf4.readValues(f2, d2).toSeq == Seq(300.0, -5.0))
+    // unsigned: the same -5 bit pattern reads as 65531
+    val (f3, d3) = file(beI16, NetCdf4.NumType(float = false, 2, bigEndian = true, signed = false), 2)
+    assert(NetCdf4.readValues(f3, d3).toSeq == Seq(300.0, 65531.0))
+  }
+
   test("out-of-subset streams are rejected with a message naming the feature") {
     val good = NetCdf4.encodeCube(cubeDf(), "p")
     // superblock version

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{Lcc, Lzw}
 import graft.operators.{Dedup, Similarity}
-import graft.sources.{GeoTiff, NetCdf}
+import graft.sources.{GeoTiff, NetCdf, NetCdf4}
 
 /** Property-based tests (SURVEY.md §5.3 item 3): ScalaCheck generators
   * with fixed seeds, driven directly (no scalatest-plus bridge on the
@@ -196,6 +196,45 @@ class PropertySpec extends SparkSpec {
           lit("c").as("collection"), lit("param").as("parameter"),
           col("time"), col("x"), col("y"), col("value"))),
           s"cube ${nT}x${nY}x$nX v$version mismatch")
+    }
+  }
+
+  test("netcdf-4 cube encode/decode round-trips random grids (HDF5 subset)") {
+    // same generator discipline as the classic-codec property above —
+    // the HDF5 container must round-trip the identical cube population
+    val cubeG = for {
+      nT <- Gen.choose(1, 3); nY <- Gen.choose(1, 5); nX <- Gen.choose(1, 5)
+      t0 <- Gen.choose(0L, 2000000000L)
+      vals <- Gen.listOfN(nT * nY * nX, Gen.frequency(
+        8 -> Gen.choose(-1e6, 1e6).map(v => math.rint(v * 1000) / 1000.0),
+        1 -> Gen.const(Double.NaN)))
+    } yield (nT, nY, nX, t0, vals)
+    sample(cubeG, 8).foreach { case (nT, nY, nX, t0, vals) =>
+      val rows = for {
+        t <- 0 until nT; y <- 0 until nY; x <- 0 until nX
+      } yield Row(
+        new java.sql.Timestamp((t0 + t * 3600L) * 1000L),
+        8.0 + x * 0.25, 54.0 + y * 0.25,
+        vals(t * nY * nX + y * nX + x) match {
+          case v if v.isNaN => null
+          case v => java.lang.Double.valueOf(v)
+        })
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        StructType(Seq(
+          StructField("time", TimestampType), StructField("x", DoubleType),
+          StructField("y", DoubleType), StructField("value", DoubleType))))
+      val bytes = NetCdf4.encodeCube(df, "param")
+      assert(NetCdf4.isHdf5(bytes))
+      def keyed(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+        (r.getTimestamp(2).getTime, r.getDouble(3), r.getDouble(4)) ->
+          (if (r.isNullAt(5)) null else r.getDouble(5))
+      }.toMap
+      val back = NetCdf4.decodeCube(spark, "c", "param", bytes)
+      assert(keyed(back) == keyed(df.select(
+        lit("c").as("collection"), lit("param").as("parameter"),
+        col("time"), col("x"), col("y"), col("value"))),
+        s"hdf5 cube ${nT}x${nY}x$nX mismatch")
     }
   }
 }
