@@ -951,6 +951,23 @@ object Oracles {
          |WHERE CAST(${dHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < quality
          |ORDER BY doc_id""".stripMargin,
 
+    // q94: the Bloom sketch only decides how little of the batch the
+    // exact verify touches — bloom negatives are definitive, so the
+    // ADMITTED set is plan-independent and the oracle is the pure exact
+    // formulation (first-in-batch AND not in the corpus index).
+    "q94_bloom_increment" ->
+      """WITH f AS (SELECT doc_id, source,
+        |   sha256(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        | corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 <> 0),
+        | batch AS (SELECT doc_id, source, fp,
+        |   min(doc_id) OVER (PARTITION BY fp) AS first_in_batch
+        |  FROM f WHERE doc_id % 7 = 0)
+        |SELECT b.doc_id, b.source FROM batch b
+        |WHERE b.doc_id = b.first_in_batch
+        |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+        |ORDER BY b.doc_id""".stripMargin,
+
     "q70_kmeans_assign" ->
       s"""WITH $embCte,
          | c AS (SELECT vec_id AS cluster_id, embedding AS cvec, nrm AS cnrm

@@ -112,6 +112,7 @@ object SparkEntry {
     "q91_chunk_dedup" -> (Curation.chunkDedup _),
     "q92_salted_join" -> (Skew.saltedJoinQuery _),
     "q93_weighted_sample" -> (Curation.weightedSample _),
+    "q94_bloom_increment" -> (Curation.bloomIncrement _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

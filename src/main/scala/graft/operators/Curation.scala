@@ -472,6 +472,101 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // Bloom parameters for q94: m bits / k hashes sized so the sf0.1 corpus
+  // index (~4.6k fingerprints) sees fpp ≈ 3e-4; at deployment scale m
+  // grows with the index (the sketch stays KB-to-MB while the index it
+  // summarizes is GB-to-TB — that asymmetry is the whole point).
+  private val BloomBits = 1 << 17 // 2048 longs = 16 KB broadcast
+  private val BloomK = 4
+
+  /** The m-bit Bloom filter over a fingerprint column as ONE dense
+    * `array<bigint>` row, built distributively: explode each fp's k bit
+    * positions, `bit_or` the per-word masks, densify against the full
+    * word range, and collapse to a single ordered array — a scalar-sized
+    * result computed without any driver collect (same
+    * broadcast-the-aggregate shape as q23's watermark scalar). */
+  private def bloomWords(fps: DataFrame): DataFrame = {
+    val spark = fps.sparkSession
+    val posCols = (0 until BloomK).map(i =>
+      pmod(xxhash64(col("fp"), lit(i)), lit(BloomBits.toLong)))
+    val wordRows = fps
+      .select(explode(array(posCols: _*)).as("pos"))
+      .groupBy(expr("CAST(pos DIV 64 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
+    spark.range(BloomBits / 64).select(col("id").cast("int").as("w"))
+      .join(wordRows, Seq("w"), "left")
+      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .agg(expr("transform(array_sort(collect_list(struct(w, bits))), s -> s.bits)")
+        .as("bloom"))
+  }
+
+  /** All k bloom bits set for this row's `fp` against the broadcast
+    * `bloom` array — pure column math (variable-distance shifts via the
+    * SQL `>>`), so the membership test runs inside whole-stage codegen
+    * with no UDF. Must hash EXACTLY like [[bloomWords]]' build side. */
+  private def bloomHit: Column =
+    (0 until BloomK).map { i =>
+      expr(s"((element_at(bloom, CAST(pmod(xxhash64(fp, $i), $BloomBits) DIV 64 AS INT) + 1)" +
+        s" >> CAST(pmod(xxhash64(fp, $i), $BloomBits) % 64 AS INT)) & 1) = 1")
+    }.reduce(_ && _)
+
+  /** q94: Bloom-prefiltered incremental admit list — q79's daily-ingest
+    * shape with the piece that makes it work at 100 TB: the corpus
+    * fingerprint index is summarized into a [[BloomBits]]-bit sketch that
+    * ships to every executor as one array literal (16 KB vs the index's
+    * GBs), the arriving batch tests membership with pure column math, and
+    * ONLY the docs the filter cannot rule out (true dups + ~fpp false
+    * positives) reach the exact semi-join against the index. Bloom
+    * negatives are definitive, so the admitted output is EXACT — which is
+    * what keeps the operator oracle-checkable; the sketch only decides
+    * how little of the batch the verify join has to touch.
+    *
+    * Output: the admitted (novel, first-in-batch) docs. Scale shape: one
+    * corpus-index pass to build the sketch (amortized across every batch
+    * of the day in a deployment), a 1-row broadcast, and a verify join
+    * whose left side is the candidate sliver, not the batch. */
+  def bloomIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("fp", Dedup.textFp)
+    // one materialization feeds the sketch build and the verify join
+    val corpusFp = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("fp")).distinct().localCheckpoint()
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("source"), col("fp"))
+    // The barrier is load-bearing: without it, PushDownLeftSemiAntiJoin
+    // reorders the exact semi-join BELOW the sketch test (legal — the
+    // join only references fp), and the executed plan verifies the WHOLE
+    // batch before consulting the bloom, which is exactly backwards at
+    // scale. Materializing the candidate sliver (true dups + ~fpp of the
+    // batch — tiny) pins the order the sketch exists to create.
+    val candidates = batch
+      .crossJoin(broadcast(bloomWords(corpusFp)))
+      .filter(bloomHit)
+      .select(col("doc_id"), col("fp"))
+      .localCheckpoint()
+    val dupOfCorpus = candidates
+      .join(corpusFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    val wFp = Window.partitionBy(col("fp"))
+    batch
+      .withColumn("first_in_batch", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("first_in_batch"))
+      .join(dupOfCorpus, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The bloom candidate set (spec hook): every true corpus dup must hit,
+    * and the overshoot beyond true dups is the measured false-positive
+    * cost the exact verify absorbs. */
+  private[graft] def bloomCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("fp", Dedup.textFp)
+    val corpusFp = docs.filter(col("doc_id") % 7 =!= 0).select(col("fp")).distinct()
+    docs.filter(col("doc_id") % 7 === 0)
+      .crossJoin(broadcast(bloomWords(corpusFp)))
+      .filter(bloomHit)
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** q80: near-dup cluster formation — connected components over the
     * MinHash-LSH verified pair graph (q37's output), the step that turns
     * pairwise "A≈B, B≈C" into "keep one of {A,B,C}". Each cluster is

@@ -104,6 +104,40 @@ class CurationSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("bloom increment: exact admit list, and the sketch actually prunes") {
+    // the bloom prefilter must be invisible in the OUTPUT (negatives are
+    // definitive, candidates are exactly verified) …
+    val admitted = Curation.bloomIncrement(spark, sfDir).select(col("doc_id"))
+    val expected = Curation.incrementalDedup(spark, sfDir)
+      .filter(col("status") === "novel").select(col("doc_id"))
+    assert(admitted.exceptAll(expected).isEmpty && expected.exceptAll(admitted).isEmpty)
+    // … and visible in the PLAN: every true corpus dup must pass the
+    // filter (no false negatives, ever), while the overshoot beyond the
+    // true dups — the false positives the exact verify absorbs — stays
+    // a sliver of the batch
+    val candidates = Curation.bloomCandidates(spark, sfDir)
+    val trueDups = Curation.incrementalDedup(spark, sfDir)
+      .filter(col("status") === "dup_of_corpus").select(col("doc_id"))
+    assert(trueDups.exceptAll(candidates.select(col("doc_id"))).count() == 0L,
+      "bloom produced a false negative")
+    val batchN = sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0).count()
+    val overshoot = candidates.count() - trueDups.count()
+    assert(overshoot <= math.max(1L, batchN / 100),
+      s"bloom false-positive overshoot $overshoot of $batchN-doc batch")
+    // the ORDER is pinned: the exact verify's left side must be the
+    // materialized candidate sliver, not a batch scan — Catalyst would
+    // otherwise push the semi-join below the sketch test (see the
+    // load-bearing barrier note in bloomIncrement)
+    val plan = Curation.bloomIncrement(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val semi = plan.linesIterator.find(_.contains("LeftSemi"))
+    assert(semi.nonEmpty, plan)
+    val below = plan.linesIterator.dropWhile(!_.contains("LeftSemi")).take(3).mkString("\n")
+    assert(below.contains("ExistingRDD"),
+      s"verify join no longer consumes the checkpointed candidates:\n$below")
+  }
+
   test("repetition ratio: bounded, and the plan has no shuffle at all") {
     val df = Curation.repetitionRatio(spark, sfDir)
     df.collect().foreach { r =>
