@@ -968,6 +968,28 @@ object Oracles {
         |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
         |ORDER BY b.doc_id""".stripMargin,
 
+    // q95: spans are full sha256 strings on both sides (no 32-bit
+    // truncation → no collision asymmetry); keep_ratio floors at 6 dp.
+    "q95_span_dedup" ->
+      s"""WITH $toksCte,
+         | d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) >= 8),
+         | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM d),
+         | h AS (SELECT doc_id, n, i,
+         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         | o AS (SELECT doc_id, n, i, count(*) OVER (PARTITION BY hh) AS occ FROM h),
+         | hits AS (SELECT doc_id, i FROM o WHERE occ >= 2),
+         | cov AS (SELECT doc_id,
+         |   CAST(count(DISTINCT i) AS BIGINT) AS n_dup_spans,
+         |   CAST(count(DISTINCT pos) AS BIGINT) AS n_covered
+         |  FROM (SELECT doc_id, i, unnest(range(i, i + 8)) AS pos FROM hits)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, d.n AS n_tokens,
+         | coalesce(cov.n_dup_spans, 0) AS n_dup_spans,
+         | coalesce(cov.n_covered, 0) AS n_covered,
+         | floor((1.0 - coalesce(cov.n_covered, 0) * 1.0 / d.n) * 1e6) / 1e6 AS keep_ratio
+         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
     "q70_kmeans_assign" ->
       s"""WITH $embCte,
          | c AS (SELECT vec_id AS cluster_id, embedding AS cvec, nrm AS cnrm

@@ -113,6 +113,7 @@ object SparkEntry {
     "q92_salted_join" -> (Skew.saltedJoinQuery _),
     "q93_weighted_sample" -> (Curation.weightedSample _),
     "q94_bloom_increment" -> (Curation.bloomIncrement _),
+    "q95_span_dedup" -> (Curation.spanDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -555,6 +555,61 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** q95: duplicated-span coverage — the substring-level dedup primitive
+    * (the "dedup training data at the span level, not the document
+    * level" operation): every sliding [[SpanW]]-token window is
+    * fingerprinted corpus-wide, windows occurring ≥ 2 times anywhere are
+    * duplicated spans, and each document reports how much of it those
+    * spans cover (`keep_ratio` = the fraction a span-trimming pass would
+    * retain). Document-level dedup (q34/q37) misses exactly this: two
+    * distinct documents sharing a long boilerplate paragraph.
+    *
+    * Scale shape: one explode to ≈|tokens| span rows, ONE window-count
+    * shuffle on the span hash (no self-join — `count over (partition by
+    * h)` marks duplicates in the same pass that carries doc/position),
+    * then one per-doc aggregation of span starts and covered positions.
+    * Skew note: a viral span (occurring 10^6 times) concentrates its
+    * hash partition; at deployment scale the marker becomes a two-phase
+    * count-agg + broadcast heavy-hitter join, same output. Docs shorter
+    * than [[SpanW]] tokens carry no spans and are excluded by
+    * declaration (they cannot contain a duplicated span). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("toks", toks)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= SpanW)
+      .select(col("doc_id"), col("toks"), col("n"))
+    val spans = docs
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0), (col("n") - SpanW).cast("int"))).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("n"), col("i"),
+        sha2(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(SpanW))), 256).as("h"))
+    val hits = spans
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("occ") >= 2)
+    val cov = hits
+      .select(col("doc_id"), col("i"),
+        explode(sequence(col("i"), col("i") + (SpanW - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("i")).as("n_dup_spans"),
+        countDistinct(col("pos")).as("n_covered"))
+    docs.select(col("doc_id"), col("n"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (floor((lit(1.0) - coalesce(col("n_covered"), lit(0L)) / col("n")) * 1e6) / 1e6)
+          .as("keep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Span window width for q95 (tokens). 8 is small enough that the test
+    * corpus contains organic repeats, large enough that a match means
+    * real shared phrasing, not chance n-gram overlap. */
+  private val SpanW = 8
+
   /** The bloom candidate set (spec hook): every true corpus dup must hit,
     * and the overshoot beyond true dups is the measured false-positive
     * cost the exact verify absorbs. */

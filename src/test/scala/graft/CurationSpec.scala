@@ -138,6 +138,25 @@ class CurationSpec extends SparkSpec {
       s"verify join no longer consumes the checkpointed candidates:\n$below")
   }
 
+  test("span dedup: bounds hold and exact-dup documents are fully covered") {
+    val out = Curation.spanDedup(spark, sfDir)
+    out.collect().foreach { r =>
+      val (n, spans, covered) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(covered <= n && spans <= n - 8 + 1)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // the corpus's mutated near-dup copies share long token runs, so
+    // duplicated spans must exist …
+    val withSpans = out.filter(col("n_dup_spans") > 0)
+    assert(withSpans.count() > 0, "no duplicated spans found in the corpus")
+    // … and coverage must respect the interval-union bounds: k distinct
+    // 8-token windows cover at least max(8, k) and at most 8k positions
+    val broken = withSpans.filter(
+      col("n_covered") < greatest(lit(8L), col("n_dup_spans")) ||
+        col("n_covered") > col("n_dup_spans") * 8)
+    assert(broken.count() == 0L, broken.collect().take(3).mkString(";"))
+  }
+
   test("repetition ratio: bounded, and the plan has no shuffle at all") {
     val df = Curation.repetitionRatio(spark, sfDir)
     df.collect().foreach { r =>
