@@ -98,7 +98,12 @@ class PlanGuardSpec extends SparkSpec {
       "q78_curation_funnel" -> 9,
       // capped char-gram baseline: round-robin rebalance of the capped
       // doc set + output sort; the pair loop itself broadcasts
-      "q60_chargram_neardup" -> 2)
+      "q60_chargram_neardup" -> 2,
+      // sketch + candidate branches materialize at the checkpoint, so the
+      // final plan is one window shuffle + output sort
+      "q94_bloom_increment" -> 2,
+      // span-hash window shuffle + the dual-countDistinct expand + sort
+      "q95_span_dedup" -> 4)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
