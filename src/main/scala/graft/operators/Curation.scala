@@ -485,7 +485,7 @@ object Curation {
     * word range, and collapse to a single ordered array — a scalar-sized
     * result computed without any driver collect (same
     * broadcast-the-aggregate shape as q23's watermark scalar). */
-  private def bloomWords(fps: DataFrame): DataFrame = {
+  private[graft] def bloomWords(fps: DataFrame): DataFrame = {
     val spark = fps.sparkSession
     val posCols = (0 until BloomK).map(i =>
       pmod(xxhash64(col("fp"), lit(i)), lit(BloomBits.toLong)))
@@ -504,7 +504,7 @@ object Curation {
     * `bloom` array — pure column math (variable-distance shifts via the
     * SQL `>>`), so the membership test runs inside whole-stage codegen
     * with no UDF. Must hash EXACTLY like [[bloomWords]]' build side. */
-  private def bloomHit: Column =
+  private[graft] def bloomHit: Column =
     (0 until BloomK).map { i =>
       expr(s"((element_at(bloom, CAST(pmod(xxhash64(fp, $i), $BloomBits) DIV 64 AS INT) + 1)" +
         s" >> CAST(pmod(xxhash64(fp, $i), $BloomBits) % 64 AS INT)) & 1) = 1")

@@ -230,6 +230,32 @@ object StreamOps {
       .join(broadcast(bandIndex), Seq("band", "band_sig"), "left_semi")
   }
 
+  /** The corpus fingerprint Bloom sketch as a one-row frame for
+    * stream-static use — one batch pass over the corpus's distinct
+    * fingerprints ([[graft.operators.Curation.bloomWords]]), refreshed
+    * like [[corpusBandIndex]]. */
+  def corpusBloom(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.bloomWords(
+      Tables.documents(spark, dir).select(Dedup.textFp.as("fp")).distinct())
+
+  /** Streaming exact-dup screening against the CORPUS — the stream-side
+    * half of q94's lambda split (dedupStream handles the stream's OWN
+    * horizon; this asks "have we ever ingested this document before?").
+    * Each in-flight document tests its fingerprint against the broadcast
+    * 16 KB corpus sketch in pure column math: STATELESS, no shuffle, no
+    * state store, which is what lets it run inline on a 100 TB/day
+    * stream where the real corpus index could never be joined per
+    * microbatch. `maybe_dup = false` is DEFINITIVE (bloom negatives
+    * never lie) — those docs are admitted immediately; `true` rows are
+    * candidates the batch layer verifies exactly, same split as
+    * [[nearDupCandidatesStream]]. */
+  def bloomGateStream(docs: DataFrame, bloom: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", Dedup.textFp)
+      .crossJoin(broadcast(bloom))
+      .withColumn("maybe_dup", graft.operators.Curation.bloomHit)
+      .drop("bloom")
+
   /** Static corpus band index (band, band_sig) for the stream-static
     * near-dup join — built by one batch pass over the corpus. */
   def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {

@@ -297,6 +297,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom gate: corpus docs flag as candidates, novel docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    val bloom = StreamOps.corpusBloom(spark, sfDir)
+    val corpusText = graft.sources.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    val input = MemoryStream[Doc]
+    val q = StreamOps.bloomGateStream(input.toDF(), bloom)
+      .writeStream.format("memory").queryName("bloom_gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(9001, ts(1), corpusText),  // verbatim corpus doc → must flag
+        Doc(9002, ts(2), "zz yy xx ww vv uu tt ss rr qq pp oo"))
+      q.processAllAvailable()
+      val byId = spark.table("bloom_gate_out").collect()
+        .map(r => r.getLong(0) -> r.getAs[Boolean]("maybe_dup")).toMap
+      assert(byId(9001L), "corpus doc missed the sketch (false negative)")
+      assert(!byId(9002L), "novel doc flagged (would waste a verify)")
+      // stateless: no state store rows in the progress metrics
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
