@@ -251,6 +251,10 @@ object NetCdf4 {
   private def parseAttr(b: Buf, p: Int): Option[H5Attr] = {
     val ver = b.u8(p)
     require(ver >= 1 && ver <= 3, s"attribute message version $ver unsupported")
+    // v2/v3 flags: bits 0/1 mark the datatype/dataspace as SHARED-message
+    // references rather than inline encodings — out of subset, skip the
+    // attribute (axis mapping never depends on one)
+    if (ver >= 2 && (b.u8(p + 1) & 0x03) != 0) return None
     val nameSize = b.u16(p + 2)
     val dtSize = b.u16(p + 4)
     val dsSize = b.u16(p + 6)
@@ -428,6 +432,11 @@ object NetCdf4 {
     * its address is needed). */
   def write(datasets: Seq[WriteDs]): Array[Byte] = {
     require(datasets.nonEmpty, "empty HDF5 file")
+    // the superblock declares group-leaf K=4, which caps one symbol node
+    // at 2K=8 entries; a flat cube needs 4 (time/y/x/data), so one SNOD
+    // suffices — reject rather than emit a spec-violating oversized node
+    require(datasets.size <= 8,
+      s"writer subset emits one symbol node (max 8 datasets), got ${datasets.size}")
     val sorted = datasets.sortBy(_.name) // SNOD entries are name-ordered
     // local heap data segment: offset 0 is the conventional empty string
     val nameOffsets = scala.collection.mutable.Map[String, Long]()
