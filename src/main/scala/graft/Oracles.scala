@@ -990,6 +990,30 @@ object Oracles {
          | floor((1.0 - coalesce(cov.n_covered, 0) * 1.0 / d.n) * 1e6) / 1e6 AS keep_ratio
          |FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
+    // q96: same span pipeline as q95, applied — covered positions are
+    // cut and survivors rejoin in order; string output compares exactly.
+    "q96_span_trim" ->
+      s"""WITH $toksCte,
+         | d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) >= 8),
+         | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM d),
+         | h AS (SELECT doc_id, n, i,
+         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         | o AS (SELECT doc_id, i, count(*) OVER (PARTITION BY hh) AS occ FROM h),
+         | hits AS (SELECT doc_id, i FROM o WHERE occ >= 2),
+         | cut AS (SELECT doc_id, array_agg(DISTINCT pos) AS cut
+         |  FROM (SELECT doc_id, i, unnest(range(i, i + 8)) AS pos FROM hits)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, d.n AS n_tokens,
+         | CAST(d.n - coalesce(len(cut.cut), 0) AS BIGINT) AS n_kept,
+         | coalesce(array_to_string(
+         |   list_transform(
+         |     list_filter(range(0, CAST(d.n AS INT)),
+         |       p -> cut.cut IS NULL OR NOT list_contains(cut.cut, p)),
+         |     p -> d.toks[p + 1]),
+         |   ' '), '') AS text_trimmed
+         |FROM d LEFT JOIN cut USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
     "q70_kmeans_assign" ->
       s"""WITH $embCte,
          | c AS (SELECT vec_id AS cluster_id, embedding AS cvec, nrm AS cnrm

@@ -114,6 +114,7 @@ object SparkEntry {
     "q93_weighted_sample" -> (Curation.weightedSample _),
     "q94_bloom_increment" -> (Curation.bloomIncrement _),
     "q95_span_dedup" -> (Curation.spanDedup _),
+    "q96_span_trim" -> (Curation.spanTrim _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -574,19 +574,7 @@ object Curation {
     * than [[SpanW]] tokens carry no spans and are excluded by
     * declaration (they cannot contain a duplicated span). */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).withColumn("toks", toks)
-      .withColumn("n", size(col("toks")).cast("long"))
-      .filter(col("n") >= SpanW)
-      .select(col("doc_id"), col("toks"), col("n"))
-    val spans = docs
-      .select(col("doc_id"), col("n"),
-        explode(sequence(lit(0), (col("n") - SpanW).cast("int"))).as("i"),
-        col("toks"))
-      .select(col("doc_id"), col("n"), col("i"),
-        sha2(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(SpanW))), 256).as("h"))
-    val hits = spans
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("occ") >= 2)
+    val (docs, hits) = spanHits(spark, dir)
     val cov = hits
       .select(col("doc_id"), col("i"),
         explode(sequence(col("i"), col("i") + (SpanW - 1))).as("pos"))
@@ -602,6 +590,60 @@ object Curation {
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
         (floor((lit(1.0) - coalesce(col("n_covered"), lit(0L)) / col("n")) * 1e6) / 1e6)
           .as("keep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared q95/q96 core: the ≥[[SpanW]]-token docs (with toks + n) and
+    * the duplicated-span hit rows (doc_id, i) — one explode + one
+    * window-count shuffle on the span hash. */
+  private def spanHits(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir).withColumn("toks", toks)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= SpanW)
+      .select(col("doc_id"), col("toks"), col("n"))
+    val hits = docs
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0), (col("n") - SpanW).cast("int"))).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("n"), col("i"),
+        sha2(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(SpanW))), 256).as("h"))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("occ") >= 2)
+      .select(col("doc_id"), col("i"))
+    (docs, hits)
+  }
+
+  /** q96: span trimming — q95's signal APPLIED: every token covered by a
+    * corpus-duplicated span is cut and the survivors rejoin in order, so
+    * the output is the de-boilerplated text a training run would
+    * actually consume (span-level dedup removes the shared paragraph
+    * from BOTH copies — by construction a duplicated span never has a
+    * canonical owner; pair q96 with q34/q37 when one copy should be
+    * kept whole).
+    *
+    * Scale shape: [[spanHits]]' single window shuffle, one per-doc
+    * `collect_set` of covered positions (bounded by document length, not
+    * corpus size), and the reconstruction is a per-row array pipeline —
+    * filter the position range against the cut set, re-index into toks,
+    * rejoin. Docs with no duplicated span pass through verbatim. */
+  def spanTrim(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, hits) = spanHits(spark, dir)
+    val cut = hits
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (SpanW - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("cut"))
+    docs
+      .join(cut, Seq("doc_id"), "left")
+      .withColumn("cut", coalesce(col("cut"), array().cast("array<int>")))
+      .select(
+        col("doc_id"), col("n").as("n_tokens"),
+        (col("n") - size(col("cut"))).cast("long").as("n_kept"),
+        array_join(
+          transform(
+            filter(sequence(lit(0), (col("n") - 1).cast("int")),
+              p => !array_contains(col("cut"), p)),
+            p => element_at(col("toks"), p + 1)),
+          " ").as("text_trimmed"))
       .orderBy(col("doc_id"))
   }
 

@@ -157,6 +157,26 @@ class CurationSpec extends SparkSpec {
     assert(broken.count() == 0L, broken.collect().take(3).mkString(";"))
   }
 
+  test("span trim is consistent with span dedup and is a no-op without spans") {
+    val dedup = Curation.spanDedup(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"), col("n_dup_spans"))
+    val trim = Curation.spanTrim(spark, sfDir)
+      .select(col("doc_id"), col("n_kept"), col("text_trimmed"))
+    val both = dedup.join(trim, Seq("doc_id"))
+    // the trim keeps exactly the uncovered tokens q95 counted
+    assert(both.filter(col("n_kept") =!= col("n_tokens") - col("n_covered")).count() == 0L)
+    // docs with no duplicated span pass through as their token join
+    val untouched = both.filter(col("n_dup_spans") === 0)
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_join(graft.operators.Dedup.toks, " ").as("joined"))
+    assert(untouched.join(docs, Seq("doc_id"))
+      .filter(col("text_trimmed") =!= col("joined")).count() == 0L)
+    // trimmed docs really lost tokens
+    assert(both.filter(col("n_dup_spans") > 0 && col("n_kept") === col("n_tokens"))
+      .count() == 0L)
+  }
+
   test("repetition ratio: bounded, and the plan has no shuffle at all") {
     val df = Curation.repetitionRatio(spark, sfDir)
     df.collect().foreach { r =>
