@@ -103,7 +103,9 @@ class PlanGuardSpec extends SparkSpec {
       // final plan is one window shuffle + output sort
       "q94_bloom_increment" -> 2,
       // span-hash window shuffle + the dual-countDistinct expand + sort
-      "q95_span_dedup" -> 4)
+      "q95_span_dedup" -> 4,
+      // span-hash window shuffle + cut-set agg + sort
+      "q96_span_trim" -> 3)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
