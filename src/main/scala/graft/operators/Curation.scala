@@ -472,75 +472,97 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  // Bloom parameters for q94: m bits / k hashes sized so the sf0.1 corpus
-  // index (~4.6k fingerprints) sees fpp ≈ 3e-4; at deployment scale m
-  // grows with the index (the sketch stays KB-to-MB while the index it
-  // summarizes is GB-to-TB — that asymmetry is the whole point).
-  private val BloomBits = 1 << 17 // 2048 longs = 16 KB broadcast
+  // Bloom parameters for q94: k hashes, and m bits SIZED FROM THE CORPUS
+  // — the next power of two >= BloomBitsPerKey × |index| (floor 2^14) —
+  // so fpp stays ≈ 3e-4 at any scale instead of degrading as the index
+  // outgrows a fixed sketch. The sketch stays KB-to-MB while the index
+  // it summarizes is GB-to-TB; that asymmetry is the whole point, and it
+  // holds while m fits a broadcast (~2^30 bits / ~10^7-row indexes per
+  // 28-bits-per-key — beyond that, shard the sketch or fall back to
+  // DataFrameStatFunctions.bloomFilter with a typed filter).
+  private val BloomBitsPerKey = 28
   private val BloomK = 4
 
   /** The m-bit Bloom filter over a fingerprint column as ONE dense
-    * `array<bigint>` row, built distributively: explode each fp's k bit
-    * positions, `bit_or` the per-word masks, densify against the full
-    * word range, and collapse to a single ordered array — a scalar-sized
-    * result computed without any driver collect (same
-    * broadcast-the-aggregate shape as q23's watermark scalar). */
+    * `array<bigint>` row, built distributively: m comes from a 1-row
+    * count aggregate broadcast back (q23's scalar shape — no driver
+    * action), each fp explodes to its k bit positions mod m, `bit_or`
+    * collapses per-word masks, and the final global aggregate densifies
+    * the sparse words into one ordered array. */
   private[graft] def bloomWords(fps: DataFrame): DataFrame = {
-    val spark = fps.sparkSession
+    val mRow = fps.agg(
+      pow(lit(2.0), ceil(log2(greatest(
+        count(lit(1)) * BloomBitsPerKey, lit(16384L))))).cast("long").as("m"))
     val posCols = (0 until BloomK).map(i =>
-      pmod(xxhash64(col("fp"), lit(i)), lit(BloomBits.toLong)))
+      pmod(xxhash64(col("fp"), lit(i)), col("m")))
     val wordRows = fps
+      .crossJoin(broadcast(mRow))
       .select(explode(array(posCols: _*)).as("pos"))
-      .groupBy(expr("CAST(pos DIV 64 AS INT)").as("w"))
+      .groupBy(expr("pos DIV 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
-    spark.range(BloomBits / 64).select(col("id").cast("int").as("w"))
-      .join(wordRows, Seq("w"), "left")
-      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
-      .agg(expr("transform(array_sort(collect_list(struct(w, bits))), s -> s.bits)")
-        .as("bloom"))
+    wordRows
+      .groupBy()
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("bits"))).as("wm"))
+      .crossJoin(broadcast(mRow)) // m survives an empty index
+      .select(transform(expr("sequence(0L, m DIV 64 - 1)"),
+        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bloom"))
   }
 
   /** All k bloom bits set for this row's `fp` against the broadcast
     * `bloom` array — pure column math (variable-distance shifts via the
     * SQL `>>`), so the membership test runs inside whole-stage codegen
-    * with no UDF. Must hash EXACTLY like [[bloomWords]]' build side. */
-  private[graft] def bloomHit: Column =
+    * with no UDF. m is recovered from the array length (64 bits per
+    * word), so build and test agree at every corpus size; the hashing
+    * must otherwise match [[bloomWords]]' build side exactly. */
+  private[graft] def bloomHit: Column = {
+    val m = "CAST(size(bloom) AS BIGINT) * 64"
     (0 until BloomK).map { i =>
-      expr(s"((element_at(bloom, CAST(pmod(xxhash64(fp, $i), $BloomBits) DIV 64 AS INT) + 1)" +
-        s" >> CAST(pmod(xxhash64(fp, $i), $BloomBits) % 64 AS INT)) & 1) = 1")
+      expr(s"((element_at(bloom, CAST(pmod(xxhash64(fp, $i), $m) DIV 64 AS INT) + 1)" +
+        s" >> CAST(pmod(xxhash64(fp, $i), $m) % 64 AS INT)) & 1) = 1")
     }.reduce(_ && _)
+  }
+
+  /** q94's %7 corpus/batch split: (distinct corpus fingerprint index,
+    * arriving batch) — ONE definition shared by the query and the spec
+    * hook so they can never drift apart. */
+  private def incrementSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir).withColumn("fp", Dedup.textFp)
+    (docs.filter(col("doc_id") % 7 =!= 0).select(col("fp")).distinct(),
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source"), col("fp")))
+  }
+
+  /** The batch rows the corpus sketch cannot rule out. */
+  private def candidateSlice(batch: DataFrame, corpusFp: DataFrame): DataFrame =
+    batch.crossJoin(broadcast(bloomWords(corpusFp))).filter(bloomHit)
 
   /** q94: Bloom-prefiltered incremental admit list — q79's daily-ingest
     * shape with the piece that makes it work at 100 TB: the corpus
-    * fingerprint index is summarized into a [[BloomBits]]-bit sketch that
-    * ships to every executor as one array literal (16 KB vs the index's
-    * GBs), the arriving batch tests membership with pure column math, and
-    * ONLY the docs the filter cannot rule out (true dups + ~fpp false
-    * positives) reach the exact semi-join against the index. Bloom
-    * negatives are definitive, so the admitted output is EXACT — which is
-    * what keeps the operator oracle-checkable; the sketch only decides
-    * how little of the batch the verify join has to touch.
+    * fingerprint index is summarized into a corpus-sized Bloom sketch
+    * ([[bloomWords]]) that ships to every executor as one array literal
+    * (KBs vs the index's GBs), the arriving batch tests membership with
+    * pure column math, and ONLY the docs the filter cannot rule out
+    * (true dups + ~fpp false positives) reach the exact semi-join
+    * against the index. Bloom negatives are definitive, so the admitted
+    * output is EXACT — which is what keeps the operator oracle-checkable;
+    * the sketch only decides how little of the batch the verify join has
+    * to touch.
     *
     * Output: the admitted (novel, first-in-batch) docs. Scale shape: one
     * corpus-index pass to build the sketch (amortized across every batch
     * of the day in a deployment), a 1-row broadcast, and a verify join
     * whose left side is the candidate sliver, not the batch. */
   def bloomIncrement(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).withColumn("fp", Dedup.textFp)
+    val (corpusIdx, batch) = incrementSplit(spark, dir)
     // one materialization feeds the sketch build and the verify join
-    val corpusFp = docs.filter(col("doc_id") % 7 =!= 0)
-      .select(col("fp")).distinct().localCheckpoint()
-    val batch = docs.filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id"), col("source"), col("fp"))
+    val corpusFp = corpusIdx.localCheckpoint()
     // The barrier is load-bearing: without it, PushDownLeftSemiAntiJoin
     // reorders the exact semi-join BELOW the sketch test (legal — the
     // join only references fp), and the executed plan verifies the WHOLE
     // batch before consulting the bloom, which is exactly backwards at
     // scale. Materializing the candidate sliver (true dups + ~fpp of the
     // batch — tiny) pins the order the sketch exists to create.
-    val candidates = batch
-      .crossJoin(broadcast(bloomWords(corpusFp)))
-      .filter(bloomHit)
+    val candidates = candidateSlice(batch, corpusFp)
       .select(col("doc_id"), col("fp"))
       .localCheckpoint()
     val dupOfCorpus = candidates
@@ -656,12 +678,8 @@ object Curation {
     * and the overshoot beyond true dups is the measured false-positive
     * cost the exact verify absorbs. */
   private[graft] def bloomCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).withColumn("fp", Dedup.textFp)
-    val corpusFp = docs.filter(col("doc_id") % 7 =!= 0).select(col("fp")).distinct()
-    docs.filter(col("doc_id") % 7 === 0)
-      .crossJoin(broadcast(bloomWords(corpusFp)))
-      .filter(bloomHit)
-      .select(col("doc_id"), col("fp"))
+    val (corpusFp, batch) = incrementSplit(spark, dir)
+    candidateSlice(batch, corpusFp).select(col("doc_id"), col("fp"))
   }
 
   /** q80: near-dup cluster formation — connected components over the

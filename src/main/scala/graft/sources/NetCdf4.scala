@@ -90,8 +90,12 @@ object NetCdf4 {
     }
 
   def parse(bytes: Array[Byte]): H5File = {
-    require(bytes.length >= 96 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+    require(bytes.length >= 8 && Magic.indices.forall(i => bytes(i) == Magic(i)),
       "not an HDF5 stream (missing \\x89HDF magic)")
+    // distinct from the magic check: a valid-magic short stream is a cut
+    // download, and the R17 skip reason should say so
+    require(bytes.length >= 96,
+      s"truncated HDF5 stream (${bytes.length} bytes, superblock needs 96)")
     val b = new Buf(bytes)
     val sbVer = b.u8(8)
     require(sbVer == 0 || sbVer == 1,
@@ -281,7 +285,8 @@ object NetCdf4 {
           else t.size match {
             case 1 => if (t.signed) b.bytes(q).toDouble else b.u8(q).toDouble
             case 2 => if (t.signed) bb.getShort(q).toDouble else (bb.getShort(q) & 0xffff).toDouble
-            case 4 => if (t.signed) bb.getInt(q).toDouble else b.u32(q).toDouble
+            case 4 => if (t.signed) bb.getInt(q).toDouble
+                      else (bb.getInt(q) & 0xffffffffL).toDouble
             case _ => bb.getLong(q).toDouble
           }
         }

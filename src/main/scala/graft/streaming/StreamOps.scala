@@ -48,53 +48,52 @@ object StreamOps {
 
   /** Gap-based session windows (30-minute inactivity) via
     * flatMapGroupsWithState — the custom-state streaming dual of
-    * operators.Events.sessionize. Sessions close either when a later event
-    * arrives past the gap or when the event-time timeout fires. */
+    * operators.Events.sessionize, matching its output for EVERY
+    * in-watermark arrival order.
+    *
+    * State is the per-user set of OPEN sessions, not just the latest:
+    * with a watermark delay longer than the gap, an in-watermark
+    * straggler can open an earlier session that a later straggler must
+    * merge into (or that a middle event must BRIDGE with the current
+    * one) — single-session state either rewinds the current session
+    * across a genuine >gap silence or freezes stragglers into premature
+    * singletons; both diverge from the batch dual. A session closes only
+    * when the event-time watermark passes `last + gap` (no admissible
+    * event can extend or bridge it anymore), which makes emission
+    * decisions watermark-driven exactly like the built-in windowed
+    * aggregation. State is O(open sessions per user) — bounded by
+    * watermark-delay/gap, independent of stream length. */
   def sessionizeStream(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
 
     def fn(userId: Long, batch: Iterator[Ev],
-           state: GroupState[SessionState]): Iterator[SessionOut] = {
-      var out = List.empty[SessionOut]
-      var cur = state.getOption
-      if (state.hasTimedOut) {
-        cur.foreach(s => out ::= SessionOut(userId, s.start / 1000, s.n, s.sum))
-        state.remove()
-        cur = None
-      }
+           state: GroupState[Seq[SessionState]]): Iterator[SessionOut] = {
+      var sessions = state.getOption.getOrElse(Seq.empty)
       val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       sorted.foreach { e =>
         val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.last <= gapMs && s.start - t <= gapMs =>
-            // merge only when t is within the gap of the session INTERVAL
-            // [start, last] on both sides. min/max, not overwrite: a LATER
-            // microbatch can deliver an in-watermark event older than
-            // s.last — taking last = t there would rewind the activity
-            // horizon and falsely split the session on the next on-time
-            // event
-            cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
-              s.n + 1, s.sum + e.value))
-          case Some(s) if s.start - t > gapMs =>
-            // in-watermark straggler preceding the open session's start by
-            // MORE than the gap: the batch dual (Events.sessionize) puts a
-            // >gap silence between them and emits two sessions, so absorb
-            // it as its own already-closed earlier session and leave the
-            // open state untouched (no start rewind across the silence)
-            out ::= SessionOut(userId, t / 1000, 1, e.value)
-          case Some(s) =>
-            out ::= SessionOut(userId, s.start / 1000, s.n, s.sum)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
+        // merge with every session whose interval is within the gap of t;
+        // one event can bridge two previously-separate sessions
+        val (overlap, rest) = sessions.partition(s =>
+          t - s.last <= gapMs && s.start - t <= gapMs)
+        val merged = overlap.foldLeft(SessionState(t, t, 1, e.value)) { (acc, s) =>
+          SessionState(math.min(acc.start, s.start), math.max(acc.last, s.last),
+            acc.n + s.n, acc.sum + s.sum)
         }
+        sessions = merged +: rest
       }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.last + gapMs)
+      // close sessions the watermark has passed — no in-watermark event
+      // can reach within the gap of their last activity anymore
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) = sessions.partition(_.last + gapMs <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open)
+        state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
       }
-      out.reverseIterator
+      closed.sortBy(_.start)
+        .map(s => SessionOut(userId, s.start / 1000, s.n, s.sum)).iterator
     }
 
     events

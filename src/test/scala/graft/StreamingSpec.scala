@@ -161,6 +161,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization merges multiple stragglers into one earlier session") {
+    // two in-watermark stragglers 2 min apart, both >gap before the open
+    // session: the batch dual merges them into ONE earlier session —
+    // single-session state would emit two frozen singletons
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("sess_multi_straggler_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(1, ts(100), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(2, ts(60), 1, "click", 2.0)) // straggler, new early session
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(62), 1, "click", 3.0)) // must MERGE into it
+      q.processAllAvailable()
+      input.addData(Ev(4, ts(120), 1, "click", 4.0)) // extends the main session
+      q.processAllAvailable()
+      input.addData(Ev(9, ts(500), 2, "click", 0.5)) // advance watermark
+      q.processAllAvailable()
+      input.addData(Ev(10, ts(900), 2, "click", 0.5)) // fire the timeout
+      q.processAllAvailable()
+      val rows = spark.table("sess_multi_straggler_out").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((60L * 60, 2L, 5.0), (100L * 60, 2L, 5.0)),
+        s"expected merged straggler session + main session, got $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

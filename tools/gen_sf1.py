@@ -20,6 +20,7 @@ import statistics
 import duckdb
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
@@ -149,7 +150,7 @@ def _shift_col(tbl, name, delta):
     i = tbl.schema.get_field_index(name)
     col = tbl.column(name)
     typ = col.type
-    shifted = pa.compute.add(col.cast(pa.int64()), delta).cast(typ)
+    shifted = pc.add(col.cast(pa.int64()), delta).cast(typ)
     return tbl.set_column(i, tbl.schema.field(i), shifted)
 
 
