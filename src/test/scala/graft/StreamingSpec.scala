@@ -192,6 +192,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization matches the batch gap rule on randomized out-of-order delivery") {
+    // model-based check of the multi-session state machine: random event
+    // times, delivered in a random order whose displacement is bounded
+    // below the watermark delay (so nothing is ever dropped), must
+    // produce EXACTLY the sessions the batch gap-split rule computes.
+    // Values are 0.25-multiples so double sums are order-exact.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val events = for {
+      u <- 1 to 5; i <- 1 to 30
+    } yield Ev(u * 1000L + i, ts(1 + rnd.nextInt(180)), u, "e", 0.25 * rnd.nextInt(8))
+    // displacement key: ts + jitter < watermark delay keeps every event
+    // admissible at its delivery time (jitter precomputed — a random key
+    // inside sortBy would change between comparisons)
+    val delivery = events
+      .map(e => (e, e.ts.getTime + rnd.nextInt(50) * 60000L))
+      .sortBy(_._2).map(_._1)
+    val model: Set[(Long, Long, Long, Double)] = events.groupBy(_.user_id).toSeq.flatMap {
+      case (u, evs) =>
+        val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        val sessions = sorted.foldLeft(List.empty[List[Ev]]) {
+          case (cur :: done, e)
+            if e.ts.getTime - cur.head.ts.getTime <= 30 * 60000L =>
+            (e :: cur) :: done
+          case (acc, e) => List(e) :: acc
+        }
+        sessions.map { s =>
+          (u, s.last.ts.getTime / 1000, s.size.toLong, s.map(_.value).sum)
+        }
+    }.toSet
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("sess_model_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      delivery.grouped(7).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      input.addData(Ev(999901, ts(600), 99, "e", 0.0)) // advance watermark
+      q.processAllAvailable()
+      input.addData(Ev(999902, ts(1200), 99, "e", 0.0)) // fire timeouts
+      q.processAllAvailable()
+      val streamed = spark.table("sess_model_out").collect()
+        .filter(_.getLong(0) != 99L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == model,
+        s"streaming diverged from the batch gap rule:\n  extra=${streamed -- model}\n  missing=${model -- streamed}")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
