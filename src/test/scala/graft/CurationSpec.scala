@@ -138,6 +138,19 @@ class CurationSpec extends SparkSpec {
       s"verify join no longer consumes the checkpointed candidates:\n$below")
   }
 
+  test("bloom sketch of an empty corpus rules out every batch doc") {
+    // pre-first-ingest deployment: no index yet → all-zero floor-sized
+    // sketch → zero candidates → the whole batch is admitted novel
+    import spark.implicits._
+    val bloom = Curation.bloomWords(Seq.empty[String].toDF("fp"))
+    val arr = bloom.head().getSeq[Long](0)
+    assert(arr.length == 16384 / 64 && arr.forall(_ == 0L),
+      s"expected the all-zero floor sketch, got len=${arr.length}")
+    val batch = Seq("a", "b", "c").toDF("fp")
+    assert(batch.crossJoin(broadcast(bloom))
+      .filter(Curation.bloomHit).count() == 0L)
+  }
+
   test("span dedup: bounds hold and exact-dup documents are fully covered") {
     val out = Curation.spanDedup(spark, sfDir)
     out.collect().foreach { r =>
