@@ -49,12 +49,30 @@ object Fetch {
   /** GET every (parameter, url) in the request plan, isolating failures
     * per parameter — the reference's try/except loop. Staged bytes pass
     * through `validate` (default [[containerGuard]]): a rejection is a
-    * per-parameter failure, same as an HTTP error. Never throws. */
+    * per-parameter failure, same as an HTTP error. Connect/read timeouts
+    * bound every request so ONE stalled endpoint cannot hang the whole
+    * ingest — the timeout surfaces as that parameter's recorded error
+    * and the loop moves on (the reference inherits the same property
+    * from `requests`' timeout). Non-2xx statuses, redirects (followed by
+    * the URL layer for same-protocol GETs), and connection failures all
+    * resolve through the same Try. Never throws. */
   def fetchAll(plan: Seq[(String, String)],
-               validate: Array[Byte] => Option[String] = containerGuard): Seq[FetchOutcome] =
+               validate: Array[Byte] => Option[String] = containerGuard,
+               connectTimeoutMs: Int = 10000,
+               readTimeoutMs: Int = 60000): Seq[FetchOutcome] =
     plan.map { case (param, url) =>
       val result = Try {
-        val in = new java.net.URI(url).toURL.openStream()
+        val conn = new java.net.URI(url).toURL.openConnection()
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        conn match {
+          // surface the status itself (HttpURLConnection would bury a 404
+          // in FileNotFoundException) — the reference's raise_for_status
+          case http: java.net.HttpURLConnection if http.getResponseCode >= 400 =>
+            throw new java.io.IOException(s"HTTP ${http.getResponseCode}")
+          case _ => ()
+        }
+        val in = conn.getInputStream
         try in.readAllBytes() finally in.close()
       } match {
         case Success(bytes) => validate(bytes).toLeft(bytes)

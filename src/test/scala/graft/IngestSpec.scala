@@ -158,6 +158,44 @@ class IngestSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("real HTTP fetch: 200/redirect succeed, 404/stall isolate per parameter (R2/R17)") {
+    // a loopback JDK HttpServer exercises the actual HTTP path offline:
+    // success bytes, a followed redirect, a non-2xx status, and a stalled
+    // endpoint that must hit the read timeout instead of hanging the job
+    import graft.operators.Fetch
+    import com.sun.net.httpserver.HttpServer
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val csv = "time,x,y,value\n2024-01-01 00:00:00,11.6,55.6,1.5".getBytes
+    server.createContext("/ok", ex => {
+      ex.sendResponseHeaders(200, csv.length.toLong)
+      ex.getResponseBody.write(csv); ex.close()
+    })
+    server.createContext("/missing", ex => { ex.sendResponseHeaders(404, -1); ex.close() })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    server.createContext("/moved", ex => {
+      ex.getResponseHeaders.add("Location", s"$base/ok")
+      ex.sendResponseHeaders(302, -1); ex.close()
+    })
+    server.createContext("/stall", ex => { Thread.sleep(3000); ex.close() })
+    try {
+      val outcomes = Fetch.fetchAll(
+        Seq("p-ok" -> s"$base/ok", "p-redirect" -> s"$base/moved",
+          "p-404" -> s"$base/missing", "p-stall" -> s"$base/stall"),
+        readTimeoutMs = 500)
+      val byParam = outcomes.map(o => o.parameter -> o).toMap
+      assert(byParam("p-ok").result.exists(_.sameElements(csv)))
+      assert(byParam("p-redirect").result.exists(_.sameElements(csv)),
+        s"redirect not followed: ${byParam("p-redirect")}")
+      assert(byParam("p-404").result.left.exists(_.contains("404")),
+        s"expected a 404 error record: ${byParam("p-404")}")
+      assert(byParam("p-stall").result.left.exists(
+        e => e.contains("SocketTimeout") || e.toLowerCase.contains("timed out")),
+        s"expected a read-timeout record: ${byParam("p-stall")}")
+    } finally server.stop(0)
+  }
+
   test("NetCDF-4/HDF5 bytes are skipped at the fetch boundary (R17)") {
     // the DMI API can serve NetCDF-4; the classic codec can't decode it.
     // R17 semantics: the parameter is SKIPPED at the fetch boundary (error
