@@ -478,19 +478,42 @@ class StreamingSpec extends SparkSpec {
     // copy a small slice of events parquet into a staging dir, stream it
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    // stage the RAW layout (ts as int64 nanos) — eventsStream owns conversion
-    spark.read.schema(graft.sources.Tables.eventsSchema)
-      .parquet(s"$sfDir/events.parquet").limit(200)
-      .write.mode("overwrite").parquet(tmp)
+    // stage the RAW layout (ts as int64 nanos) — eventsStream owns
+    // conversion — plus one far-future row so the watermark passes and
+    // FINALIZES every real window (without it the append-mode sink would
+    // legally stay empty and the parity check below would be vacuous)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit, window}
+    val slice = spark.read.schema(graft.sources.Tables.eventsSchema)
+      .parquet(s"$sfDir/events.parquet").limit(200).cache()
+    slice.write.mode("overwrite").parquet(tmp)
+    val maxNs = slice.agg(org.apache.spark.sql.functions.max(col("ts"))).head().getLong(0)
+    Seq((999999L, maxNs + 10L * 3600 * 1000000000L, 1L, "wm_advance", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(tmp)
     val streamed = StreamOps.windowedCounts(
       StreamOps.eventsStream(spark, tmp))
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     StreamOps.writeWindowed(streamed, outDir, cp)
-    // append-mode parquet sink only contains finalized windows; just assert
-    // the pipeline ran end-to-end and wrote a valid (possibly empty) dataset
-    val n = spark.read.schema(
+    // every slice window is finalized → the sink must EQUAL the batch
+    // aggregation of the slice (the advancer's own window stays open)
+    val sink = spark.read.schema(
       "window_start TIMESTAMP, event_type STRING, n_events BIGINT, sum_value DOUBLE")
-      .parquet(outDir).count()
-    assert(n >= 0L)
+      .parquet(outDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), math.rint(r.getDouble(3) * 1e6) / 1e6)).toMap
+    val batch = slice
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("value")).as("s"))
+      .collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), math.rint(r.getDouble(3) * 1e6) / 1e6)).toMap
+    // sums rounded to 6 dp on both sides: double addition order differs
+    // between the streaming partials and the batch agg
+    slice.unpersist()
+    assert(batch.nonEmpty && sink == batch,
+      s"streamed windows diverged from batch: sink=${sink.size} batch=${batch.size}")
   }
 }
