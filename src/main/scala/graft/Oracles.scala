@@ -924,6 +924,35 @@ object Oracles {
          |FROM g GROUP BY gram
          |ORDER BY df DESC, occ DESC, gram LIMIT 20""".stripMargin,
 
+    // q97: the sketch is deterministic (sha256-derived buckets), so the
+    // oracle rebuilds the exact same CMS and the estimates hash-match.
+    "q97_cms_census" ->
+      s"""WITH $toksCte,
+         | g AS (SELECT doc_id,
+         |   unnest(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3),
+         | ins AS (SELECT DISTINCT doc_id, gram FROM g),
+         | cells AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |   SELECT 0 AS r, ${dHash("'0|' || gram")} % 65536 AS b FROM ins
+         |   UNION ALL SELECT 1, ${dHash("'1|' || gram")} % 65536 FROM ins
+         |   UNION ALL SELECT 2, ${dHash("'2|' || gram")} % 65536 FROM ins
+         |   UNION ALL SELECT 3, ${dHash("'3|' || gram")} % 65536 FROM ins)
+         |  GROUP BY r, b),
+         | top AS (SELECT gram,
+         |   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |   CAST(count(*) AS BIGINT) AS occ
+         |  FROM g GROUP BY gram ORDER BY df DESC, occ DESC, gram LIMIT 20)
+         |SELECT t.gram, t.df, t.occ,
+         | least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS cms_df,
+         | least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) - t.df AS overestimate
+         |FROM top t
+         | JOIN cells c0 ON c0.r = 0 AND c0.b = ${dHash("'0|' || t.gram")} % 65536
+         | JOIN cells c1 ON c1.r = 1 AND c1.b = ${dHash("'1|' || t.gram")} % 65536
+         | JOIN cells c2 ON c2.r = 2 AND c2.b = ${dHash("'2|' || t.gram")} % 65536
+         | JOIN cells c3 ON c3.r = 3 AND c3.b = ${dHash("'3|' || t.gram")} % 65536
+         |ORDER BY t.df DESC, t.occ DESC, t.gram""".stripMargin,
+
     "q69_stratified_sample" ->
       s"""WITH r AS (SELECT lang, source, doc_id,
          |   row_number() OVER (PARTITION BY lang, source

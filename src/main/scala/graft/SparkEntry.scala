@@ -115,6 +115,7 @@ object SparkEntry {
     "q94_bloom_increment" -> (Curation.bloomIncrement _),
     "q95_span_dedup" -> (Curation.spanDedup _),
     "q96_span_trim" -> (Curation.spanTrim _),
+    "q97_cms_census" -> (Curation.cmsCensus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -123,6 +123,60 @@ object Curation {
       .limit(20)
   }
 
+  // q97 CMS geometry: depth 4, width 2^16 → a 2 MB sketch holding the
+  // sf0.1 shingle population at ~0.4 load per bucket. At deployment scale
+  // W grows with the distinct-item count (the CMS accuracy knob): the
+  // sketch is O(D×W) REGARDLESS of corpus size, which is the whole point.
+  private val CmsD = 4
+  private val CmsW = 65536
+
+  /** CMS bucket for row r — sha256-derived like every cross-engine hash
+    * here, so the DuckDB oracle reproduces the exact same sketch. */
+  private def cmsBucket(r: Int, gram: Column): Column =
+    pmod(Hashing.h32(concat_ws("|", lit(r.toString), gram)), lit(CmsW.toLong))
+
+  /** q97: count-min-sketch heavy-hitter census — q68's documented
+    * "bounded-memory cheap path" claim as code. Every distinct
+    * (gram, doc) insertion increments [[CmsD]] bucket counters; a gram's
+    * document frequency is then ESTIMATED as the minimum of its bucket
+    * totals — never below the truth (the CMS guarantee, asserted in
+    * CurationSpec), overestimating only by bucket collisions. The output
+    * reports q68's exact top-20 alongside their sketch estimates and the
+    * realized overestimate, so the sketch's accuracy is itself measured
+    * by the oracle.
+    *
+    * Scale shape: the sketch build is one explode + one (r, bucket)
+    * count aggregation into at most D×W cells — FIXED memory at any
+    * corpus size (vs q68's vocabulary-sized exact aggregation) — and
+    * ships as a single-row map the same way q94's bloom does. The
+    * estimates are deterministic (sha256 buckets), which is what keeps a
+    * sketch operator hash-checkable across engines. */
+  def cmsCensus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ins = docs.withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(Dedup.shingleCol).as("gram"))
+      .distinct() // one insertion per (gram, doc): the sketch estimates df
+    val cells = ins
+      .select(explode(array((0 until CmsD).map(r =>
+        struct(lit(r).as("r"), cmsBucket(r, col("gram")).as("b"))): _*)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cmsMap = cells.agg(
+      map_from_arrays(
+        collect_list(col("r") * CmsW + col("b")),
+        collect_list(col("cnt"))).as("cms"))
+    val est = (0 until CmsD).map(r =>
+      coalesce(element_at(col("cms"),
+        lit(r.toLong * CmsW) + cmsBucket(r, col("gram"))), lit(0L)))
+      .reduce(least(_, _))
+    boilerplateCensus(spark, dir)
+      .crossJoin(broadcast(cmsMap))
+      .select(col("gram"), col("df"), col("occ"),
+        est.as("cms_df"), (est - col("df")).as("overestimate"))
+      .orderBy(col("df").desc, col("occ").desc, col("gram"))
+  }
+
   /** q69: deterministic stratified sample — k=3 documents per
     * (lang, source) stratum, chosen by sha256-hash order so the sample
     * is reproducible across engines and runs (no RNG state).

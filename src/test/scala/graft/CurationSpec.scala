@@ -151,6 +151,21 @@ class CurationSpec extends SparkSpec {
       .filter(Curation.bloomHit).count() == 0L)
   }
 
+  test("cms census: estimates never undercount and are near-exact at this load") {
+    val out = Curation.cmsCensus(spark, sfDir).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (df, est, over) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(est >= df, s"CMS undercounted ${r.getString(0)}: $est < $df")
+      assert(over == est - df)
+    }
+    // at ~0.4 insertions per bucket, min-of-4-rows collisions are rare:
+    // the heavy hitters should be mostly exact (sketch is USEFUL, not a
+    // vacuous upper bound)
+    val exact = out.count(r => r.getLong(4) == 0L)
+    assert(exact >= 15, s"only $exact/20 heavy hitters exact — sketch overloaded")
+  }
+
   test("span dedup: bounds hold and exact-dup documents are fully covered") {
     val out = Curation.spanDedup(spark, sfDir)
     out.collect().foreach { r =>
