@@ -105,7 +105,10 @@ class PlanGuardSpec extends SparkSpec {
       // span-hash window shuffle + the dual-countDistinct expand + sort
       "q95_span_dedup" -> 4,
       // span-hash window shuffle + cut-set agg + sort
-      "q96_span_trim" -> 3)
+      "q96_span_trim" -> 3,
+      // exact census (distinct + df agg) + sketch cells agg + the 1-row
+      // map collapse
+      "q97_cms_census" -> 5)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
