@@ -172,6 +172,7 @@ class IngestSpec extends SparkSpec {
       ex.getResponseBody.write(csv); ex.close()
     })
     server.createContext("/missing", ex => { ex.sendResponseHeaders(404, -1); ex.close() })
+    server.createContext("/throttled", ex => { ex.sendResponseHeaders(429, -1); ex.close() })
     server.start()
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"
     server.createContext("/moved", ex => {
@@ -182,7 +183,8 @@ class IngestSpec extends SparkSpec {
     try {
       val outcomes = Fetch.fetchAll(
         Seq("p-ok" -> s"$base/ok", "p-redirect" -> s"$base/moved",
-          "p-404" -> s"$base/missing", "p-stall" -> s"$base/stall"),
+          "p-404" -> s"$base/missing", "p-429" -> s"$base/throttled",
+          "p-stall" -> s"$base/stall"),
         readTimeoutMs = 500)
       val byParam = outcomes.map(o => o.parameter -> o).toMap
       assert(byParam("p-ok").result.exists(_.sameElements(csv)))
@@ -190,6 +192,8 @@ class IngestSpec extends SparkSpec {
         s"redirect not followed: ${byParam("p-redirect")}")
       assert(byParam("p-404").result.left.exists(_.contains("404")),
         s"expected a 404 error record: ${byParam("p-404")}")
+      assert(byParam("p-429").result.left.exists(_.contains("429")),
+        s"expected a 429 error record: ${byParam("p-429")}")
       assert(byParam("p-stall").result.left.exists(
         e => e.contains("SocketTimeout") || e.toLowerCase.contains("timed out")),
         s"expected a read-timeout record: ${byParam("p-stall")}")

@@ -199,6 +199,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("netcdf-4 writer round-trips random multi-dataset files (1-8 datasets)") {
+    // the group machinery (heap names, SNOD ordering, per-dataset object
+    // headers and blob addresses) fuzzed beyond the fixed 4-dataset cube
+    // shape encodeCube always emits; pure-JVM, so full forAll
+    val dsG = for {
+      n <- Gen.choose(1, 8)
+      names <- Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(12)))
+      if names.distinct.size == n
+      specs <- Gen.sequence[List[(Boolean, List[Double])], (Boolean, List[Double])](
+        names.map { _ =>
+          for {
+            f32 <- Gen.oneOf(true, false)
+            len <- Gen.choose(1, 40)
+            vals <- Gen.listOfN(len, Gen.choose(-1e5, 1e5).map(v => math.rint(v * 100) / 100))
+          } yield (f32, vals)
+        })
+    } yield names.zip(specs)
+    check(Prop.forAll(dsG) { dss =>
+      val bytes = NetCdf4.write(dss.map { case (name, (f32, vals)) =>
+        NetCdf4.WriteDs(name, Seq(vals.length.toLong), vals.toArray, f32 = f32)
+      })
+      val f = NetCdf4.parse(bytes)
+      dss.forall { case (name, (f32, vals)) =>
+        val ds = f.dataset(name).get
+        val back = NetCdf4.readValues(f, ds).toSeq
+        val expect = if (f32) vals.map(v => v.toFloat.toDouble) else vals
+        ds.dtype.size == (if (f32) 4 else 8) && back == expect
+      }
+    })
+  }
+
   test("netcdf-4 cube encode/decode round-trips random grids (HDF5 subset)") {
     // same generator discipline as the classic-codec property above —
     // the HDF5 container must round-trip the identical cube population
