@@ -544,12 +544,17 @@ object Curation {
     * collapses per-word masks, and the final global aggregate densifies
     * the sparse words into one ordered array. */
   private[graft] def bloomWords(fps: DataFrame): DataFrame = {
-    val mRow = fps.agg(
+    // two passes over the index are inherent (m must precede hashing),
+    // but the caller's upstream pipeline must not run twice — materialize
+    // once here (a second checkpoint of an already-materialized index is
+    // a cheap copy, so pre-checkpointed callers lose nothing)
+    val mat = fps.localCheckpoint()
+    val mRow = mat.agg(
       pow(lit(2.0), ceil(log2(greatest(
         count(lit(1)) * BloomBitsPerKey, lit(16384L))))).cast("long").as("m"))
     val posCols = (0 until BloomK).map(i =>
       pmod(xxhash64(col("fp"), lit(i)), col("m")))
-    val wordRows = fps
+    val wordRows = mat
       .crossJoin(broadcast(mRow))
       .select(explode(array(posCols: _*)).as("pos"))
       .groupBy(expr("pos DIV 64").as("w"))

@@ -67,9 +67,17 @@ object Fetch {
         conn.setReadTimeout(readTimeoutMs)
         conn match {
           // surface the status itself (HttpURLConnection would bury a 404
-          // in FileNotFoundException) — the reference's raise_for_status
-          case http: java.net.HttpURLConnection if http.getResponseCode >= 400 =>
-            throw new java.io.IOException(s"HTTP ${http.getResponseCode}")
+          // in FileNotFoundException) — the reference's raise_for_status.
+          // >= 300, not 400: followed redirects already resolved to their
+          // final status here, so a remaining 3xx is one the URL layer
+          // did NOT follow (e.g. cross-protocol http→https) — its body is
+          // the redirect page, which must never stage as cube bytes
+          case http: java.net.HttpURLConnection if http.getResponseCode >= 300 =>
+            val code = http.getResponseCode
+            // the error path must release the connection too
+            Option(http.getErrorStream).foreach(_.close())
+            http.disconnect()
+            throw new java.io.IOException(s"HTTP $code")
           case _ => ()
         }
         val in = conn.getInputStream

@@ -241,7 +241,8 @@ object StreamOps {
     * half of q94's lambda split (dedupStream handles the stream's OWN
     * horizon; this asks "have we ever ingested this document before?").
     * Each in-flight document tests its fingerprint against the broadcast
-    * 16 KB corpus sketch in pure column math: STATELESS, no shuffle, no
+    * corpus-sized sketch (KBs–MBs, ~28 bits per indexed fingerprint) in
+    * pure column math: STATELESS, no shuffle, no
     * state store, which is what lets it run inline on a 100 TB/day
     * stream where the real corpus index could never be joined per
     * microbatch. `maybe_dup = false` is DEFINITIVE (bloom negatives

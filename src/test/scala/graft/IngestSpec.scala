@@ -165,7 +165,8 @@ class IngestSpec extends SparkSpec {
     import graft.operators.Fetch
     import com.sun.net.httpserver.HttpServer
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     val csv = "time,x,y,value\n2024-01-01 00:00:00,11.6,55.6,1.5".getBytes
     server.createContext("/ok", ex => {
       ex.sendResponseHeaders(200, csv.length.toLong)
@@ -180,11 +181,17 @@ class IngestSpec extends SparkSpec {
       ex.sendResponseHeaders(302, -1); ex.close()
     })
     server.createContext("/stall", ex => { Thread.sleep(3000); ex.close() })
+    // cross-protocol redirect: the URL layer does NOT follow http→https,
+    // and the redirect body must never stage as success bytes
+    server.createContext("/moved-https", ex => {
+      ex.getResponseHeaders.add("Location", "https://example.invalid/ok")
+      ex.sendResponseHeaders(301, -1); ex.close()
+    })
     try {
       val outcomes = Fetch.fetchAll(
         Seq("p-ok" -> s"$base/ok", "p-redirect" -> s"$base/moved",
           "p-404" -> s"$base/missing", "p-429" -> s"$base/throttled",
-          "p-stall" -> s"$base/stall"),
+          "p-xproto" -> s"$base/moved-https", "p-stall" -> s"$base/stall"),
         readTimeoutMs = 500)
       val byParam = outcomes.map(o => o.parameter -> o).toMap
       assert(byParam("p-ok").result.exists(_.sameElements(csv)))
@@ -194,10 +201,12 @@ class IngestSpec extends SparkSpec {
         s"expected a 404 error record: ${byParam("p-404")}")
       assert(byParam("p-429").result.left.exists(_.contains("429")),
         s"expected a 429 error record: ${byParam("p-429")}")
+      assert(byParam("p-xproto").result.left.exists(_.contains("301")),
+        s"unfollowed redirect must error, not stage its body: ${byParam("p-xproto")}")
       assert(byParam("p-stall").result.left.exists(
         e => e.contains("SocketTimeout") || e.toLowerCase.contains("timed out")),
         s"expected a read-timeout record: ${byParam("p-stall")}")
-    } finally server.stop(0)
+    } finally { server.stop(0); pool.shutdownNow() }
   }
 
   test("NetCDF-4/HDF5 bytes are skipped at the fetch boundary (R17)") {
