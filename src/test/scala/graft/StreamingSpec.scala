@@ -474,6 +474,46 @@ class StreamingSpec extends SparkSpec {
       finals.mkString(";"))
   }
 
+  test("session state restores across a checkpoint restart") {
+    // the multi-session Seq state must round-trip through the state
+    // store: run 1 leaves two OPEN sessions in the checkpoint, run 2
+    // restarts, merges new events into the restored state, and closes
+    // everything — sessions emit exactly once with merged contents
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_sess_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    def stage(rows: (Long, Long, Long, Double)*): Unit =
+      rows.map { case (id, min, u, v) => (id, min * 60L * 1000000000L, u, "e", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = StreamOps.sessionizeStream(
+          StreamOps.eventsStream(spark, src).as[Ev])
+        .writeStream.outputMode(OutputMode.Append).format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // run 1: two sessions open (min 60-64 and min 150); the restored
+    // watermark is 150-60 = 90 min
+    stage((1, 60, 1, 1.0), (2, 64, 1, 2.0), (3, 150, 1, 4.0))
+    run()
+    // run 2 (RESTART): both extensions are in-watermark (> 90 min) —
+    // min 92 merges the restored first session from above (28 <= gap),
+    // min 130 merges the second from BELOW (straggler start-extension on
+    // restored state)
+    stage((4, 92, 1, 8.0), (5, 130, 1, 16.0))
+    run()
+    stage((6, 600, 2, 0.0), (7, 1200, 2, 0.0)) // watermark + timeout
+    run()
+    val rows = spark.read.schema(
+      "user_id BIGINT, session_start BIGINT, n_events BIGINT, sum_value DOUBLE")
+      .parquet(out).collect().filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set((60L * 60, 3L, 11.0), (130L * 60, 2L, 20.0)),
+      s"restored sessions diverged: $rows")
+  }
+
   test("file-source stream over the events directory produces same totals as batch") {
     // copy a small slice of events parquet into a staging dir, stream it
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
