@@ -559,12 +559,17 @@ object Curation {
       .select(explode(array(posCols: _*)).as("pos"))
       .groupBy(expr("pos DIV 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
-    wordRows
-      .groupBy()
-      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("bits"))).as("wm"))
-      .crossJoin(broadcast(mRow)) // m survives an empty index
-      .select(transform(expr("sequence(0L, m DIV 64 - 1)"),
-        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bloom"))
+    // densify by exploding the full word range FROM THE m SCALAR (so the
+    // width never touches the driver) and sorting once — NOT by per-word
+    // map lookups: element_at on Spark's array-backed MapData is a linear
+    // scan, which made the old formulation O(W²) and measurably slow the
+    // moment the corpus sized W up
+    mRow
+      .select(explode(expr("sequence(0L, m DIV 64 - 1)")).as("w"))
+      .join(wordRows, Seq("w"), "left")
+      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .agg(expr("transform(array_sort(collect_list(struct(w, bits))), s -> s.bits)")
+        .as("bloom"))
   }
 
   /** All k bloom bits set for this row's `fp` against the broadcast
