@@ -953,6 +953,22 @@ object Oracles {
          | JOIN cells c3 ON c3.r = 3 AND c3.b = ${dHash("'3|' || t.gram")} % 65536
          |ORDER BY t.df DESC, t.occ DESC, t.gram""".stripMargin,
 
+    // q98: distinct (source, span-hash) rows on both sides, so count(*)
+    // per pair IS the distinct shared-span count.
+    "q98_span_provenance" ->
+      s"""WITH $toksCte,
+         | ds AS (SELECT t.doc_id, dd.source, t.toks,
+         |   CAST(len(t.toks) AS BIGINT) AS n
+         |  FROM t JOIN documents dd ON t.doc_id = dd.doc_id
+         |  WHERE len(t.toks) >= 8),
+         | s AS (SELECT source, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM ds),
+         | sp AS (SELECT DISTINCT source,
+         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         | CAST(count(*) AS BIGINT) AS n_shared_spans
+         |FROM sp a JOIN sp b ON a.hh = b.hh AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q69_stratified_sample" ->
       s"""WITH r AS (SELECT lang, source, doc_id,
          |   row_number() OVER (PARTITION BY lang, source

@@ -116,6 +116,7 @@ object SparkEntry {
     "q95_span_dedup" -> (Curation.spanDedup _),
     "q96_span_trim" -> (Curation.spanTrim _),
     "q97_cms_census" -> (Curation.cmsCensus _),
+    "q98_span_provenance" -> (Curation.spanProvenance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

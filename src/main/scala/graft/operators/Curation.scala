@@ -733,6 +733,39 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** q98: cross-source span contamination matrix — q87's provenance
+    * question at SPAN granularity: for every source pair, how many
+    * distinct [[SpanW]]-token spans appear verbatim in BOTH. Doc-level
+    * provenance (q87) sees mirrored documents; this sees shared
+    * boilerplate, quoted passages, and template reuse between otherwise
+    * distinct dumps — the signal that decides whether two "independent"
+    * sources are actually independent before mixing them.
+    *
+    * Scale shape: the span pipeline collapses to DISTINCT (source, hash)
+    * rows — one per span per source, regardless of occurrence count —
+    * and the self-join's per-key fan-out is bounded by the SOURCE count
+    * (single digits), never by span frequency, so the pair explosion a
+    * naive occurrence-level join would risk cannot happen. One
+    * materialization feeds both join sides. */
+  def spanProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.documents(spark, dir).withColumn("toks", toks)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= SpanW)
+      .select(col("source"),
+        explode(sequence(lit(0), (col("n") - SpanW).cast("int"))).as("i"),
+        col("toks"))
+      .select(col("source"),
+        sha2(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(SpanW))), 256).as("h"))
+      .distinct()
+      .localCheckpoint()
+    sp.select(col("source").as("source_a"), col("h"))
+      .join(sp.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Span window width for q95 (tokens). 8 is small enough that the test
     * corpus contains organic repeats, large enough that a match means
     * real shared phrasing, not chance n-gram overlap. */

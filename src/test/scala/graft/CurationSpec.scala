@@ -205,6 +205,23 @@ class CurationSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("span provenance: ordered pairs, positive counts, consistent with span dedup") {
+    val out = Curation.spanProvenance(spark, sfDir).collect()
+    assert(out.nonEmpty, "corpus has cross-source duplicated spans; matrix empty")
+    val nSources = sources.Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    assert(out.length <= nSources * (nSources - 1) / 2)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), s"unordered pair: $r")
+      assert(r.getLong(2) > 0)
+    }
+    // every cross-source shared span is by definition a duplicated span,
+    // so q95 must report at least one doc with spans whenever q98 is
+    // non-empty (weak cross-operator consistency, cheap to pin)
+    assert(Curation.spanDedup(spark, sfDir)
+      .filter(col("n_dup_spans") > 0).count() > 0)
+  }
+
   test("repetition ratio: bounded, and the plan has no shuffle at all") {
     val df = Curation.repetitionRatio(spark, sfDir)
     df.collect().foreach { r =>

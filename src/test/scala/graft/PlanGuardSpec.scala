@@ -108,7 +108,9 @@ class PlanGuardSpec extends SparkSpec {
       "q96_span_trim" -> 3,
       // exact census (distinct + df agg) + sketch cells agg + the 1-row
       // map collapse
-      "q97_cms_census" -> 5)
+      "q97_cms_census" -> 5,
+      // checkpointed distinct (source, hash) self-join + pair agg + sort
+      "q98_span_provenance" -> 2)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
