@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Lcc, Lzw}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 import graft.sources.{GeoTiff, NetCdf, NetCdf4}
 
 /** Property-based tests (SURVEY.md §5.3 item 3): ScalaCheck generators
@@ -196,6 +196,68 @@ class PropertySpec extends SparkSpec {
           lit("c").as("collection"), lit("param").as("parameter"),
           col("time"), col("x"), col("y"), col("value"))),
           s"cube ${nT}x${nY}x$nX v$version mismatch")
+    }
+  }
+
+  test("span family matches an independent model on generated corpora") {
+    // q95/q96/q98 against a direct Scala implementation of the span
+    // rules, over corpora the generator controls: a tiny vocabulary (so
+    // spans repeat organically), docs below/at/above the 8-token window,
+    // and two sources for the provenance matrix
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpusG = Gen.listOfN(12, for {
+      n <- Gen.choose(0, 20)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" "))
+    sample(corpusG, 3).zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", s"src${i % 2}", t.length.toLong)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_span_model$ci").toString
+      import spark.implicits._
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      // ---- independent model ----
+      val toksBy = docs.map { case (id, t, _, src, _) =>
+        (id, src, t.split(" ").filter(_.nonEmpty).toVector)
+      }
+      val eligible = toksBy.filter(_._3.length >= 8)
+      val spans = eligible.flatMap { case (id, src, tk) =>
+        (0 to tk.length - 8).map(i => (id, src, i, tk.slice(i, i + 8).mkString(" ")))
+      }
+      val occ = spans.groupBy(_._4).map { case (k, v) => k -> v.size }
+      val hits = spans.filter(s => occ(s._4) >= 2)
+      val mDedup = eligible.map { case (id, _, tk) =>
+        val hs = hits.filter(_._1 == id).map(_._3).distinct
+        val covered = hs.flatMap(i => i until i + 8).distinct
+        val keep = math.floor((1.0 - covered.size.toDouble / tk.length) * 1e6) / 1e6
+        id -> (tk.length.toLong, hs.size.toLong, covered.size.toLong, keep)
+      }.toMap
+      val mTrim = eligible.map { case (id, _, tk) =>
+        val covered = hits.filter(_._1 == id).map(_._3)
+          .flatMap(i => i until i + 8).toSet
+        id -> tk.zipWithIndex.collect { case (t, p) if !covered(p) => t }.mkString(" ")
+      }.toMap
+      val srcSpans = spans.map(s => (s._2, s._4)).distinct
+      val mProv = srcSpans.groupBy(_._2).values
+        .flatMap { g =>
+          val ss = g.map(_._1).distinct.sorted
+          for (x <- ss; y <- ss if x < y) yield (x, y)
+        }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+      // ---- engine vs model ----
+      val dd = Curation.spanDedup(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+      assert(dd == mDedup, s"corpus $ci spanDedup diverged")
+      val tr = Curation.spanTrim(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(tr == mTrim, s"corpus $ci spanTrim diverged")
+      val pv = Curation.spanProvenance(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(pv == mProv, s"corpus $ci spanProvenance diverged:\n $pv\n vs $mProv")
     }
   }
 
