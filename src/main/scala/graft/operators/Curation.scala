@@ -166,6 +166,13 @@ object Curation {
       map_from_arrays(
         collect_list(col("r") * CmsW + col("b")),
         collect_list(col("cnt"))).as("cms"))
+    // `est` probes the broadcast sketch via element_at on a map of up to
+    // D×W = 262144 entries, and Spark's MapData lookup is a LINEAR scan
+    // (the q94 lesson — see bloomWords' densify comment). Safe ONLY
+    // because the probe side here is boilerplateCensus's post-limit
+    // 20-row output (8 lookups × 20 rows); reusing `est` against an
+    // unlimited gram set would be O(rows × D × W) — densify to an ordered
+    // array + index lookup (the bloomWords shape) before doing that.
     val est = (0 until CmsD).map(r =>
       coalesce(element_at(col("cms"),
         lit(r.toLong * CmsW) + cmsBucket(r, col("gram"))), lit(0L)))

@@ -35,10 +35,11 @@ object Fetch {
     * (error recorded, old partitions preserved), exactly like an HTTP
     * failure, rather than surfacing as a decode throw later in the job.
     * HDF5 streams inside the [[graft.sources.NetCdf4]] subset (flat
-    * contiguous-layout classic-model files) pass through to decode; the
-    * header-only probe rejects anything beyond the subset (chunked,
-    * "latest format", nested groups, …) with the probe's reason in the
-    * skip message. Returns the rejection message, or None when the bytes
+    * classic-model files — contiguous, compact, or chunked with
+    * deflate/shuffle) pass through to decode; the header-only probe
+    * rejects anything beyond the subset (exotic filters, "latest
+    * format", nested groups, …) with the probe's reason in the skip
+    * message. Returns the rejection message, or None when the bytes
     * may proceed to decode. */
   def containerGuard(bytes: Array[Byte]): Option[String] =
     if (graft.sources.NetCdf4.isHdf5(bytes))

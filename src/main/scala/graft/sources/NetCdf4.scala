@@ -15,21 +15,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scope (honest, and narrower than [[NetCdf]]'s by design): exactly the
   * shape a flat one-cube NetCDF-4 *classic-model* file has when written
-  * by default-configuration libnetcdf/libhdf5 without chunking or
-  * compression —
+  * by default-configuration libnetcdf/libhdf5 — including the chunked,
+  * deflate-compressed layout it emits for cube-sized variables —
   *   - superblock version 0 or 1, 8-byte offsets/lengths;
   *   - version-1 object headers (with continuation blocks), symbol-table
   *     groups (v1 B-tree + local heap), a FLAT root group (the NetCDF-4
   *     classic data model — a nested group is rejected, not misread);
   *   - dataspace v1/v2, fixed-point and IEEE-float datatypes in either
-  *     byte order, data layout v3 contiguous or compact;
+  *     byte order, data layout v3 contiguous, compact, or CHUNKED
+  *     (version-1 chunk B-tree index) with the deflate and shuffle
+  *     filters (`java.util.zip.Inflater` covers deflate; shuffle is a
+  *     byte de-interleave) — the default libnetcdf output for cube-sized
+  *     variables, which chunks and commonly deflate-compresses;
   *   - v1/v2/v3 attribute messages with string and numeric scalars/
   *     arrays — enough for the CF attributes a forecast cube uses
   *     (`units`, `scale_factor`, `add_offset`, `_FillValue`); vlen/
   *     reference attributes (`DIMENSION_LIST`, `REFERENCE_LIST`) are
   *     SKIPPED and axis mapping falls back to coordinate names + shape
   *     matching, the same convention [[NetCdf.decodeCube]] applies.
-  * Chunked/filtered layouts, v2 object headers ("latest format"), and
+  * Filters beyond deflate/shuffle (fletcher32, szip, nbit, scaleoffset,
+  * …), v2 object headers ("latest format"), and
   * nested groups are rejected with a message naming the feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
   * R17 skip-parameter semantics at the fetch boundary, so an
@@ -65,13 +70,23 @@ object NetCdf4 {
     def first: Option[Double] = nums.headOption
   }
 
+  /** One filter-pipeline entry (message 0x000B): id 1 = deflate, 2 =
+    * shuffle; `cdata` is the client-data array (deflate level / element
+    * size). */
+  case class H5Filter(id: Int, cdata: Seq[Int])
+
   /** One dataset (= one NetCDF-4 variable). `compact` holds inline data
-    * for layout class 0; otherwise `dataAddr`/`dataSize` locate the
-    * contiguous blob (`dataAddr == Undef` → never written → all-fill). */
+    * for layout class 0; `chunk` holds (chunk-B-tree address, chunk dims
+    * incl. the trailing element-size dim) for layout class 2; otherwise
+    * `dataAddr`/`dataSize` locate the contiguous blob (`dataAddr ==
+    * Undef` → never written → all-fill). `filters` is the write-order
+    * filter pipeline applied to each chunk. */
   case class H5Dataset(
       name: String, shape: Seq[Long], dtype: NumType,
       dataAddr: Long, dataSize: Long, compact: Option[Array[Byte]],
-      attrs: Seq[H5Attr]) {
+      attrs: Seq[H5Attr],
+      chunk: Option[(Long, Seq[Int])] = None,
+      filters: Seq[H5Filter] = Nil) {
     def attr(n: String): Option[H5Attr] = attrs.find(_.name == n)
   }
 
@@ -122,71 +137,226 @@ object NetCdf4 {
         case Left(cls) => throw new IllegalArgumentException(
           s"dataset '$name' has datatype class $cls (subset reads fixed/float)")
       }
-      val (addr, size, compact) = h.layout.getOrElse(
-        throw new IllegalArgumentException(s"dataset '$name' has no data layout"))
       val nElems = shape.product.max(1L)
-      if (compact.isEmpty && addr != Undef) {
-        require(addr >= 0 && size >= 0 && addr + size <= bytes.length,
-          s"dataset '$name' data [$addr,+$size) exceeds stream length ${bytes.length}")
-        require(size == nElems * dt.size,
-          s"dataset '$name' size $size != ${nElems}x${dt.size} elements")
+      val layout = h.layout.getOrElse(
+        throw new IllegalArgumentException(s"dataset '$name' has no data layout"))
+      layout match {
+        case LayoutCompact(inline) =>
+          H5Dataset(name, shape, dt, Undef, inline.length.toLong, Some(inline), h.attrs)
+        case LayoutContiguous(addr, size) =>
+          if (addr != Undef) {
+            checkedAt(addr, size, bytes.length, s"dataset '$name' data")
+            require(size == nElems * dt.size,
+              s"dataset '$name' size $size != ${nElems}x${dt.size} elements")
+          }
+          H5Dataset(name, shape, dt, addr, size, None, h.attrs)
+        case LayoutChunked(btree, dims) =>
+          require(dims.size == shape.size + 1,
+            s"dataset '$name' chunk dimensionality ${dims.size} != rank+1 " +
+              s"(${shape.size + 1})")
+          require(dims.last == dt.size,
+            s"dataset '$name' chunk element size ${dims.last} != datatype size ${dt.size}")
+          require(dims.init.forall(_ > 0), s"dataset '$name' has a zero chunk dimension")
+          require(dims.init.map(_.toLong).product * dt.size <= Int.MaxValue,
+            s"dataset '$name' chunk buffer exceeds 2 GiB")
+          h.filters.foreach(f => require(f.id == 1 || f.id == 2,
+            s"dataset '$name' filter ${f.id}${filterName(f.id)} unsupported " +
+              "(subset reads deflate(1)/shuffle(2))"))
+          if (btree != Undef) checkedAt(btree, 24, bytes.length, s"dataset '$name' chunk btree")
+          H5Dataset(name, shape, dt, Undef, 0L, None, h.attrs,
+            chunk = Some((btree, dims)), filters = h.filters)
       }
-      H5Dataset(name, shape, dt, addr, size, compact, h.attrs)
     }
     H5File(datasets, bytes)
   }
 
+  private def filterName(id: Int): String = id match {
+    case 3 => " (fletcher32)"
+    case 4 => " (szip)"
+    case 5 => " (nbit)"
+    case 6 => " (scaleoffset)"
+    case _ => ""
+  }
+
   /** Read a whole dataset as doubles in row-major order (fill/packing is
-    * [[decodeCube]]'s job; an unallocated blob reads as NaN). */
+    * [[decodeCube]]'s job; an unallocated blob/btree reads as NaN). */
   def readValues(f: H5File, ds: H5Dataset): Array[Double] = {
     val n = ds.shape.product.max(1L).toInt
+    ds.chunk match {
+      case Some((btree, dims)) => return readChunked(f, ds, btree, dims, n)
+      case None => ()
+    }
     val raw: ByteBuffer = ds.compact match {
       case Some(inline) => ByteBuffer.wrap(inline)
       case None if ds.dataAddr == Undef => return Array.fill(n)(Double.NaN)
       case None => ByteBuffer.wrap(f.bytes, ds.dataAddr.toInt, ds.dataSize.toInt)
     }
     raw.order(if (ds.dtype.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    val t = ds.dtype
-    Array.tabulate(n) { i =>
-      if (t.float) {
-        if (t.size == 4) raw.getFloat(raw.position() + i * 4).toDouble
-        else raw.getDouble(raw.position() + i * 8)
-      } else {
-        val p = raw.position() + i * t.size
-        val v: Long = t.size match {
-          case 1 => raw.get(p).toLong
-          case 2 => raw.getShort(p).toLong
-          case 4 => raw.getInt(p).toLong
-          case 8 => raw.getLong(p)
-          case s => throw new IllegalArgumentException(s"fixed-point size $s")
+    Array.tabulate(n)(i => readElem(raw, raw.position(), i, ds.dtype))
+  }
+
+  /** Element `i` of a raw buffer starting at `base`, as a double. */
+  private def readElem(raw: ByteBuffer, base: Int, i: Int, t: NumType): Double =
+    if (t.float) {
+      if (t.size == 4) raw.getFloat(base + i * 4).toDouble
+      else raw.getDouble(base + i * 8)
+    } else {
+      val p = base + i * t.size
+      val v: Long = t.size match {
+        case 1 => raw.get(p).toLong
+        case 2 => raw.getShort(p).toLong
+        case 4 => raw.getInt(p).toLong
+        case 8 => raw.getLong(p)
+        case s => throw new IllegalArgumentException(s"fixed-point size $s")
+      }
+      if (t.signed || t.size == 8) v.toDouble
+      else (v & ((1L << (t.size * 8)) - 1)).toDouble
+    }
+
+  /** Chunked read: walk the version-1 chunk B-tree (node type 1; level-0
+    * children address the chunk blobs, higher levels address child
+    * nodes), reverse each chunk's filter pipeline, and scatter its
+    * elements into the row-major output — edge chunks extend past the
+    * dataset bounds and their overhang is skipped. Regions no chunk
+    * covers stay NaN (HDF5's unwritten-chunk fill semantics; CF fill
+    * masking downstream is [[decodeCube]]'s job). The per-chunk filter
+    * mask bit i set means pipeline entry i was SKIPPED for that chunk. */
+  private def readChunked(
+      f: H5File, ds: H5Dataset, btree: Long, dims: Seq[Int], n: Int): Array[Double] = {
+    val out = Array.fill(n)(Double.NaN)
+    if (btree == Undef) return out
+    val b = new Buf(f.bytes)
+    val rank = ds.shape.size
+    val shape = ds.shape.map(_.toInt).toArray
+    val chunkDims = dims.init.toArray
+    val elem = dims.last
+    val chunkElems = chunkDims.product
+    val keySize = 8 + 8 * dims.size // chunk size + filter mask + D offsets
+    // row-major strides for the dataset and for one chunk
+    val strides = Array.fill(rank)(1)
+    val cStrides = Array.fill(rank)(1)
+    var d = rank - 2
+    while (d >= 0) {
+      strides(d) = strides(d + 1) * shape(d + 1)
+      cStrides(d) = cStrides(d + 1) * chunkDims(d + 1)
+      d -= 1
+    }
+
+    def scatter(offs: Array[Long], raw: Array[Byte]): Unit = {
+      require(raw.length == chunkElems * elem,
+        s"chunk decodes to ${raw.length} bytes, expected ${chunkElems}x$elem")
+      val bb = ByteBuffer.wrap(raw)
+        .order(if (ds.dtype.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      var ci = 0
+      while (ci < chunkElems) {
+        // local chunk coords → absolute coords; skip edge-chunk overhang
+        var rem = ci
+        var lin = 0L
+        var inBounds = true
+        var k = 0
+        while (k < rank && inBounds) {
+          val local = rem / cStrides(k)
+          rem %= cStrides(k)
+          val abs = offs(k) + local
+          if (abs >= shape(k)) inBounds = false
+          else lin += abs * strides(k)
+          k += 1
         }
-        if (t.signed || t.size == 8) v.toDouble
-        else (v & ((1L << (t.size * 8)) - 1)).toDouble
+        if (inBounds) out(lin.toInt) = readElem(bb, 0, ci, ds.dtype)
+        ci += 1
       }
     }
+
+    def visit(addr: Long, depth: Int = 0): Unit = {
+      require(depth < 32, "chunk btree deeper than 32 levels (cycle or corruption)")
+      val at = checkedAt(addr, 24L + keySize, b.bytes.length, "chunk btree node")
+      require(b.ascii(at, 4) == "TREE", "bad chunk btree node signature")
+      require(b.u8(at + 4) == 1, s"btree node type ${b.u8(at + 4)} inside a chunk index")
+      val level = b.u8(at + 5)
+      val nEnt = b.u16(at + 6)
+      checkedAt(addr + 24, (keySize + 8).toLong * nEnt + keySize, b.bytes.length,
+        "chunk btree entries")
+      var i = 0
+      while (i < nEnt) {
+        val keyAt = at + 24 + i * (keySize + 8)
+        val child = b.u64(keyAt + keySize)
+        if (level > 0) visit(child, depth + 1)
+        else {
+          val csize = b.u32(keyAt).toInt
+          val mask = b.u32(keyAt + 4)
+          val offs = Array.tabulate(rank)(k => b.u64(keyAt + 8 + k * 8))
+          val start = checkedAt(child, csize.toLong, b.bytes.length, "chunk data")
+          var raw = java.util.Arrays.copyOfRange(b.bytes, start, start + csize)
+          // reverse the write-order pipeline; mask bit i = entry i skipped
+          ds.filters.zipWithIndex.reverse.foreach { case (flt, fi) =>
+            if ((mask & (1L << fi)) == 0) raw = defilter(flt, raw, elem)
+          }
+          scatter(offs, raw)
+        }
+        i += 1
+      }
+    }
+    visit(btree)
+    out
   }
+
+  /** Undo one filter on a chunk's bytes (read side). */
+  private def defilter(f: H5Filter, data: Array[Byte], elem: Int): Array[Byte] = f.id match {
+    case 1 => // deflate (zlib stream)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      try {
+        while (!inf.finished()) {
+          val k = inf.inflate(buf)
+          require(k > 0 || inf.finished(), "truncated/corrupt deflate chunk")
+          out.write(buf, 0, k)
+        }
+      } finally inf.end()
+      out.toByteArray
+    case 2 => // shuffle: bytes stored plane-by-plane; de-interleave
+      val nEl = data.length / elem
+      val out = new Array[Byte](data.length)
+      var j = 0
+      while (j < elem) {
+        var i = 0
+        while (i < nEl) { out(i * elem + j) = data(j * nEl + i); i += 1 }
+        j += 1
+      }
+      out
+    case id => throw new IllegalArgumentException(s"filter $id${filterName(id)} unsupported")
+  }
+
+  // parsed data-layout message variants
+  private sealed trait Layout
+  private case class LayoutCompact(inline: Array[Byte]) extends Layout
+  private case class LayoutContiguous(addr: Long, size: Long) extends Layout
+  private case class LayoutChunked(btree: Long, dims: Seq[Int]) extends Layout
 
   // message-walk result for one object header
   private case class Header(
       dataspace: Option[Seq[Long]],
       datatype: Option[Either[Int, NumType]],
-      layout: Option[(Long, Long, Option[Array[Byte]])],
+      layout: Option[Layout],
       attrs: Seq[H5Attr],
-      stab: Option[(Long, Long)])
+      stab: Option[(Long, Long)],
+      filters: Seq[H5Filter])
 
   private def readHeader(b: Buf, addr: Long): Header = {
-    require(addr >= 0 && addr + 16 <= b.bytes.length, s"object header at $addr out of range")
-    val ver = b.u8(addr.toInt)
+    val base = checkedAt(addr, 16, b.bytes.length, "object header")
+    val ver = b.u8(base)
     require(ver == 1,
       s"object header version $ver unsupported (subset reads v1; " +
         "v2/OHDR is the HDF5 'latest format' libnetcdf does not emit by default)")
-    val nMsgs = b.u16(addr.toInt + 2)
+    val nMsgs = b.u16(base + 2)
     var dataspace: Option[Seq[Long]] = None
     var datatype: Option[Either[Int, NumType]] = None
-    var layout: Option[(Long, Long, Option[Array[Byte]])] = None
+    var layout: Option[Layout] = None
     var stab: Option[(Long, Long)] = None
+    var filters: Seq[H5Filter] = Nil
     val attrs = Seq.newBuilder[H5Attr]
-    var p = addr.toInt + 16 // 12-byte v1 prefix + 4 alignment pad
+    var p = base + 16 // 12-byte v1 prefix + 4 alignment pad
     var seen = 0
     while (seen < nMsgs) {
       require(p + 8 <= b.bytes.length, s"message $seen at $p out of range")
@@ -199,15 +369,17 @@ object NetCdf4 {
         case 0x0001 => dataspace = Some(parseDataspace(b, body))
         case 0x0003 => datatype = Some(parseDatatype(b, body))
         case 0x0008 => layout = Some(parseLayout(b, body))
+        case 0x000B => filters = parseFilters(b, body)
         case 0x000C => parseAttr(b, body).foreach(attrs += _)
-        case 0x0010 => next = b.u64(body).toInt // continuation block
+        case 0x0010 => // continuation block
+          next = checkedAt(b.u64(body), 8, b.bytes.length, "header continuation")
         case 0x0011 => stab = Some((b.u64(body), b.u64(body + 8)))
         case _ => () // NIL, fill value, mtime, _NCProperties carriers, …
       }
       p = next
       seen += 1
     }
-    Header(dataspace, datatype, layout, attrs.result(), stab)
+    Header(dataspace, datatype, layout, attrs.result(), stab, filters)
   }
 
   private def parseDataspace(b: Buf, p: Int): Seq[Long] = {
@@ -234,18 +406,53 @@ object NetCdf4 {
     }
   }
 
-  private def parseLayout(b: Buf, p: Int): (Long, Long, Option[Array[Byte]]) = {
+  private def parseLayout(b: Buf, p: Int): Layout = {
     val ver = b.u8(p)
     require(ver == 3, s"data layout version $ver unsupported (subset reads v3)")
     b.u8(p + 1) match {
       case 0 => // compact: size u16, raw data inline
         val n = b.u16(p + 2)
-        (Undef, n.toLong, Some(b.bytes.slice(p + 4, p + 4 + n)))
-      case 1 => (b.u64(p + 2), b.u64(p + 10), None)
-      case 2 => throw new IllegalArgumentException(
-        "chunked data layout unsupported (subset reads contiguous; " +
-          "re-serialize without chunking/compression)")
+        LayoutCompact(b.bytes.slice(p + 4, p + 4 + n))
+      case 1 => LayoutContiguous(b.u64(p + 2), b.u64(p + 10))
+      case 2 => // chunked: dimensionality (rank+1), btree addr, u32 dims
+        // (the trailing dim is the element size in bytes, per the spec)
+        val dim = b.u8(p + 2)
+        require(dim >= 2 && dim <= 33, s"chunk dimensionality $dim out of range")
+        LayoutChunked(b.u64(p + 3),
+          Seq.tabulate(dim) { i =>
+            val v = b.u32(p + 11 + i * 4)
+            require(v <= Int.MaxValue, s"chunk dimension $v exceeds Int range")
+            v.toInt
+          })
       case c => throw new IllegalArgumentException(s"data layout class $c unsupported")
+    }
+  }
+
+  /** Filter pipeline message (0x000B), versions 1 and 2. v1 pads names to
+    * 8 bytes and client data to an even count; v2 omits the name entirely
+    * for ids < 256 and drops both paddings. */
+  private def parseFilters(b: Buf, p: Int): Seq[H5Filter] = {
+    val ver = b.u8(p)
+    require(ver == 1 || ver == 2, s"filter pipeline version $ver unsupported")
+    val n = b.u8(p + 1)
+    require(n <= 32, s"filter pipeline of $n filters out of range")
+    var at = if (ver == 1) p + 8 else p + 2
+    Seq.fill(n) {
+      val id = b.u16(at)
+      val hasName = ver == 1 || id >= 256
+      val nameLen = if (hasName) b.u16(at + 2) else 0
+      val base = if (hasName) at + 4 else at + 2
+      val nCd = b.u16(base + 2)
+      val namePad = if (ver == 1) (nameLen + 7) / 8 * 8 else nameLen
+      val cdAt = base + 4 + namePad
+      val cdata = Seq.tabulate(nCd) { i =>
+        val v = b.u32(cdAt + i * 4)
+        require(v <= Int.MaxValue, s"filter client datum $v exceeds Int range")
+        v.toInt
+      }
+      val cdPad = if (ver == 1 && nCd % 2 == 1) 4 else 0
+      at = cdAt + nCd * 4 + cdPad
+      H5Filter(id, cdata)
     }
   }
 
@@ -298,29 +505,44 @@ object NetCdf4 {
   /** Walk the group's v1 B-tree → SNOD symbol nodes → (link name, object
     * header address), resolving names through the local heap. */
   private def readGroupLinks(b: Buf, btreeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
-    require(heapAddr >= 0 && heapAddr + 32 <= b.bytes.length, "local heap out of range")
-    require(b.ascii(heapAddr.toInt, 4) == "HEAP", "bad local heap signature")
-    val heapData = b.u64(heapAddr.toInt + 24)
+    val heapBase = checkedAt(heapAddr, 32, b.bytes.length, "local heap")
+    require(b.ascii(heapBase, 4) == "HEAP", "bad local heap signature")
+    val heapData = b.u64(heapBase + 24)
 
-    def walk(at: Long): Seq[(String, Long)] = {
-      require(at >= 0 && at + 24 <= b.bytes.length, "btree node out of range")
-      b.ascii(at.toInt, 4) match {
+    def walk(atAddr: Long): Seq[(String, Long)] = {
+      val at = checkedAt(atAddr, 24, b.bytes.length, "btree node")
+      b.ascii(at, 4) match {
         case "TREE" =>
           // keys/children alternate after the 24-byte node header; level-0
           // children are SNODs, higher levels are btrees — walk dispatches
           // on the signature either way
-          val n = b.u16(at.toInt + 6)
-          Seq.tabulate(n)(i => b.u64(at.toInt + 24 + 8 + i * 16)).flatMap(walk)
+          val n = b.u16(at + 6)
+          Seq.tabulate(n)(i => b.u64(at + 24 + 8 + i * 16)).flatMap(walk)
         case "SNOD" =>
-          val n = b.u16(at.toInt + 6)
+          val n = b.u16(at + 6)
           Seq.tabulate(n) { i =>
-            val e = at.toInt + 8 + i * 40
-            (b.cstr((heapData + b.u64(e)).toInt), b.u64(e + 8))
+            val e = at + 8 + i * 40
+            (b.cstr(checkedAt(heapData + b.u64(e), 1, b.bytes.length, "heap name")),
+              b.u64(e + 8))
           }
         case sig => throw new IllegalArgumentException(s"bad group node signature '$sig'")
       }
     }
     walk(btreeAddr)
+  }
+
+  /** Overflow-safe address validation: `v` must address `need` bytes
+    * inside a `len`-byte stream. Written as a subtraction (`v <= len -
+    * need`) rather than `v + need <= len` so a hostile header carrying an
+    * address near Long.MAX cannot wrap the sum positive and slip past the
+    * check — and the Int truncation the caller performs is proven safe
+    * (0 <= v <= len <= Int.MAX) BEFORE it happens, so corrupted streams
+    * reject with this named reason instead of a raw
+    * IndexOutOfBoundsException from a silent `.toInt`. */
+  private def checkedAt(v: Long, need: Long, len: Int, what: String): Int = {
+    require(v >= 0 && need >= 0 && v <= len.toLong - need,
+      s"$what at $v (+$need bytes) outside stream length $len")
+    v.toInt
   }
 
   private final class Buf(val bytes: Array[Byte]) {
@@ -426,10 +648,15 @@ object NetCdf4 {
   // -- writer (fixture + sink side) -----------------------------------
 
   /** A dataset to write. `values` are row-major doubles, narrowed to
-    * float32 when `f32`; attrs accept String / Double / Float / Int. */
+    * float32 when `f32`; attrs accept String / Double / Float / Int.
+    * `chunk` (rank-length chunk dims) switches the dataset to chunked
+    * layout with a v1 chunk B-tree; `filters` is the write-order filter
+    * pipeline (1 = deflate, 2 = shuffle — e.g. `Seq(2, 1)` is libnetcdf's
+    * shuffle-then-deflate default when both are enabled). */
   case class WriteDs(
       name: String, shape: Seq[Long], values: Array[Double],
-      f32: Boolean = false, attrs: Seq[(String, Any)] = Nil)
+      f32: Boolean = false, attrs: Seq[(String, Any)] = Nil,
+      chunk: Option[Seq[Int]] = None, filters: Seq[Int] = Nil)
 
   /** Serialize the subset: superblock v0, one flat symbol-table root
     * group, v1 object headers, contiguous little-endian data. Layout is
@@ -469,24 +696,47 @@ object NetCdf4 {
     val snodAt = heapDataAt + heapData.length
     val snodSize = 8L + 40L * sorted.size
 
-    // dataset object headers: size-stable w.r.t. the data address, so
-    // measure with a placeholder then re-emit with the real address
+    // dataset object headers: size-stable w.r.t. the data/btree address,
+    // so measure with a placeholder then re-emit with the real address
     def dsOhdr(d: WriteDs, dataAddr: Long): Array[Byte] = {
       val n = d.shape.product.max(1L)
       val elem = if (d.f32) 4 else 8
+      val layoutMsg = d.chunk match {
+        case Some(cd) => msg(0x0008, chunkedLayoutBody(dataAddr, cd, elem))
+        case None => msg(0x0008, layoutBody(dataAddr, n * elem))
+      }
+      val filterMsgs =
+        if (d.chunk.isDefined && d.filters.nonEmpty)
+          Seq(msg(0x000B, filterPipelineBody(d.filters, elem)))
+        else Nil
       ohdrBytes(
         Seq(
           msg(0x0001, dataspaceBody(d.shape)),
           msg(0x0003, datatypeBody(d.f32)),
-          msg(0x0008, layoutBody(dataAddr, n * elem))) ++
+          layoutMsg) ++ filterMsgs ++
           d.attrs.map { case (an, av) => msg(0x000C, attrBody(an, av)) })
     }
+    def align8(x: Long): Long = (x + 7) / 8 * 8
+    def chunkBtreeSize(d: WriteDs, nChunks: Int): Long = {
+      val keySize = 8 + 8 * (d.shape.size + 1)
+      24L + nChunks * (keySize + 8) + keySize
+    }
+    // chunked datasets: pre-filter every chunk so its on-disk size is
+    // known before addresses are assigned (the one-forward-pass rule)
+    val plans: Seq[Option[Seq[(Seq[Long], Array[Byte])]]] =
+      sorted.map(d => d.chunk.map(_ => chunkBlobs(d)))
     val ohdrSizes = sorted.map(d => dsOhdr(d, 0L).length.toLong)
     val ohdrAts = ohdrSizes.scanLeft(snodAt + snodSize)(_ + _).init
-    var dataAt = (snodAt + snodSize + ohdrSizes.sum + 7) / 8 * 8
-    val dataAts = sorted.map { d =>
+    var dataAt = align8(snodAt + snodSize + ohdrSizes.sum)
+    val dataAts = sorted.zip(plans).map { case (d, plan) =>
       val at = dataAt
-      dataAt += (d.shape.product.max(1L) * (if (d.f32) 4 else 8) + 7) / 8 * 8
+      plan match {
+        case Some(blobs) =>
+          dataAt += align8(chunkBtreeSize(d, blobs.size)) +
+            blobs.map(b => align8(b._2.length.toLong)).sum
+        case None =>
+          dataAt += align8(d.shape.product.max(1L) * (if (d.f32) 4 else 8))
+      }
       at
     }
     val eof = dataAt
@@ -528,14 +778,144 @@ object NetCdf4 {
       out.putLong(nameOffsets(d.name)).putLong(at)
       out.putInt(0).putInt(0).putLong(0L).putLong(0L)
     }
-    // dataset headers + data
-    sorted.lazyZip(ohdrAts).lazyZip(dataAts).foreach { (d, hdrAt, dAt) =>
+    // dataset headers + data (contiguous blob, or chunk btree + blobs)
+    sorted.lazyZip(ohdrAts).lazyZip(dataAts).lazyZip(plans).foreach { (d, hdrAt, dAt, plan) =>
       out.position(hdrAt.toInt)
       out.put(dsOhdr(d, dAt))
-      out.position(dAt.toInt)
-      d.values.foreach(v => if (d.f32) out.putFloat(v.toFloat) else out.putDouble(v))
+      plan match {
+        case Some(blobs) =>
+          var cAt = dAt + align8(chunkBtreeSize(d, blobs.size))
+          val childAts = blobs.map { case (_, blob) =>
+            val a = cAt; cAt += align8(blob.length.toLong); a
+          }
+          out.position(dAt.toInt)
+          out.put(chunkBtree(d, blobs, childAts))
+          blobs.zip(childAts).foreach { case ((_, blob), a) =>
+            out.position(a.toInt); out.put(blob)
+          }
+        case None =>
+          out.position(dAt.toInt)
+          d.values.foreach(v => if (d.f32) out.putFloat(v.toFloat) else out.putDouble(v))
+      }
     }
     out.array()
+  }
+
+  /** Row-major enumeration of all index combinations under `dims`. */
+  private def combos(dims: Seq[Int]): Seq[Seq[Int]] =
+    dims.foldLeft(Seq(Seq.empty[Int]))((acc, d) => acc.flatMap(pre => (0 until d).map(pre :+ _)))
+
+  /** Gather + filter every chunk of a chunked [[WriteDs]] — (chunk offset
+    * coords, on-disk blob) in row-major grid order. Edge chunks are
+    * full-size with zero padding past the dataset bounds (the reader
+    * skips the overhang). */
+  private def chunkBlobs(d: WriteDs): Seq[(Seq[Long], Array[Byte])] = {
+    val cd = d.chunk.get
+    require(cd.size == d.shape.size && cd.forall(_ > 0),
+      s"chunk dims $cd invalid for shape ${d.shape}")
+    val elem = if (d.f32) 4 else 8
+    val rank = d.shape.size
+    val shape = d.shape.map(_.toInt)
+    val strides = Array.fill(rank)(1)
+    var k = rank - 2
+    while (k >= 0) { strides(k) = strides(k + 1) * shape(k + 1); k -= 1 }
+    val grid = shape.zip(cd).map { case (s, c) => (s + c - 1) / c }
+    // one v1 chunk-btree leaf (the group-btree single-node argument, with
+    // the istore default K=32 → 2K=64 entries)
+    require(grid.product <= 64,
+      s"writer subset emits one chunk-btree leaf (max 64 chunks), got ${grid.product}")
+    combos(grid).map { gc =>
+      val offs = gc.zip(cd).map { case (gi, c) => gi.toLong * c }
+      val bb = ByteBuffer.allocate(cd.product * elem).order(ByteOrder.LITTLE_ENDIAN)
+      combos(cd).foreach { lc =>
+        val abs = offs.zip(lc).map { case (o, l) => o + l }
+        val v =
+          if (abs.zip(shape).forall { case (a, s) => a < s })
+            d.values(abs.zip(strides).map { case (a, st) => a * st }.sum.toInt)
+          else 0.0
+        if (d.f32) bb.putFloat(v.toFloat) else bb.putDouble(v)
+      }
+      (offs, d.filters.foldLeft(bb.array())((acc, id) => applyFilter(id, acc, elem)))
+    }
+  }
+
+  /** Apply one filter on a chunk's bytes (write side — [[defilter]]'s dual). */
+  private def applyFilter(id: Int, data: Array[Byte], elem: Int): Array[Byte] = id match {
+    case 1 =>
+      val defl = new java.util.zip.Deflater(6)
+      defl.setInput(data)
+      defl.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+      val buf = new Array[Byte](8192)
+      try {
+        while (!defl.finished()) { val n = defl.deflate(buf); out.write(buf, 0, n) }
+      } finally defl.end()
+      out.toByteArray
+    case 2 =>
+      val nEl = data.length / elem
+      val out = new Array[Byte](data.length)
+      var j = 0
+      while (j < elem) {
+        var i = 0
+        while (i < nEl) { out(j * nEl + i) = data(i * elem + j); i += 1 }
+        j += 1
+      }
+      out
+    case other => throw new IllegalArgumentException(s"writer filter $other unsupported")
+  }
+
+  /** One v1 chunk-btree leaf (node type 1, level 0): alternating keys and
+    * chunk addresses, plus the spec's final key (offsets = dataset shape). */
+  private def chunkBtree(
+      d: WriteDs, blobs: Seq[(Seq[Long], Array[Byte])], childAts: Seq[Long]): Array[Byte] = {
+    val keySize = 8 + 8 * (d.shape.size + 1)
+    val o = ByteBuffer.allocate(24 + blobs.size * (keySize + 8) + keySize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    o.put("TREE".getBytes(US_ASCII)).put(1.toByte).put(0.toByte)
+    o.putShort(blobs.size.toShort).putLong(Undef).putLong(Undef)
+    blobs.zip(childAts).foreach { case ((offs, blob), at) =>
+      o.putInt(blob.length).putInt(0) // stored size, filter mask (none skipped)
+      offs.foreach(o.putLong)
+      o.putLong(0L) // element-dimension offset
+      o.putLong(at)
+    }
+    o.putInt(0).putInt(0)
+    d.shape.foreach(o.putLong)
+    o.putLong(0L)
+    o.array()
+  }
+
+  /** Data layout v3 class 2 (chunked): dimensionality (rank+1), chunk
+    * btree address, u32 chunk dims with the element size as the last. */
+  private def chunkedLayoutBody(btreeAddr: Long, cd: Seq[Int], elem: Int): Array[Byte] = {
+    val o = ByteBuffer.allocate(11 + 4 * (cd.size + 1)).order(ByteOrder.LITTLE_ENDIAN)
+    o.put(3.toByte).put(2.toByte).put((cd.size + 1).toByte).putLong(btreeAddr)
+    cd.foreach(o.putInt)
+    o.putInt(elem)
+    o.array()
+  }
+
+  /** Filter pipeline message v1: deflate carries its level, shuffle its
+    * element size — the client data libnetcdf records. */
+  private def filterPipelineBody(filters: Seq[Int], elem: Int): Array[Byte] = {
+    val parts = filters.map { id =>
+      val cdata: Seq[Int] = id match {
+        case 1 => Seq(6) // deflate level
+        case 2 => Seq(elem) // shuffle element size
+        case other => throw new IllegalArgumentException(s"writer filter $other unsupported")
+      }
+      val padded = if (cdata.size % 2 == 1) cdata :+ 0 else cdata
+      val o = ByteBuffer.allocate(8 + padded.size * 4).order(ByteOrder.LITTLE_ENDIAN)
+      o.putShort(id.toShort).putShort(0.toShort) // name length 0 (id < 256)
+      o.putShort(0.toShort).putShort(cdata.size.toShort) // flags, n client data
+      padded.foreach(o.putInt)
+      o.array()
+    }
+    val o = ByteBuffer.allocate(8 + parts.map(_.length).sum).order(ByteOrder.LITTLE_ENDIAN)
+    o.put(1.toByte).put(filters.size.toByte)
+    o.position(8) // 6 reserved bytes
+    parts.foreach(o.put)
+    o.array()
   }
 
   // one v1 header message: type, padded size, flags, reserved + body

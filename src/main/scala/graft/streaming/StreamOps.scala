@@ -62,7 +62,15 @@ object StreamOps {
     * event can extend or bridge it anymore), which makes emission
     * decisions watermark-driven exactly like the built-in windowed
     * aggregation. State is O(open sessions per user) — bounded by
-    * watermark-delay/gap, independent of stream length. */
+    * watermark-delay/gap, independent of stream length.
+    *
+    * STATE-FORMAT BREAK (round 8): the state type changed from
+    * `GroupState[SessionState]` to `GroupState[Seq[SessionState]]` when
+    * multi-open-session merge landed. A query restarted from a checkpoint
+    * written by the single-session version fails state deserialization
+    * rather than migrating — discard existing sessionization checkpoints
+    * when upgrading across that boundary (the windowed/dedup stages use
+    * builtin state formats and are unaffected). */
   def sessionizeStream(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000

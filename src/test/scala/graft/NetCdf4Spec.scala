@@ -112,16 +112,96 @@ class NetCdf4Spec extends SparkSpec {
     // superblock version
     val sbv = good.clone(); sbv(8) = 2
     assert(NetCdf4.probe(sbv).left.exists(_.contains("superblock version")))
-    // chunked layout: flip the class byte inside the layout message
-    // (header 08 00 18 00 00 00 00 00, body 03 <class>)
+    // a hostile contiguous data address near Long.MAX must reject with the
+    // named bounds message, not wrap the `addr + size` sum positive and
+    // reach readValues (header 08 00 18 00 00 00 00 00, body 03 01 <addr>)
     val pat = Array[Byte](0x08, 0x00, 0x18, 0x00, 0x00, 0x00, 0x00, 0x00, 0x03, 0x01)
     val at = good.indices.find(i =>
       i + pat.length <= good.length && pat.indices.forall(j => good(i + j) == pat(j)))
     assert(at.nonEmpty, "layout message pattern not found")
-    val chunked = good.clone(); chunked(at.get + 9) = 2
-    assert(NetCdf4.probe(chunked).left.exists(_.contains("chunked")))
+    val hostile = good.clone()
+    val addrAt = at.get + 10
+    (0 until 8).foreach(j => hostile(addrAt + j) = 0xff.toByte)
+    hostile(addrAt + 7) = 0x7f // addr = Long.MAX
+    assert(NetCdf4.probe(hostile).left.exists(_.contains("outside stream")))
     // the valid stream probes clean
     assert(NetCdf4.probe(good).isRight)
+  }
+
+  test("chunked + deflate + shuffle round-trips, edge chunks and all") {
+    // 2x3x4 cube in 2x2x3 chunks -> 1x2x2 grid with overhanging edges
+    val shape = Seq(2L, 3L, 4L)
+    val vals = Array.tabulate(24)(i => i * 1.5 - 3.0)
+    def fixture(filters: Seq[Int], f32: Boolean = false) = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("time", Seq(2L), Array(0.0, 3600.0),
+        attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00")),
+      NetCdf4.WriteDs("y", Seq(3L), Array(55.0, 56.0, 57.0)),
+      NetCdf4.WriteDs("x", Seq(4L), Array(11.0, 12.0, 13.0, 14.0)),
+      NetCdf4.WriteDs("temp", shape, vals, f32 = f32,
+        chunk = Some(Seq(2, 2, 3)), filters = filters)))
+    for (filters <- Seq(Seq.empty[Int], Seq(1), Seq(2, 1))) {
+      val bytes = fixture(filters)
+      val f = NetCdf4.parse(bytes)
+      val ds = f.dataset("temp").get
+      assert(ds.chunk.nonEmpty)
+      assert(ds.filters.map(_.id) == filters)
+      assert(NetCdf4.readValues(f, ds).toSeq == vals.toSeq,
+        s"filters=$filters")
+    }
+    // f32 + shuffle exercises the 4-byte de-interleave
+    val f32f = NetCdf4.parse(fixture(Seq(2, 1), f32 = true))
+    assert(NetCdf4.readValues(f32f, f32f.dataset("temp").get).toSeq ==
+      vals.map(v => v.toFloat.toDouble).toSeq)
+    // deflate actually shrinks a compressible chunked file
+    val flat = Array.fill(24)(7.0)
+    val plain = NetCdf4.write(Seq(NetCdf4.WriteDs("v", shape, flat,
+      chunk = Some(Seq(2, 3, 4)))))
+    val packed = NetCdf4.write(Seq(NetCdf4.WriteDs("v", shape, flat,
+      chunk = Some(Seq(2, 3, 4)), filters = Seq(1))))
+    assert(packed.length < plain.length)
+  }
+
+  test("chunked decodeCube parity with the contiguous container") {
+    val df = cubeDf()
+    def keyed(d: DataFrame) = d.collect().map { r =>
+      (r.getTimestamp(2).getTime, r.getDouble(3), r.getDouble(4)) ->
+        (if (r.isNullAt(5)) null else r.getDouble(5))
+    }.toMap
+    // rebuild the encodeCube fixture by hand with a chunked data variable
+    val times = Array(0.0, 3600.0)
+    val ys = Array(55.0, 56.0)
+    val xs = Array(11.0, 12.0, 13.0)
+    val grid = Array.tabulate(12) { i =>
+      val (t, rem) = (i / 6, i % 6)
+      val (y, x) = (rem / 3, rem % 3)
+      if (t == 1 && y == 0 && x == 2) Double.NaN else t * 100.0 + y * 10 + x
+    }
+    val chunked = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("time", Seq(2L), times,
+        attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00")),
+      NetCdf4.WriteDs("y", Seq(2L), ys),
+      NetCdf4.WriteDs("x", Seq(3L), xs),
+      NetCdf4.WriteDs("sea_mean_deviation", Seq(2L, 2L, 3L), grid,
+        chunk = Some(Seq(1, 2, 3)), filters = Seq(2, 1))))
+    val contiguous = NetCdf4.encodeCube(df, "sea_mean_deviation")
+    assert(keyed(NetCdf4.decodeCube(spark, "c", "sea_mean_deviation", chunked)) ==
+      keyed(NetCdf4.decodeCube(spark, "c", "sea_mean_deviation", contiguous)))
+  }
+
+  test("filters beyond deflate/shuffle are rejected with the filter named") {
+    val bytes = NetCdf4.write(Seq(NetCdf4.WriteDs("v", Seq(2L, 2L),
+      Array(1.0, 2.0, 3.0, 4.0), chunk = Some(Seq(2, 2)), filters = Seq(1))))
+    assert(NetCdf4.probe(bytes).isRight)
+    // one-filter pipeline message: header 0B 00 18 00 00 00 00 00, body
+    // v1+count+reserved (8) then the filter id at body+8 — flip 1 -> 4
+    val pat = Array[Byte](0x0B, 0x00, 0x18, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x01)
+    val at = bytes.indices.find(i =>
+      i + pat.length <= bytes.length && pat.indices.forall(j => bytes(i + j) == pat(j)))
+    assert(at.nonEmpty, "filter pipeline message pattern not found")
+    val szip = bytes.clone(); szip(at.get + 16) = 4
+    assert(NetCdf4.probe(szip).left.exists(m =>
+      m.contains("filter 4") && m.contains("szip")))
   }
 
   test("fuzz: truncations and corruptions never escape probe") {
@@ -161,6 +241,30 @@ class NetCdf4Spec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() == 11) // 12 cells minus the null hole (nodata dropped)
     assert(back.filter(col("parameter") === "sea-mean-deviation").count() == 11)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("fetch boundary: chunked+deflate HDF5 passes the guard and ingests (R17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc4c")
+    val out = tmp.resolve("out").toString
+    val chunked = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("time", Seq(2L), Array(0.0, 3600.0),
+        attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00")),
+      NetCdf4.WriteDs("y", Seq(2L), Array(55.0, 56.0)),
+      NetCdf4.WriteDs("x", Seq(3L), Array(11.0, 12.0, 13.0)),
+      NetCdf4.WriteDs("wind-speed", Seq(2L, 2L, 3L),
+        Array.tabulate(12)(_.toDouble),
+        chunk = Some(Seq(1, 2, 3)), filters = Seq(2, 1))))
+    assert(Fetch.containerGuard(chunked).isEmpty) // in-subset now
+    val fixture = tmp.resolve("cube.nc4")
+    java.nio.file.Files.write(fixture, chunked)
+    val cfg = IngestConfig(bbox = (10.0, 54.0, 14.0, 57.0),
+      parameters = Seq("wind-speed"))
+    val (mf, o) = Fetch.fetchAndIngest(spark, cfg,
+      Seq("wind-speed" -> fixture.toUri.toString), out)
+    assert(o.forall(_.ok), o.mkString(";"))
+    assert(mf.nonEmpty)
+    assert(spark.read.parquet(out).count() == 12)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 }
