@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Hashing
+import graft.operators.Materialize.Stageable
 import graft.sources.Tables
 
 /** Training-data curation operators — the filter/sample/index stages a
@@ -42,9 +43,9 @@ object Curation {
 
   /** The exploded (doc_id, token) table the token-level operators share.
     * Callers composing several of them (q90) materialize this ONCE
-    * (localCheckpoint — at cluster scale substitute
-    * persist(StorageLevel.DISK_ONLY)) so each operator re-reads the
-    * token rows instead of re-scanning + re-exploding the corpus. */
+    * ([[Materialize.stage]] — strategy via `graft.materialize`) so each
+    * operator re-reads the token rows instead of re-scanning +
+    * re-exploding the corpus. */
   def tokenTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(toks).as("token"))
 
@@ -400,7 +401,7 @@ object Curation {
     * rows. */
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     unigramSurprisalFrom(
-      tokenTable(Tables.documents(spark, dir)).localCheckpoint())
+      tokenTable(Tables.documents(spark, dir)).staged)
 
   /** [[unigramSurprisal]] over an already-materialized (doc_id, token)
     * table — pass a checkpointed/persisted `tok`, it is consumed 3×. */
@@ -555,7 +556,7 @@ object Curation {
     // but the caller's upstream pipeline must not run twice — materialize
     // once here (a second checkpoint of an already-materialized index is
     // a cheap copy, so pre-checkpointed callers lose nothing)
-    val mat = fps.localCheckpoint()
+    val mat = fps.staged
     val mRow = mat.agg(
       pow(lit(2.0), ceil(log2(greatest(
         count(lit(1)) * BloomBitsPerKey, lit(16384L))))).cast("long").as("m"))
@@ -626,7 +627,7 @@ object Curation {
   def bloomIncrement(spark: SparkSession, dir: String): DataFrame = {
     val (corpusIdx, batch) = incrementSplit(spark, dir)
     // one materialization feeds the sketch build and the verify join
-    val corpusFp = corpusIdx.localCheckpoint()
+    val corpusFp = corpusIdx.staged
     // The barrier is load-bearing: without it, PushDownLeftSemiAntiJoin
     // reorders the exact semi-join BELOW the sketch test (legal — the
     // join only references fp), and the executed plan verifies the WHOLE
@@ -635,7 +636,7 @@ object Curation {
     // batch — tiny) pins the order the sketch exists to create.
     val candidates = candidateSlice(batch, corpusFp)
       .select(col("doc_id"), col("fp"))
-      .localCheckpoint()
+      .staged
     val dupOfCorpus = candidates
       .join(corpusFp, Seq("fp"), "left_semi")
       .select(col("doc_id"))
@@ -764,7 +765,7 @@ object Curation {
       .select(col("source"),
         sha2(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(SpanW))), 256).as("h"))
       .distinct()
-      .localCheckpoint()
+      .staged
     sp.select(col("source").as("source_a"), col("h"))
       .join(sp.select(col("source").as("source_b"), col("h")), Seq("h"))
       .filter(col("source_a") < col("source_b"))
@@ -811,14 +812,13 @@ object Curation {
     * so the ~per-query LSH cost is paid once (BASELINE.md documents the
     * repeated work as a per-query-isolation artifact — this entry point
     * is that claim as code, asserted equivalent in CurationSpec).
-    * localCheckpoint is executor-local; at cluster scale substitute
-    * persist(StorageLevel.DISK_ONLY) or stage it durably via
-    * [[persistPairTable]]. */
+    * Staging strategy via `graft.materialize` ([[Materialize.stage]]);
+    * for a stage that survives restarts use [[persistPairTable]]. */
   def pairTable(spark: SparkSession, dir: String): DataFrame =
-    Dedup.lshNearDup(spark, dir).localCheckpoint()
+    Dedup.lshNearDup(spark, dir).staged
 
   /** [[pairTable]], durably: write the verified pair table to a parquet
-    * sink and return the re-read frame. localCheckpoint is executor-local
+    * sink and return the re-read frame. The default stage is executor
     * state that dies with the executors; a deployment that wants the pair
     * table to survive restarts — or to feed later jobs without re-running
     * the LSH pass — stages it here instead. The table is
@@ -983,11 +983,10 @@ object Curation {
     * deployment sizes k so each within-cluster block fits one executor. */
   def semDedupK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     // Materialize the assignment once — it feeds both self-join sides and
-    // the member count (3 subtree reuses). At cluster scale this would be
-    // persist(StorageLevel.DISK_ONLY) / a reliable checkpoint instead.
+    // the member count (3 subtree reuses); strategy via graft.materialize.
     val m = assignmentsK(Tables.embeddings(spark, dir), k)
       .select(col("cluster_id"), col("vec_id"), col("embedding"), col("nrm"))
-      .localCheckpoint()
+      .staged
     val a = m.select(col("cluster_id"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val b = m.select(col("cluster_id"), col("vec_id").as("v2"),
@@ -1161,7 +1160,7 @@ object Curation {
     * documents.parquet per sub-plan); only the doc_id→source projection
     * reads the corpus a second time. */
   def filterCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val tok = tokenTable(Tables.documents(spark, dir)).localCheckpoint()
+    val tok = tokenTable(Tables.documents(spark, dir)).staged
     val gate = qualityGateFrom(tok).select(col("doc_id"), col("keep"))
     val lm = unigramSurprisalFrom(tok).select(col("doc_id"), col("mean_nll"))
     val med = lm.select(expr("percentile(mean_nll, 0.5)").as("med"))
@@ -1213,8 +1212,8 @@ object Curation {
         s => s.getField("tok")), " ").as("chunk"))
       .select(col("doc_id"), sha2(col("chunk"), 256).as("f"))
       // materialized once — feeds the df census AND the join back
-      // (cluster-scale substitute: persist(DISK_ONLY), the Dedup rule)
-      .localCheckpoint()
+      // (strategy via graft.materialize — Materialize.stage)
+      .staged
     val df = chunks.groupBy(col("f"))
       .agg(countDistinct(col("doc_id")).as("d"))
     chunks.join(df, "f")

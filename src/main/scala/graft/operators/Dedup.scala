@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
+import graft.operators.Materialize.Stageable
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` — exact, n-gram Jaccard,
@@ -107,14 +108,13 @@ object Dedup {
       .select(col("doc_id"), explode(shingleCol).as("s"))
       .distinct()
     // Materialized once: feeds three branches (sizes ×2 via join, self-join).
-    // localCheckpoint is executor-local (fine on local[n]); at cluster scale
-    // substitute persist(StorageLevel.DISK_ONLY) or a reliable checkpoint so
-    // the branches survive executor loss.
+    // Strategy is the graft.materialize setting (Materialize.stage):
+    // localCheckpoint on local[n], persist/parquet for cluster fault modes.
     val ds = ds0
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= dfCap)
       .select("doc_id", "s")
-      .localCheckpoint()
+      .staged
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = ds.as("a")
       .join(ds.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -181,9 +181,8 @@ object Dedup {
     * Oracles.lshPairCtes). */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
     // One materialization feeds three consumers (banding + both verify
-    // sides), so the sha256-per-shingle pipeline runs once. localCheckpoint
-    // is executor-local, not fault-tolerant: substitute
-    // persist(StorageLevel.DISK_ONLY) or a real staged table on a cluster.
+    // sides), so the sha256-per-shingle pipeline runs once; the staging
+    // strategy is the graft.materialize setting (Materialize.stage).
     val docs = Tables.documents(spark, dir)
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
@@ -191,7 +190,7 @@ object Dedup {
         array_sort(array_distinct(transform(shingleCol, s => Hashing.h32p(s)))))
       .withColumn("sig", call_function("minhash_sig16", col("hs")))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"), col("sig"))
-      .localCheckpoint()
+      .staged
     val bandStructs = (0 until Hashing.Bands).map { bnd =>
       val cols = (0 until Hashing.RowsPerBand)
         .map(r => element_at(col("sig"), bnd * Hashing.RowsPerBand + r + 1))
@@ -262,12 +261,11 @@ object Dedup {
     * scale the pair space is pruned by the ANN bucket join first
     * (Similarity.annBucketed / rpLshAnn); this is the exact check. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // Feeds both join sides; executor-local checkpoint is fine on local[n],
-    // persist(DISK_ONLY) at cluster scale.
+    // Feeds both join sides; strategy via graft.materialize (Materialize.stage).
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 300)
       .withColumn("nrm", Similarity.norm(col("embedding")))
-      .localCheckpoint()
+      .staged
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",
         Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The ONE materialization indirection for "this subtree feeds multiple
+  * consumers — compute it once".
+  *
+  * Every such site previously called `localCheckpoint()` directly with a
+  * per-site comment saying "substitute persist(DISK_ONLY) or a durable
+  * stage on a cluster"; this object makes the cluster story a SETTING
+  * instead of a comment. Strategy selection via the Spark conf
+  * `graft.materialize`:
+  *
+  *  - `localCheckpoint` (default) — eager executor-local RDD blocks.
+  *    Fastest on local[n] and correct whenever executors survive the job
+  *    (the driver bench's mode); blocks die with their executor, so a
+  *    multi-tenant cluster run prefers the next two.
+  *  - `persist` — `persist(StorageLevel.DISK_ONLY)` forced eager by a
+  *    count, so the staged subtree computes exactly once at the stage
+  *    point (matching localCheckpoint's eagerness) and recomputes from
+  *    lineage only on executor loss.
+  *  - `parquet` — write to a unique dir under `graft.materialize.dir`
+  *    (default: the JVM temp dir) and re-read: a durable stage that
+  *    survives executor AND driver restarts, the
+  *    [[Curation.persistPairTable]] shape applied generically.
+  *
+  * All strategies are RESULT-EQUIVALENT (MaterializeSpec asserts it on a
+  * representative multi-consumer query); they trade re-use cost against
+  * fault tolerance. Deliberately NOT routed through here: the
+  * per-iteration checkpoints inside [[Curation.nearDupClusters]]'s
+  * fixpoint loop, where cutting lineage each round is algorithmic (an
+  * un-truncated iterative plan grows without bound), not a re-use
+  * optimization.
+  */
+object Materialize {
+
+  /** Materialize `df` once for multiple downstream consumers. */
+  def stage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("graft.materialize", "localCheckpoint") match {
+      case "localCheckpoint" => df.localCheckpoint()
+      case "persist" =>
+        val p = df.persist(StorageLevel.DISK_ONLY)
+        p.count() // force now — the stage point, like localCheckpoint
+        p
+      case "parquet" =>
+        val base = spark.conf.get("graft.materialize.dir",
+          sys.props("java.io.tmpdir"))
+        val dir = s"$base/graft_stage_${java.util.UUID.randomUUID}"
+        df.write.parquet(dir)
+        spark.read.parquet(dir)
+      case other => throw new IllegalArgumentException(
+        s"graft.materialize=$other (expected localCheckpoint|persist|parquet)")
+    }
+  }
+
+  /** `df.staged` — [[stage]] as a chainable suffix, so call sites read
+    * like the `.localCheckpoint()` they replace. */
+  implicit class Stageable(private val df: DataFrame) extends AnyVal {
+    def staged: DataFrame = stage(df)
+  }
+}

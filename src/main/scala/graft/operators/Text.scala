@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Hashing
+import graft.operators.Materialize.Stageable
 import graft.sources.Tables
 
 /** Text-analysis operators over `documents` — the training-data-pipeline
@@ -150,12 +151,12 @@ object Text {
     val dec = (c: Column) => floor(c * 1e9).cast("decimal(28,9)")
     // Materialized once: the vocab totals and the top-100 window both
     // re-read it, and the explode+agg behind it is the dominant cost
-    // (cluster-scale substitute: persist(DISK_ONLY), the Dedup rule).
+    // (strategy via graft.materialize — Materialize.stage).
     val freq = Tables.documents(spark, dir)
       .select(col("lang"), explode(toks).as("token"))
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("f"))
-      .localCheckpoint()
+      .staged
     val vocab = freq.groupBy(col("lang"))
       .agg(count(lit(1)).as("vocab_size"),
         sum(col("f")).cast("long").as("n_tokens"))

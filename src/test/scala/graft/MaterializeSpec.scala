@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Curation, Dedup, Materialize}
+
+/** The pluggable materialization strategy (`graft.materialize`): all
+  * three strategies must be result-equivalent on a representative
+  * multi-consumer query, and the setting must be validated. */
+class MaterializeSpec extends SparkSpec {
+
+  private def withStrategy[A](s: Option[String])(body: => A): A = {
+    s.foreach(spark.conf.set("graft.materialize", _))
+    try body finally spark.conf.unset("graft.materialize")
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("localCheckpoint, persist, and parquet stages agree on q37 (LSH near-dup)") {
+    // lshNearDup stages its per-doc hash-array table for three consumers;
+    // bloomIncrement stages twice (sketch + candidate barrier) — together
+    // they cover chained stages and the stage-under-broadcast shape
+    val expect = withStrategy(None)(rows(Dedup.lshNearDup(spark, sfDir)))
+    val expectBloom = withStrategy(None)(rows(Curation.bloomIncrement(spark, sfDir)))
+    assert(expect.nonEmpty)
+    for (s <- Seq("persist", "parquet")) {
+      assert(withStrategy(Some(s))(rows(Dedup.lshNearDup(spark, sfDir))) == expect,
+        s"strategy $s diverged on lshNearDup")
+      assert(withStrategy(Some(s))(rows(Curation.bloomIncrement(spark, sfDir))) == expectBloom,
+        s"strategy $s diverged on bloomIncrement")
+    }
+  }
+
+  test("an unknown strategy is rejected by name") {
+    val e = intercept[IllegalArgumentException] {
+      withStrategy(Some("tachyon"))(
+        Materialize.stage(spark.range(3).toDF("id")).count())
+    }
+    assert(e.getMessage.contains("tachyon"))
+  }
+
+  test("the parquet stage writes under graft.materialize.dir and re-reads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    spark.conf.set("graft.materialize.dir", tmp)
+    try withStrategy(Some("parquet")) {
+      val staged = Materialize.stage(spark.range(5).toDF("id"))
+      assert(staged.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1, 2, 3, 4))
+      // the stage landed where the setting points
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .anyMatch(p => p.getFileName.toString.startsWith("graft_stage_")))
+    } finally {
+      spark.conf.unset("graft.materialize.dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}
