@@ -264,6 +264,71 @@ object StreamOps {
       .withColumn("maybe_dup", graft.operators.Curation.bloomHit)
       .drop("bloom")
 
+  /** The corpus's duplicated-span index as ONE broadcastable row: its
+    * Bloom sketch (`bloom`) plus the exact sorted hash array
+    * (`span_idx`) — the static side of [[spanGateStream]], refreshed by a
+    * batch job like [[corpusBandIndex]]/[[corpusBloom]]. Indexing the
+    * ≥2-occurrence spans (not all spans) keeps the gate's semantics
+    * aligned with batch q95: a corpus document replayed through the gate
+    * reports exactly its batch keep_ratio (its own occ-1 spans don't
+    * self-flag). Regime: the dup-span index must fit a broadcast (the
+    * same bound as the two-phase marker's broadcast set); beyond that,
+    * drop the exact array and accept the sketch's ≈ 3e-4 over-trim, or
+    * shard the gate by hash prefix. */
+  def corpusSpanIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.Curation.dupSpanIndex(spark, dir)
+    graft.operators.Curation.bloomWords(idx.select(col("h").as("fp")))
+      .crossJoin(idx.agg(sort_array(collect_list(col("h"))).as("span_idx")))
+  }
+
+  /** Streaming span-contamination gate — the stream-side q95
+    * (spanDedup): each in-flight document fingerprints its sliding
+    * [[graft.operators.Curation.SpanW]]-token spans with the SAME shared
+    * definition the batch family uses, tests every span hash against the
+    * broadcast duplicated-span index in pure column math (inside a
+    * `transform` lambda — no UDF, no shuffle, no state store), and
+    * reports the batch q95 row: n_dup_spans, n_covered, keep_ratio. A
+    * deployment drops rows under a keep_ratio threshold at ingest rate
+    * and routes the rest on.
+    *
+    * The membership test is q94's bloom-then-verify split applied PER
+    * ROW: the sketch test runs first and `AND` short-circuits, so the
+    * overwhelmingly-negative spans never touch the exact array, and only
+    * the sketch's candidate sliver (true dups + ≈ 3e-4 false positives)
+    * pays the `array_contains` probe — which makes the gate's output
+    * EXACTLY the batch q95 semantics (StreamingSpec pins doc-for-doc
+    * equality), not an approximation. Stateless for the same reason as
+    * [[bloomGateStream]]; docs shorter than SpanW tokens carry no spans
+    * and pass with keep_ratio 1. */
+  def spanGateStream(docs: DataFrame, spanIndex: DataFrame): DataFrame = {
+    import graft.operators.Curation.{SpanW, bloomHitSql, spanHashes}
+    val covered = size(filter(
+      sequence(lit(0), (col("n") - 1).cast("int")),
+      p => exists(
+        slice(col("dup_flags"),
+          greatest(lit(0), p - (SpanW - 1)) + 1,
+          least(p, (col("n") - SpanW).cast("int")) -
+            greatest(lit(0), p - (SpanW - 1)) + 1),
+        f => f)))
+    docs
+      .withColumn("toks", Dedup.toks)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .crossJoin(broadcast(spanIndex))
+      .withColumn("span_hashes",
+        when(col("n") >= SpanW, spanHashes)
+          .otherwise(typedLit(Array.empty[String])))
+      .withColumn("dup_flags",
+        expr("transform(span_hashes, sh -> " +
+          s"(${bloomHitSql("sh")}) AND array_contains(span_idx, sh))"))
+      .withColumn("n_dup_spans",
+        size(filter(col("dup_flags"), f => f)).cast("long"))
+      .withColumn("n_covered",
+        when(col("n") >= SpanW, covered.cast("long")).otherwise(lit(0L)))
+      .withColumn("keep_ratio",
+        floor((lit(1.0) - col("n_covered") / col("n")) * 1e6) / 1e6)
+      .drop("toks", "bloom", "span_idx", "span_hashes", "dup_flags")
+  }
+
   /** Static corpus band index (band, band_sig) for the stream-static
     * near-dup join — built by one batch pass over the corpus. */
   def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {

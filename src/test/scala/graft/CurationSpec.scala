@@ -494,6 +494,64 @@ class CurationSpec extends SparkSpec {
     dupIds.foreach { id => assert(byId(id) == 1.0, s"doc $id") }
   }
 
+  test("spanTable deployment mode: q95/q96/q98 identical via the shared span table") {
+    // One staged span table feeding all three consumers must give exactly
+    // the per-query-isolated (recompute-the-explode) results.
+    val spans = Curation.spanTable(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val shared = Seq(
+      Curation.spanDedupFrom(spans),
+      Curation.spanTrimFrom(spans, docs),
+      Curation.spanProvenanceFrom(spans))
+    val isolated = Seq(
+      Curation.spanDedup(spark, sfDir),
+      Curation.spanTrim(spark, sfDir),
+      Curation.spanProvenance(spark, sfDir))
+    shared.zip(isolated).foreach { case (a, b) =>
+      assert(a.columns.sameElements(b.columns))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+
+  test("spanTable survives a parquet round-trip: q95/q96/q98 identical from the sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spans")
+    val sink = tmp.resolve("spans.parquet").toString
+    val reread = Curation.persistSpanTable(spark, sfDir, sink)
+    assert(new java.io.File(sink).exists())
+    val docs = Tables.documents(spark, sfDir)
+    val fromSink = Seq(
+      Curation.spanDedupFrom(reread),
+      Curation.spanTrimFrom(reread, docs),
+      Curation.spanProvenanceFrom(reread))
+    val isolated = Seq(
+      Curation.spanDedup(spark, sfDir),
+      Curation.spanTrim(spark, sfDir),
+      Curation.spanProvenance(spark, sfDir))
+    fromSink.zip(isolated).foreach { case (a, b) =>
+      assert(a.columns.sameElements(b.columns))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("span dup marking: two-phase heavy-hitter == window count, viral span included") {
+    import spark.implicits._
+    // a viral 8-token span shared by 10^3 docs — the skew case the
+    // two-phase formulation exists for — plus unique tails, plus one
+    // occ-1 doc that must NOT be marked
+    val viral = "the quick brown fox jumps over the dog"
+    val docs = (0 until 1000).map(i => (i.toLong, s"$viral unique$i tail$i words$i", "s0")) :+
+      (5000L, "completely unrelated eight tokens here for one doc", "s1")
+    val df = docs.toDF("doc_id", "text", "source")
+    val spans = Curation.spanRows(df)
+    val a = Curation.dupHitsTwoPhase(spans)
+    val b = Curation.dupHitsWindow(spans)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the viral span is marked in every carrier, the occ-1 doc never
+    val hitDocs = a.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hitDocs.size == 1000 && !hitDocs.contains(5000L))
+  }
+
   test("inverted index: postings capped at 10, sorted, df consistent") {
     val out = Curation.invertedIndex(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -326,6 +326,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span gate agrees with batch q95 keep_ratio on corpus docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    import graft.operators.Curation
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    // replay the whole sf0.001 corpus through the gate against the
+    // corpus's own duplicated-span index: per-doc keep_ratio must match
+    // batch spanDedup EXACTLY — the gate's bloom sketch only
+    // short-circuits; flagged spans verify against the exact array, so
+    // sketch false positives cannot leak into the output (the first cut
+    // of this test, sketch-only, diverged on exactly 5 docs = the fpp)
+    val bloom = StreamOps.corpusSpanIndex(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.spanGateStream(input.toDF(), bloom)
+      .writeStream.format("memory").queryName("span_gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("span_gate_out")
+        .filter(col("n") >= Curation.SpanW)
+        .select(col("doc_id"), col("n_dup_spans"), col("n_covered"), col("keep_ratio"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val batch = Curation.spanDedup(spark, sfDir)
+        .select(col("doc_id"), col("n_dup_spans"), col("n_covered"), col("keep_ratio"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch, "streaming span gate diverged from batch q95")
+      // a doc shorter than SpanW passes with keep_ratio 1 and no spans
+      input.addData(Doc(999999, ts(2), "too short"))
+      q.processAllAvailable()
+      val short = spark.table("span_gate_out")
+        .filter(col("doc_id") === 999999).collect().head
+      assert(short.getAs[Long]("n_dup_spans") == 0L)
+      assert(short.getAs[Double]("keep_ratio") == 1.0)
+    } finally q.stop()
+  }
+
   test("composed streaming funnel: gate -> decontaminate -> dedup in one query") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
