@@ -540,8 +540,11 @@ object Curation {
   // outgrows a fixed sketch. The sketch stays KB-to-MB while the index
   // it summarizes is GB-to-TB; that asymmetry is the whole point, and it
   // holds while m fits a broadcast (~2^30 bits / ~10^7-row indexes per
-  // 28-bits-per-key — beyond that, shard the sketch or fall back to
-  // DataFrameStatFunctions.bloomFilter with a typed filter).
+  // 28-bits-per-key). Beyond that ceiling the sharded variant
+  // (bloomWordsSharded/bloomHitSharded below) splits the key space into
+  // independently-sized shard arrays behind the same membership
+  // contract — PropertySpec pins its no-false-negative guarantee and
+  // bit-for-bit degenerate parity with this single sketch.
   private val BloomBitsPerKey = 28
   private val BloomK = 4
 
@@ -598,6 +601,67 @@ object Curation {
 
   /** [[bloomHitSql]] over this row's `fp` column, as a Column. */
   private[graft] def bloomHit: Column = expr(bloomHitSql("fp"))
+
+  // Shard-routing hash seed for the sharded sketch — outside the 0..K-1
+  // seeds the bit positions use, so shard assignment is independent of
+  // the bits set within a shard.
+  private val BloomShardSeed = 1000
+
+  /** Shard id for this row's `fp` under an `n_shards` column. */
+  private def bloomShardOf: Column =
+    pmod(xxhash64(col("fp"), lit(BloomShardSeed)), col("n_shards"))
+
+  /** The SHARDED Bloom sketch — [[bloomWords]] past the single-array
+    * broadcast ceiling (~2^30 bits / ~10^7 keys, documented above): the
+    * key space splits into `nShards` by an independent routing hash, each
+    * shard builds its own dense word array sized from ITS key count (the
+    * same power-of-two formula, so per-key fpp is unchanged), and the
+    * result is `nShards` rows of (shard, bloom). Build is exactly the
+    * single-sketch plan with a shard dimension added to every
+    * aggregation — still zero driver collects — and each shard's
+    * collect_list is bounded by its own width, which is what removes the
+    * single-aggregation ceiling. Membership ([[bloomHitSharded]]) routes
+    * each probe to its owning shard; with KB-to-MB shards the shard
+    * table broadcasts, and past broadcast entirely the same contract
+    * runs as a shuffle join on the shard id. */
+  private[graft] def bloomWordsSharded(fps: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val mat = fps.withColumn("n_shards", lit(nShards.toLong))
+      .withColumn("shard", bloomShardOf)
+      .staged
+    val mRows = mat.groupBy(col("shard")).agg(
+      pow(lit(2.0), ceil(log2(greatest(
+        count(lit(1)) * BloomBitsPerKey, lit(16384L))))).cast("long").as("m"))
+    val posCols = (0 until BloomK).map(i =>
+      pmod(xxhash64(col("fp"), lit(i)), col("m")))
+    val wordRows = mat
+      .join(broadcast(mRows), Seq("shard"))
+      .select(col("shard"), explode(array(posCols: _*)).as("pos"))
+      .groupBy(col("shard"), expr("pos DIV 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
+    mRows
+      .select(col("shard"), explode(expr("sequence(0L, m DIV 64 - 1)")).as("w"))
+      .join(wordRows, Seq("shard", "w"), "left")
+      .select(col("shard"), col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .groupBy(col("shard"))
+      .agg(expr("transform(array_sort(collect_list(struct(w, bits))), s -> s.bits)")
+        .as("bloom"))
+  }
+
+  /** Membership against a sharded sketch, behind the same contract as
+    * `crossJoin(broadcast(bloom)) + bloomHit`: route each probe row to
+    * its owning shard, join that shard's array in, and run the SAME
+    * [[bloomHit]] bit test (m recovers from the shard's array length, so
+    * per-shard sizing needs no side channel). Returns the rows the
+    * sketch cannot rule out, `bloom`/routing columns dropped. */
+  private[graft] def bloomHitSharded(probe: DataFrame, shards: DataFrame,
+                                     nShards: Int): DataFrame =
+    probe
+      .withColumn("n_shards", lit(nShards.toLong))
+      .withColumn("shard", bloomShardOf)
+      .join(broadcast(shards), Seq("shard"))
+      .filter(bloomHit)
+      .drop("shard", "n_shards", "bloom")
 
   /** q94's %7 corpus/batch split: (distinct corpus fingerprint index,
     * arriving batch) — ONE definition shared by the query and the spec

@@ -199,6 +199,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sharded bloom: parity with the single sketch on a split corpus") {
+    import spark.implicits._
+    // a generated key population split into members (indexed) and
+    // non-members (probes that must mostly miss)
+    val keyG = for {
+      n <- Gen.choose(4, 24)
+      cs <- Gen.listOfN(n, Gen.alphaNumChar)
+    } yield cs.mkString
+    val keys = sample(keyG, 8000).distinct
+    val (members, others) = keys.splitAt(keys.length / 2)
+    val idx = members.toDF("fp").repartition(4)
+    val probes = keys.toDF("fp")
+    val nShards = 8
+    val shards = Curation.bloomWordsSharded(idx, nShards)
+    // shard count and per-shard sizing: every shard is a power-of-two
+    // word array, and all nShards materialized
+    val shardRows = shards.collect()
+    assert(shardRows.length == nShards)
+    shardRows.foreach { r =>
+      val words = r.getSeq[Long](1).length
+      assert(words >= 256 && (words & (words - 1)) == 0, s"width $words")
+    }
+    val hits = Curation.bloomHitSharded(probes, shards, nShards)
+      .collect().map(_.getString(0)).toSet
+    // NO FALSE NEGATIVES — every member of every shard hits
+    val misses = members.filterNot(hits)
+    assert(misses.isEmpty, s"sharded bloom false negatives: ${misses.take(5)}")
+    // false positives bounded: the non-member overshoot stays a sliver
+    val fps = others.count(hits)
+    assert(fps <= math.max(4, others.length / 100),
+      s"$fps false positives of ${others.length} non-members")
+    // degenerate parity: one shard IS the single sketch, bit for bit
+    // (same m formula over the whole population, same position hashes)
+    val one = Curation.bloomWordsSharded(idx, 1).select("bloom").collect()
+    val single = Curation.bloomWords(idx).collect()
+    assert(one.head.getSeq[Long](0) == single.head.getSeq[Long](0))
+    // and the candidate sets agree exactly in the degenerate case
+    val hits1 = Curation.bloomHitSharded(probes, Curation.bloomWordsSharded(idx, 1), 1)
+      .collect().map(_.getString(0)).toSet
+    val hitsSingle = probes
+      .crossJoin(broadcast(Curation.bloomWords(idx)))
+      .filter(Curation.bloomHit)
+      .collect().map(_.getString(0)).toSet
+    assert(hits1 == hitsSingle)
+  }
+
   test("span family matches an independent model on generated corpora") {
     // q95/q96/q98 against a direct Scala implementation of the span
     // rules, over corpora the generator controls: a tiny vocabulary (so
