@@ -877,7 +877,7 @@ object Oracles {
   )
 
   /** Training-data curation operators (Curation.scala). */
-  val curation: Map[String, String] = Map(
+  private val curationBase: Map[String, String] = Map(
     "q66_quality_gate" ->
       s"""WITH $toksCte,
          | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
@@ -1475,4 +1475,12 @@ object Oracles {
          | max(jaccard) AS max_jaccard
          |FROM withsrc GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
   )
+
+  // q99/q100 bind the deployment paths (staged span table + two-phase
+  // marker; sharded bloom) to the SAME oracle SQL as their isolation
+  // duals q95/q94 — identical declared semantics, so the hash gate then
+  // proves the deployment machinery itself, not just the isolation plans.
+  val curation: Map[String, String] = curationBase ++ Map(
+    "q99_span_dedup_staged" -> curationBase("q95_span_dedup"),
+    "q100_bloom_increment_sharded" -> curationBase("q94_bloom_increment"))
 }

@@ -117,6 +117,8 @@ object SparkEntry {
     "q96_span_trim" -> (Curation.spanTrim _),
     "q97_cms_census" -> (Curation.cmsCensus _),
     "q98_span_provenance" -> (Curation.spanProvenance _),
+    "q99_span_dedup_staged" -> (Curation.spanDedupStaged _),
+    "q100_bloom_increment_sharded" -> (Curation.bloomIncrementSharded _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -706,6 +706,13 @@ object Curation {
     val candidates = candidateSlice(batch, corpusFp)
       .select(col("doc_id"), col("fp"))
       .staged
+    admitList(batch, corpusFp, candidates)
+  }
+
+  /** The exact tail both q94 variants share: verify the candidate sliver
+    * against the index, keep first-in-batch non-dups. */
+  private def admitList(batch: DataFrame, corpusFp: DataFrame,
+                        candidates: DataFrame): DataFrame = {
     val dupOfCorpus = candidates
       .join(corpusFp, Seq("fp"), "left_semi")
       .select(col("doc_id"))
@@ -716,6 +723,22 @@ object Curation {
       .join(dupOfCorpus, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q100: q94's admit list computed through the SHARDED sketch path
+    * ([[bloomWordsSharded]]/[[bloomHitSharded]], 4 shards at test scale
+    * so real multi-shard routing is exercised) — identical output by
+    * construction (any bloom only decides how little reaches the exact
+    * verify), and declared as its own query so the sharded machinery is
+    * held to the same DuckDB hash gate as the single-sketch path. */
+  def bloomIncrementSharded(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusIdx, batch) = incrementSplit(spark, dir)
+    val corpusFp = corpusIdx.staged
+    val candidates =
+      bloomHitSharded(batch, bloomWordsSharded(corpusFp, 4), 4)
+        .select(col("doc_id"), col("fp"))
+        .staged // the same reorder barrier bloomIncrement documents
+    admitList(batch, corpusFp, candidates)
   }
 
   /** Span window width for the q95/q96/q98 family (tokens). 8 is small
@@ -848,6 +871,14 @@ object Curation {
   def spanDedupFrom(spans: DataFrame): DataFrame =
     spanCoverage(spans.select(col("doc_id"), col("n")).distinct(),
       dupHitsTwoPhase(spans))
+
+  /** q99: q95 through the DEPLOYMENT path — the staged span table
+    * ([[spanTable]]) consumed by the two-phase heavy-hitter marker —
+    * declared as its own query so the deployment machinery is held to
+    * the same DuckDB hash gate as the isolation plan (same oracle SQL:
+    * the declared semantics are identical by construction). */
+  def spanDedupStaged(spark: SparkSession, dir: String): DataFrame =
+    spanDedupFrom(spanTable(spark, dir))
 
   /** Trim + reconstruction core shared by q96 and its `*From` variant. */
   private def spanTrimCore(docs: DataFrame, hits: DataFrame): DataFrame = {
