@@ -112,8 +112,8 @@ object Ingest {
     // cell. (Manifest stays over THIS batch's rows, not a read-back of
     // outPath — dynamic overwrite preserves other parameters' old
     // partitions there, which must not leak into this batch's manifest.)
-    // At cluster scale substitute persist(StorageLevel.DISK_ONLY).
-    val longDf = cubeToLong(cube, cfg).localCheckpoint()
+    // Staging strategy via graft.materialize (Materialize.stage).
+    val longDf = Materialize.stage(cubeToLong(cube, cfg))
     writeCube(longDf, outPath)
     manifest(longDf, cfg)
   }

@@ -403,7 +403,9 @@ object GeoTiff {
           path.toString, raster.width, raster.height, bytes.length.toLong)
       }
       .toDF("collection", "parameter", "time_key", "path", "width", "height", "n_bytes")
-    written.localCheckpoint() // run the write exactly once; small manifest
+    // run the .tif writes exactly once (every Materialize strategy is
+    // eager); the manifest itself is tiny
+    graft.operators.Materialize.stage(written)
   }
 
   /** Binary raster SOURCE: read GeoTIFF bands back into the long format —

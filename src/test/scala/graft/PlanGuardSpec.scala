@@ -110,7 +110,14 @@ class PlanGuardSpec extends SparkSpec {
       // map collapse
       "q97_cms_census" -> 5,
       // checkpointed distinct (source, hash) self-join + pair agg + sort
-      "q98_span_provenance" -> 2)
+      "q98_span_provenance" -> 2,
+      // deployment path: staged span table (exchanges behind the stage
+      // barrier) + doc-list distinct + dup-hash agg + coverage agg +
+      // doc join + output sort; the marking semi-join itself broadcasts
+      "q99_span_dedup_staged" -> 5,
+      // sharded q94: same post-stage shape as q94 (window + sort) — the
+      // shard routing join broadcasts, adding no corpus shuffle
+      "q100_bloom_increment_sharded" -> 2)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
