@@ -188,6 +188,41 @@ class NetCdf4Spec extends SparkSpec {
       keyed(NetCdf4.decodeCube(spark, "c", "sea_mean_deviation", contiguous)))
   }
 
+  test("multi-level chunk btrees read through the recursion path") {
+    // the writer emits one leaf, so hand-build a 2-level index: a root
+    // (level 1) whose two children are leaves (level 0) addressing one
+    // 2-element chunk each — rank-1 f64 dataset [1,2,3,4], chunk size 2
+    import java.nio.{ByteBuffer, ByteOrder}
+    val D = 2 // rank + element dim
+    val keySize = 8 + 8 * D
+    val leafSize = 24 + (keySize + 8) + keySize
+    val rootAt = 2 * leafSize
+    val chunk1At = rootAt + 24 + 2 * (keySize + 8) + keySize
+    val chunk2At = chunk1At + 16
+    val out = ByteBuffer.allocate(chunk2At + 16).order(ByteOrder.LITTLE_ENDIAN)
+    def node(at: Int, level: Int, entries: Seq[(Long, Long)]): Unit = {
+      out.position(at)
+      out.put("TREE".getBytes("US-ASCII")).put(1.toByte).put(level.toByte)
+      out.putShort(entries.size.toShort).putLong(-1L).putLong(-1L)
+      entries.foreach { case (off, child) =>
+        out.putInt(16).putInt(0) // chunk bytes, filter mask
+        out.putLong(off).putLong(0L) // dataset offset, element-dim offset
+        out.putLong(child)
+      }
+      out.putInt(0).putInt(0).putLong(4L).putLong(0L) // final key
+    }
+    node(0, 0, Seq((0L, chunk1At.toLong)))
+    node(leafSize, 0, Seq((2L, chunk2At.toLong)))
+    node(rootAt, 1, Seq((0L, 0L), (2L, leafSize.toLong)))
+    out.position(chunk1At); out.putDouble(1.0).putDouble(2.0)
+    out.position(chunk2At); out.putDouble(3.0).putDouble(4.0)
+    val ds = NetCdf4.H5Dataset("v", Seq(4L),
+      NetCdf4.NumType(float = true, 8, bigEndian = false, signed = true),
+      -1L, 0L, None, Nil, chunk = Some((rootAt.toLong, Seq(2, 8))))
+    val f = NetCdf4.H5File(Seq(ds), out.array())
+    assert(NetCdf4.readValues(f, ds).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("filters beyond deflate/shuffle are rejected with the filter named") {
     val bytes = NetCdf4.write(Seq(NetCdf4.WriteDs("v", Seq(2L, 2L),
       Array(1.0, 2.0, 3.0, 4.0), chunk = Some(Seq(2, 2)), filters = Seq(1))))

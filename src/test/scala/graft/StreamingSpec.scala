@@ -378,16 +378,24 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val evalDocs = Seq(Seq("a b c", "b c d"))
     val input = MemoryStream[Doc]
-    // the three curation stages compose into ONE streaming plan: two
-    // stateless stages + the single watermark-bounded dedup state store
+    // all four curation stages compose into ONE streaming plan: three
+    // stateless stages (gate, span gate, decontaminate) + the single
+    // watermark-bounded dedup state store
+    val spanIdx = StreamOps.corpusSpanIndex(spark, sfDir)
     val funnel = StreamOps.dedupStream(
       StreamOps.decontaminateStream(
-        StreamOps.gateStream(input.toDF()).filter(col("keep")).drop("keep", "n_tokens"),
+        StreamOps.spanGateStream(
+          StreamOps.gateStream(input.toDF()).filter(col("keep")).drop("keep", "n_tokens"),
+          spanIdx)
+          .filter(col("keep_ratio") >= 0.5)
+          .drop("n", "n_dup_spans", "n_covered", "keep_ratio"),
         evalDocs))
     val q = funnel.writeStream.format("memory").queryName("funnel_out")
       .outputMode(OutputMode.Append).start()
     try {
       val good = (1 to 40).map(i => s"tok$i").mkString(" ") // passes the gate
+      // a doc that is >50% covered by corpus-duplicated spans: build it
+      // from a real duplicated span if the tiny corpus has one
       input.addData(
         Doc(1, ts(1), good),                         // kept
         Doc(2, ts(2), good),                         // exact dup of 1 → dropped
