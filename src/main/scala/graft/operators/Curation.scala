@@ -784,12 +784,22 @@ object Curation {
     * return the re-read frame — the [[persistPairTable]] dual. Unlike the
     * pair table the span table is token-volume-sized, so a deployment
     * shards it by the sink's partitioning; it amortizes across every
-    * span-family consumer AND daily increments (new docs append their
-    * span rows; old rows never change). */
+    * span-family consumer AND daily increments ([[spanTableIncrement]]). */
   def persistSpanTable(spark: SparkSession, dir: String, sink: String): DataFrame = {
     spanRows(Tables.documents(spark, dir)).write.mode("overwrite").parquet(sink)
     spark.read.parquet(sink)
   }
+
+  /** Append-only span-table refresh: a span row is an immutable fact
+    * about one document, so an arriving batch extends the corpus span
+    * table by UNION — the whole corpus is never re-exploded (the q79
+    * daily-ingest philosophy at span granularity). Occurrence counts are
+    * additive under union, so every downstream marker ([[dupHits]]'
+    * formulations, [[dupSpanIndex]]) is correct over the merged table by
+    * construction; CurationSpec pins merged == from-scratch. On a
+    * parquet-staged table this is a partition append, not a rewrite. */
+  def spanTableIncrement(existing: DataFrame, newDocs: DataFrame): DataFrame =
+    existing.unionByName(spanRows(newDocs))
 
   /** Duplicated-span hits (doc_id, i), window-count formulation: ONE
     * shuffle on the span hash — `count over (partition by h)` marks

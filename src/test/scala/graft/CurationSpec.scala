@@ -534,6 +534,22 @@ class CurationSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("span table increment: union of batch spans == from-scratch rebuild") {
+    // split the corpus 80/20 by doc_id; the 20% "arriving batch" extends
+    // the staged 80% table by union, and every span-family output over
+    // the merged table must equal the full from-scratch results
+    val docs = Tables.documents(spark, sfDir)
+    val base = Curation.spanTable(spark, sfDir) // full table (reference)
+    val old80 = docs.filter(col("doc_id") % 5 =!= 0)
+    val new20 = docs.filter(col("doc_id") % 5 === 0)
+    val merged = Curation.spanTableIncrement(
+      Curation.spanRows(old80), new20)
+    assert(merged.exceptAll(base).isEmpty && base.exceptAll(merged).isEmpty)
+    val a = Curation.spanDedupFrom(merged)
+    val b = Curation.spanDedup(spark, sfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("span dup marking: two-phase heavy-hitter == window count, viral span included") {
     import spark.implicits._
     // a viral 8-token span shared by 10^3 docs — the skew case the

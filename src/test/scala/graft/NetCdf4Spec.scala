@@ -252,6 +252,23 @@ class NetCdf4Spec extends SparkSpec {
       }
       NetCdf4.probe(mutated) // must return, not throw
     }
+    // chunked+deflate fixture: probe never throws, and the DATA path
+    // (btree walk + inflate + scatter) terminates with a named error at
+    // worst — corrupt chunk indexes/streams must not hang or escape Try
+    val chunked = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("y", Seq(2L), Array(55.0, 56.0)),
+      NetCdf4.WriteDs("x", Seq(2L), Array(11.0, 12.0)),
+      NetCdf4.WriteDs("temp", Seq(2L, 2L), Array(1.0, 2.0, 3.0, 4.0),
+        chunk = Some(Seq(1, 2)), filters = Seq(2, 1))))
+    (1 to 300).foreach { _ =>
+      val mutated = chunked.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      NetCdf4.probe(mutated) // must return, not throw
+      scala.util.Try(NetCdf4.parse(mutated).datasets.map(d =>
+        NetCdf4.readValues(NetCdf4.parse(mutated), d))) // must return
+    }
   }
 
   test("fetch boundary: subset HDF5 passes the guard and ingests end-to-end (R17)") {
