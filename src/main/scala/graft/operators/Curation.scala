@@ -824,13 +824,43 @@ object Curation {
     * never shuffles the span rows at all. Output identical to
     * [[dupHitsWindow]] (CurationSpec pins it on a 10^3-copy viral-span
     * corpus). Regime: the DUP-hash set must fit a broadcast (~10^7
-    * entries); beyond that, bloom-prefilter it with [[bloomWords]] and
-    * exact-verify the sliver — the q94 split applied to spans. */
+    * entries); beyond that, [[dupHitsSketchPhase]] is the same contract
+    * without the broadcast requirement. */
   private[graft] def dupHitsTwoPhase(spans: DataFrame): DataFrame = {
     val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("h"))
     spans.join(broadcast(dup), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("i"))
+  }
+
+  /** [[dupHitsTwoPhase]] past the broadcast ceiling — the q94 split
+    * applied to spans, promoted from the regime note to code: the
+    * ≥2-occurrence hash set is summarized into a corpus-sized Bloom
+    * sketch ([[bloomWords]] — KBs–MBs however large the dup set is),
+    * every span row tests the sketch in pure column math, and only the
+    * candidate sliver (true dup rows + ≈ 3e-4 false positives) pays the
+    * exact semi-join against the full dup set — which now SHUFFLES
+    * instead of broadcasting, but with a sliver-sized probe side.
+    * Output exactly equal to both other formulations (sketch negatives
+    * are definitive; the exact join removes the false positives) —
+    * CurationSpec pins three-way equality including the viral-span
+    * corpus. Skew note: the sliver's shuffle keys are dup-span hashes,
+    * so a viral span still concentrates ITS OWN rows in one task —
+    * bounded by that one span's occurrence count, never by the corpus;
+    * salting the semi-join key is the residual knob if a single span's
+    * row set outgrows a task. */
+  private[graft] def dupHitsSketchPhase(spans: DataFrame): DataFrame = {
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"))
+      .staged // feeds the sketch build and the exact verify
+    val candidates = spans
+      .select(col("doc_id"), col("i"), col("h").as("fp"))
+      .crossJoin(broadcast(bloomWords(dup.select(col("h").as("fp")))))
+      .filter(bloomHit)
+      .select(col("doc_id"), col("i"), col("fp").as("h"))
+    candidates.join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), col("i"))
   }
 

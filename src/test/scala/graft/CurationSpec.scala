@@ -562,10 +562,17 @@ class CurationSpec extends SparkSpec {
     val spans = Curation.spanRows(df)
     val a = Curation.dupHitsTwoPhase(spans)
     val b = Curation.dupHitsWindow(spans)
+    val c = Curation.dupHitsSketchPhase(spans) // past-broadcast formulation
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(c.exceptAll(b).isEmpty && b.exceptAll(c).isEmpty)
     // the viral span is marked in every carrier, the occ-1 doc never
     val hitDocs = a.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(hitDocs.size == 1000 && !hitDocs.contains(5000L))
+    // and on the real corpus, all three markers agree too
+    val real = Curation.spanTable(spark, sfDir)
+    val rw = Curation.dupHitsWindow(real)
+    val rs = Curation.dupHitsSketchPhase(real)
+    assert(rs.exceptAll(rw).isEmpty && rw.exceptAll(rs).isEmpty)
   }
 
   test("inverted index: postings capped at 10, sorted, df consistent") {
