@@ -38,23 +38,44 @@ object ScaleCheck {
     // corpus-proportional cluster count: keep c_i ≈ 250 like sf0.1's k=8
     val k = math.max(8, (n / 250).toInt)
 
-    val cases: Seq[(String, () => Unit)] = Seq(
-      ("recall_budget21", () =>
+    // the three span dup-markers over a STAGED table — the deployment
+    // regime where BASELINE.md claims the two-phase/sketch shapes ride a
+    // cheap re-read; this prints the claim as numbers per SF. Built
+    // FIRST and its checkpoint blocks protected from the inter-trial
+    // release (an unpersisted localCheckpoint cannot be recomputed).
+    val spans = Curation.spanTable(spark, sfDir)
+    val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
+
+    // (name, release-persistent-RDDs-after-each-trial?, body)
+    val cases: Seq[(String, Boolean, () => Unit)] = Seq(
+      ("recall_budget21", true, () =>
         Similarity.annRecallFrom(emb, probes)
           .write.format("noop").mode("overwrite").save()),
-      (s"semdedup_k$k", () =>
+      (s"semdedup_k$k", true, () =>
         Curation.semDedupK(spark, sfDir, k)
+          .write.format("noop").mode("overwrite").save()),
+      ("span_mark_window", false, () =>
+        Curation.dupHitsWindow(spans)
+          .write.format("noop").mode("overwrite").save()),
+      ("span_mark_twophase", false, () =>
+        Curation.dupHitsTwoPhase(spans)
+          .write.format("noop").mode("overwrite").save()),
+      ("span_mark_sketch", false, () =>
+        Curation.dupHitsSketchPhase(spans)
           .write.format("noop").mode("overwrite").save()))
 
-    cases.foreach { case (_, f) => f() } // warmup
-    val timed = cases.map { case (name, f) =>
+    cases.foreach { case (_, _, f) => f() } // warmup
+    val timed = cases.map { case (name, rel, f) =>
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         f()
         val dt = (System.nanoTime() - t0) / 1e9
         // release OUTSIDE the timed span — Bench measures the same way,
         // so the sf0.1 vs sf1 comparison stays methodology-identical
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        if (rel)
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => protectedIds(id) }
+            .values.foreach(_.unpersist(true))
         dt
       }.sorted
       name -> ts(1)
