@@ -138,6 +138,19 @@ object NetCdf4 {
           s"dataset '$name' has datatype class $cls (subset reads fixed/float)")
       }
       val nElems = shape.product.max(1L)
+      // Edge-decode budget: the codec materializes one cube in memory
+      // (it decodes a single staged HTTP response), so the DECLARED
+      // element count is bounded by what the stream could possibly carry
+      // (deflate tops out near 1000:1) with a 2^28 hard ceiling — a
+      // corrupted/hostile dataspace demanding a multi-GiB allocation
+      // rejects here by name instead of OOMing the JVM (found by the
+      // chunked-fixture fuzz: mutated shape dims reached readValues'
+      // output allocation before any data-presence check).
+      val budget = math.min(1L << 28,
+        math.max(1L << 20, 1024L * bytes.length / dt.size.max(1)))
+      require(nElems <= budget,
+        s"dataset '$name' declares $nElems elements, beyond the " +
+          s"edge-decode budget $budget for a ${bytes.length}-byte stream")
       val layout = h.layout.getOrElse(
         throw new IllegalArgumentException(s"dataset '$name' has no data layout"))
       layout match {
