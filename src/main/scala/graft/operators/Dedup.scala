@@ -19,7 +19,7 @@ import graft.sources.Tables
   *    the all-pairs problem into equality joins on (band, signature)
   *    buckets — candidates only where a band collides, then the exact
   *    Jaccard check runs on candidates alone. Skewed buckets (boilerplate
-  *    shingles) would be salted or capped at real scale.
+  *    banding together) are capped at scale via [[lshNearDupCapped]].
   *  - SimHash gives a constant-width bit fingerprint; near-dup pairs are
   *    Hamming-distance filters, again only within candidate subsets.
   */
@@ -205,6 +205,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    lshVerify(cands, docs)
+  }
+
+  /** Exact-Jaccard verify of an LSH candidate set against the per-doc
+    * hash-array table — shared by [[lshNearDup]] and [[lshNearDupCapped]]. */
+  private def lshVerify(cands: DataFrame, docs: DataFrame): DataFrame =
     cands
       .join(docs.select(col("doc_id").as("d1"), col("hs").as("h1"), col("n").as("n1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("hs").as("h2"), col("n").as("n2")), "d2")
@@ -214,6 +220,54 @@ object Dedup {
       .filter(col("jaccard") >= 0.6)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
+
+  /** Band-bucket occupancy cap for [[lshNearDupCapped]]: a (band,
+    * signature) bucket holding more documents than this is boilerplate
+    * banding together — its pairs are either re-found through the other
+    * bands or are exactly the viral near-identical content a dedup pass
+    * handles via exact dedup (q34) first. Sized ~4× the observed max
+    * bucket across SFs (10 at sf0.1), so results are unchanged on this
+    * corpus while any one bucket's candidate fan-out stays ≤ cap²/2 at
+    * any scale — the header's former "salted or capped at real scale"
+    * note as code (DedupSpec pins both the equality and the bound). */
+  val BandBucketCap = 40
+
+  /** [[lshNearDup]] with the deployment skew guard: candidate GENERATION
+    * skips (band, sig) buckets holding more than `bucketCap` documents —
+    * the occupancy count is one window over the same (band, sig) key the
+    * join shuffles on, so the guard rides the existing exchange. Verify
+    * is identical; output equals [[lshNearDup]] whenever no bucket
+    * exceeds the cap (the declared corpus case), and is a subset
+    * otherwise. */
+  def lshNearDupCapped(spark: SparkSession, dir: String,
+                       bucketCap: Int = BandBucketCap): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("hs",
+        array_sort(array_distinct(transform(shingleCol, s => Hashing.h32p(s)))))
+      .withColumn("sig", call_function("minhash_sig16", col("hs")))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"), col("sig"))
+      .staged
+    val bandStructs = (0 until Hashing.Bands).map { bnd =>
+      val cols = (0 until Hashing.RowsPerBand)
+        .map(r => element_at(col("sig"), bnd * Hashing.RowsPerBand + r + 1))
+      struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("sig"))
+    }
+    val banded = docs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("occ") <= bucketCap)
+      .drop("occ")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    lshVerify(cands, docs)
   }
 
   /** Character 4-gram Jaccard near-dup pairs (threshold 0.5) — the

