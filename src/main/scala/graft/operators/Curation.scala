@@ -1271,8 +1271,8 @@ object Curation {
     * exchange is reused by both windows AND the final agg (the
     * join-back-three-times formulation scans the corpus 4×). Exact
     * percentile sorts each source partition; at real scale
-    * approx_percentile with a declared error replaces it — the
-    * documented trade. */
+    * [[lengthOutliersApprox]] replaces it with mergeable quantile
+    * sketches — the trade, implemented. */
   def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source"))
     Tables.documents(spark, dir).select(col("source"), col("n_chars"))
@@ -1284,6 +1284,41 @@ object Curation {
         sum(when(abs(col("n_chars") - col("med")) > lit(3.0) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"),
         first(col("med")).as("median_len"),
+        first(col("mad")).as("mad"))
+      .orderBy(col("source"))
+  }
+
+  /** [[lengthOutliers]]' documented at-scale trade as code:
+    * `approx_percentile` (bounded-memory quantile sketch with a declared
+    * `accuracy`) replaces the exact window percentile, turning the
+    * full-sort-per-source-partition window shape into three AGG-shaped
+    * passes of the narrow (source, n_chars) scan — mergeable map-side
+    * partial sketches, no partition ever sorted, the formulation that
+    * survives a source with 10^9 documents. The tiny per-source
+    * median/MAD tables broadcast back. Not declared as a qNN: the sketch
+    * is engine-specific (no DuckDB dual), so its contract is the
+    * CurationSpec tolerance case against the exact operator — the q19
+    * HLL precedent. */
+  def lengthOutliersApprox(spark: SparkSession, dir: String,
+                           accuracy: Int = 10000): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+    val med = docs.groupBy(col("source"))
+      .agg(expr(s"CAST(approx_percentile(n_chars, 0.5D, $accuracy) AS DOUBLE)")
+        .as("median_len"))
+    val mad = docs.join(broadcast(med), "source")
+      .groupBy(col("source"))
+      .agg(expr(
+        s"CAST(approx_percentile(abs(n_chars - median_len), 0.5D, $accuracy) AS DOUBLE)")
+        .as("mad"))
+    docs
+      .join(broadcast(med), "source")
+      .join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(abs(col("n_chars") - col("median_len")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        first(col("median_len")).as("median_len"),
         first(col("mad")).as("mad"))
       .orderBy(col("source"))
   }

@@ -494,6 +494,27 @@ class CurationSpec extends SparkSpec {
     dupIds.foreach { id => assert(byId(id) == 1.0, s"doc $id") }
   }
 
+  test("approx length outliers track the exact operator within sketch tolerance") {
+    // the at-scale formulation (mergeable quantile sketches, agg-shaped)
+    // must agree with the exact window formulation on every count at this
+    // accuracy/scale; medians/MADs may differ only by sketch interpolation
+    val exact = Curation.lengthOutliers(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val approx = Curation.lengthOutliersApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (src, (nDocs, nOut, med, mad)) =>
+      val (eDocs, eOut, eMed, eMad) = exact(src)
+      assert(nDocs == eDocs)
+      assert(math.abs(nOut - eOut) <= math.max(2L, eDocs / 50),
+        s"$src: approx outliers $nOut vs exact $eOut")
+      assert(math.abs(med - eMed) <= math.max(1.0, eMed * 0.02), s"$src median")
+      assert(math.abs(mad - eMad) <= math.max(1.0, eMad * 0.05), s"$src mad")
+    }
+  }
+
   test("spanTable deployment mode: q95/q96/q98 identical via the shared span table") {
     // One staged span table feeding all three consumers must give exactly
     // the per-query-isolated (recompute-the-explode) results.
