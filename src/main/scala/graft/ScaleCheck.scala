@@ -62,7 +62,22 @@ object ScaleCheck {
           .write.format("noop").mode("overwrite").save()),
       ("span_mark_sketch", false, () =>
         Curation.dupHitsSketchPhase(spans)
-          .write.format("noop").mode("overwrite").save()))
+          .write.format("noop").mode("overwrite").save()),
+      // deployment-mode quantification: the three span-family outputs
+      // computed in isolation (each re-exploding the corpus — the
+      // driver-bench shape) vs from the ALREADY-staged table. The delta
+      // is the per-query-isolation artifact BASELINE.md describes.
+      ("span_family_isolation", true, () => {
+        Curation.spanDedup(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Curation.spanTrim(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Curation.spanProvenance(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }),
+      ("span_family_staged", false, () => {
+        Curation.spanDedupFrom(spans).write.format("noop").mode("overwrite").save()
+        Curation.spanTrimFrom(spans, Tables.documents(spark, sfDir))
+          .write.format("noop").mode("overwrite").save()
+        Curation.spanProvenanceFrom(spans).write.format("noop").mode("overwrite").save()
+      }))
 
     cases.foreach { case (_, _, f) => f() } // warmup
     val timed = cases.map { case (name, rel, f) =>

@@ -36,6 +36,14 @@ class PlanGuardSpec extends SparkSpec {
       s"q75 re-grew direct corpus scans:\n${plans("q75_unigram_surprisal")}")
   }
 
+  test("q99 reads the corpus only through the staged span table") {
+    // the deployment path's whole point: the span explode runs once at
+    // the stage and every consumer (doc list, marker, coverage) re-reads
+    // the staged rows — zero direct corpus scans in the final plan
+    assert(docScans("q99_span_dedup_staged") == 0,
+      s"q99 re-grew direct corpus scans:\n${plans("q99_span_dedup_staged")}")
+  }
+
   test("q90 scans the corpus at most once directly") {
     // Everything token-shaped flows through q75's shared token table; the
     // single remaining FileScan projects only (doc_id, source).
