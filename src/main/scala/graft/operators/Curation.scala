@@ -607,9 +607,9 @@ object Curation {
   // the bits set within a shard.
   private val BloomShardSeed = 1000
 
-  /** Shard id for this row's `fp` under an `n_shards` column. */
-  private def bloomShardOf: Column =
-    pmod(xxhash64(col("fp"), lit(BloomShardSeed)), col("n_shards"))
+  /** Shard id for this row's `fp` under `nShards` shards. */
+  private[graft] def bloomShardCol(nShards: Int): Column =
+    pmod(xxhash64(col("fp"), lit(BloomShardSeed)), lit(nShards.toLong))
 
   /** The SHARDED Bloom sketch — [[bloomWords]] past the single-array
     * broadcast ceiling (~2^30 bits / ~10^7 keys, documented above): the
@@ -626,9 +626,7 @@ object Curation {
     * runs as a shuffle join on the shard id. */
   private[graft] def bloomWordsSharded(fps: DataFrame, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val mat = fps.withColumn("n_shards", lit(nShards.toLong))
-      .withColumn("shard", bloomShardOf)
-      .staged
+    val mat = fps.withColumn("shard", bloomShardCol(nShards)).staged
     val mRows = mat.groupBy(col("shard")).agg(
       pow(lit(2.0), ceil(log2(greatest(
         count(lit(1)) * BloomBitsPerKey, lit(16384L))))).cast("long").as("m"))
@@ -657,11 +655,10 @@ object Curation {
   private[graft] def bloomHitSharded(probe: DataFrame, shards: DataFrame,
                                      nShards: Int): DataFrame =
     probe
-      .withColumn("n_shards", lit(nShards.toLong))
-      .withColumn("shard", bloomShardOf)
+      .withColumn("shard", bloomShardCol(nShards))
       .join(broadcast(shards), Seq("shard"))
       .filter(bloomHit)
-      .drop("shard", "n_shards", "bloom")
+      .drop("shard", "bloom")
 
   /** q94's %7 corpus/batch split: (distinct corpus fingerprint index,
     * arriving batch) — ONE definition shared by the query and the spec

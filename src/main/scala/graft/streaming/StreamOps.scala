@@ -245,6 +245,12 @@ object StreamOps {
     graft.operators.Curation.bloomWords(
       Tables.documents(spark, dir).select(Dedup.textFp.as("fp")).distinct())
 
+  /** [[corpusBloom]] sharded — for [[bloomGateStreamSharded]] when the
+    * corpus index outgrows the single-array sketch. */
+  def corpusBloomSharded(spark: SparkSession, dir: String, nShards: Int): DataFrame =
+    graft.operators.Curation.bloomWordsSharded(
+      Tables.documents(spark, dir).select(Dedup.textFp.as("fp")).distinct(), nShards)
+
   /** Streaming exact-dup screening against the CORPUS — the stream-side
     * half of q94's lambda split (dedupStream handles the stream's OWN
     * horizon; this asks "have we ever ingested this document before?").
@@ -263,6 +269,22 @@ object StreamOps {
       .crossJoin(broadcast(bloom))
       .withColumn("maybe_dup", graft.operators.Curation.bloomHit)
       .drop("bloom")
+
+  /** [[bloomGateStream]] past the single-array ceiling: the corpus
+    * sketch arrives SHARDED ([[graft.operators.Curation.bloomWordsSharded]])
+    * and each in-flight document joins exactly its owning shard's array
+    * via a stream-static broadcast join on the routing hash — still
+    * stateless, still one KB–MB array per row, but the total sketch is
+    * no longer bounded by one value's size. Same contract: `maybe_dup =
+    * false` is definitive, `true` rows go to the batch verify. */
+  def bloomGateStreamSharded(docs: DataFrame, shards: DataFrame,
+                             nShards: Int): DataFrame =
+    docs
+      .withColumn("fp", Dedup.textFp)
+      .withColumn("shard", graft.operators.Curation.bloomShardCol(nShards))
+      .join(broadcast(shards), Seq("shard"))
+      .withColumn("maybe_dup", graft.operators.Curation.bloomHit)
+      .drop("shard", "bloom")
 
   /** The corpus's duplicated-span index as ONE broadcastable row: its
     * Bloom sketch (`bloom`) plus the exact sorted hash array

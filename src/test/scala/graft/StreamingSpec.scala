@@ -459,6 +459,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sharded streaming bloom gate matches the single-sketch gate's guarantees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    val shards = StreamOps.corpusBloomSharded(spark, sfDir, 4)
+    val corpusText = graft.sources.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1)
+      .select("text").collect()(0).getString(0)
+    val input = MemoryStream[Doc]
+    val q = StreamOps.bloomGateStreamSharded(input.toDF(), shards, 4)
+      .writeStream.format("memory").queryName("bloom_gate_sharded_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(9001, ts(1), corpusText),  // verbatim corpus doc → must flag
+        Doc(9002, ts(2), "zz yy xx ww vv uu tt ss rr qq pp oo"))
+      q.processAllAvailable()
+      val byId = spark.table("bloom_gate_sharded_out").collect()
+        .map(r => r.getLong(0) -> r.getAs[Boolean]("maybe_dup")).toMap
+      assert(byId.size == 2, "shard join dropped or duplicated a row")
+      assert(byId(9001L), "corpus doc missed the sharded sketch (false negative)")
+      assert(!byId(9002L), "novel doc flagged (would waste a verify)")
+      assert(q.lastProgress.stateOperators.isEmpty) // still stateless
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
