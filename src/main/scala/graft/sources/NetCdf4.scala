@@ -1015,10 +1015,15 @@ object NetCdf4 {
 
   /** Encode a long-format cube to NetCDF-4 bytes — the HDF5-container
     * dual of [[NetCdf.encodeCube]] (same input contract, edge-sized by
-    * the same argument): float64 data laid out (time, y, x) contiguous,
-    * double coordinates, CF epoch-seconds time units, nulls as NaN so
-    * encode∘decode is the identity on defined cells. */
-  def encodeCube(df: DataFrame, parameter: String): Array[Byte] = {
+    * the same argument): float64 data laid out (time, y, x), double
+    * coordinates, CF epoch-seconds time units, nulls as NaN so
+    * encode∘decode is the identity on defined cells. `chunked = true`
+    * writes the data variable the way libnetcdf writes cube-sized
+    * variables — one (1, ny, nx) time-slab chunk per step,
+    * shuffle+deflate filtered — instead of one contiguous blob; both
+    * forms decode identically (NetCdf4Spec pins the parity). */
+  def encodeCube(df: DataFrame, parameter: String,
+                 chunked: Boolean = false): Array[Byte] = {
     import org.apache.spark.sql.functions.col
     val rows = df.select(col("time"), col("x"), col("y"), col("value")).collect()
     require(rows.nonEmpty, "empty cube")
@@ -1034,12 +1039,15 @@ object NetCdf4 {
         xs.length + xIdx(r.getDouble(1))
       grid(at) = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
     }
+    val (chunk, filters) =
+      if (chunked) (Some(Seq(1, ys.length, xs.length)), Seq(2, 1)) else (None, Nil)
     write(Seq(
       WriteDs("time", Seq(times.length.toLong), times.map(_ / 1000.0),
         attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00")),
       WriteDs("y", Seq(ys.length.toLong), ys),
       WriteDs("x", Seq(xs.length.toLong), xs),
       WriteDs(parameter,
-        Seq(times.length.toLong, ys.length.toLong, xs.length.toLong), grid)))
+        Seq(times.length.toLong, ys.length.toLong, xs.length.toLong), grid,
+        chunk = chunk, filters = filters)))
   }
 }

@@ -66,6 +66,11 @@ class NetCdf4Spec extends SparkSpec {
     val classic = NetCdf.decodeCube(spark, "c", "p", NetCdf.encodeCube(df, "p"))
     val hdf5 = NetCdf4.decodeCube(spark, "c", "p", NetCdf4.encodeCube(df, "p"))
     assert(keyed(classic) == keyed(hdf5))
+    // the chunked+deflate encode form (libnetcdf's cube-variable shape)
+    // decodes to the same frame as the contiguous one
+    val hdf5c = NetCdf4.decodeCube(spark, "c", "p",
+      NetCdf4.encodeCube(df, "p", chunked = true))
+    assert(keyed(hdf5c) == keyed(hdf5))
   }
 
   test("float32 datasets and CF packing attributes decode like the classic codec") {
