@@ -23,17 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     classic data model — a nested group is rejected, not misread);
   *   - dataspace v1/v2, fixed-point and IEEE-float datatypes in either
   *     byte order, data layout v3 contiguous, compact, or CHUNKED
-  *     (version-1 chunk B-tree index) with the deflate and shuffle
-  *     filters (`java.util.zip.Inflater` covers deflate; shuffle is a
-  *     byte de-interleave) — the default libnetcdf output for cube-sized
-  *     variables, which chunks and commonly deflate-compresses;
+  *     (version-1 chunk B-tree index) with the deflate, shuffle, and
+  *     fletcher32 filters (`java.util.zip.Inflater` covers deflate;
+  *     shuffle is a byte de-interleave; fletcher32 checksums verify and
+  *     strip) — the default libnetcdf output for cube-sized variables,
+  *     which chunks and commonly deflate-compresses;
   *   - v1/v2/v3 attribute messages with string and numeric scalars/
   *     arrays — enough for the CF attributes a forecast cube uses
   *     (`units`, `scale_factor`, `add_offset`, `_FillValue`); vlen/
   *     reference attributes (`DIMENSION_LIST`, `REFERENCE_LIST`) are
   *     SKIPPED and axis mapping falls back to coordinate names + shape
   *     matching, the same convention [[NetCdf.decodeCube]] applies.
-  * Filters beyond deflate/shuffle (fletcher32, szip, nbit, scaleoffset,
+  * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
   * …), v2 object headers ("latest format"), and
   * nested groups are rejected with a message naming the feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
@@ -71,8 +72,8 @@ object NetCdf4 {
   }
 
   /** One filter-pipeline entry (message 0x000B): id 1 = deflate, 2 =
-    * shuffle; `cdata` is the client-data array (deflate level / element
-    * size). */
+    * shuffle, 3 = fletcher32; `cdata` is the client-data array (deflate
+    * level / shuffle element size; fletcher32 carries none). */
   case class H5Filter(id: Int, cdata: Seq[Int])
 
   /** One dataset (= one NetCDF-4 variable). `compact` holds inline data
@@ -172,9 +173,9 @@ object NetCdf4 {
           require(dims.init.forall(_ > 0), s"dataset '$name' has a zero chunk dimension")
           require(dims.init.map(_.toLong).product * dt.size <= Int.MaxValue,
             s"dataset '$name' chunk buffer exceeds 2 GiB")
-          h.filters.foreach(f => require(f.id == 1 || f.id == 2,
+          h.filters.foreach(f => require(f.id >= 1 && f.id <= 3,
             s"dataset '$name' filter ${f.id}${filterName(f.id)} unsupported " +
-              "(subset reads deflate(1)/shuffle(2))"))
+              "(subset reads deflate(1)/shuffle(2)/fletcher32(3))"))
           if (btree != Undef) checkedAt(btree, 24, bytes.length, s"dataset '$name' chunk btree")
           H5Dataset(name, shape, dt, Undef, 0L, None, h.attrs,
             chunk = Some((btree, dims)), filters = h.filters)
@@ -184,7 +185,6 @@ object NetCdf4 {
   }
 
   private def filterName(id: Int): String = id match {
-    case 3 => " (fletcher32)"
     case 4 => " (szip)"
     case 5 => " (nbit)"
     case 6 => " (scaleoffset)"
@@ -313,6 +313,39 @@ object NetCdf4 {
     out
   }
 
+  /** HDF5's fletcher-32 checksum (public H5checksum algorithm): fold the
+    * data as big-endian 16-bit words into two 16-bit running sums (360
+    * words per overflow-fold block), odd tail byte high-aligned; result
+    * is (sum2 << 16) | sum1. */
+  private[sources] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = 0
+    var words = len / 2
+    while (words > 0) {
+      var tlen = math.min(360, words)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += (((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL))
+        i += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(len - 1) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    // second fold guarantees each sum fits 16 bits
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    ((sum2 << 16) | sum1) & 0xffffffffL
+  }
+
   /** Undo one filter on a chunk's bytes (read side). */
   private def defilter(f: H5Filter, data: Array[Byte], elem: Int): Array[Byte] = f.id match {
     case 1 => // deflate (zlib stream)
@@ -328,7 +361,10 @@ object NetCdf4 {
         }
       } finally inf.end()
       out.toByteArray
-    case 2 => // shuffle: bytes stored plane-by-plane; de-interleave
+    case 2 => // shuffle: bytes stored plane-by-plane; de-interleave.
+      // A non-multiple tail (e.g. a fletcher32 checksum appended BEFORE
+      // shuffle in the pipeline) is passed through unshuffled, exactly
+      // as HDF5's shuffle filter leaves leftover bytes in place.
       val nEl = data.length / elem
       val out = new Array[Byte](data.length)
       var j = 0
@@ -337,7 +373,21 @@ object NetCdf4 {
         while (i < nEl) { out(i * elem + j) = data(j * nEl + i); i += 1 }
         j += 1
       }
+      var t = nEl * elem
+      while (t < data.length) { out(t) = data(t); t += 1 }
       out
+    case 3 => // fletcher32: verify the appended checksum and strip it
+      require(data.length >= 4, "fletcher32 chunk shorter than its checksum")
+      val n = data.length - 4
+      val stored = ByteBuffer.wrap(data, n, 4).order(ByteOrder.LITTLE_ENDIAN)
+        .getInt & 0xffffffffL
+      val computed = fletcher32(data, n)
+      // accept the byte-swapped form too — HDF5's reader does, for data
+      // written by pre-1.6.3 libraries that stored it big-endian
+      val swapped = java.lang.Integer.reverseBytes(stored.toInt) & 0xffffffffL
+      require(computed == stored || computed == swapped,
+        f"fletcher32 checksum mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
+      java.util.Arrays.copyOfRange(data, 0, n)
     case id => throw new IllegalArgumentException(s"filter $id${filterName(id)} unsupported")
   }
 
@@ -865,6 +915,8 @@ object NetCdf4 {
       } finally defl.end()
       out.toByteArray
     case 2 =>
+      // leftover tail bytes (a pre-shuffle fletcher32 checksum) stay in
+      // place unshuffled — the HDF5 shuffle filter's rule
       val nEl = data.length / elem
       val out = new Array[Byte](data.length)
       var j = 0
@@ -873,7 +925,13 @@ object NetCdf4 {
         while (i < nEl) { out(j * nEl + i) = data(i * elem + j); i += 1 }
         j += 1
       }
+      var t = nEl * elem
+      while (t < data.length) { out(t) = data(t); t += 1 }
       out
+    case 3 =>
+      val out = ByteBuffer.allocate(data.length + 4).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(data).putInt(fletcher32(data, data.length).toInt)
+      out.array()
     case other => throw new IllegalArgumentException(s"writer filter $other unsupported")
   }
 
@@ -915,6 +973,7 @@ object NetCdf4 {
       val cdata: Seq[Int] = id match {
         case 1 => Seq(6) // deflate level
         case 2 => Seq(elem) // shuffle element size
+        case 3 => Nil // fletcher32 carries no client data
         case other => throw new IllegalArgumentException(s"writer filter $other unsupported")
       }
       val padded = if (cdata.size % 2 == 1) cdata :+ 0 else cdata

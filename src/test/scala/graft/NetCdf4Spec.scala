@@ -193,6 +193,37 @@ class NetCdf4Spec extends SparkSpec {
       keyed(NetCdf4.decodeCube(spark, "c", "sea_mean_deviation", contiguous)))
   }
 
+  test("fletcher32 checksums verify, strip, and catch corruption") {
+    val vals = Array.tabulate(24)(i => i * 2.5 - 7.0)
+    // the full libnetcdf pipeline order: fletcher32, shuffle, deflate
+    for (filters <- Seq(Seq(3), Seq(3, 2, 1))) {
+      val bytes = NetCdf4.write(Seq(
+        NetCdf4.WriteDs("v", Seq(2L, 3L, 4L), vals,
+          chunk = Some(Seq(2, 2, 3)), filters = filters)))
+      val f = NetCdf4.parse(bytes)
+      assert(f.datasets.head.filters.map(_.id) == filters)
+      assert(NetCdf4.readValues(f, f.datasets.head).toSeq == vals.toSeq,
+        s"filters=$filters")
+    }
+    // a flipped payload byte must fail the checksum with a named error.
+    // fletcher32-only layout: chunk data is raw values + 4-byte checksum,
+    // so corrupt a byte inside the FIRST chunk's payload (found by
+    // scanning for the first value's LE encoding)
+    val plain = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("v", Seq(4L), Array(1.5, 2.5, 3.5, 4.5),
+        chunk = Some(Seq(4)), filters = Seq(3))))
+    val first = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(1.5).array()
+    val at = plain.indices.find(i =>
+      i + 8 <= plain.length && first.indices.forall(j => plain(i + j) == first(j))).get
+    val corrupt = plain.clone(); corrupt(at + 3) = (corrupt(at + 3) ^ 0x40).toByte
+    val fc = NetCdf4.parse(corrupt)
+    val e = intercept[IllegalArgumentException] {
+      NetCdf4.readValues(fc, fc.datasets.head)
+    }
+    assert(e.getMessage.contains("fletcher32 checksum mismatch"))
+  }
+
   test("multi-level chunk btrees read through the recursion path") {
     // the writer emits one leaf, so hand-build a 2-level index: a root
     // (level 1) whose two children are leaves (level 0) addressing one
