@@ -130,19 +130,27 @@ object Bench {
         }.sortBy(-_._2).take(isolatedK).map(_._1)
         if (suspects.isEmpty) Map.empty
         else {
-          spark.stop()
-          spark = newSession()
-          run(names.min) // same codegen/JIT warmup as the main pass
-          release()
-          suspects.map { name =>
-            name -> (1 to trials).map { _ =>
-              val t0 = System.nanoTime()
-              run(name)
-              val dt = (System.nanoTime() - t0) / 1e9
-              release()
-              dt
-            }
-          }.toMap
+          // Nothing in this pass may lose the (already complete) main
+          // results: a suspect that fails transiently in the fresh
+          // session is simply dropped from the isolated map — the main
+          // pass already recorded its err-or-median.
+          try {
+            spark.stop()
+            spark = newSession()
+            run(names.min) // same codegen/JIT warmup as the main pass
+            release()
+            suspects.flatMap { name =>
+              try {
+                Some(name -> (1 to trials).map { _ =>
+                  val t0 = System.nanoTime()
+                  run(name)
+                  val dt = (System.nanoTime() - t0) / 1e9
+                  release()
+                  dt
+                })
+              } catch { case _: Throwable => release(); None }
+            }.toMap
+          } catch { case _: Throwable => Map.empty[String, Seq[Double]] }
         }
       }
 

@@ -46,51 +46,56 @@ object ScaleCheck {
     val spans = Curation.spanTable(spark, sfDir)
     val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
 
-    // (name, release-persistent-RDDs-after-each-trial?, body)
-    val cases: Seq[(String, Boolean, () => Unit)] = Seq(
-      ("recall_budget21", true, () =>
+    val cases: Seq[(String, () => Unit)] = Seq(
+      ("recall_budget21", () =>
         Similarity.annRecallFrom(emb, probes)
           .write.format("noop").mode("overwrite").save()),
-      (s"semdedup_k$k", true, () =>
+      (s"semdedup_k$k", () =>
         Curation.semDedupK(spark, sfDir, k)
           .write.format("noop").mode("overwrite").save()),
-      ("span_mark_window", false, () =>
+      ("span_mark_window", () =>
         Curation.dupHitsWindow(spans)
           .write.format("noop").mode("overwrite").save()),
-      ("span_mark_twophase", false, () =>
+      ("span_mark_twophase", () =>
         Curation.dupHitsTwoPhase(spans)
           .write.format("noop").mode("overwrite").save()),
-      ("span_mark_sketch", false, () =>
+      ("span_mark_sketch", () =>
         Curation.dupHitsSketchPhase(spans)
           .write.format("noop").mode("overwrite").save()),
       // deployment-mode quantification: the three span-family outputs
       // computed in isolation (each re-exploding the corpus — the
       // driver-bench shape) vs from the ALREADY-staged table. The delta
       // is the per-query-isolation artifact BASELINE.md describes.
-      ("span_family_isolation", true, () => {
+      ("span_family_isolation", () => {
         Curation.spanDedup(spark, sfDir).write.format("noop").mode("overwrite").save()
         Curation.spanTrim(spark, sfDir).write.format("noop").mode("overwrite").save()
         Curation.spanProvenance(spark, sfDir).write.format("noop").mode("overwrite").save()
       }),
-      ("span_family_staged", false, () => {
+      ("span_family_staged", () => {
         Curation.spanDedupFrom(spans).write.format("noop").mode("overwrite").save()
         Curation.spanTrimFrom(spans, Tables.documents(spark, sfDir))
           .write.format("noop").mode("overwrite").save()
         Curation.spanProvenanceFrom(spans).write.format("noop").mode("overwrite").save()
       }))
 
-    cases.foreach { case (_, _, f) => f() } // warmup
-    val timed = cases.map { case (name, rel, f) =>
+    // release every case's blocks between trials (the staged span table
+    // is protected by id) — a rel=false knob here previously let the
+    // sketch/staged cases accumulate one checkpoint set per trial, the
+    // exact block-pressure contamination Bench's release() exists to
+    // prevent (review finding)
+    def release(): Unit =
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds(id) }
+        .values.foreach(_.unpersist(true))
+    cases.foreach { case (_, f) => f(); release() } // warmup
+    val timed = cases.map { case (name, f) =>
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         f()
         val dt = (System.nanoTime() - t0) / 1e9
         // release OUTSIDE the timed span — Bench measures the same way,
         // so the sf0.1 vs sf1 comparison stays methodology-identical
-        if (rel)
-          spark.sparkContext.getPersistentRDDs
-            .filterNot { case (id, _) => protectedIds(id) }
-            .values.foreach(_.unpersist(true))
+        release()
         dt
       }.sorted
       name -> ts(1)

@@ -627,9 +627,18 @@ object Curation {
   private[graft] def bloomWordsSharded(fps: DataFrame, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val mat = fps.withColumn("shard", bloomShardCol(nShards)).staged
-    val mRows = mat.groupBy(col("shard")).agg(
-      pow(lit(2.0), ceil(log2(greatest(
-        count(lit(1)) * BloomBitsPerKey, lit(16384L))))).cast("long").as("m"))
+    // EVERY shard id gets a row — a shard no corpus key routed to still
+    // emits its (floor-width, all-zero) sketch, so consumers joining on
+    // the shard id annotate every probe instead of silently dropping the
+    // ones routed to an empty shard (found in review: the streaming gate
+    // inner-joins, and a dropped row is silent ingest data loss)
+    val counts = mat.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+    val mRows = fps.sparkSession.range(nShards).select(col("id").as("shard"))
+      .join(counts, Seq("shard"), "left")
+      .select(col("shard"),
+        pow(lit(2.0), ceil(log2(greatest(
+          coalesce(col("cnt"), lit(0L)) * BloomBitsPerKey, lit(16384L)))))
+          .cast("long").as("m"))
     val posCols = (0 until BloomK).map(i =>
       pmod(xxhash64(col("fp"), lit(i)), col("m")))
     val wordRows = mat

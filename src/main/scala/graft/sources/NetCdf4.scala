@@ -280,6 +280,12 @@ object NetCdf4 {
       }
     }
 
+    // a well-formed index addresses exactly the chunk-grid cells; a
+    // crafted one with duplicated/cyclic child pointers could otherwise
+    // spin nEnt^depth node visits inside the depth cap (review finding)
+    val maxEntries = ds.shape.zip(chunkDims)
+      .map { case (s, c) => (s + c - 1) / c }.product.max(1L) * 2 + 64
+    var visited = 0L
     def visit(addr: Long, depth: Int = 0): Unit = {
       require(depth < 32, "chunk btree deeper than 32 levels (cycle or corruption)")
       val at = checkedAt(addr, 24L + keySize, b.bytes.length, "chunk btree node")
@@ -289,6 +295,10 @@ object NetCdf4 {
       val nEnt = b.u16(at + 6)
       checkedAt(addr + 24, (keySize + 8).toLong * nEnt + keySize, b.bytes.length,
         "chunk btree entries")
+      visited += nEnt
+      require(visited <= maxEntries,
+        s"chunk btree addresses $visited entries for a $maxEntries-cell grid " +
+          "(cycle or corruption)")
       var i = 0
       while (i < nEnt) {
         val keyAt = at + 24 + i * (keySize + 8)
@@ -300,9 +310,12 @@ object NetCdf4 {
           val offs = Array.tabulate(rank)(k => b.u64(keyAt + 8 + k * 8))
           val start = checkedAt(child, csize.toLong, b.bytes.length, "chunk data")
           var raw = java.util.Arrays.copyOfRange(b.bytes, start, start + csize)
-          // reverse the write-order pipeline; mask bit i = entry i skipped
+          // reverse the write-order pipeline; mask bit i = entry i skipped.
+          // +8 slack: upstream filters may still carry small per-chunk
+          // overhead (fletcher32's 4-byte checksum) at this point
           ds.filters.zipWithIndex.reverse.foreach { case (flt, fi) =>
-            if ((mask & (1L << fi)) == 0) raw = defilter(flt, raw, elem)
+            if ((mask & (1L << fi)) == 0)
+              raw = defilter(flt, raw, elem, chunkElems * elem + 8)
           }
           scatter(offs, raw)
         }
@@ -346,17 +359,25 @@ object NetCdf4 {
     ((sum2 << 16) | sum1) & 0xffffffffL
   }
 
-  /** Undo one filter on a chunk's bytes (read side). */
-  private def defilter(f: H5Filter, data: Array[Byte], elem: Int): Array[Byte] = f.id match {
+  /** Undo one filter on a chunk's bytes (read side). `maxOut` bounds the
+    * decompressed size — the caller knows the chunk's true byte count, so
+    * a hostile deflate stream rejects by name the moment it overruns
+    * instead of ballooning to deflate's ~1000:1 worst case and OOMing
+    * before scatter's size check (review finding — the same failure
+    * class the dataspace edge-decode budget guards). */
+  private def defilter(f: H5Filter, data: Array[Byte], elem: Int,
+                       maxOut: Int): Array[Byte] = f.id match {
     case 1 => // deflate (zlib stream)
       val inf = new java.util.zip.Inflater()
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val out = new java.io.ByteArrayOutputStream(math.min(maxOut, math.max(64, data.length * 4)))
       val buf = new Array[Byte](8192)
       try {
         while (!inf.finished()) {
           val k = inf.inflate(buf)
           require(k > 0 || inf.finished(), "truncated/corrupt deflate chunk")
+          require(out.size() + k <= maxOut,
+            s"deflate chunk inflates past the expected $maxOut bytes")
           out.write(buf, 0, k)
         }
       } finally inf.end()
