@@ -719,9 +719,14 @@ object Curation {
     * against the index, keep first-in-batch non-dups. */
   private def admitList(batch: DataFrame, corpusFp: DataFrame,
                         candidates: DataFrame): DataFrame = {
-    val dupOfCorpus = candidates
+    // dupOfCorpus is sliver-sized by construction (true dups + ~fpp of
+    // the batch), so the hint is safe at every scale; without it the
+    // size estimate flowing out of the staged candidates' lineage can
+    // push the anti-join to SortMergeJoin (two extra full-batch
+    // exchanges — the q100 budget bust the hint exists to prevent).
+    val dupOfCorpus = broadcast(candidates
       .join(corpusFp, Seq("fp"), "left_semi")
-      .select(col("doc_id"))
+      .select(col("doc_id")))
     val wFp = Window.partitionBy(col("fp"))
     batch
       .withColumn("first_in_batch", min(col("doc_id")).over(wFp))

@@ -151,6 +151,44 @@ class CurationSpec extends SparkSpec {
       .filter(Curation.bloomHit).count() == 0L)
   }
 
+  test("sharded sketch with empty shards: every shard emits a row, no probe is dropped") {
+    // regression for the r9 snapshot-commit fix: with more shards than
+    // populated key ranges, a shard no corpus key routed to must still
+    // emit its (floor-width, all-zero) sketch row — consumers inner-join
+    // on the shard id, and a missing row silently drops every probe
+    // routed there (ingest data loss, not a wrong bit)
+    import spark.implicits._
+    val nShards = 8
+    val fps = Seq("alpha", "bravo", "charlie").toDF("fp")
+    val shards = Curation.bloomWordsSharded(fps, nShards)
+    val rows = shards.collect()
+    assert(rows.length == nShards,
+      s"expected $nShards sketch rows, got ${rows.length}")
+    val populated = fps.withColumn("shard", Curation.bloomShardCol(nShards))
+      .select("shard").distinct().as[Long].collect().toSet
+    assert(populated.size < nShards, "scenario vacuous: no empty shard")
+    rows.foreach { r =>
+      val (shard, words) = (r.getLong(0), r.getSeq[Long](1))
+      if (!populated(shard))
+        assert(words.length == 16384 / 64 && words.forall(_ == 0L),
+          s"empty shard $shard not the all-zero floor sketch (len=${words.length})")
+    }
+    // the membership join annotates EVERY probe row — including ones
+    // routed to empty shards — before the bit test filters
+    val probe = (1 to 64).map(i => s"probe_$i").toDF("fp").union(fps)
+    val probeShards = probe.withColumn("shard", Curation.bloomShardCol(nShards))
+    assert(probeShards.select("shard").distinct().as[Long].collect().toSet
+      .exists(!populated(_)), "scenario vacuous: no probe hit an empty shard")
+    assert(probeShards.join(shards, Seq("shard")).count() == 67L,
+      "shard join dropped a probe row")
+    // corpus keys survive the sharded bit test (no false negative), and
+    // empty-shard probes are definitively ruled out, not lost
+    val hits = Curation.bloomHitSharded(probe, shards, nShards)
+      .as[String].collect().toSet
+    assert(Set("alpha", "bravo", "charlie").subsetOf(hits),
+      "sharded sketch produced a false negative")
+  }
+
   test("cms census: estimates never undercount and are near-exact at this load") {
     val out = Curation.cmsCensus(spark, sfDir).collect()
     assert(out.length == 20)

@@ -485,6 +485,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sharded gate with empty shards annotates every probe row") {
+    // regression for the r9 empty-shard fix: the gate inner-joins on the
+    // shard id, so a sketch missing rows for unpopulated shards silently
+    // DROPS every in-flight doc routed there — data loss, not a flag.
+    // Build a sketch where most of the 8 shards hold no corpus key and
+    // assert every input row comes out the other side, annotated.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    import org.apache.spark.sql.functions.col
+    val nShards = 8
+    val corpusTexts = Seq("the quick brown fox", "pack my box with jugs")
+    val corpusFps = corpusTexts.toDF("text")
+      .select(graft.operators.Dedup.textFp.as("fp"))
+    val shards = graft.operators.Curation.bloomWordsSharded(corpusFps, nShards)
+    val populated = corpusFps
+      .withColumn("shard", graft.operators.Curation.bloomShardCol(nShards))
+      .select("shard").distinct().as[Long].collect().toSet
+    assert(populated.size < nShards, "scenario vacuous: no empty shard")
+    val novelTexts = (1 to 16).map(i => s"novel document number $i")
+    // the scenario must actually route ≥1 probe to an empty shard
+    val novelShards = novelTexts.toDF("text")
+      .select(graft.operators.Dedup.textFp.as("fp"))
+      .withColumn("shard", graft.operators.Curation.bloomShardCol(nShards))
+      .select("shard").as[Long].collect().toSet
+    assert(novelShards.exists(!populated(_)),
+      "scenario vacuous: no probe routed to an empty shard")
+    val input = MemoryStream[Doc]
+    val q = StreamOps.bloomGateStreamSharded(input.toDF(), shards, nShards)
+      .writeStream.format("memory").queryName("bloom_gate_empty_shard_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Doc(9001, ts(1), corpusTexts.head) +:
+        novelTexts.zipWithIndex.map { case (t, i) => Doc(9100 + i, ts(i + 2), t) }: _*)
+      q.processAllAvailable()
+      val byId = spark.table("bloom_gate_empty_shard_out").collect()
+        .map(r => r.getLong(0) -> r.getAs[Boolean]("maybe_dup")).toMap
+      assert(byId.size == novelTexts.size + 1,
+        s"gate dropped rows: ${byId.size} of ${novelTexts.size + 1} survived")
+      assert(byId(9001L), "corpus doc missed the sketch (false negative)")
+      novelTexts.indices.foreach(i =>
+        assert(!byId(9100L + i), s"novel doc $i flagged"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
