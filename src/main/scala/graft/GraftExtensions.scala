@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{MinhashSigExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedIntersectCountExpr, VecDotExpr}
+import graft.functions.expressions.{MinhashSigExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedArrayContainsExpr, SortedIntersectCountExpr, VecDotExpr}
 
 /** Session extensions: registers the engine's native expressions.
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCountExpr].getName, "sorted_intersect_count"),
       arity("sorted_intersect_count", 2)(c => SortedIntersectCountExpr(c.head, c(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_array_contains"),
+      new ExpressionInfo(classOf[SortedArrayContainsExpr].getName, "sorted_array_contains"),
+      arity("sorted_array_contains", 2)(c => SortedArrayContainsExpr(c.head, c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig16"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig16"),

@@ -1476,11 +1476,13 @@ object Oracles {
          |FROM withsrc GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
   )
 
-  // q99/q100 bind the deployment paths (staged span table + two-phase
-  // marker; sharded bloom) to the SAME oracle SQL as their isolation
-  // duals q95/q94 — identical declared semantics, so the hash gate then
-  // proves the deployment machinery itself, not just the isolation plans.
+  // q99/q100/q101 bind the deployment paths (staged span table +
+  // two-phase marker; sharded bloom; sharded span-index gate) to the
+  // SAME oracle SQL as their isolation duals q95/q94 — identical
+  // declared semantics, so the hash gate then proves the deployment
+  // machinery itself, not just the isolation plans.
   val curation: Map[String, String] = curationBase ++ Map(
     "q99_span_dedup_staged" -> curationBase("q95_span_dedup"),
-    "q100_bloom_increment_sharded" -> curationBase("q94_bloom_increment"))
+    "q100_bloom_increment_sharded" -> curationBase("q94_bloom_increment"),
+    "q101_span_gate_sharded" -> curationBase("q95_span_dedup"))
 }

@@ -119,6 +119,7 @@ object SparkEntry {
     "q98_span_provenance" -> (Curation.spanProvenance _),
     "q99_span_dedup_staged" -> (Curation.spanDedupStaged _),
     "q100_bloom_increment_sharded" -> (Curation.bloomIncrementSharded _),
+    "q101_span_gate_sharded" -> (Curation.spanDedupShardedGate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

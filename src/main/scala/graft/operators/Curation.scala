@@ -607,9 +607,13 @@ object Curation {
   // the bits set within a shard.
   private val BloomShardSeed = 1000
 
+  /** Shard id of an arbitrary key column under `nShards` shards. */
+  private[graft] def bloomShardColOf(key: Column, nShards: Int): Column =
+    pmod(xxhash64(key, lit(BloomShardSeed)), lit(nShards.toLong))
+
   /** Shard id for this row's `fp` under `nShards` shards. */
   private[graft] def bloomShardCol(nShards: Int): Column =
-    pmod(xxhash64(col("fp"), lit(BloomShardSeed)), lit(nShards.toLong))
+    bloomShardColOf(col("fp"), nShards)
 
   /** The SHARDED Bloom sketch — [[bloomWords]] past the single-array
     * broadcast ceiling (~2^30 bits / ~10^7 keys, documented above): the
@@ -1008,10 +1012,150 @@ object Curation {
     * static side the streaming span gate summarizes into a Bloom sketch
     * ([[graft.streaming.StreamOps.corpusSpanBloom]]). */
   private[graft] def dupSpanIndex(spark: SparkSession, dir: String): DataFrame =
-    spanRows(Tables.documents(spark, dir))
+    dupSpanIndexFrom(spanRows(Tables.documents(spark, dir)))
+
+  /** [[dupSpanIndex]] from an already-built span table ([[spanTable]]) —
+    * the deployment shape: the index refresh rides the staged table
+    * instead of re-exploding the corpus. */
+  private[graft] def dupSpanIndexFrom(spans: DataFrame): DataFrame =
+    spans
       .groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("h"))
+
+  /** The duplicated-span index SHARDED — [[dupSpanIndex]] past the
+    * one-row broadcast ceiling, the [[bloomWordsSharded]] pattern
+    * applied to the span gate's static side: each dup-span hash routes
+    * to its owning shard by an independent hash, and every shard row
+    * carries its own Bloom sketch AND its own exact sorted hash array.
+    * Per-shard collect_list bounds each exact array by the shard's
+    * share of the index (removing the single-aggregation/single-value
+    * ceiling the one-row index has), and EVERY shard id emits a row —
+    * an unpopulated shard gets the floor-width zero sketch and an empty
+    * array, so gate joins on the shard id never drop a probe (the q100
+    * empty-shard lesson, pinned in CurationSpec). */
+  private[graft] def spanIndexSharded(idx: DataFrame, nShards: Int): DataFrame = {
+    val fps = idx.select(col("h").as("fp"))
+    val arrays = fps
+      .withColumn("shard", bloomShardCol(nShards))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(col("fp"))).as("span_idx"))
+    bloomWordsSharded(fps, nShards)
+      .join(arrays, Seq("shard"), "left")
+      .withColumn("span_idx",
+        coalesce(col("span_idx"), array().cast("array<string>")))
+  }
+
+  /** Per-document verdict computed from (`n`, `dup_flags`) — the span
+    * gate's output columns, ONE definition shared by the one-row
+    * streaming gate ([[graft.streaming.StreamOps.spanGateStream]]) and
+    * the sharded core ([[spanGateSharded]]) so the two can never drift.
+    * `dup_flags(i)` answers "is the span starting at token i a corpus
+    * duplicate"; position p is covered iff some flagged span's window
+    * [i, i + SpanW) contains p. Drops the scratch `dup_flags`. */
+  private[graft] def spanVerdict(df: DataFrame): DataFrame = {
+    val covered = size(filter(
+      sequence(lit(0), (col("n") - 1).cast("int")),
+      p => exists(
+        slice(col("dup_flags"),
+          greatest(lit(0), p - (SpanW - 1)) + 1,
+          least(p, (col("n") - SpanW).cast("int")) -
+            greatest(lit(0), p - (SpanW - 1)) + 1),
+        f => f)))
+    df
+      .withColumn("n_dup_spans",
+        size(filter(col("dup_flags"), f => f)).cast("long"))
+      .withColumn("n_covered",
+        when(col("n") >= SpanW, covered.cast("long")).otherwise(lit(0L)))
+      .withColumn("keep_ratio",
+        floor((lit(1.0) - col("n_covered") / col("n")) * 1e6) / 1e6)
+      .drop("dup_flags")
+  }
+
+  /** Span-contamination gate against a SHARDED index
+    * ([[spanIndexSharded]]) — the batch core the streaming deployment
+    * runs per microbatch
+    * ([[graft.streaming.StreamOps.spanGateStreamSharded]]), and q101's
+    * query body. Where the one-row gate broadcasts the WHOLE index into
+    * every row, here each span ROW routes to its owning shard:
+    * posexplode the spans, equi-join the shard table on the routing
+    * hash, flag (bloom short-circuit, then binary-search the shard's
+    * exact array via `sorted_array_contains`), and densify back to the
+    * per-doc flag array via explode + join + sort — no per-row copy of
+    * the full index, shard rows broadcast while they fit and
+    * shuffle-join past that. Requires a unique `doc_id` column: the
+    * verdict computes on a (doc_id, n, span) SLIVER and joins back by
+    * doc_id, so text and other payload columns never enter the explode
+    * or regroup shuffles — the only full-width movement is the final
+    * doc-aligned join, and even that prunes away when the caller selects
+    * only verdict columns (as q101 does). Output is EXACT q95 semantics
+    * (the sketch only short-circuits; flagged spans verify exactly). */
+  def spanGateSharded(docs: DataFrame, shardIdx: DataFrame, nShards: Int): DataFrame = {
+    val slim = docs
+      .withColumn("toks", toks)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("span_hashes",
+        when(col("n") >= SpanW, spanHashes)
+          .otherwise(typedLit(Array.empty[String])))
+      .select(col("doc_id"), col("n"), col("span_hashes"))
+    val flagged = slim
+      .selectExpr("doc_id", "n", "posexplode_outer(span_hashes) AS (i, sh)")
+      .withColumn("shard",
+        when(col("sh").isNotNull, bloomShardColOf(col("sh"), nShards)))
+      .join(broadcast(shardIdx), Seq("shard"), "left")
+      .withColumn("flag",
+        expr(s"(${bloomHitSql("sh")}) AND sorted_array_contains(span_idx, sh)"))
+    val verdict = spanVerdict(flagged
+      .groupBy(col("doc_id"), col("n"))
+      // spans of a short doc don't exist (posexplode_outer's null row):
+      // the CASE makes them null so collect_list skips them → empty flags
+      .agg(expr(
+        "transform(array_sort(collect_list(CASE WHEN sh IS NOT NULL " +
+          "THEN struct(i, flag) END)), s -> s.flag)").as("dup_flags")))
+    docs.join(verdict, Seq("doc_id"))
+  }
+
+  /** [[spanGateSharded]]'s verdict computed FROM a span table
+    * ([[spanTable]] rows, which carry exactly the gate's probe sliver:
+    * doc_id, n, i, h) — the batch/deployment formulation: the expensive
+    * span explode is the staged table every other span-family consumer
+    * shares, so the gate adds only the shard join + regroup. The inner
+    * join on the shard id is safe precisely because [[spanIndexSharded]]
+    * emits EVERY shard row (the pinned empty-shard contract) — a
+    * dropped span row here would silently deflate a doc's coverage. */
+  def spanGateShardedFrom(spans: DataFrame, shardIdx: DataFrame,
+                          nShards: Int): DataFrame = {
+    val flagged = spans
+      .withColumn("shard", bloomShardColOf(col("h"), nShards))
+      .join(broadcast(shardIdx), Seq("shard"))
+      .withColumn("flag",
+        expr(s"(${bloomHitSql("h")}) AND sorted_array_contains(span_idx, h)"))
+    spanVerdict(flagged
+      .groupBy(col("doc_id"), col("n"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(i, flag))), s -> s.flag)")
+        .as("dup_flags")))
+  }
+
+  /** q101: q95 computed through the SHARDED span-index gate —
+    * [[spanIndexSharded]] + [[spanGateShardedFrom]] (4 shards at test
+    * scale so real multi-shard routing is exercised) — declared as its
+    * own query so the sharded span machinery is held to the same DuckDB
+    * hash gate as the window path, exactly as q100 gates the sharded
+    * Bloom against q94's oracle. ONE staged span explode feeds both the
+    * index build and the probe side (the q99 staging philosophy); the
+    * raw-docs core ([[spanGateSharded]]) is the streaming microbatch
+    * path, pinned batch-equal in StreamingSpec. */
+  def spanDedupShardedGate(spark: SparkSession, dir: String): DataFrame = {
+    val st = spanTable(spark, dir)
+    // staged like a deployment's refreshed index — the gate consumes
+    // the shard table, it doesn't rebuild it per query
+    val idx = spanIndexSharded(dupSpanIndexFrom(st), 4).staged
+    spanGateShardedFrom(st, idx, 4)
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("n_dup_spans"), col("n_covered"), col("keep_ratio"))
+      .orderBy(col("doc_id"))
+  }
 
   /** The bloom candidate set (spec hook): every true corpus dup must hit,
     * and the overshoot beyond true dups is the measured false-positive

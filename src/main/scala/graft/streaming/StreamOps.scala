@@ -295,8 +295,9 @@ object StreamOps {
     * reports exactly its batch keep_ratio (its own occ-1 spans don't
     * self-flag). Regime: the dup-span index must fit a broadcast (the
     * same bound as the two-phase marker's broadcast set); beyond that,
-    * drop the exact array and accept the sketch's ≈ 3e-4 over-trim, or
-    * shard the gate by hash prefix. */
+    * [[corpusSpanIndexSharded]] + [[spanGateStreamSharded]] route each
+    * span to its owning shard's (bloom, sorted array) row — same exact
+    * semantics, no one-row ceiling. */
   def corpusSpanIndex(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.operators.Curation.dupSpanIndex(spark, dir)
     graft.operators.Curation.bloomWords(idx.select(col("h").as("fp")))
@@ -317,22 +318,18 @@ object StreamOps {
     * ROW: the sketch test runs first and `AND` short-circuits, so the
     * overwhelmingly-negative spans never touch the exact array, and only
     * the sketch's candidate sliver (true dups + ≈ 3e-4 false positives)
-    * pays the `array_contains` probe — which makes the gate's output
+    * pays the exact probe — binary search over the sorted index
+    * (`sorted_array_contains`,
+    * [[graft.functions.expressions.SortedArrayContains]]), log-cost in
+    * the index size where `array_contains` would scan it — which makes
+    * the gate's output
     * EXACTLY the batch q95 semantics (StreamingSpec pins doc-for-doc
     * equality), not an approximation. Stateless for the same reason as
     * [[bloomGateStream]]; docs shorter than SpanW tokens carry no spans
     * and pass with keep_ratio 1. */
   def spanGateStream(docs: DataFrame, spanIndex: DataFrame): DataFrame = {
-    import graft.operators.Curation.{SpanW, bloomHitSql, spanHashes}
-    val covered = size(filter(
-      sequence(lit(0), (col("n") - 1).cast("int")),
-      p => exists(
-        slice(col("dup_flags"),
-          greatest(lit(0), p - (SpanW - 1)) + 1,
-          least(p, (col("n") - SpanW).cast("int")) -
-            greatest(lit(0), p - (SpanW - 1)) + 1),
-        f => f)))
-    docs
+    import graft.operators.Curation.{SpanW, bloomHitSql, spanHashes, spanVerdict}
+    spanVerdict(docs
       .withColumn("toks", Dedup.toks)
       .withColumn("n", size(col("toks")).cast("long"))
       .crossJoin(broadcast(spanIndex))
@@ -341,15 +338,39 @@ object StreamOps {
           .otherwise(typedLit(Array.empty[String])))
       .withColumn("dup_flags",
         expr("transform(span_hashes, sh -> " +
-          s"(${bloomHitSql("sh")}) AND array_contains(span_idx, sh))"))
-      .withColumn("n_dup_spans",
-        size(filter(col("dup_flags"), f => f)).cast("long"))
-      .withColumn("n_covered",
-        when(col("n") >= SpanW, covered.cast("long")).otherwise(lit(0L)))
-      .withColumn("keep_ratio",
-        floor((lit(1.0) - col("n_covered") / col("n")) * 1e6) / 1e6)
-      .drop("toks", "bloom", "span_idx", "span_hashes", "dup_flags")
+          s"(${bloomHitSql("sh")}) AND sorted_array_contains(span_idx, sh))"))
+      .drop("toks", "bloom", "span_idx", "span_hashes"))
   }
+
+  /** [[corpusSpanIndex]] SHARDED — the static side of
+    * [[spanGateStreamSharded]] when the dup-span index outgrows one
+    * broadcastable row ([[graft.operators.Curation.spanIndexSharded]]):
+    * one row per shard, each with its own Bloom sketch and exact sorted
+    * array, every shard id present even when unpopulated. */
+  def corpusSpanIndexSharded(spark: SparkSession, dir: String, nShards: Int): DataFrame =
+    graft.operators.Curation.spanIndexSharded(
+      graft.operators.Curation.dupSpanIndex(spark, dir), nShards)
+
+  /** [[spanGateStream]] past the one-row index ceiling: runs the
+    * SHARDED batch core
+    * ([[graft.operators.Curation.spanGateSharded]]) on each microbatch
+    * via foreachBatch. A per-row formulation can't shard — one document's
+    * spans route to MANY shards, so attaching every shard's arrays to
+    * every row would rebuild the one-row regime — but inside the bounded
+    * microbatch the core's explode → shard equi-join → regroup is plain
+    * batch Spark: cross-batch state is ZERO (no state store, exactly-once
+    * via the checkpoint like any foreachBatch sink), and the verdict is
+    * doc-for-doc the batch q95 row (StreamingSpec pins parity against
+    * both [[spanGateStream]] and batch spanDedup). `sink` receives each
+    * microbatch's verdict frame. */
+  def spanGateStreamSharded(docs: DataFrame, shardIdx: DataFrame, nShards: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Curation.spanGateSharded(batch.toDF(), shardIdx, nShards))
+      }
+      .start()
 
   /** Static corpus band index (band, band_sig) for the stream-static
     * near-dup join — built by one batch pass over the corpus. */

@@ -189,6 +189,25 @@ class CurationSpec extends SparkSpec {
       "sharded sketch produced a false negative")
   }
 
+  test("sharded span-index gate matches q95 row for row") {
+    // q101's machinery: the sharded route (posexplode → shard equi-join
+    // → bloom-then-binary-search verify → regroup) must reproduce the
+    // window formulation EXACTLY — the sketch only short-circuits
+    val viaGate = Curation.spanDedupShardedGate(spark, sfDir).collect()
+    val viaWindow = Curation.spanDedup(spark, sfDir).collect()
+    assert(viaGate.length == viaWindow.length && viaGate.nonEmpty)
+    assert(viaGate.map(_.toSeq).toSeq == viaWindow.map(_.toSeq).toSeq,
+      "sharded span gate diverged from the window formulation")
+    // and the sharded index honors the empty-shard contract: more shards
+    // than dup-span hashes still yields one row per shard, empty arrays
+    import spark.implicits._
+    val tiny = Curation.spanIndexSharded(Seq("h1", "h2").toDF("h"), 8)
+    val rows = tiny.collect()
+    assert(rows.length == 8, s"expected 8 shard rows, got ${rows.length}")
+    assert(rows.map(_.getSeq[String](2).length).sum == 2,
+      "exact arrays must partition the index")
+  }
+
   test("cms census: estimates never undercount and are near-exact at this load") {
     val out = Curation.cmsCensus(spark, sfDir).collect()
     assert(out.length == 20)

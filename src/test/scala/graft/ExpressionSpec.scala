@@ -57,6 +57,68 @@ class ExpressionSpec extends SparkSpec {
     assert(pairs.filter(col("fast") =!= col("slow")).count() == 0L)
   }
 
+  test("sorted_array_contains equals array_contains on sorted distinct arrays") {
+    // string arrays: every document's sorted 4-gram hex set probed with
+    // every other document's grams (hits and misses both exercised)
+    val g = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 4)
+      .limit(50)
+      .select(col("doc_id"), array_sort(array_distinct(expr(
+        "transform(sequence(1, least(length(text) - 3, 40)), " +
+          "i -> substring(text, i, 4))"))).as("g"))
+    val probed = g.select(col("doc_id").as("d1"), col("g").as("g1"))
+      .join(g.select(col("doc_id").as("d2"), explode(col("g")).as("p")),
+        col("d1") =!= col("d2"))
+      .withColumn("fast", expr("sorted_array_contains(g1, p)"))
+      .withColumn("slow", array_contains(col("g1"), col("p")))
+    assert(probed.count() > 0)
+    assert(probed.filter(col("fast") =!= col("slow")).count() == 0L)
+    assert(probed.filter(col("fast")).count() > 0, "no hit exercised")
+    assert(probed.filter(!col("fast")).count() > 0, "no miss exercised")
+    // long arrays: same contract, the sorted_intersect_count input shape
+    val lg = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 4)
+      .limit(50)
+      .select(col("doc_id"), array_sort(array_distinct(expr(
+        "transform(sequence(1, least(length(text) - 3, 40)), " +
+          "i -> xxhash64(substring(text, i, 4)))"))).as("g"))
+    val lp = lg.select(col("doc_id").as("d1"), col("g").as("g1"))
+      .join(lg.select(col("doc_id").as("d2"), explode(col("g")).as("p")),
+        col("d1") =!= col("d2"))
+      .withColumn("fast", expr("sorted_array_contains(g1, p)"))
+      .withColumn("slow", array_contains(col("g1"), col("p")))
+    assert(lp.filter(col("fast") =!= col("slow")).count() == 0L)
+  }
+
+  test("sorted_array_contains edge cases: empty, null, null slot, codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq[String]()), Some("x")),             // empty array → false
+      (Some(Seq("a", "c", "e")), Some("c")),        // hit
+      (Some(Seq("a", "c", "e")), Some("d")),        // miss between elements
+      (Some(Seq("a", "c", "e")), Some("z")),        // miss past the end
+      (None, Some("x")),                            // null array → null
+      (Some(Seq("a", "b")), None)                   // null probe → null
+    ).toDF("a", "v").withColumn("c", expr("sorted_array_contains(a, v)"))
+    val r = df.select("c").collect()
+    assert(!r(0).getBoolean(0) && r(1).getBoolean(0))
+    assert(!r(2).getBoolean(0) && !r(3).getBoolean(0))
+    assert(r(4).isNullAt(0) && r(5).isNullAt(0))
+    // dirty-data armor: a null slot mid-array must not break the probe
+    val dirty = Seq((Seq[Option[String]](None, Some("b"), Some("d")), "d"))
+      .toDF("a", "v").selectExpr("sorted_array_contains(a, v) AS c").head()
+    assert(dirty.getBoolean(0), "null slot broke the fallback scan")
+    // stays inside whole-stage codegen (a local Seq would constant-fold
+    // to LocalTableScan, and array_sort's lambda comparator is itself a
+    // codegen fallback — this asserts the PLAN SHAPE only, so an unsorted
+    // split array is fine as the probe target)
+    val plan = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("a"), col("source").as("v"))
+      .selectExpr("sorted_array_contains(a, v) AS c")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+  }
+
   test("rp_signature64 is bit-identical to the unrolled Column formulation") {
     import graft.operators.Similarity
     // the formulation the native kernel replaced: 8×64 unrolled element_at

@@ -125,7 +125,11 @@ class PlanGuardSpec extends SparkSpec {
       "q99_span_dedup_staged" -> 5,
       // sharded q94: same post-stage shape as q94 (window + sort) — the
       // shard routing join broadcasts, adding no corpus shuffle
-      "q100_bloom_increment_sharded" -> 2)
+      "q100_bloom_increment_sharded" -> 2,
+      // sharded span gate: verdict regroup on the (doc_id, n) sliver +
+      // output sort; shard join and doc-aligned join both broadcast, and
+      // the staged index keeps its build exchanges out of the query plan
+      "q101_span_gate_sharded" -> 2)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None

@@ -530,6 +530,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sharded streaming span gate matches batch q95 doc for doc") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Doc
+    import graft.operators.Curation
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    // the whole sf0.001 corpus through the SHARDED gate (foreachBatch
+    // core) against its own sharded dup-span index: per-doc verdicts
+    // must match batch spanDedup EXACTLY, across two microbatches, with
+    // zero cross-batch state
+    val idx = StreamOps.corpusSpanIndexSharded(spark, sfDir, 4)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val results = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    val input = MemoryStream[Doc]
+    val q = StreamOps.spanGateStreamSharded(input.toDF(), idx, 4) { out =>
+      val rows = out
+        .filter(col("n") >= Curation.SpanW)
+        .select(col("doc_id"), col("n_dup_spans"), col("n_covered"), col("keep_ratio"))
+        .collect()
+      results.synchronized {
+        rows.foreach(r =>
+          results(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    try {
+      val (front, back) = docs.splitAt(docs.length / 2)
+      input.addData(front.toSeq)
+      q.processAllAvailable()
+      input.addData(back.toSeq)
+      q.processAllAvailable()
+      val batch = Curation.spanDedup(spark, sfDir)
+        .select(col("doc_id"), col("n_dup_spans"), col("n_covered"), col("keep_ratio"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(results.nonEmpty)
+      assert(results.toMap == batch,
+        "sharded streaming span gate diverged from batch q95")
+      assert(q.lastProgress.stateOperators.isEmpty) // no state store
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
