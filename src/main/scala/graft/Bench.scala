@@ -78,10 +78,12 @@ object Bench {
     // warmup: touch every table (schema-declared readers — the raw events
     // file has a nanos timestamp Spark won't infer), exercise codegen once
     import graft.sources.Tables
-    Seq(Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,
-      Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
-      Tables.documents _, Tables.embeddings _)
-      .foreach(t => t(spark, sfDir).count())
+    def warmTables(): Unit =
+      Seq(Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,
+        Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
+        Tables.documents _, Tables.embeddings _)
+        .foreach(t => t(spark, sfDir).count())
+    warmTables()
     run(names.min)
     release()
 
@@ -125,9 +127,18 @@ object Bench {
     val isolated: Map[String, Seq[Double]] =
       if (isolatedK <= 0) Map.empty
       else {
-        val suspects = results.collect {
-          case (k, Right(vs)) if median(vs) >= 0.3 => (k, vs.max / vs.min.max(1e-9))
-        }.sortBy(-_._2).take(isolatedK).map(_._1)
+        val eligible = results.collect {
+          case (k, Right(vs)) if median(vs) >= 0.3 => (k, vs)
+        }
+        val bySpread = eligible
+          .sortBy { case (_, vs) => -(vs.max / vs.min.max(1e-9)) }.map(_._1)
+        // top-COST queries are always isolated, then widest spreads fill
+        // the budget: r9's q95 ran 5.18 s in-suite with no isolated
+        // figure because its max/min spread missed the top-5 cut — cost
+        // rank and spread rank are different suspicions, cover both
+        val byMedian = eligible.sortBy { case (_, vs) => -median(vs) }.map(_._1)
+        val suspects = (byMedian.take(3) ++ bySpread)
+          .distinct.take(math.max(isolatedK, 3))
         if (suspects.isEmpty) Map.empty
         else {
           // Nothing in this pass may lose the (already complete) main
@@ -137,7 +148,11 @@ object Bench {
           try {
             spark.stop()
             spark = newSession()
-            run(names.min) // same codegen/JIT warmup as the main pass
+            // same TABLE + codegen/JIT warmup as the main pass — the r9
+            // version skipped the table touch, so the first isolated
+            // suspect absorbed schema/reader init and read slightly high
+            warmTables()
+            run(names.min)
             release()
             suspects.flatMap { name =>
               try {

@@ -21,9 +21,13 @@ import org.apache.spark.storage.StorageLevel
   *    point (matching localCheckpoint's eagerness) and recomputes from
   *    lineage only on executor loss.
   *  - `parquet` — write to a unique dir under `graft.materialize.dir`
-  *    (default: the JVM temp dir) and re-read: a durable stage that
-  *    survives executor AND driver restarts, the
-  *    [[Curation.persistPairTable]] shape applied generically.
+  *    (default: the JVM temp dir) and re-read: a stage that survives
+  *    executor loss outright, the [[Curation.persistPairTable]] shape
+  *    applied generically. Stage dirs are deleted at JVM exit — nothing
+  *    can reference one after the driver goes away, so keeping them is a
+  *    disk leak; a stage meant to OUTLIVE the job is
+  *    [[Curation.persistPairTable]]/[[Curation.persistSpanTable]] with a
+  *    caller-owned sink.
   *
   * All strategies are RESULT-EQUIVALENT (MaterializeSpec asserts it on a
   * representative multi-consumer query); they trade re-use cost against
@@ -34,6 +38,24 @@ import org.apache.spark.storage.StorageLevel
   * optimization.
   */
 object Materialize {
+
+  // parquet-strategy stage dirs created by this JVM, deleted at exit —
+  // without this a bench/test run with graft.materialize=parquet leaks
+  // one full parquet copy of every staged subtree into the temp dir
+  // (r9 advice). A DELIBERATE stage that must outlive the JVM belongs in
+  // persistPairTable/persistSpanTable with a caller-owned sink, not here.
+  private val stageDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      stageDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    }, "graft-materialize-cleanup"))
+  }
 
   /** Materialize `df` once for multiple downstream consumers. */
   def stage(df: DataFrame): DataFrame = {
@@ -48,6 +70,8 @@ object Materialize {
         val base = spark.conf.get("graft.materialize.dir",
           sys.props("java.io.tmpdir"))
         val dir = s"$base/graft_stage_${java.util.UUID.randomUUID}"
+        cleanupHook
+        stageDirs.add(new java.io.File(dir))
         df.write.parquet(dir)
         spark.read.parquet(dir)
       case other => throw new IllegalArgumentException(

@@ -17,9 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * shape a flat one-cube NetCDF-4 *classic-model* file has when written
   * by default-configuration libnetcdf/libhdf5 — including the chunked,
   * deflate-compressed layout it emits for cube-sized variables —
-  *   - superblock version 0 or 1, 8-byte offsets/lengths;
-  *   - version-1 object headers (with continuation blocks), symbol-table
-  *     groups (v1 B-tree + local heap), a FLAT root group (the NetCDF-4
+  *   - superblock versions 0-3 (v2/v3 is the "latest format" fixed
+  *     48-byte superblock, lookup3-checksummed), 8-byte offsets/lengths;
+  *   - version-1 object headers (with continuation blocks) AND
+  *     version-2 "OHDR" headers (1-byte message types, checksummed
+  *     chunks, OCHK continuations) — the `libver='latest'` framing;
+  *     groups via symbol tables (v1 B-tree + local heap) or compact
+  *     hard-link messages; a FLAT root group either way (the NetCDF-4
   *     classic data model — a nested group is rejected, not misread);
   *   - dataspace v1/v2, fixed-point and IEEE-float datatypes in either
   *     byte order, data layout v3 contiguous, compact, or CHUNKED
@@ -35,7 +39,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     SKIPPED and axis mapping falls back to coordinate names + shape
   *     matching, the same convention [[NetCdf.decodeCube]] applies.
   * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
-  * …), v2 object headers ("latest format"), and
+  * …), version-4 data layouts (the latest-format chunk indexes: fixed/
+  * extensible array, v2 B-tree), dense (fractal-heap) link storage, and
   * nested groups are rejected with a message naming the feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
   * R17 skip-parameter semantics at the fetch boundary, so an
@@ -110,22 +115,38 @@ object NetCdf4 {
       "not an HDF5 stream (missing \\x89HDF magic)")
     // distinct from the magic check: a valid-magic short stream is a cut
     // download, and the R17 skip reason should say so
-    require(bytes.length >= 96,
-      s"truncated HDF5 stream (${bytes.length} bytes, superblock needs 96)")
+    require(bytes.length >= 48,
+      s"truncated HDF5 stream (${bytes.length} bytes, superblock needs 48)")
     val b = new Buf(bytes)
     val sbVer = b.u8(8)
-    require(sbVer == 0 || sbVer == 1,
-      s"superblock version $sbVer unsupported (subset reads v0/v1)")
-    require(b.u8(13) == 8 && b.u8(14) == 8,
-      s"subset requires 8-byte offsets/lengths, got ${b.u8(13)}/${b.u8(14)}")
-    // v1 inserts 2+2 bytes (indexed-storage k + reserved) before the flags
-    val steAt = (if (sbVer == 1) 28 else 24) + 32
-    val rootOhdr = b.u64(steAt + 8)
+    val rootOhdr = sbVer match {
+      case 0 | 1 =>
+        require(bytes.length >= 96,
+          s"truncated HDF5 stream (${bytes.length} bytes, v$sbVer superblock needs 96)")
+        require(b.u8(13) == 8 && b.u8(14) == 8,
+          s"subset requires 8-byte offsets/lengths, got ${b.u8(13)}/${b.u8(14)}")
+        // v1 inserts 2+2 bytes (indexed-storage k + reserved) before the flags
+        val steAt = (if (sbVer == 1) 28 else 24) + 32
+        b.u64(steAt + 8)
+      case 2 | 3 =>
+        // the "latest format" superblock: fixed 48-byte layout, lookup3
+        // checksummed; the root group address sits directly in it
+        require(b.u8(9) == 8 && b.u8(10) == 8,
+          s"subset requires 8-byte offsets/lengths, got ${b.u8(9)}/${b.u8(10)}")
+        checkLookup3(b, 0, 44, "superblock")
+        b.u64(36)
+      case v => throw new IllegalArgumentException(
+        s"superblock version $v unsupported (subset reads v0-v3)")
+    }
     val root = readHeader(b, rootOhdr)
-    val stab = root.stab.getOrElse(
-      throw new IllegalArgumentException(
-        "root group has no symbol-table message (subset reads v1 groups)"))
-    val links = readGroupLinks(b, stab._1, stab._2)
+    val links = root.stab match {
+      case Some((bt, hp)) => readGroupLinks(b, bt, hp)
+      case None =>
+        require(root.links.nonEmpty,
+          "root group has neither a symbol-table message nor link messages " +
+            "(dense/fractal-heap link storage unsupported)")
+        root.links.sortBy(_._1)
+    }
     val datasets = links.map { case (name, at) =>
       val h = readHeader(b, at)
       require(h.stab.isEmpty,
@@ -171,7 +192,13 @@ object NetCdf4 {
           require(dims.last == dt.size,
             s"dataset '$name' chunk element size ${dims.last} != datatype size ${dt.size}")
           require(dims.init.forall(_ > 0), s"dataset '$name' has a zero chunk dimension")
-          require(dims.init.map(_.toLong).product * dt.size <= Int.MaxValue,
+          // overflow-proof product: 32 hostile dims of Int.MaxValue can
+          // wrap a plain Long product past the ceiling, so multiplyExact
+          // and treat arithmetic overflow as the same rejection
+          val chunkBytes =
+            try dims.init.map(_.toLong).foldLeft(dt.size.toLong)(Math.multiplyExact)
+            catch { case _: ArithmeticException => Long.MaxValue }
+          require(chunkBytes <= Int.MaxValue,
             s"dataset '$name' chunk buffer exceeds 2 GiB")
           h.filters.foreach(f => require(f.id >= 1 && f.id <= 3,
             s"dataset '$name' filter ${f.id}${filterName(f.id)} unsupported " +
@@ -425,14 +452,21 @@ object NetCdf4 {
       layout: Option[Layout],
       attrs: Seq[H5Attr],
       stab: Option[(Long, Long)],
-      filters: Seq[H5Filter])
+      filters: Seq[H5Filter],
+      links: Seq[(String, Long)] = Nil)
 
   private def readHeader(b: Buf, addr: Long): Header = {
     val base = checkedAt(addr, 16, b.bytes.length, "object header")
+    // v2 headers announce themselves with the OHDR signature; a v1
+    // header's first byte is its version (1)
+    if (b.ascii(base, 4) == "OHDR") readHeaderV2(b, base)
+    else readHeaderV1(b, base)
+  }
+
+  private def readHeaderV1(b: Buf, base: Int): Header = {
     val ver = b.u8(base)
     require(ver == 1,
-      s"object header version $ver unsupported (subset reads v1; " +
-        "v2/OHDR is the HDF5 'latest format' libnetcdf does not emit by default)")
+      s"object header version $ver unsupported (subset reads v1 and v2/OHDR)")
     val nMsgs = b.u16(base + 2)
     var dataspace: Option[Seq[Long]] = None
     var datatype: Option[Either[Int, NumType]] = None
@@ -464,6 +498,105 @@ object NetCdf4 {
       seen += 1
     }
     Header(dataspace, datatype, layout, attrs.result(), stab, filters)
+  }
+
+  /** Version-2 ("latest format") object header: OHDR prefix, 1-byte
+    * message types, lookup3-checksummed chunks, OCHK continuation
+    * blocks, and link messages in place of symbol tables. The message
+    * SET is the same as v1's — only the framing differs — so everything
+    * downstream (dataspace, datatype, layout, filters, attributes) is
+    * shared with [[readHeaderV1]]. */
+  private def readHeaderV2(b: Buf, base: Int): Header = {
+    val ver = b.u8(base + 4)
+    require(ver == 2, s"object header (OHDR) version $ver unsupported")
+    val flags = b.u8(base + 5)
+    var p = base + 6
+    if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) p += 4  // attribute-storage phase change
+    val szBytes = 1 << (flags & 0x3)
+    val chunk0 = (szBytes match {
+      case 1 => b.u8(p).toLong
+      case 2 => b.u16(p).toLong
+      case 4 => b.u32(p)
+      case _ => b.u64(p)
+    })
+    p += szBytes
+    val msgStart = checkedAt(p.toLong, chunk0 + 4, b.bytes.length, "object header chunk 0")
+    checkLookup3(b, base, msgStart + chunk0.toInt - base, "object header")
+    // creation-order bytes ride between the message prefix and body when
+    // the header tracks attribute creation order (flag bit 2)
+    val orderBytes = if ((flags & 0x4) != 0) 2 else 0
+    var dataspace: Option[Seq[Long]] = None
+    var datatype: Option[Either[Int, NumType]] = None
+    var layout: Option[Layout] = None
+    var filters: Seq[H5Filter] = Nil
+    val attrs = Seq.newBuilder[H5Attr]
+    val links = Seq.newBuilder[(String, Long)]
+    // chunk 0 + any continuation (OCHK) regions, walked in order
+    var regions = List((msgStart, msgStart + chunk0.toInt))
+    var guard = 0
+    while (regions.nonEmpty) {
+      guard += 1
+      require(guard <= 64, "object header continuation chain too long")
+      val (start, end) = regions.head
+      regions = regions.tail
+      var q = start
+      // a trailing gap smaller than a message prefix is legal padding
+      while (end - q >= 4 + orderBytes) {
+        val typ = b.u8(q)
+        val sz = b.u16(q + 1)
+        val body = q + 4 + orderBytes
+        require(body + sz <= end, s"v2 message body at $body+$sz beyond chunk end $end")
+        typ match {
+          case 0x01 => dataspace = Some(parseDataspace(b, body))
+          case 0x03 => datatype = Some(parseDatatype(b, body))
+          case 0x06 => links += parseLinkMsg(b, body)
+          case 0x08 => layout = Some(parseLayout(b, body))
+          case 0x0B => filters = parseFilters(b, body)
+          case 0x0C => parseAttr(b, body).foreach(attrs += _)
+          case 0x10 =>
+            val cAddr = b.u64(body)
+            val cLen = b.u64(body + 8)
+            require(cLen >= 8, s"continuation block length $cLen too short")
+            val cAt = checkedAt(cAddr, cLen, b.bytes.length, "header continuation")
+            require(b.ascii(cAt, 4) == "OCHK",
+              "header continuation block missing OCHK signature")
+            checkLookup3(b, cAt, cLen.toInt - 4, "header continuation")
+            regions = regions :+ (cAt + 4, cAt + cLen.toInt - 4)
+          case _ => () // NIL, link info, group info, fill value, mtime, …
+        }
+        q = body + sz
+      }
+    }
+    Header(dataspace, datatype, layout, attrs.result(), None, filters, links.result())
+  }
+
+  /** Link message (0x0006), version 1 — the "latest format" group entry.
+    * Subset reads HARD links with ASCII names; soft/external links are
+    * rejected by name. */
+  private def parseLinkMsg(b: Buf, p0: Int): (String, Long) = {
+    var p = p0
+    val ver = b.u8(p)
+    require(ver == 1, s"link message version $ver unsupported")
+    val fl = b.u8(p + 1)
+    p += 2
+    val ltype = if ((fl & 0x8) != 0) { val t = b.u8(p); p += 1; t } else 0
+    require(ltype == 0,
+      s"link type $ltype unsupported (subset reads hard links)")
+    if ((fl & 0x4) != 0) p += 8  // creation order
+    if ((fl & 0x10) != 0) p += 1 // name character set
+    val lenSz = 1 << (fl & 0x3)
+    val nameLen = (lenSz match {
+      case 1 => b.u8(p).toLong
+      case 2 => b.u16(p).toLong
+      case 4 => b.u32(p)
+      case _ => b.u64(p)
+    })
+    p += lenSz
+    val nameAt = checkedAt(p.toLong, nameLen, b.bytes.length, "link name")
+    require(nameLen <= 4096, s"link name length $nameLen unreasonable")
+    val name = new String(b.bytes, nameAt, nameLen.toInt, US_ASCII)
+    (name, b.u64(nameAt + nameLen.toInt))
   }
 
   private def parseDataspace(b: Buf, p: Int): Seq[Long] = {
@@ -629,6 +762,61 @@ object NetCdf4 {
     v.toInt
   }
 
+  /** Bob Jenkins' lookup3 `hashlittle` — the metadata checksum every
+    * version-2+ HDF5 structure carries (superblock v2/v3, OHDR/OCHK).
+    * Public algorithm (lookup3.c, public domain; referenced by the HDF5
+    * File Format Specification as the "Jenkins lookup3" checksum);
+    * little-endian word reads, zero-padded tail, pinned against the
+    * published self-test vector in NetCdf4Spec. */
+  private[graft] def lookup3(bytes: Array[Byte], off: Int, len: Int,
+                             init: Int = 0): Int = {
+    def rol(x: Int, k: Int): Int = Integer.rotateLeft(x, k)
+    def word(p: Int, avail: Int): Int = {
+      var w = 0
+      var i = 0
+      while (i < 4 && i < avail) { w |= (bytes(p + i) & 0xff) << (8 * i); i += 1 }
+      w
+    }
+    var a = 0xdeadbeef + len + init
+    var b = a
+    var c = a
+    var p = off
+    var rem = len
+    while (rem > 12) {
+      a += word(p, 4); b += word(p + 4, 4); c += word(p + 8, 4)
+      a -= c; a ^= rol(c, 4); c += b
+      b -= a; b ^= rol(a, 6); a += c
+      c -= b; c ^= rol(b, 8); b += a
+      a -= c; a ^= rol(c, 16); c += b
+      b -= a; b ^= rol(a, 19); a += c
+      c -= b; c ^= rol(b, 4); b += a
+      p += 12; rem -= 12
+    }
+    if (rem > 0) {
+      a += word(p, rem)
+      b += word(p + 4, rem - 4)
+      c += word(p + 8, rem - 8)
+      c ^= b; c -= rol(b, 14)
+      a ^= c; a -= rol(c, 11)
+      b ^= a; b -= rol(a, 25)
+      c ^= b; c -= rol(b, 16)
+      a ^= c; a -= rol(c, 4)
+      b ^= a; b -= rol(a, 14)
+      c ^= b; c -= rol(b, 24)
+    }
+    c
+  }
+
+  /** Verify the 4-byte lookup3 checksum stored at `off + len` over
+    * `[off, off + len)` — reject, by name, rather than misread. */
+  private def checkLookup3(b: Buf, off: Int, len: Int, what: String): Unit = {
+    checkedAt(off.toLong, len.toLong + 4, b.bytes.length, what)
+    val want = b.u32(off + len)
+    val got = lookup3(b.bytes, off, len) & 0xffffffffL
+    require(got == want,
+      f"$what checksum mismatch (stored 0x$want%08x, computed 0x$got%08x)")
+  }
+
   private final class Buf(val bytes: Array[Byte]) {
     private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def u8(p: Int): Int = bytes(p) & 0xff
@@ -745,8 +933,12 @@ object NetCdf4 {
   /** Serialize the subset: superblock v0, one flat symbol-table root
     * group, v1 object headers, contiguous little-endian data. Layout is
     * computed in one forward pass (every block's size is known before
-    * its address is needed). */
-  def write(datasets: Seq[WriteDs]): Array[Byte] = {
+    * its address is needed). With `latest = true`, the same datasets are
+    * framed the "latest format" way instead — superblock v3, version-2
+    * (OHDR) object headers with lookup3 checksums, and link messages in
+    * place of the symbol-table b-tree/heap/SNOD — which is the writer
+    * dual of [[readHeaderV2]] and what pins the v2 decode path offline. */
+  def write(datasets: Seq[WriteDs], latest: Boolean = false): Array[Byte] = {
     require(datasets.nonEmpty, "empty HDF5 file")
     // the superblock declares group-leaf K=4, which caps one symbol node
     // at 2K=8 entries; a flat cube needs 4 (time/y/x/data), so one SNOD
@@ -769,36 +961,46 @@ object NetCdf4 {
       o.toByteArray
     }
 
-    val sbSize = 96L
+    val sbSize = if (latest) 48L else 96L
     val rootOhdrAt = sbSize
-    val rootOhdr = ohdrBytes(Seq(msg(0x0011, new Array[Byte](16)))) // patched later
+    // latest-format root: one hard-link message per dataset (size is
+    // address-independent, so a placeholder measures it)
+    def rootV2(addrs: Map[String, Long]): Array[Byte] =
+      ohdrV2(sorted.map(d => (0x0006, linkBody(d.name, addrs.getOrElse(d.name, 0L)))))
+    val rootOhdr =
+      if (latest) rootV2(Map.empty)
+      else ohdrBytes(Seq(msg(0x0011, new Array[Byte](16)))) // patched later
     val btreeAt = rootOhdrAt + rootOhdr.length
-    val btreeSize = 24L + 8 + 16 // header + key0 + (child0, key1)
+    val btreeSize = if (latest) 0L else 24L + 8 + 16 // header + key0 + (child0, key1)
     val heapAt = btreeAt + btreeSize
-    val heapHdrSize = 32L
+    val heapHdrSize = if (latest) 0L else 32L
     val heapDataAt = heapAt + heapHdrSize
-    val snodAt = heapDataAt + heapData.length
-    val snodSize = 8L + 40L * sorted.size
+    val snodAt = heapDataAt + (if (latest) 0L else heapData.length.toLong)
+    val snodSize = if (latest) 0L else 8L + 40L * sorted.size
 
     // dataset object headers: size-stable w.r.t. the data/btree address,
     // so measure with a placeholder then re-emit with the real address
-    def dsOhdr(d: WriteDs, dataAddr: Long): Array[Byte] = {
+    def dsMsgs(d: WriteDs, dataAddr: Long): Seq[(Int, Array[Byte])] = {
       val n = d.shape.product.max(1L)
       val elem = if (d.f32) 4 else 8
       val layoutMsg = d.chunk match {
-        case Some(cd) => msg(0x0008, chunkedLayoutBody(dataAddr, cd, elem))
-        case None => msg(0x0008, layoutBody(dataAddr, n * elem))
+        case Some(cd) => (0x0008, chunkedLayoutBody(dataAddr, cd, elem))
+        case None => (0x0008, layoutBody(dataAddr, n * elem))
       }
       val filterMsgs =
         if (d.chunk.isDefined && d.filters.nonEmpty)
-          Seq(msg(0x000B, filterPipelineBody(d.filters, elem)))
+          Seq((0x000B, filterPipelineBody(d.filters, elem)))
         else Nil
-      ohdrBytes(
-        Seq(
-          msg(0x0001, dataspaceBody(d.shape)),
-          msg(0x0003, datatypeBody(d.f32)),
-          layoutMsg) ++ filterMsgs ++
-          d.attrs.map { case (an, av) => msg(0x000C, attrBody(an, av)) })
+      Seq(
+        (0x0001, dataspaceBody(d.shape)),
+        (0x0003, datatypeBody(d.f32)),
+        layoutMsg) ++ filterMsgs ++
+        d.attrs.map { case (an, av) => (0x000C, attrBody(an, av)) }
+    }
+    def dsOhdr(d: WriteDs, dataAddr: Long): Array[Byte] = {
+      val ms = dsMsgs(d, dataAddr)
+      if (latest) ohdrV2(ms)
+      else ohdrBytes(ms.map { case (t, body) => msg(t, body) })
     }
     def align8(x: Long): Long = (x + 7) / 8 * 8
     def chunkBtreeSize(d: WriteDs, nChunks: Int): Long = {
@@ -826,41 +1028,52 @@ object NetCdf4 {
     val eof = dataAt
 
     val out = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    // superblock v0
-    out.put(Magic)
-    out.put(Array[Byte](0, 0, 0, 0, 0, 8, 8, 0)) // versions, offset/length sizes
-    out.putShort(4.toShort).putShort(16.toShort) // group leaf / internal k
-    out.putInt(0) // consistency flags
-    out.putLong(0L).putLong(Undef).putLong(eof).putLong(Undef)
-    out.putLong(0L) // root STE: link name offset ("" at heap 0)
-    out.putLong(rootOhdrAt)
-    out.putInt(0).putInt(0) // cache type, reserved
-    out.putLong(0L).putLong(0L) // scratch
-    // root object header (symbol-table message → btree + heap)
-    out.position(rootOhdrAt.toInt)
-    val stabBody = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
-      .putLong(btreeAt).putLong(heapAt).array()
-    out.put(ohdrBytes(Seq(msg(0x0011, stabBody))))
-    // group b-tree: one leaf with one SNOD child
-    out.position(btreeAt.toInt)
-    out.put("TREE".getBytes(US_ASCII)).put(0.toByte).put(0.toByte)
-    out.putShort(1.toShort).putLong(Undef).putLong(Undef)
-    out.putLong(0L) // key0: lowest name offset
-    out.putLong(snodAt) // child0
-    out.putLong(nameOffsets(sorted.last.name)) // key1: highest name offset
-    // local heap
-    out.position(heapAt.toInt)
-    out.put("HEAP".getBytes(US_ASCII)).put(0.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte)
-    out.putLong(heapData.length.toLong).putLong(Undef).putLong(heapDataAt)
-    out.put(heapData)
-    // SNOD
-    out.position(snodAt.toInt)
-    out.put("SNOD".getBytes(US_ASCII)).put(1.toByte).put(0.toByte)
-    out.putShort(sorted.size.toShort)
-    sorted.zip(ohdrAts).foreach { case (d, at) =>
-      out.putLong(nameOffsets(d.name)).putLong(at)
-      out.putInt(0).putInt(0).putLong(0L).putLong(0L)
+    if (latest) {
+      // superblock v3: fixed 48 bytes, lookup3-checksummed
+      out.put(Magic)
+      out.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+      out.putLong(0L).putLong(Undef).putLong(eof).putLong(rootOhdrAt)
+      out.putInt(lookup3(out.array(), 0, 44))
+      // root object header: link messages with the real addresses
+      out.position(rootOhdrAt.toInt)
+      out.put(rootV2(sorted.map(_.name).zip(ohdrAts).toMap))
+    } else {
+      // superblock v0
+      out.put(Magic)
+      out.put(Array[Byte](0, 0, 0, 0, 0, 8, 8, 0)) // versions, offset/length sizes
+      out.putShort(4.toShort).putShort(16.toShort) // group leaf / internal k
+      out.putInt(0) // consistency flags
+      out.putLong(0L).putLong(Undef).putLong(eof).putLong(Undef)
+      out.putLong(0L) // root STE: link name offset ("" at heap 0)
+      out.putLong(rootOhdrAt)
+      out.putInt(0).putInt(0) // cache type, reserved
+      out.putLong(0L).putLong(0L) // scratch
+      // root object header (symbol-table message → btree + heap)
+      out.position(rootOhdrAt.toInt)
+      val stabBody = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(btreeAt).putLong(heapAt).array()
+      out.put(ohdrBytes(Seq(msg(0x0011, stabBody))))
+      // group b-tree: one leaf with one SNOD child
+      out.position(btreeAt.toInt)
+      out.put("TREE".getBytes(US_ASCII)).put(0.toByte).put(0.toByte)
+      out.putShort(1.toShort).putLong(Undef).putLong(Undef)
+      out.putLong(0L) // key0: lowest name offset
+      out.putLong(snodAt) // child0
+      out.putLong(nameOffsets(sorted.last.name)) // key1: highest name offset
+      // local heap
+      out.position(heapAt.toInt)
+      out.put("HEAP".getBytes(US_ASCII)).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      out.putLong(heapData.length.toLong).putLong(Undef).putLong(heapDataAt)
+      out.put(heapData)
+      // SNOD
+      out.position(snodAt.toInt)
+      out.put("SNOD".getBytes(US_ASCII)).put(1.toByte).put(0.toByte)
+      out.putShort(sorted.size.toShort)
+      sorted.zip(ohdrAts).foreach { case (d, at) =>
+        out.putLong(nameOffsets(d.name)).putLong(at)
+        out.putInt(0).putInt(0).putLong(0L).putLong(0L)
+      }
     }
     // dataset headers + data (contiguous blob, or chunk btree + blobs)
     sorted.lazyZip(ohdrAts).lazyZip(dataAts).lazyZip(plans).foreach { (d, hdrAt, dAt, plan) =>
@@ -1021,6 +1234,32 @@ object NetCdf4 {
     o.array()
   }
 
+  /** Version-2 object header: OHDR prefix (flags declare a 4-byte
+    * chunk-0 size, no times/ordering), 1-byte message types, unpadded
+    * bodies, trailing lookup3 checksum — [[readHeaderV2]]'s dual. */
+  private def ohdrV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val size = msgs.map(4 + _._2.length).sum
+    val o = ByteBuffer.allocate(10 + size + 4).order(ByteOrder.LITTLE_ENDIAN)
+    o.put("OHDR".getBytes(US_ASCII)).put(2.toByte).put(0x02.toByte)
+    o.putInt(size)
+    msgs.foreach { case (t, body) =>
+      o.put(t.toByte).putShort(body.length.toShort).put(0.toByte).put(body)
+    }
+    o.putInt(lookup3(o.array(), 0, 10 + size))
+    o.array()
+  }
+
+  /** Hard-link message body (type 0x0006, v1): flags 0 → 1-byte name
+    * length, no creation order/charset, link type hard. */
+  private def linkBody(name: String, addr: Long): Array[Byte] = {
+    val nb = name.getBytes(US_ASCII)
+    require(nb.length >= 1 && nb.length <= 255,
+      s"link name length ${nb.length} out of range")
+    ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).put(0.toByte).put(nb.length.toByte).put(nb).putLong(addr)
+      .array()
+  }
+
   private def ohdrBytes(msgs: Seq[Array[Byte]]): Array[Byte] = {
     val size = msgs.map(_.length).sum
     val o = ByteBuffer.allocate(16 + size).order(ByteOrder.LITTLE_ENDIAN)
@@ -1103,7 +1342,7 @@ object NetCdf4 {
     * shuffle+deflate filtered — instead of one contiguous blob; both
     * forms decode identically (NetCdf4Spec pins the parity). */
   def encodeCube(df: DataFrame, parameter: String,
-                 chunked: Boolean = false): Array[Byte] = {
+                 chunked: Boolean = false, latest: Boolean = false): Array[Byte] = {
     import org.apache.spark.sql.functions.col
     val rows = df.select(col("time"), col("x"), col("y"), col("value")).collect()
     require(rows.nonEmpty, "empty cube")
@@ -1120,7 +1359,13 @@ object NetCdf4 {
       grid(at) = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
     }
     val (chunk, filters) =
-      if (chunked) (Some(Seq(1, ys.length, xs.length)), Seq(2, 1)) else (None, Nil)
+      if (chunked) {
+        // (k, ny, nx) chunks with k sized so the chunk grid stays within
+        // the writer's single-leaf chunk b-tree (<= 64 chunks) at ANY
+        // cube length — one-chunk-per-step threw past 64 time steps
+        val k = (times.length + 63) / 64
+        (Some(Seq(k, ys.length, xs.length)), Seq(2, 1))
+      } else (None, Nil)
     write(Seq(
       WriteDs("time", Seq(times.length.toLong), times.map(_ / 1000.0),
         attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00")),
@@ -1128,6 +1373,6 @@ object NetCdf4 {
       WriteDs("x", Seq(xs.length.toLong), xs),
       WriteDs(parameter,
         Seq(times.length.toLong, ys.length.toLong, xs.length.toLong), grid,
-        chunk = chunk, filters = filters)))
+        chunk = chunk, filters = filters)), latest)
   }
 }

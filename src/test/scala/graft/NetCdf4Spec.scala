@@ -114,9 +114,15 @@ class NetCdf4Spec extends SparkSpec {
 
   test("out-of-subset streams are rejected with a message naming the feature") {
     val good = NetCdf4.encodeCube(cubeDf(), "p")
-    // superblock version
-    val sbv = good.clone(); sbv(8) = 2
+    // superblock version (v2/v3 are supported since round 10, so an
+    // unsupported version must be a genuinely unknown one)
+    val sbv = good.clone(); sbv(8) = 7
     assert(NetCdf4.probe(sbv).left.exists(_.contains("superblock version")))
+    // a v0 body re-tagged as v2 must reject cleanly, not be misread:
+    // the v2 layout puts the offset/length sizes at bytes 9/10, which in
+    // a v0 body hold version zeros
+    val sbv2 = good.clone(); sbv2(8) = 2
+    assert(NetCdf4.probe(sbv2).left.exists(_.contains("8-byte offsets")))
     // a hostile contiguous data address near Long.MAX must reject with the
     // named bounds message, not wrap the `addr + size` sum positive and
     // reach readValues (header 08 00 18 00 00 00 00 00, body 03 01 <addr>)
@@ -273,6 +279,93 @@ class NetCdf4Spec extends SparkSpec {
     val szip = bytes.clone(); szip(at.get + 16) = 4
     assert(NetCdf4.probe(szip).left.exists(m =>
       m.contains("filter 4") && m.contains("szip")))
+  }
+
+  test("lookup3 checksum matches the published self-test vector") {
+    // lookup3.c's driver vector: hashlittle("Four score and seven years
+    // ago", 0) — the checksum every v2+ HDF5 metadata block carries
+    val s = "Four score and seven years ago".getBytes("US-ASCII")
+    assert(NetCdf4.lookup3(s, 0, s.length, 0) == 0x17770551,
+      f"0x${NetCdf4.lookup3(s, 0, s.length, 0)}%08x")
+    assert(NetCdf4.lookup3(s, 0, s.length, 1) == 0xcd628161,
+      f"0x${NetCdf4.lookup3(s, 0, s.length, 1)}%08x")
+    // offset independence: the window, not the array, is hashed
+    val pad = ("xx" + new String(s, "US-ASCII") + "yy").getBytes("US-ASCII")
+    assert(NetCdf4.lookup3(pad, 2, s.length, 0) == 0x17770551)
+  }
+
+  test("latest format (superblock v3 + OHDR v2 + link messages) round-trips") {
+    val original = cubeDf()
+    for (chunked <- Seq(false, true)) {
+      val bytes = NetCdf4.encodeCube(original, "sea_mean_deviation",
+        chunked = chunked, latest = true)
+      assert(NetCdf4.isHdf5(bytes))
+      assert(bytes(8) == 3, "expected a version-3 superblock")
+      assert(new String(bytes.slice(48, 52), "US-ASCII") == "OHDR",
+        "root must be a version-2 object header")
+      val f = NetCdf4.parse(bytes)
+      assert(f.datasets.map(_.name).sorted ==
+        Seq("sea_mean_deviation", "time", "x", "y"))
+      assert(f.dataset("time").get.attr("units").exists(
+        _.text == "seconds since 1970-01-01 00:00:00"))
+      val back = NetCdf4.decodeCube(spark, "dkss_if", "sea_mean_deviation", bytes)
+      def keyed(df: DataFrame) = df.collect().map { r =>
+        (r.getTimestamp(2).getTime, r.getDouble(3), r.getDouble(4)) ->
+          (if (r.isNullAt(5)) null else r.getDouble(5))
+      }.toMap
+      val expect = original.collect().map { r =>
+        (r.getTimestamp(0).getTime, r.getDouble(1), r.getDouble(2)) ->
+          (if (r.isNullAt(3)) null else r.getDouble(3))
+      }.toMap
+      assert(keyed(back) == expect, s"chunked=$chunked latest round-trip diverged")
+    }
+  }
+
+  test("long chunked cubes round-trip (time chunking scales past 64 steps)") {
+    // r9 advice: one-chunk-per-step threw for cubes longer than the
+    // single-leaf chunk b-tree (64 chunks); the writer now sizes the
+    // time-chunk dimension so any length fits
+    import spark.implicits._
+    val rows = for { t <- 0 until 130; x <- 0 until 2 }
+      yield (ts(t), 11.0 + x, 55.0, java.lang.Double.valueOf(t * 10.0 + x))
+    val df = rows.toDF("time", "x", "y", "value")
+    for (latest <- Seq(false, true)) {
+      val bytes = NetCdf4.encodeCube(df, "p", chunked = true, latest = latest)
+      val back = NetCdf4.decodeCube(spark, "dkss_if", "p", bytes)
+      assert(back.count() == 260)
+      val got = back.collect().map(r =>
+        (r.getTimestamp(2).getTime, r.getDouble(3)) -> r.getDouble(5)).toMap
+      assert(got((ts(129).getTime, 12.0)) == 1291.0, s"latest=$latest")
+    }
+  }
+
+  test("v2 metadata corruption is rejected by checksum, by name") {
+    val bytes = NetCdf4.encodeCube(cubeDf(), "p", latest = true)
+    // flip a bit inside the superblock's root address field
+    val sb = bytes.clone(); sb(37) = (sb(37) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](NetCdf4.parse(sb))
+    assert(e1.getMessage.contains("superblock checksum mismatch"), e1.getMessage)
+    // flip a bit inside the root header's message region
+    val oh = bytes.clone(); oh(60) = (oh(60) ^ 0x01).toByte
+    val e2 = intercept[IllegalArgumentException](NetCdf4.parse(oh))
+    assert(e2.getMessage.contains("object header checksum mismatch"), e2.getMessage)
+  }
+
+  test("fuzz: latest-format truncations and corruptions never escape probe") {
+    val good = NetCdf4.encodeCube(cubeDf(), "p", chunked = true, latest = true)
+    val rnd = new scala.util.Random(271828)
+    (0 until good.length by 7).foreach { n =>
+      NetCdf4.probe(good.take(n)) // must return, not throw
+    }
+    (1 to 300).foreach { _ =>
+      val mutated = good.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      NetCdf4.probe(mutated) // must return, not throw
+      scala.util.Try(NetCdf4.parse(mutated).datasets.map(d =>
+        NetCdf4.readValues(NetCdf4.parse(mutated), d))) // must return
+    }
   }
 
   test("fuzz: truncations and corruptions never escape probe") {
