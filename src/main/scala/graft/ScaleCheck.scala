@@ -44,6 +44,13 @@ object ScaleCheck {
     // FIRST and its checkpoint blocks protected from the inter-trial
     // release (an unpersisted localCheckpoint cannot be recomputed).
     val spans = Curation.spanTable(spark, sfDir)
+    // the sharded span-index gate (q101's machinery), staged like a
+    // deployment's refreshed index — the case below measures the GATE
+    // (shard join + regroup), the claim being that shard routing adds no
+    // super-linear term over the staged-marker baseline
+    import graft.operators.Materialize.Stageable
+    val spanIdxSharded =
+      Curation.spanIndexSharded(Curation.dupSpanIndexFrom(spans), 4).staged
     val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
 
     val cases: Seq[(String, () => Unit)] = Seq(
@@ -61,6 +68,9 @@ object ScaleCheck {
           .write.format("noop").mode("overwrite").save()),
       ("span_mark_sketch", () =>
         Curation.dupHitsSketchPhase(spans)
+          .write.format("noop").mode("overwrite").save()),
+      ("span_gate_sharded", () =>
+        Curation.spanGateShardedFrom(spans, spanIdxSharded, 4)
           .write.format("noop").mode("overwrite").save()),
       // deployment-mode quantification: the three span-family outputs
       // computed in isolation (each re-exploding the corpus — the
