@@ -627,7 +627,8 @@ object Curation {
     * single-aggregation ceiling. Membership ([[bloomHitSharded]]) routes
     * each probe to its owning shard; with KB-to-MB shards the shard
     * table broadcasts, and past broadcast entirely the same contract
-    * runs as a shuffle join on the shard id. */
+    * runs as a shuffle join on the shard id
+    * (`broadcastShards = false`). */
   private[graft] def bloomWordsSharded(fps: DataFrame, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val mat = fps.withColumn("shard", bloomShardCol(nShards)).staged
@@ -664,12 +665,17 @@ object Curation {
     * its owning shard, join that shard's array in, and run the SAME
     * [[bloomHit]] bit test (m recovers from the shard's array length, so
     * per-shard sizing needs no side channel). Returns the rows the
-    * sketch cannot rule out, `bloom`/routing columns dropped. */
+    * sketch cannot rule out, `bloom`/routing columns dropped.
+    * `broadcastShards = false` is the past-broadcast regime AS CODE (not
+    * a prose fallback): the hint is dropped and the same equi-join runs
+    * as a shuffle join on the shard id — output-identical, pinned in
+    * CurationSpec. */
   private[graft] def bloomHitSharded(probe: DataFrame, shards: DataFrame,
-                                     nShards: Int): DataFrame =
+                                     nShards: Int,
+                                     broadcastShards: Boolean = true): DataFrame =
     probe
       .withColumn("shard", bloomShardCol(nShards))
-      .join(broadcast(shards), Seq("shard"))
+      .join(if (broadcastShards) broadcast(shards) else shards, Seq("shard"))
       .filter(bloomHit)
       .drop("shard", "bloom")
 
@@ -1082,15 +1088,17 @@ object Curation {
     * hash, flag (bloom short-circuit, then binary-search the shard's
     * exact array via `sorted_array_contains`), and densify back to the
     * per-doc flag array via explode + join + sort — no per-row copy of
-    * the full index, shard rows broadcast while they fit and
-    * shuffle-join past that. Requires a unique `doc_id` column: the
+    * the full index; shard rows broadcast while they fit and, past
+    * that, `broadcastIndex = false` runs the identical equi-join as a
+    * shuffle join on the shard id. Requires a unique `doc_id` column: the
     * verdict computes on a (doc_id, n, span) SLIVER and joins back by
     * doc_id, so text and other payload columns never enter the explode
     * or regroup shuffles — the only full-width movement is the final
     * doc-aligned join, and even that prunes away when the caller selects
     * only verdict columns (as q101 does). Output is EXACT q95 semantics
     * (the sketch only short-circuits; flagged spans verify exactly). */
-  def spanGateSharded(docs: DataFrame, shardIdx: DataFrame, nShards: Int): DataFrame = {
+  def spanGateSharded(docs: DataFrame, shardIdx: DataFrame, nShards: Int,
+                      broadcastIndex: Boolean = true): DataFrame = {
     val slim = docs
       .withColumn("toks", toks)
       .withColumn("n", size(col("toks")).cast("long"))
@@ -1102,7 +1110,8 @@ object Curation {
       .selectExpr("doc_id", "n", "posexplode_outer(span_hashes) AS (i, sh)")
       .withColumn("shard",
         when(col("sh").isNotNull, bloomShardColOf(col("sh"), nShards)))
-      .join(broadcast(shardIdx), Seq("shard"), "left")
+      .join(if (broadcastIndex) broadcast(shardIdx) else shardIdx,
+        Seq("shard"), "left")
       .withColumn("flag",
         expr(s"(${bloomHitSql("sh")}) AND sorted_array_contains(span_idx, sh)"))
     val verdict = spanVerdict(flagged
@@ -1124,10 +1133,11 @@ object Curation {
     * emits EVERY shard row (the pinned empty-shard contract) — a
     * dropped span row here would silently deflate a doc's coverage. */
   def spanGateShardedFrom(spans: DataFrame, shardIdx: DataFrame,
-                          nShards: Int): DataFrame = {
+                          nShards: Int,
+                          broadcastIndex: Boolean = true): DataFrame = {
     val flagged = spans
       .withColumn("shard", bloomShardColOf(col("h"), nShards))
-      .join(broadcast(shardIdx), Seq("shard"))
+      .join(if (broadcastIndex) broadcast(shardIdx) else shardIdx, Seq("shard"))
       .withColumn("flag",
         expr(s"(${bloomHitSql("h")}) AND sorted_array_contains(span_idx, h)"))
     spanVerdict(flagged

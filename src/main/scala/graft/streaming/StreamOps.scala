@@ -278,11 +278,12 @@ object StreamOps {
     * no longer bounded by one value's size. Same contract: `maybe_dup =
     * false` is definitive, `true` rows go to the batch verify. */
   def bloomGateStreamSharded(docs: DataFrame, shards: DataFrame,
-                             nShards: Int): DataFrame =
+                             nShards: Int,
+                             broadcastShards: Boolean = true): DataFrame =
     docs
       .withColumn("fp", Dedup.textFp)
       .withColumn("shard", graft.operators.Curation.bloomShardCol(nShards))
-      .join(broadcast(shards), Seq("shard"))
+      .join(if (broadcastShards) broadcast(shards) else shards, Seq("shard"))
       .withColumn("maybe_dup", graft.operators.Curation.bloomHit)
       .drop("shard", "bloom")
 

@@ -208,6 +208,40 @@ class CurationSpec extends SparkSpec {
       "exact arrays must partition the index")
   }
 
+  test("past-broadcast regime: shuffle-join gates match the broadcast path") {
+    // broadcastShards/broadcastIndex = false is the past-broadcast
+    // deployment regime as code — same equi-join, no hint. Outputs must
+    // be identical and the plan must actually drop the broadcast.
+    import spark.implicits._
+    val fps = (1 to 40).map(i => s"corpus_$i").toDF("fp")
+    val probe = (30 to 70).map(i => s"corpus_$i").toDF("fp")
+    val shards = Curation.bloomWordsSharded(fps, 4)
+    val hintHits = Curation.bloomHitSharded(probe, shards, 4)
+      .as[String].collect().sorted.toSeq
+    // without the hint Catalyst still auto-broadcasts small sides (the
+    // desired behavior); the REGIME claim is that nothing FORCES it, so
+    // with auto-broadcast off the identical join really does shuffle
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = Curation.bloomHitSharded(probe, shards, 4, broadcastShards = false)
+      assert(shuffled.as[String].collect().sorted.toSeq == hintHits)
+      // the PROBE join (single shard key, inner) must shuffle; the
+      // sketch build's internal broadcasts are its own business
+      val p = shuffled.queryExecution.executedPlan.toString
+      assert("SortMergeJoin \\[shard#\\d+L\\], \\[shard#\\d+L\\], Inner"
+        .r.findFirstIn(p).nonEmpty, p.take(400))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    // the sharded span gate under the same regime
+    val st = Curation.spanTable(spark, sfDir)
+    val idx = Curation.spanIndexSharded(Curation.dupSpanIndexFrom(st), 4)
+    def rows(bcast: Boolean) =
+      Curation.spanGateShardedFrom(st, idx, 4, broadcastIndex = bcast)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(rows(false).toSeq == rows(true).toSeq,
+      "shuffle-join span gate diverged from the broadcast path")
+  }
+
   test("cms census: estimates never undercount and are near-exact at this load") {
     val out = Curation.cmsCensus(spark, sfDir).collect()
     assert(out.length == 20)
