@@ -336,16 +336,30 @@ object Curation {
     * grams after the join shuffles only the rows that matched an eval
     * shingle (≈ contamination volume), where dedup-then-join would
     * shuffle every gram in the corpus. At 100 TB the eval shingles fit
-    * an executor easily (benchmarks are MBs); otherwise the join falls
-    * back to shuffle-on-gram, still never all-pairs. */
+    * an executor easily (benchmarks are MBs); past that,
+    * `broadcastEval = false` runs the identical join shuffled on gram —
+    * still never all-pairs. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    decontaminateFrom(docs, docs.filter(col("doc_id") % 97 === 0))
+  }
+
+  /** [[decontaminate]] over explicit corpus/eval tables — the deployment
+    * shape (a benchmark suite is its own table, not a corpus slice; the
+    * declared query passes the every-97th slice for the oracle).
+    * `broadcastEval = false` is the past-broadcast regime AS CODE (not a
+    * prose fallback): the hint is dropped and the same equi-join runs
+    * shuffled on gram — output-identical, pinned in CurationSpec. */
+  def decontaminateFrom(docs: DataFrame, evalDocs: DataFrame,
+                        broadcastEval: Boolean = true): DataFrame = {
     val grams = docs.withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(Dedup.shingleCol).as("gram"))
-    val ev = grams.filter(col("doc_id") % 97 === 0).distinct()
-      .select(col("doc_id").as("eval_id"), col("gram"))
-    grams.join(broadcast(ev), "gram")
+    val ev = evalDocs.withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id").as("eval_id"), explode(Dedup.shingleCol).as("gram"))
+      .distinct()
+    grams.join(if (broadcastEval) broadcast(ev) else ev, "gram")
       .filter(col("doc_id") =!= col("eval_id"))
       .groupBy(col("doc_id"), col("eval_id"))
       // distinct-count because the corpus side is NOT pre-deduped: a
@@ -1220,9 +1234,13 @@ object Curation {
     spark.read.parquet(sink)
   }
 
-  /** [[nearDupClusters]] over an existing pair table ([[pairTable]]). */
-  def nearDupClustersFrom(pairs: DataFrame): DataFrame =
-    componentLabels(pairs).groupBy(col("label").as("cluster_rep"))
+  /** [[nearDupClusters]] over an existing pair table ([[pairTable]]).
+    * `coalesceEdges = false` is the huge-dup-graph regime (see
+    * [[componentLabels]]). */
+  def nearDupClustersFrom(pairs: DataFrame,
+                          coalesceEdges: Boolean = true): DataFrame =
+    componentLabels(pairs, coalesceEdges)
+      .groupBy(col("label").as("cluster_rep"))
       .agg(
         count(lit(1)).as("size"),
         array_join(
@@ -1233,25 +1251,27 @@ object Curation {
   /** Min-label propagation to fixpoint over the LSH-verified pair graph:
     * (id, label) where label = min doc_id reachable — the shared
     * component core behind q80 (cluster report) and q82 (rep selection). */
-  private def componentLabels(pairTable: DataFrame): DataFrame = {
+  private[graft] def componentLabels(pairTable: DataFrame,
+                                     coalesceEdges: Boolean = true): DataFrame = {
     val pairs = pairTable.select(col("d1"), col("d2"))
     // The dup graph ≈ duplicate count — orders of magnitude smaller than
     // the corpus — so after the one expensive LSH pass it collapses to a
     // handful of partitions; every fixpoint iteration then runs single-task
     // joins instead of 32-way shuffles of a 25-row table (measured: the
     // uncoalesced loop spent ~10× its runtime on empty-task scheduling).
-    // At 100 TB-with-a-huge-dup-graph, drop the coalesce and let AQE size
-    // the iteration shuffles instead.
+    // `coalesceEdges = false` is the huge-dup-graph regime AS CODE: the
+    // coalesce is dropped and AQE sizes the iteration shuffles instead —
+    // identical fixpoint, pinned in CurationSpec.
     // Checkpoint FIRST, then coalesce: coalesce(1) before the checkpoint
     // would pull the whole upstream LSH verify scan into a single task
     // (the verify join broadcasts the candidate side, so there is no
     // shuffle boundary to stop the collapse from propagating). This way
     // materialization runs fully parallel and only the per-iteration
     // reads of the tiny edge table are 1-partition.
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    val edges0 = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint() // cut the LSH lineage; re-read each iteration
-      .coalesce(1)
+    val edges = if (coalesceEdges) edges0.coalesce(1) else edges0
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -1295,9 +1315,12 @@ object Curation {
   def clusterReps(spark: SparkSession, dir: String): DataFrame =
     clusterRepsFrom(Dedup.lshNearDup(spark, dir), Tables.documents(spark, dir))
 
-  /** [[clusterReps]] over an existing pair table ([[pairTable]]). */
-  def clusterRepsFrom(pairs: DataFrame, documents: DataFrame): DataFrame = {
-    val labels = componentLabels(pairs)
+  /** [[clusterReps]] over an existing pair table ([[pairTable]]).
+    * `coalesceEdges = false` is the huge-dup-graph regime (see
+    * [[componentLabels]]). */
+  def clusterRepsFrom(pairs: DataFrame, documents: DataFrame,
+                      coalesceEdges: Boolean = true): DataFrame = {
+    val labels = componentLabels(pairs, coalesceEdges)
     val docs = documents
       .select(col("doc_id"), col("n_chars"), col("source"))
     val w = Window.partitionBy(col("label"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 import graft.sources.Tables
 
 class CurationSpec extends SparkSpec {
@@ -240,6 +240,42 @@ class CurationSpec extends SparkSpec {
         .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
     assert(rows(false).toSeq == rows(true).toSeq,
       "shuffle-join span gate diverged from the broadcast path")
+  }
+
+  test("decontaminate fallback regime: shuffle-on-gram matches the broadcast path") {
+    val docs = Tables.documents(spark, sfDir)
+    val ev = docs.filter(col("doc_id") % 97 === 0)
+    val declared = Curation.decontaminate(spark, sfDir).collect().map(_.toSeq).toSeq
+    val base = Curation.decontaminateFrom(docs, ev).collect().map(_.toSeq).toSeq
+    assert(base == declared, "From variant diverged from the declared query")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = Curation.decontaminateFrom(docs, ev, broadcastEval = false)
+      assert(shuffled.collect().map(_.toSeq).toSeq == base,
+        "shuffle-on-gram regime diverged from the broadcast path")
+      val p = shuffled.queryExecution.executedPlan.toString
+      assert("SortMergeJoin \\[gram#\\d+\\], \\[gram#\\d+\\], Inner"
+        .r.findFirstIn(p).nonEmpty, p.take(400))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("component labels: uncoalesced (AQE) regime reaches the same fixpoint") {
+    import spark.implicits._
+    // a 4-node chain (merges across iterations) plus a disjoint pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    def labelsOf(c: Boolean) = Curation.componentLabels(pairs, coalesceEdges = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(labelsOf(true) == labelsOf(false))
+    assert(labelsOf(false).forall { case (id, l) =>
+      if (id <= 4L) l == 1L else l == 10L })
+    // and end-to-end over the real LSH pair table
+    val real = Dedup.lshNearDup(spark, sfDir)
+    assert(
+      Curation.nearDupClustersFrom(real, coalesceEdges = false)
+        .collect().map(_.toSeq).toSeq ==
+      Curation.nearDupClustersFrom(real).collect().map(_.toSeq).toSeq,
+      "uncoalesced cluster report diverged")
   }
 
   test("cms census: estimates never undercount and are near-exact at this load") {
