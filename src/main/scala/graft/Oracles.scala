@@ -660,6 +660,36 @@ object Oracles {
          |SELECT probe_id, sig, CAST(rnk AS BIGINT) AS "rank", cand_id,
          | round(cosine, 6) AS cosine
          |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // IVF: cell assignment reuses q70's argmax-by-window shape; the
+    // probe side ranks its top-4 cells the same way, exact cosine
+    // inside the probed cells only.
+    "q102_ivf_ann" ->
+      s"""WITH $embCte,
+         | cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 16),
+         | ac AS (SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, cent c),
+         | asg AS (SELECT vec_id, embedding, nrm, cell FROM ac WHERE rn = 1),
+         | pr AS (SELECT p.vec_id AS probe_id, p.embedding AS p_emb,
+         |   p.nrm AS p_nrm, c.cell,
+         |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
+         |     c.cell) AS prn
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         | pcells AS (SELECT probe_id, p_emb, p_nrm, cell FROM pr WHERE prn <= 4),
+         | pairs AS (SELECT pc.probe_id, pc.cell, a.vec_id AS cand_id,
+         |    (${dotSql("pc.p_emb", "a.embedding")}) / (pc.p_nrm * a.nrm) AS cosine
+         |   FROM pcells pc JOIN asg a ON pc.cell = a.cell
+         |                             AND pc.probe_id <> a.vec_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cosine DESC, cand_id) AS rnk FROM pairs)
+         |SELECT probe_id, cell, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(cosine, 6) AS cosine
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
   )
 
   val multimodal: Map[String, String] = Map(

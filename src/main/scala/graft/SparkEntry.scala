@@ -120,6 +120,7 @@ object SparkEntry {
     "q99_span_dedup_staged" -> (Curation.spanDedupStaged _),
     "q100_bloom_increment_sharded" -> (Curation.bloomIncrementSharded _),
     "q101_span_gate_sharded" -> (Curation.spanDedupShardedGate _),
+    "q102_ivf_ann" -> (Similarity.ivfAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -216,6 +216,70 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** q102: IVF ANN — inverted-file approximate nearest neighbor, the
+    * third scale path next to the sign-bucket (q41) and RP-LSH (q58)
+    * quantizers, and the one real vector stores ship: a coarse
+    * quantizer partitions the corpus into `nlist` cells, each vector is
+    * indexed under its nearest cell, and a query probes only its
+    * `nprobe` closest cells with exact cosine inside them. `nprobe` is
+    * the measured recall/cost knob (nprobe = nlist degenerates to exact
+    * search — pinned in SimilaritySpec).
+    *
+    * The coarse quantizer IS the kmeans family's E-step
+    * ([[Curation.assignmentsK]], seed centroids = first `nlist`
+    * vec_ids): one Lloyd refinement via q77's M-step turns the seeded
+    * cells into trained IVF cells without touching this operator — the
+    * cell build accepts any centroid set.
+    *
+    * Scale shape: centroids are `nlist` rows — broadcast to both the
+    * cell build (one corpus scan, no corpus shuffle before the per-vector
+    * top-1 window on a pruned (vec_id, cell, cos) sliver) and the probe
+    * side (tiny by the fixed-probe-budget contract). The candidate join
+    * is an equality join on cell id with the probe side broadcast —
+    * per-probe work is |corpus| · nprobe / nlist, the IVF contract. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfAnnFrom(emb, gridProbes(emb), nlist = 16, nprobe = 4, k = 5)
+  }
+
+  /** [[ivfAnn]] over an explicit probe set — the bounded-probe-budget
+    * dual, same contract (and `excludeSelf` caveat) as
+    * [[cosineTopKFrom]]. */
+  def ivfAnnFrom(emb: DataFrame, probes: DataFrame, nlist: Int, nprobe: Int,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val cand = Curation.assignmentsK(emb, nlist)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cluster_id").as("c_cell"))
+    val cent = emb
+      .withColumn("nrm", norm(col("embedding")))
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cell"))
+    val pcells = probes
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pcos", dot(col("p_emb"), col("cvec")) / (col("p_nrm") * col("cnrm")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
+    val pairs = broadcast(pcells)
+      .join(cand, col("cell") === col("c_cell") &&
+        (if (excludeSelf) col("probe_id") =!= col("cand_id") else lit(true)))
+      .withColumn("cosine", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cell"), col("rank").cast("long").as("rank"),
+        col("cand_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Per-label embedding statistics — vector aggregation sanity surface.
     * Averages use the repo's decimal-exact-sum rule (floor to 1e-9,
     * DECIMAL sum, truncate to 6 dp): a plain `avg` over irrational

@@ -129,7 +129,11 @@ class PlanGuardSpec extends SparkSpec {
       // sharded span gate: verdict regroup on the (doc_id, n) sliver +
       // output sort; shard join and doc-aligned join both broadcast, and
       // the staged index keeps its build exchanges out of the query plan
-      "q101_span_gate_sharded" -> 2)
+      "q101_span_gate_sharded" -> 2,
+      // IVF ANN: cell-assign window shuffles the (vec_id, cell, cos)
+      // sliver, probe-side cell-rank window, final top-k window + output
+      // sort; centroid and probe-cell joins broadcast
+      "q102_ivf_ann" -> 4)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None

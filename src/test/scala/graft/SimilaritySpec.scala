@@ -53,6 +53,37 @@ class SimilaritySpec extends SparkSpec {
     assert(subRecall.exceptAll(fullRecall).isEmpty && fullRecall.exceptAll(subRecall).isEmpty)
   }
 
+  test("ivf ann: nprobe = nlist degenerates to exact brute-force top-k") {
+    // probing every cell means the candidate pool is the whole corpus —
+    // IVF must then return exactly the brute-force ranking (the
+    // structural guarantee that cells PARTITION the corpus: a dropped or
+    // double-indexed vector would break this equality)
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val exact = Similarity.cosineTopKFrom(emb, probes, k = 5)
+      .select("probe_id", "rank", "cand_id", "cosine")
+    val full = Similarity.ivfAnnFrom(emb, probes, nlist = 8, nprobe = 8, k = 5)
+      .select("probe_id", "rank", "cand_id", "cosine")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+  }
+
+  test("ivf ann: recall against exact is monotone in nprobe") {
+    // a true top-k member present in the candidate pool always outranks
+    // every non-member, so hits can only grow as more cells are probed
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val exact = Similarity.cosineTopKFrom(emb, probes, k = 5)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hitsAt = (np: Int) =>
+      Similarity.ivfAnnFrom(emb, probes, nlist = 16, nprobe = np, k = 5)
+        .select("probe_id", "cand_id").collect()
+        .count(r => exact((r.getLong(0), r.getLong(1))))
+    val h = Seq(1, 4, 16).map(hitsAt)
+    assert(h == h.sorted, s"recall not monotone in nprobe: $h")
+    assert(h.last == exact.size, "nprobe=nlist must reach full recall")
+  }
+
   test("media decode stub: byte sums consistent with payload lengths") {
     val out = Multimodal.mediaDecode(spark, sfDir).collect()
     assert(out.length == Tables.documents(spark, sfDir).count())
