@@ -249,9 +249,17 @@ object Curation {
     * exactly what a corpus-proportional k flattens back to linear. */
   def assignmentsK(emb0: DataFrame, k: Int): DataFrame = {
     val emb = emb0.withColumn("nrm", Similarity.norm(col("embedding")))
-    val cent = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"),
-        col("nrm").as("cnrm"))
+    assignmentsWith(emb,
+      emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"),
+          col("nrm").as("cnrm")))
+  }
+
+  /** The E-step against an ARBITRARY centroid table (cluster_id, cvec,
+    * cnrm) — seeded ([[assignmentsK]]) or trained (feed q77's M-step
+    * means back in); `emb` must carry a precomputed `nrm`. This is what
+    * makes the kmeans loop and IVF cell build centroid-set-agnostic. */
+  def assignmentsWith(emb: DataFrame, cent: DataFrame): DataFrame = {
     val pairs = emb.select(col("vec_id"), col("embedding"), col("nrm"))
       .crossJoin(broadcast(cent))
       .withColumn("cos",

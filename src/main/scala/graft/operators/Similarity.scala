@@ -244,17 +244,32 @@ object Similarity {
 
   /** [[ivfAnn]] over an explicit probe set — the bounded-probe-budget
     * dual, same contract (and `excludeSelf` caveat) as
-    * [[cosineTopKFrom]]. */
+    * [[cosineTopKFrom]]. Seed centroids = first `nlist` vec_ids; for
+    * trained cells pass your own centroid table to [[ivfAnnWith]]. */
   def ivfAnnFrom(emb: DataFrame, probes: DataFrame, nlist: Int, nprobe: Int,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val cand = Curation.assignmentsK(emb, nlist)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"), col("cluster_id").as("c_cell"))
     val cent = emb
       .withColumn("nrm", norm(col("embedding")))
       .filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
+    ivfAnnWith(emb, probes, cent, nprobe, k, excludeSelf)
+  }
+
+  /** IVF over an ARBITRARY centroid table (cell, cvec, cnrm) — the
+    * trained-cells entry point: run q77's M-step over the seeded
+    * assignment (or any clustering), feed the mean vectors back in, and
+    * the cell build + probe routing are unchanged. The nprobe = nlist
+    * exact-degeneracy holds for ANY centroid set (cells always
+    * partition the corpus) — pinned for trained cells in
+    * SimilaritySpec. */
+  def ivfAnnWith(emb: DataFrame, probes: DataFrame, cent: DataFrame,
+      nprobe: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val cand = Curation.assignmentsWith(
+        emb.withColumn("nrm", norm(col("embedding"))),
+        cent.select(col("cell").as("cluster_id"), col("cvec"), col("cnrm")))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cluster_id").as("c_cell"))
     val pw = Window.partitionBy(col("probe_id"))
       .orderBy(col("pcos").desc, col("cell"))
     val pcells = probes

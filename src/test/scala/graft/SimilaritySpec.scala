@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Curation, Multimodal, Similarity}
 import graft.sources.Tables
 
 class SimilaritySpec extends SparkSpec {
@@ -82,6 +82,31 @@ class SimilaritySpec extends SparkSpec {
     val h = Seq(1, 4, 16).map(hitsAt)
     assert(h == h.sorted, s"recall not monotone in nprobe: $h")
     assert(h.last == exact.size, "nprobe=nlist must reach full recall")
+  }
+
+  test("ivf ann with trained cells: Lloyd-refined centroids keep the exact-degeneracy") {
+    // feed q77's M-step means back in as the centroid table — the
+    // trained-IVF loop. Cells still partition the corpus whatever the
+    // centroids are, so probing all of them must still reproduce the
+    // brute-force ranking.
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val trained = Curation.kmeansUpdate(spark, sfDir)
+      .groupBy(col("cluster_id").as("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid_mean")))),
+        s => s.getField("centroid_mean").cast("float")).as("cvec"))
+      .withColumn("cnrm", Similarity.norm(col("cvec")))
+    val full = Similarity.ivfAnnWith(emb, probes, trained, nprobe = 8, k = 5)
+      .select("probe_id", "rank", "cand_id", "cosine")
+    val exact = Similarity.cosineTopKFrom(emb, probes, k = 5)
+      .select("probe_id", "rank", "cand_id", "cosine")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+    // and a realistic nprobe over trained cells returns ranked rows
+    val r = Similarity.ivfAnnWith(emb, probes, trained, nprobe = 2, k = 5).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(2)).sorted.sameElements(1L to g.length)) }
   }
 
   test("media decode stub: byte sums consistent with payload lengths") {
