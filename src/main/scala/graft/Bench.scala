@@ -114,6 +114,30 @@ object Bench {
       s(s.size / 2) // odd trial counts: the true median; even: upper-median
     }
 
+    // Anchor BENCH_LOCAL.json at the repo root (the dir holding build.sbt),
+    // not the cwd — `sbt run` forks with cwd = base dir, but a bare
+    // java invocation may not.
+    val repoRoot = Iterator.iterate(
+        java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(8)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(java.nio.file.Paths.get(sys.props("user.dir")))
+
+    // Prior-round per-query medians: the COMMITTED BENCH_LOCAL.json, read
+    // before this run overwrites it. Queries whose in-suite median moved
+    // >2× vs the prior round are FORCE-included in the isolated pass —
+    // r10's q92 moved 0.39→1.65 s at unchanged code but ranked ~11th on
+    // both cost and spread and missed the 8-slot rank-merge cut, leaving
+    // the elevation unadjudicated (VERDICT r10 "what's wrong" #1).
+    val priorSec: Map[String, Double] = try {
+      val p = repoRoot.resolve("BENCH_LOCAL.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        "\"(q[0-9]+[A-Za-z0-9_]*)\":\\{\"sec\":([-0-9.Ee+]+)".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Exception => Map.empty }
+
     // Isolated second pass: re-time the k widest-relative-spread queries
     // in a FRESH SparkSession (accumulated block-manager/GC state gone),
     // so a "regression" that is really in-suite contamination or an
@@ -127,7 +151,11 @@ object Bench {
     // that the whole ~2 s span family (q95/q96/q98/q99/q101) stays
     // covered when one of them ranks by cost rather than spread
     val isolatedK = sys.env.get("SPARK_GRAFT_ISOLATED").map(_.toInt).getOrElse(8)
-    val isolated: Map[String, Seq[Double]] =
+    // each isolated entry carries the loadavg sampled as its trials
+    // finish: r10's q96 published an isolated median (7.41 s) WORSE than
+    // its in-suite one with no way to tell ambient spike from real — the
+    // annotation makes the artifact self-adjudicating (VERDICT r10 #2)
+    val isolated: Map[String, (Seq[Double], String)] =
       if (isolatedK <= 0) Map.empty
       else {
         val eligible = results.collect {
@@ -143,9 +171,12 @@ object Bench {
         val byMedian = eligible
           .sortBy { case (_, vs) => -median(vs) }
           .map(_._1).zipWithIndex.toMap
-        val suspects = eligible.map(_._1)
+        val moved = eligible.collect {
+          case (n, vs) if priorSec.get(n).exists(p => p > 0 && median(vs) / p > 2.0) => n
+        }
+        val suspects = (eligible.map(_._1)
           .sortBy(n => math.min(bySpread(n), byMedian(n)))
-          .take(isolatedK)
+          .take(isolatedK) ++ moved).distinct
         if (suspects.isEmpty) Map.empty
         else {
           // Nothing in this pass may lose the (already complete) main
@@ -163,16 +194,17 @@ object Bench {
             release()
             suspects.flatMap { name =>
               try {
-                Some(name -> (1 to trials).map { _ =>
+                val runs = (1 to trials).map { _ =>
                   val t0 = System.nanoTime()
                   run(name)
                   val dt = (System.nanoTime() - t0) / 1e9
                   release()
                   dt
-                })
+                }
+                Some(name -> (runs, loadavg()))
               } catch { case _: Throwable => release(); None }
             }.toMap
-          } catch { case _: Throwable => Map.empty[String, Seq[Double]] }
+          } catch { case _: Throwable => Map.empty[String, (Seq[Double], String)] }
         }
       }
 
@@ -185,9 +217,9 @@ object Bench {
         if (short)
           "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(median(vs) * 1000) / 1000)
         else {
-          val iso = isolated.get(k).map(ivs =>
+          val iso = isolated.get(k).map { case (ivs, ld) =>
             ",\"isolated\":{\"sec\":" + median(ivs) + ",\"min\":" + ivs.min +
-              ",\"max\":" + ivs.max + "}").getOrElse("")
+              ",\"max\":" + ivs.max + ",\"loadavg\":\"" + ld + "\"}" }.getOrElse("")
           "\"" + k + "\":{\"sec\":" + median(vs) + ",\"min\":" + vs.min +
             ",\"max\":" + vs.max + iso + "}"
         }
@@ -204,14 +236,6 @@ object Bench {
     // line uses the qNN short keys and 3-decimal times so the whole line
     // fits the driver's bounded stdout-tail capture (the r2/r3 full-name
     // line overflowed it and parsed as null — see BASELINE.md §keys).
-    // Anchor BENCH_LOCAL.json at the repo root (the dir holding build.sbt),
-    // not the cwd — `sbt run` forks with cwd = base dir, but a bare
-    // java invocation may not.
-    val repoRoot = Iterator.iterate(
-        java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
-      .takeWhile(_ != null).take(8)
-      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
-      .getOrElse(java.nio.file.Paths.get(sys.props("user.dir")))
     java.nio.file.Files.write(
       repoRoot.resolve("BENCH_LOCAL.json"),
       (line(short = false) + "\n").getBytes("UTF-8"))

@@ -690,6 +690,54 @@ object Oracles {
          |SELECT probe_id, cell, CAST(rnk AS BIGINT) AS "rank", cand_id,
          | round(cosine, 6) AS cosine
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // Trained IVF: q102 with the seed-centroid CTE replaced by one Lloyd
+    // step — seeded E-step assignment, q77's decimal-exact M-step mean
+    // per (cell, dim), re-narrowed to FLOAT so both engines feed the
+    // identical float vectors into the identical left-assoc dot chain.
+    "q104_ivf_trained" ->
+      s"""WITH $embCte,
+         | seed AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 16),
+         | a0 AS (SELECT v.vec_id, v.embedding, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, seed c),
+         | x AS (SELECT cell,
+         |   unnest(range(len(embedding))) AS dim,
+         |   unnest(embedding) AS v
+         |  FROM a0 WHERE rn = 1),
+         | m AS (SELECT cell, dim,
+         |   floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9)
+         |       AS DECIMAL(28,9))) AS DOUBLE) / 1e9 / count(*) * 1e6) / 1e6 AS cm
+         |  FROM x GROUP BY cell, dim),
+         | tc0 AS (SELECT cell, list(CAST(cm AS FLOAT) ORDER BY dim) AS cvec
+         |  FROM m GROUP BY cell),
+         | cent AS (SELECT cell, cvec,
+         |   sqrt(${dotSql("cvec", "cvec")}) AS cnrm FROM tc0),
+         | ac AS (SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, cent c),
+         | asg AS (SELECT vec_id, embedding, nrm, cell FROM ac WHERE rn = 1),
+         | pr AS (SELECT p.vec_id AS probe_id, p.embedding AS p_emb,
+         |   p.nrm AS p_nrm, c.cell,
+         |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
+         |     c.cell) AS prn
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         | pcells AS (SELECT probe_id, p_emb, p_nrm, cell FROM pr WHERE prn <= 4),
+         | pairs AS (SELECT pc.probe_id, pc.cell, a.vec_id AS cand_id,
+         |    (${dotSql("pc.p_emb", "a.embedding")}) / (pc.p_nrm * a.nrm) AS cosine
+         |   FROM pcells pc JOIN asg a ON pc.cell = a.cell
+         |                             AND pc.probe_id <> a.vec_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cosine DESC, cand_id) AS rnk FROM pairs)
+         |SELECT probe_id, cell, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(cosine, 6) AS cosine
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
   )
 
   val multimodal: Map[String, String] = Map(
@@ -1514,5 +1562,10 @@ object Oracles {
   val curation: Map[String, String] = curationBase ++ Map(
     "q99_span_dedup_staged" -> curationBase("q95_span_dedup"),
     "q100_bloom_increment_sharded" -> curationBase("q94_bloom_increment"),
-    "q101_span_gate_sharded" -> curationBase("q95_span_dedup"))
+    "q101_span_gate_sharded" -> curationBase("q95_span_dedup"),
+    // q103/q105: the past-broadcast regimes — same results by
+    // construction (a broadcast hint changes the physical join strategy,
+    // never the rows), so the broadcast queries' oracles bind verbatim
+    "q103_span_gate_shuffled" -> curationBase("q95_span_dedup"),
+    "q105_bloom_shuffled" -> curationBase("q94_bloom_increment"))
 }

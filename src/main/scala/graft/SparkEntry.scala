@@ -118,9 +118,14 @@ object SparkEntry {
     "q97_cms_census" -> (Curation.cmsCensus _),
     "q98_span_provenance" -> (Curation.spanProvenance _),
     "q99_span_dedup_staged" -> (Curation.spanDedupStaged _),
-    "q100_bloom_increment_sharded" -> (Curation.bloomIncrementSharded _),
-    "q101_span_gate_sharded" -> (Curation.spanDedupShardedGate _),
+    "q100_bloom_increment_sharded" ->
+      ((s, d) => Curation.bloomIncrementSharded(s, d)),
+    "q101_span_gate_sharded" ->
+      ((s, d) => Curation.spanDedupShardedGate(s, d)),
     "q102_ivf_ann" -> (Similarity.ivfAnn _),
+    "q103_span_gate_shuffled" -> (Curation.spanDedupShardedGateShuffled _),
+    "q104_ivf_trained" -> (Similarity.ivfTrained _),
+    "q105_bloom_shuffled" -> (Curation.bloomIncrementShardedShuffled _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

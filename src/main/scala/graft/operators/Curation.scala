@@ -689,15 +689,21 @@ object Curation {
     * per-shard sizing needs no side channel). Returns the rows the
     * sketch cannot rule out, `bloom`/routing columns dropped.
     * `broadcastShards = false` is the past-broadcast regime AS CODE (not
-    * a prose fallback): the hint is dropped and the same equi-join runs
-    * as a shuffle join on the shard id — output-identical, pinned in
-    * CurationSpec. */
+    * a prose fallback): the same equi-join runs as a SHUFFLE join on the
+    * shard id — output-identical, pinned in CurationSpec. The shuffle
+    * strategy is hinted (`shuffle_hash`, shard table as build side)
+    * rather than merely un-hinted: at toy scale the optimizer's stats
+    * would quietly re-broadcast whichever side looks small, and the
+    * regime this knob declares is the one where NOTHING fits — the
+    * probe stream stays streaming, each partition hashes only its own
+    * shards. PlanGuardSpec asserts the planned join is not a broadcast. */
   private[graft] def bloomHitSharded(probe: DataFrame, shards: DataFrame,
                                      nShards: Int,
                                      broadcastShards: Boolean = true): DataFrame =
     probe
       .withColumn("shard", bloomShardCol(nShards))
-      .join(if (broadcastShards) broadcast(shards) else shards, Seq("shard"))
+      .join(if (broadcastShards) broadcast(shards) else shards.hint("shuffle_hash"),
+        Seq("shard"))
       .filter(bloomHit)
       .drop("shard", "bloom")
 
@@ -749,16 +755,26 @@ object Curation {
 
   /** The exact tail both q94 variants share: verify the candidate sliver
     * against the index, keep first-in-batch non-dups. */
-  private def admitList(batch: DataFrame, corpusFp: DataFrame,
-                        candidates: DataFrame): DataFrame = {
-    // dupOfCorpus is sliver-sized by construction (true dups + ~fpp of
-    // the batch), so the hint is safe at every scale; without it the
-    // size estimate flowing out of the staged candidates' lineage can
-    // push the anti-join to SortMergeJoin (two extra full-batch
-    // exchanges — the q100 budget bust the hint exists to prevent).
-    val dupOfCorpus = broadcast(candidates
-      .join(corpusFp, Seq("fp"), "left_semi")
-      .select(col("doc_id")))
+  private[graft] def admitList(batch: DataFrame, corpusFp: DataFrame,
+                               candidates: DataFrame,
+                               broadcastDupVerify: Boolean = true): DataFrame = {
+    // dupOfCorpus is ~fpp of the batch plus the TRUE dups — and true-dup
+    // volume is unbounded (a batch that is mostly re-ingested duplicates
+    // makes it batch-sized), so the hint is a regime, not a law: the
+    // default keeps the anti-join broadcast (without it the size
+    // estimate flowing out of the staged candidates' lineage can push
+    // the plan to SortMergeJoin — two extra full-batch exchanges, the
+    // q100 budget bust), and `broadcastDupVerify = false` is the
+    // dup-heavy-batch fallback: dup list AND corpus index both run as
+    // sort-merge joins (hinted, not merely un-hinted — toy-scale stats
+    // would re-broadcast; see bloomHitSharded).
+    val dupVerify = candidates
+      .join(if (broadcastDupVerify) corpusFp else corpusFp.hint("shuffle_merge"),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    val dupOfCorpus =
+      if (broadcastDupVerify) broadcast(dupVerify)
+      else dupVerify.hint("shuffle_merge")
     val wFp = Window.partitionBy(col("fp"))
     batch
       .withColumn("first_in_batch", min(col("doc_id")).over(wFp))
@@ -774,14 +790,17 @@ object Curation {
     * construction (any bloom only decides how little reaches the exact
     * verify), and declared as its own query so the sharded machinery is
     * held to the same DuckDB hash gate as the single-sketch path. */
-  def bloomIncrementSharded(spark: SparkSession, dir: String): DataFrame = {
+  def bloomIncrementSharded(spark: SparkSession, dir: String,
+                            broadcastShards: Boolean = true,
+                            broadcastDupVerify: Boolean = true): DataFrame = {
     val (corpusIdx, batch) = incrementSplit(spark, dir)
     val corpusFp = corpusIdx.staged
     val candidates =
-      bloomHitSharded(batch, bloomWordsSharded(corpusFp, 4), 4)
+      bloomHitSharded(batch, bloomWordsSharded(corpusFp, 4), 4,
+        broadcastShards)
         .select(col("doc_id"), col("fp"))
         .staged // the same reorder barrier bloomIncrement documents
-    admitList(batch, corpusFp, candidates)
+    admitList(batch, corpusFp, candidates, broadcastDupVerify)
   }
 
   /** Span window width for the q95/q96/q98 family (tokens). 8 is small
@@ -1095,8 +1114,13 @@ object Curation {
         size(filter(col("dup_flags"), f => f)).cast("long"))
       .withColumn("n_covered",
         when(col("n") >= SpanW, covered.cast("long")).otherwise(lit(0L)))
+      // n = 0 would make the ratio 0/0 → NULL under Spark's non-ANSI
+      // division; the documented contract is that short docs (no spans,
+      // nothing covered) pass with keep_ratio 1
       .withColumn("keep_ratio",
-        floor((lit(1.0) - col("n_covered") / col("n")) * 1e6) / 1e6)
+        when(col("n") > 0,
+          floor((lit(1.0) - col("n_covered") / col("n")) * 1e6) / 1e6)
+          .otherwise(lit(1.0)))
       .drop("dup_flags")
   }
 
@@ -1132,7 +1156,10 @@ object Curation {
       .selectExpr("doc_id", "n", "posexplode_outer(span_hashes) AS (i, sh)")
       .withColumn("shard",
         when(col("sh").isNotNull, bloomShardColOf(col("sh"), nShards)))
-      .join(if (broadcastIndex) broadcast(shardIdx) else shardIdx,
+      // past-broadcast: shuffle_hash with the index as build side (see
+      // bloomHitSharded — an un-hinted small-stats plan re-broadcasts)
+      .join(if (broadcastIndex) broadcast(shardIdx)
+            else shardIdx.hint("shuffle_hash"),
         Seq("shard"), "left")
       .withColumn("flag",
         expr(s"(${bloomHitSql("sh")}) AND sorted_array_contains(span_idx, sh)"))
@@ -1159,7 +1186,10 @@ object Curation {
                           broadcastIndex: Boolean = true): DataFrame = {
     val flagged = spans
       .withColumn("shard", bloomShardColOf(col("h"), nShards))
-      .join(if (broadcastIndex) broadcast(shardIdx) else shardIdx, Seq("shard"))
+      // past-broadcast: shuffle_hash with the index as build side (see
+      // bloomHitSharded — an un-hinted small-stats plan re-broadcasts)
+      .join(if (broadcastIndex) broadcast(shardIdx)
+            else shardIdx.hint("shuffle_hash"), Seq("shard"))
       .withColumn("flag",
         expr(s"(${bloomHitSql("h")}) AND sorted_array_contains(span_idx, h)"))
     spanVerdict(flagged
@@ -1178,16 +1208,38 @@ object Curation {
     * index build and the probe side (the q99 staging philosophy); the
     * raw-docs core ([[spanGateSharded]]) is the streaming microbatch
     * path, pinned batch-equal in StreamingSpec. */
-  def spanDedupShardedGate(spark: SparkSession, dir: String): DataFrame = {
+  def spanDedupShardedGate(spark: SparkSession, dir: String,
+                           broadcastIndex: Boolean = true): DataFrame = {
     val st = spanTable(spark, dir)
     // staged like a deployment's refreshed index — the gate consumes
     // the shard table, it doesn't rebuild it per query
     val idx = spanIndexSharded(dupSpanIndexFrom(st), 4).staged
-    spanGateShardedFrom(st, idx, 4)
+    spanGateShardedFrom(st, idx, 4, broadcastIndex)
       .select(col("doc_id"), col("n").as("n_tokens"),
         col("n_dup_spans"), col("n_covered"), col("keep_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** q103: q101's sharded span gate in the PAST-BROADCAST regime
+    * (`broadcastIndex = false`) — the plan that actually runs at 100 TB,
+    * where the shard index has outgrown the broadcast ceiling and the
+    * gate's shard join executes as a shuffle equi-join on the shard id.
+    * Declared as its own query (reusing q95's oracle verbatim, like
+    * q99/q101) so the deployment regime is held to the driver's DuckDB
+    * hash gate, not just spec-pinned at toy scale; PlanGuardSpec asserts
+    * the plan joins the index WITHOUT a broadcast. */
+  def spanDedupShardedGateShuffled(spark: SparkSession, dir: String): DataFrame =
+    spanDedupShardedGate(spark, dir, broadcastIndex = false)
+
+  /** q105: q100's sharded bloom admit list in the PAST-BROADCAST regime —
+    * BOTH broadcast hints off (`broadcastShards = false`: the shard
+    * sketch join shuffles on the shard id; `broadcastDupVerify = false`:
+    * the dup-heavy-batch fallback lets the optimizer plan the verify
+    * anti-join). Same oracle as q94/q100 by construction — any bloom
+    * regime only decides how little reaches the exact verify. */
+  def bloomIncrementShardedShuffled(spark: SparkSession, dir: String): DataFrame =
+    bloomIncrementSharded(spark, dir,
+      broadcastShards = false, broadcastDupVerify = false)
 
   /** The bloom candidate set (spec hook): every true corpus dup must hit,
     * and the overshoot beyond true dups is the measured false-positive

@@ -23,9 +23,10 @@ import org.apache.spark.storage.StorageLevel
   *  - `parquet` — write to a unique dir under `graft.materialize.dir`
   *    (default: the JVM temp dir) and re-read: a stage that survives
   *    executor loss outright, the [[Curation.persistPairTable]] shape
-  *    applied generically. Stage dirs are deleted at JVM exit — nothing
-  *    can reference one after the driver goes away, so keeping them is a
-  *    disk leak; a stage meant to OUTLIVE the job is
+  *    applied generically. Stage dirs are deleted when their session's
+  *    SparkContext ends (ApplicationEnd), with a JVM-exit hook as
+  *    backstop — nothing can reference one after the driver goes away,
+  *    so keeping them is a disk leak; a stage meant to OUTLIVE the job is
   *    [[Curation.persistPairTable]]/[[Curation.persistSpanTable]] with a
   *    caller-owned sink.
   *
@@ -45,15 +46,36 @@ object Materialize {
   // (r9 advice). A DELIBERATE stage that must outlive the JVM belongs in
   // persistPairTable/persistSpanTable with a caller-owned sink, not here.
   private val stageDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  // ... and ALSO keyed by the owning SparkContext, deleted when that
+  // context ends: exit-only cleanup let a multi-session JVM (Bench's
+  // isolated pass restarts the session) accumulate every session's stage
+  // dirs until exit — the ApplicationEnd listener bounds the disk
+  // high-water mark at one session's worth (r10 advice). The exit hook
+  // stays as the backstop for a session never stopped.
+  private val sessionDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.List[java.io.File]]()
+  private val listenerArmed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+  /** Delete (and stop tracking) every stage dir `appId`'s session wrote —
+    * exactly what the ApplicationEnd listener runs at `spark.stop()`;
+    * package-private so MaterializeSpec can drive it against the shared
+    * test session without stopping it. */
+  private[graft] def releaseStages(appId: String): Unit =
+    Option(sessionDirs.remove(appId)).foreach(_.forEach { d =>
+      rm(d); stageDirs.remove(d); ()
+    })
+  /** Stage dirs still pending for `appId` (spec observability). */
+  private[graft] def pendingStages(appId: String): Seq[java.io.File] =
+    Option(sessionDirs.get(appId))
+      .map(l => scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq)
+      .getOrElse(Nil)
   private lazy val cleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      stageDirs.forEach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(d)
-      }
+      stageDirs.forEach(rm)
     }, "graft-materialize-cleanup"))
   }
 
@@ -71,7 +93,19 @@ object Materialize {
           sys.props("java.io.tmpdir"))
         val dir = s"$base/graft_stage_${java.util.UUID.randomUUID}"
         cleanupHook
-        stageDirs.add(new java.io.File(dir))
+        val f = new java.io.File(dir)
+        stageDirs.add(f)
+        val sc = spark.sparkContext
+        val appId = sc.applicationId
+        sessionDirs.computeIfAbsent(appId,
+          _ => java.util.Collections.synchronizedList(
+            new java.util.ArrayList[java.io.File]())).add(f)
+        if (listenerArmed.add(appId))
+          sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              releaseStages(appId)
+          })
         df.write.parquet(dir)
         spark.read.parquet(dir)
       case other => throw new IllegalArgumentException(

@@ -593,7 +593,10 @@ object NetCdf4 {
       case _ => b.u64(p)
     })
     p += lenSz
-    val nameAt = checkedAt(p.toLong, nameLen, b.bytes.length, "link name")
+    // name + the 8-byte hard-link address in ONE bound, so a file
+    // truncated inside the link message rejects with this named reason
+    // rather than an IndexOutOfBoundsException from the address read
+    val nameAt = checkedAt(p.toLong, nameLen + 8, b.bytes.length, "link name")
     require(nameLen <= 4096, s"link name length $nameLen unreasonable")
     val name = new String(b.bytes, nameAt, nameLen.toInt, US_ASCII)
     (name, b.u64(nameAt + nameLen.toInt))
@@ -1243,6 +1246,11 @@ object NetCdf4 {
     o.put("OHDR".getBytes(US_ASCII)).put(2.toByte).put(0x02.toByte)
     o.putInt(size)
     msgs.foreach { case (t, body) =>
+      // the v2 size field is 2 bytes; .toShort on a larger body would
+      // silently wrap and emit a header whose message stream disagrees
+      // with the declared chunk-0 size
+      require(body.length <= 0xFFFF,
+        s"OHDR v2 message type $t body ${body.length} exceeds 2-byte size field")
       o.put(t.toByte).putShort(body.length.toShort).put(0.toByte).put(body)
     }
     o.putInt(lookup3(o.array(), 0, 10 + size))

@@ -208,30 +208,44 @@ class CurationSpec extends SparkSpec {
       "exact arrays must partition the index")
   }
 
+  test("zero-token documents pass the sharded span gate with keep_ratio 1") {
+    // the documented short-doc contract: no spans → nothing covered →
+    // keep. n = 0 once made the ratio 0/0 → NULL under Spark's non-ANSI
+    // division (r10 advice); the verdict now guards it explicitly.
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "one two"),
+      (3L, "a b c d e f g h a b c d e f g h a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val st = Curation.spanTable(spark, sfDir)
+    val idx = Curation.spanIndexSharded(Curation.dupSpanIndexFrom(st), 4)
+    val out = Curation.spanGateSharded(docs, idx, 4)
+      .select("doc_id", "n", "keep_ratio").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (0L, 1.0), s"zero-token doc verdict: ${out(1L)}")
+    assert(out(2L) == (2L, 1.0), s"short doc verdict: ${out(2L)}")
+    assert(out(3L)._1 == 24L)
+  }
+
   test("past-broadcast regime: shuffle-join gates match the broadcast path") {
     // broadcastShards/broadcastIndex = false is the past-broadcast
-    // deployment regime as code — same equi-join, no hint. Outputs must
-    // be identical and the plan must actually drop the broadcast.
+    // deployment regime as code — the same equi-join HINTED shuffle_hash
+    // with the shard table as build side (merely dropping our broadcast
+    // hint lets toy-scale stats re-broadcast whichever side looks small,
+    // which is exactly not the regime the knob declares). Outputs must
+    // be identical and the plan must actually shuffle on the shard id.
     import spark.implicits._
     val fps = (1 to 40).map(i => s"corpus_$i").toDF("fp")
     val probe = (30 to 70).map(i => s"corpus_$i").toDF("fp")
     val shards = Curation.bloomWordsSharded(fps, 4)
     val hintHits = Curation.bloomHitSharded(probe, shards, 4)
       .as[String].collect().sorted.toSeq
-    // without the hint Catalyst still auto-broadcasts small sides (the
-    // desired behavior); the REGIME claim is that nothing FORCES it, so
-    // with auto-broadcast off the identical join really does shuffle
-    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val shuffled = Curation.bloomHitSharded(probe, shards, 4, broadcastShards = false)
-      assert(shuffled.as[String].collect().sorted.toSeq == hintHits)
-      // the PROBE join (single shard key, inner) must shuffle; the
-      // sketch build's internal broadcasts are its own business
-      val p = shuffled.queryExecution.executedPlan.toString
-      assert("SortMergeJoin \\[shard#\\d+L\\], \\[shard#\\d+L\\], Inner"
-        .r.findFirstIn(p).nonEmpty, p.take(400))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    val shuffled = Curation.bloomHitSharded(probe, shards, 4, broadcastShards = false)
+    assert(shuffled.as[String].collect().sorted.toSeq == hintHits)
+    // the PROBE join (single shard key, inner) must shuffle; the
+    // sketch build's internal broadcasts are its own business
+    val p = shuffled.queryExecution.executedPlan.toString
+    assert("(ShuffledHashJoin|SortMergeJoin) \\[shard#\\d+L\\], \\[shard#\\d+L\\], Inner"
+      .r.findFirstIn(p).nonEmpty, p.take(400))
     // the sharded span gate under the same regime
     val st = Curation.spanTable(spark, sfDir)
     val idx = Curation.spanIndexSharded(Curation.dupSpanIndexFrom(st), 4)

@@ -72,6 +72,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(plans("q55_range_join").contains("BroadcastHashJoin"))
   }
 
+  test("declared shuffled regimes plan shuffle joins, not broadcasts (q103, q105)") {
+    // the plans that actually run at 100 TB, where NOTHING fits in a
+    // broadcast: q103's shard-index join must be a shuffle join on the
+    // shard id, and q105's verify joins (semi against the corpus index,
+    // anti against the dup list) must both be sort-merge — a
+    // BroadcastHashJoin anywhere in these plans means the regime knob
+    // regressed to the toy-scale shape
+    val p103 = plans("q103_span_gate_shuffled")
+    assert("(ShuffledHashJoin|SortMergeJoin) \\[shard#\\d+L\\], \\[shard#\\d+L\\]"
+      .r.findFirstIn(p103).nonEmpty, s"q103 shard join not shuffled:\n$p103")
+    assert(!p103.contains("BroadcastHashJoin"),
+      s"q103 re-grew a broadcast join:\n$p103")
+    val p105 = plans("q105_bloom_shuffled")
+    assert("SortMergeJoin \\[fp#\\d+\\], \\[fp#\\d+\\], LeftSemi"
+      .r.findFirstIn(p105).nonEmpty, s"q105 verify semi-join not shuffled:\n$p105")
+    assert("SortMergeJoin \\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\], LeftAnti"
+      .r.findFirstIn(p105).nonEmpty, s"q105 dup anti-join not shuffled:\n$p105")
+    assert(!p105.contains("BroadcastHashJoin"),
+      s"q105 re-grew a broadcast join:\n$p105")
+  }
+
   test("per-row kernel queries shuffle only for the deterministic output sort") {
     // q36 (minhash) and q93 (weighted sample) are single narrow scans —
     // the one Exchange each is the rangepartitioning the oracle's
@@ -133,7 +154,18 @@ class PlanGuardSpec extends SparkSpec {
       // IVF ANN: cell-assign window shuffles the (vec_id, cell, cos)
       // sliver, probe-side cell-rank window, final top-k window + output
       // sort; centroid and probe-cell joins broadcast
-      "q102_ivf_ann" -> 4)
+      "q102_ivf_ann" -> 4,
+      // shuffled span gate: q101's regroup + sort, plus the shard join's
+      // two side exchanges (the broadcast the regime deliberately drops)
+      "q103_span_gate_shuffled" -> 4,
+      // trained IVF: q102's exact shape — the one-Lloyd-step centroid
+      // build runs once behind the stage barrier, so its E-step/M-step
+      // exchanges stay out of the query plan
+      "q104_ivf_trained" -> 4,
+      // shuffled bloom admit: q100's window + sort, plus both sides of
+      // the verify semi-join and of the dup anti-join (the two
+      // broadcasts the dup-heavy-batch regime deliberately drops)
+      "q105_bloom_shuffled" -> 6)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
