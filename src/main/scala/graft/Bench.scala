@@ -75,8 +75,8 @@ object Bench {
       catch { case _: Exception => "" }
     val loadStart = loadavg()
 
-    // warmup: touch every table (schema-declared readers — the raw events
-    // file has a nanos timestamp Spark won't infer), exercise codegen once
+    // warmup: touch every table (schema-declared, timestamp-unit-aware
+    // readers — see Tables.tsReadPlan), exercise codegen once
     import graft.sources.Tables
     def warmTables(): Unit =
       Seq(Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,

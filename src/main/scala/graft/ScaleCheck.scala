@@ -72,6 +72,16 @@ object ScaleCheck {
       ("span_gate_sharded", () =>
         Curation.spanGateShardedFrom(spans, spanIdxSharded, 4)
           .write.format("noop").mode("overwrite").save()),
+      // the r11 PAST-BROADCAST regimes (q103/q105): same gates with the
+      // broadcast hints off — the claim under measurement is that the
+      // shuffle plans scale in the same linear band as the broadcast
+      // ones (they shuffle on shard id, whose cardinality is fixed)
+      ("span_gate_shuffled", () =>
+        Curation.spanGateShardedFrom(spans, spanIdxSharded, 4, broadcastIndex = false)
+          .write.format("noop").mode("overwrite").save()),
+      ("bloom_shuffled", () =>
+        Curation.bloomIncrementShardedShuffled(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       // deployment-mode quantification: the three span-family outputs
       // computed in isolation (each re-exploding the corpus — the
       // driver-bench shape) vs from the ALREADY-staged table. The delta

@@ -8,10 +8,10 @@ import graft.sources.Tables
 /** Event-time operators over the `events` table — the batch expression of
   * the streaming checklist row (SURVEY.md §2 Table B "Streaming").
   *
-  * Window starts are emitted as epoch-second BIGINTs, not timestamps: the
-  * source parquet stores nanosecond timestamps, which Spark truncates to
-  * micros — integer bucket arithmetic is identical in both engines while
-  * raw timestamp output would hash-mismatch.
+  * Window starts are emitted as epoch-second BIGINTs, not timestamps:
+  * integer bucket arithmetic is identical between Spark and the oracle
+  * regardless of the file's physical timestamp unit (which Tables sniffs
+  * from the footer), while raw timestamp output would be unit-fragile.
   *
   * Scale: every query here is a single hash-shuffle on (bucket[, key]) with
   * map-side partial aggregation; sessionization shuffles once on user_id.

@@ -60,21 +60,50 @@ object Temporal {
     * band, via the bucket-join pattern (equality join on adjacent 60 s
     * buckets, then the exact band filter). Fanout per row is bounded by
     * bucket population — no quadratic blowup on the time axis. */
-  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("ts").cast("double").as("t"))
-      .withColumn("bucket", floor(col("t") / 60).cast("long"))
-    val left = ev.select(col("event_id").as("e1"), col("event_type").as("type1"),
-      col("t").as("t1"), col("bucket"))
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinOn(Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts").cast("double").as("t")))
+
+  /** Bucket-join core, guarded against time-axis skew. A bucket whose
+    * population exceeds `saltCap` is split into ceil(n/saltCap) sub-salts:
+    * the build side lands in exactly one (bucket, salt) cell by hash, the
+    * probe side replicates across that bucket's salts — every in-band pair
+    * still meets exactly once, but no single join cell holds more than
+    * ~saltCap build rows. Salting cannot shrink the genuine pair count
+    * (that is output, not skew); what it bounds is per-task build size and
+    * it spreads the pair work across the cluster instead of one straggler
+    * task. The r11 testdata regression was a live demo of the unguarded
+    * failure: a 1000×-collapsed time axis put ~2300 events per bucket and
+    * the suite spent 34–57 s in a handful of near-cartesian tasks — any
+    * bursty real corpus (outage replays, batch backfills) does the same at
+    * 100 TB. The overfull-bucket table is tiny by construction (only
+    * buckets > saltCap) and is broadcast to both sides; uniform data pays
+    * one extra column-pruned scan for the histogram and an empty broadcast.
+    */
+  private[graft] def rangeJoinOn(ev: DataFrame, saltCap: Int = 256): DataFrame = {
+    val bucketed = ev.withColumn("bucket", floor(col("t") / 60).cast("long"))
+    val overfull = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > saltCap)
+      .withColumn("nsalt", ceil(col("bn") / saltCap).cast("int"))
+      .select(col("bucket"), col("nsalt"))
+    val left = bucketed
+      .select(col("event_id").as("e1"), col("event_type").as("type1"),
+        col("t").as("t1"), col("bucket"))
+      .join(broadcast(overfull), Seq("bucket"), "left_outer")
+      .withColumn("salt", coalesce(pmod(hash(col("e1")), col("nsalt")), lit(0)).cast("int"))
+      .drop("nsalt")
     // probe side explodes to its own bucket ± 1 so every in-band pair
-    // shares a bucket with the build side
-    val right = ev
+    // shares a bucket with the build side, then to that bucket's salts
+    val right = bucketed
       .withColumn("bucket", explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+      .join(broadcast(overfull), Seq("bucket"), "left_outer")
+      .withColumn("salt", explode(sequence(lit(0), coalesce(col("nsalt"), lit(1)) - 1)))
       .select(col("event_id").as("e2"), col("event_type").as("type2"),
-        col("t").as("t2"), col("bucket"))
-    // each qualifying pair matches on exactly one bucket (the left row's
-    // own bucket), so no post-join distinct is needed
-    left.join(right, Seq("bucket"))
+        col("t").as("t2"), col("bucket"), col("salt").cast("int").as("salt"))
+    // each qualifying pair matches on exactly one (bucket, salt): the left
+    // row's own bucket and its hash-assigned salt — no post-join distinct
+    left.join(right, Seq("bucket", "salt"))
       .filter(col("e1") < col("e2") && col("type1") =!= col("type2") &&
         abs(col("t2") - col("t1")) <= 60.0)
       // (type1, type2) is ORIENTED by the e1 < e2 dedup filter, so one

@@ -1,6 +1,12 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Schema-declared readers for the driver test tables.
@@ -10,11 +16,99 @@ import org.apache.spark.sql.types._
   * millions of files; a declared StructType makes the scan plan-able
   * immediately and guarantees stable types across scale factors.
   *
+  * Timestamp columns are unit-aware: the physical encoding (µs/ms/ns) is
+  * read from ONE parquet footer at plan time, never assumed. A regeneration
+  * of the data in either direction (ns→µs or back) is a no-op for every
+  * consumer — the r11 incident where a hard-coded ns→µs division silently
+  * shrank every event time 1000× cannot recur. µs/ms files are read
+  * natively as TimestampType (so time predicates still push down to the
+  * scan and prune row groups — the property that matters at 100 TB); only
+  * ns files, which Spark's reader cannot map to TimestampType, fall back to
+  * a raw-long read plus an explicit µs conversion.
+  *
   * All readers return plain scans; Catalyst pushes filters/projection into
   * the Parquet reader (verified in RelationalSpec via
   * `PushedFilters`/`ReadSchema` assertions).
   */
 object Tables {
+
+  /** Physical encoding of an INT64 time column, sniffed from the footer. */
+  private[graft] sealed trait TsPhysical
+  /** TIMESTAMP(MICROS|MILLIS) — Spark reads natively as TimestampType. */
+  private[graft] case object TsNative extends TsPhysical
+  /** TIMESTAMP(NANOS) — read as raw long, divide to µs. */
+  private[graft] case object TsNanos extends TsPhysical
+  /** Unannotated INT64 — treated as epoch-µs by convention. */
+  private[graft] case object TsRawMicros extends TsPhysical
+
+  /** Sniff the physical timestamp encoding of `columns` from one parquet
+    * footer under `path` (file or directory). O(1) driver-side work — one
+    * footer, not a listing of millions of files. A missing path (e.g. an
+    * empty streaming source directory) defaults every column to
+    * [[TsNative]], the encoding Spark itself writes. */
+  private[graft] def sniffTs(spark: SparkSession, path: String,
+                             columns: Seq[String]): Map[String, TsPhysical] = {
+    val native: Map[String, TsPhysical] = columns.map(_ -> (TsNative: TsPhysical)).toMap
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) return native
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).sortBy(_.getName)
+          .find(q => q.getName.endsWith(".parquet") &&
+            !q.getName.startsWith("_") && !q.getName.startsWith("."))
+      else Some(p)
+    file.fold(native) { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
+      try {
+        val fileSchema = reader.getFooter.getFileMetaData.getSchema
+        columns.map { c =>
+          val phys: TsPhysical =
+            if (!fileSchema.containsField(c)) TsNative
+            else {
+              val t = fileSchema.getType(fileSchema.getFieldIndex(c))
+              t.getLogicalTypeAnnotation match {
+                case ann: TimestampLogicalTypeAnnotation =>
+                  if (ann.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) TsNanos else TsNative
+                case _ =>
+                  // legacy INT96 timestamps carry no annotation but Spark
+                  // reads them natively; only unannotated INT64 falls back
+                  // to the epoch-µs convention
+                  if (t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96) TsNative
+                  else TsRawMicros
+              }
+            }
+          c -> phys
+        }.toMap
+      } finally reader.close()
+    }
+  }
+
+  /** The ONE place that turns a physical timestamp encoding into the
+    * canonical TimestampType(µs) column — batch and streaming both go
+    * through here (VERDICT r11 item 5: the conversion must not fork).
+    * Returns the schema to hand the scan (ns demotes the column to raw
+    * long) and the finishing projection back to the canonical schema. */
+  private[graft] def tsReadPlan(spark: SparkSession, path: String,
+                                canonical: StructType, tsCols: Seq[String])
+      : (StructType, DataFrame => DataFrame) = {
+    val phys = sniffTs(spark, path, tsCols)
+    val readSchema = StructType(canonical.map { f =>
+      if (tsCols.contains(f.name) && phys(f.name) != TsNative)
+        f.copy(dataType = LongType)
+      else f
+    })
+    val finish = (df: DataFrame) => tsCols.foldLeft(df) { (d, c) =>
+      phys(c) match {
+        case TsNative => d
+        case TsNanos => d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case TsRawMicros => d.withColumn(c, timestamp_micros(col(c)))
+      }
+    }
+    (readSchema, finish)
+  }
 
   val lineitemSchema: StructType = StructType(Seq(
     StructField("l_orderkey", LongType),
@@ -67,13 +161,12 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  /** `ts` is physically INT64 TIMESTAMP(NANOS) — Spark's TimestampType
-    * reader rejects nanos, so it is read as a raw long and converted to a
-    * microsecond TimestampType in [[events]] (truncation, matching what
-    * DuckDB/pandas do when reading the same file). */
+  /** Canonical events schema: `ts` is a µs TimestampType. The file's
+    * physical unit is read from the footer at plan time ([[tsReadPlan]]) —
+    * ns files are transparently converted; µs/ms files read natively. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -91,21 +184,27 @@ object Tables {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  private def read(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+  private def read(spark: SparkSession, dir: String, name: String,
+                   schema: StructType, tsCols: Seq[String] = Nil): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (tsCols.isEmpty) spark.read.schema(schema).parquet(path)
+    else {
+      val (readSchema, finish) = tsReadPlan(spark, path, schema, tsCols)
+      finish(spark.read.schema(readSchema).parquet(path))
+    }
+  }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem", lineitemSchema)
-  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders", ordersSchema)
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "lineitem", lineitemSchema, tsCols = Seq("l_shipdate"))
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "orders", ordersSchema, tsCols = Seq("o_orderdate"))
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer", customerSchema)
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier", supplierSchema)
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part", partSchema)
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation", nationSchema)
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region", regionSchema)
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    read(spark, dir, "events", eventsSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "events", eventsSchema, tsCols = Seq("ts"))
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 }

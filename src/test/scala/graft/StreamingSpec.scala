@@ -608,10 +608,11 @@ class StreamingSpec extends SparkSpec {
     val src = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
     val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
-    // raw events layout (ts as int64 nanos — eventsStream owns conversion)
+    // canonical events layout (ts as TimestampType → TIMESTAMP(MICROS),
+    // which eventsStream's footer sniff reads natively)
     def stage(rows: (Long, Long, String, Double)*): Unit =
       rows.map { case (id, min, typ, v) =>
-        (id, min * 60L * 1000000000L, 1L, typ, v, "{}")
+        (id, new Timestamp(min * 60000L), 1L, typ, v, "{}")
       }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(src)
     def run(): Unit = StreamOps.writeWindowed(
@@ -652,7 +653,7 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
     def stage(rows: (Long, Long, Long, Double)*): Unit =
-      rows.map { case (id, min, u, v) => (id, min * 60L * 1000000000L, u, "e", v, "{}") }
+      rows.map { case (id, min, u, v) => (id, new Timestamp(min * 60000L), u, "e", v, "{}") }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(src)
     def run(): Unit = {
@@ -686,17 +687,17 @@ class StreamingSpec extends SparkSpec {
     // copy a small slice of events parquet into a staging dir, stream it
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    // stage the RAW layout (ts as int64 nanos) — eventsStream owns
-    // conversion — plus one far-future row so the watermark passes and
-    // FINALIZES every real window (without it the append-mode sink would
-    // legally stay empty and the parity check below would be vacuous)
+    // stage the canonical layout (ts as TimestampType → Spark writes
+    // TIMESTAMP(MICROS), which eventsStream's footer sniff reads natively)
+    // plus one far-future row so the watermark passes and FINALIZES every
+    // real window (without it the append-mode sink would legally stay
+    // empty and the parity check below would be vacuous)
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr, lit, window}
-    val slice = spark.read.schema(graft.sources.Tables.eventsSchema)
-      .parquet(s"$sfDir/events.parquet").limit(200).cache()
+    val slice = graft.sources.Tables.events(spark, sfDir).limit(200).cache()
     slice.write.mode("overwrite").parquet(tmp)
-    val maxNs = slice.agg(org.apache.spark.sql.functions.max(col("ts"))).head().getLong(0)
-    Seq((999999L, maxNs + 10L * 3600 * 1000000000L, 1L, "wm_advance", 0.0, "{}"))
+    val maxTs = slice.agg(org.apache.spark.sql.functions.max(col("ts"))).head().getTimestamp(0)
+    Seq((999999L, new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000), 1L, "wm_advance", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("append").parquet(tmp)
     val streamed = StreamOps.windowedCounts(
@@ -711,7 +712,6 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
         (r.getLong(2), math.rint(r.getDouble(3) * 1e6) / 1e6)).toMap
     val batch = slice
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
         org.apache.spark.sql.functions.sum(col("value")).as("s"))

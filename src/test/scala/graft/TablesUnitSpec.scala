@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.MessageTypeParser
+
+import graft.sources.Tables
+
+/** Pinned unit contract for the events source (VERDICT r11 item 3).
+  *
+  * The r11 regression — the driver regenerated `events.parquet` from
+  * physical TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and the reader's
+  * hard-coded ÷1000 silently shrank every event time 1000× — proved the
+  * events family's correctness rested entirely on the driver's oracle.
+  * This spec writes one tiny file per physical encoding (µs, ms, ns,
+  * unannotated int64) and asserts `Tables.events` round-trips the SAME
+  * wall-clock instant from each: a future regeneration in ANY direction
+  * fails here first, not in CORRECTNESS_r{N}.
+  */
+class TablesUnitSpec extends SparkSpec {
+
+  // one known instant: 2024-01-15T12:34:56.789012Z, as epoch micros
+  private val epochMicros = 1705322096789012L
+
+  /** Write `dir/events.parquet` with `ts` annotated per `tsAnnotation`
+    * (None → plain INT64) holding `tsValue`, via parquet-mr directly —
+    * Spark cannot write NANOS, which is exactly the encoding we must pin. */
+  private def writeRaw(tsAnnotation: Option[String], tsValue: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_unit").toString
+    val ann = tsAnnotation.map(u => s" (TIMESTAMP($u,true))").getOrElse("")
+    val schema = MessageTypeParser.parseMessageType(
+      s"""message events {
+         |  required int64 event_id;
+         |  required int64 ts$ann;
+         |  required int64 user_id;
+         |  required binary event_type (STRING);
+         |  required double value;
+         |  required binary props (STRING);
+         |}""".stripMargin)
+    val factory = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter
+      .builder(new Path(s"$dir/events.parquet"))
+      .withType(schema)
+      .build()
+    try {
+      val g = factory.newGroup()
+      g.add("event_id", 1L)
+      g.add("ts", tsValue)
+      g.add("user_id", 7L)
+      g.add("event_type", "click")
+      g.add("value", 1.5)
+      g.add("props", "{}")
+      writer.write(g)
+    } finally writer.close()
+    dir
+  }
+
+  private def readBack(dir: String): Timestamp = {
+    val rows = Tables.events(spark, dir).collect()
+    assert(rows.length == 1)
+    rows(0).getAs[Timestamp]("ts")
+  }
+
+  private val expected = new Timestamp(epochMicros / 1000)
+
+  test("events reads TIMESTAMP(MICROS) natively to the same wall-clock instant") {
+    val got = readBack(writeRaw(Some("MICROS"), epochMicros))
+    assert(got.getTime == expected.getTime && got.getNanos == 789012000,
+      s"micros file: $got")
+  }
+
+  test("events reads TIMESTAMP(MILLIS) natively to the same wall-clock instant") {
+    val got = readBack(writeRaw(Some("MILLIS"), epochMicros / 1000))
+    assert(got.getTime == expected.getTime, s"millis file: $got")
+  }
+
+  test("events converts TIMESTAMP(NANOS) to the same wall-clock instant") {
+    val got = readBack(writeRaw(Some("NANOS"), epochMicros * 1000))
+    assert(got.getTime == expected.getTime && got.getNanos == 789012000,
+      s"nanos file: $got")
+  }
+
+  test("events treats unannotated INT64 as epoch-micros by convention") {
+    val got = readBack(writeRaw(None, epochMicros))
+    assert(got.getTime == expected.getTime && got.getNanos == 789012000,
+      s"raw int64 file: $got")
+  }
+
+  test("the driver testdata itself reads as 2024 wall-clock, whatever its physical unit") {
+    // the assertion that would have caught r11: real event times live in
+    // the data's declared 2024 span, not near the epoch
+    val r = Tables.events(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.min("ts"),
+        org.apache.spark.sql.functions.max("ts")).head()
+    val (lo, hi) = (r.getTimestamp(0), r.getTimestamp(1))
+    val y2020 = Timestamp.valueOf("2020-01-01 00:00:00")
+    val y2100 = Timestamp.valueOf("2100-01-01 00:00:00")
+    assert(lo.after(y2020) && hi.before(y2100),
+      s"events span [$lo, $hi] is outside any plausible wall-clock range — " +
+        "physical-unit handling is broken")
+  }
+}

@@ -35,4 +35,41 @@ class TemporalSpec extends SparkSpec {
       assert(r.getLong(2) > 0)
     }
   }
+
+  test("range join salting on a collapsed time axis is output-identical and bounded") {
+    // the r11 failure shape: thousands of events crammed into two 60 s
+    // buckets — the unguarded bucket join runs each bucket's cartesian in
+    // one task; the salt guard must split it WITHOUT changing the output
+    import spark.implicits._
+    val n = 4000
+    val ev = (0 until n).map { i =>
+      (i.toLong, if (i % 3 == 0) "click" else if (i % 3 == 1) "view" else "buy",
+        (i % 120).toDouble + i / 10000.0)
+    }.toDF("event_id", "event_type", "t")
+
+    val saltCap = 64
+    // nsalt engages: both buckets hold ~2000 rows >> saltCap
+    val salted = Temporal.rangeJoinOn(ev, saltCap)
+    // reference: the plain unsalted formulation (bucket ± 1, band filter)
+    val b = ev.withColumn("bucket", floor(col("t") / 60).cast("long"))
+    val l = b.select(col("event_id").as("e1"), col("event_type").as("type1"),
+      col("t").as("t1"), col("bucket"))
+    val r = b.withColumn("bucket",
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+      .select(col("event_id").as("e2"), col("event_type").as("type2"),
+        col("t").as("t2"), col("bucket"))
+    val unsalted = l.join(r, Seq("bucket"))
+      .filter(col("e1") < col("e2") && col("type1") =!= col("type2") &&
+        abs(col("t2") - col("t1")) <= 60.0)
+      .groupBy(col("type1"), col("type2")).agg(count(lit(1)).as("n_pairs"))
+
+    val t0 = System.nanoTime()
+    val got = salted.collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    val want = unsalted.collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(got == want, s"salted output diverged: $got vs $want")
+    // ~millions of genuine pairs; the budget guards against a pathological
+    // plan, not ambient load (generous bound)
+    assert(elapsedSec < 120.0, s"salted range join took ${elapsedSec}s")
+  }
 }
