@@ -24,6 +24,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Session-startup INFO lines (BlockManager ports, heap size) land in
+    // the same bounded stdout/stderr tail the JSON result line must
+    // survive, and they are machine-specific noise in a committed
+    // artifact (ADVICE r11) — setLogLevel only takes effect after the
+    // context exists, so raise the root level before building it. This is
+    // Bench `main` behavior only; the library never touches global
+    // logging state.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")

@@ -738,7 +738,53 @@ object Oracles {
          |SELECT probe_id, cell, CAST(rnk AS BIGINT) AS "rank", cand_id,
          | round(cosine, 6) AS cosine
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // PQ-ADC: per-(vector, subspace) argmin against the 16 seed
+    // codebooks (same window-argmin shape as the IVF cell assignment),
+    // then ADC = decimal-exact sum of the probe's precomputed subspace
+    // distances at the candidate's codes — order-independent, so the
+    // engines agree regardless of join/aggregation order.
+    "q106_pq_ann" ->
+      s"""WITH $embCte,
+         | cb AS (SELECT CAST(vec_id AS INT) AS code, embedding AS cvec
+         |   FROM e WHERE vec_id < 16),
+         | vs AS (SELECT vec_id, embedding, unnest(range(0, 8)) AS sub FROM e),
+         | ecd AS (SELECT v.vec_id, v.sub, c.code,
+         |    (${pqDistSql("v.embedding", "c.cvec", "v.sub")}) AS d
+         |   FROM vs v, cb c),
+         | ec AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |         ORDER BY d, code) AS rn FROM ecd),
+         | codes AS (SELECT vec_id, sub, code FROM ec WHERE rn = 1),
+         | ps AS (SELECT vec_id AS probe_id, embedding,
+         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0),
+         | lut AS (SELECT p.probe_id, p.sub, c.code,
+         |    (${pqDistSql("p.embedding", "c.cvec", "p.sub")}) AS d
+         |   FROM ps p, cb c),
+         | sc AS (SELECT l.probe_id, k.vec_id AS cand_id,
+         |    CAST(sum(CAST(floor(l.d * 1e9) AS DECIMAL(28,9))) AS DOUBLE) / 1e9 AS adc
+         |   FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+         |                          AND l.probe_id <> k.vec_id
+         |   GROUP BY 1, 2),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY adc, cand_id) AS rnk FROM sc)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(adc, 6) AS adc
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
   )
+
+  /** q106: subspace-dispatched squared L2 — one CASE branch per subspace,
+    * each an explicit left-assoc 8-term chain, mirroring
+    * [[graft.operators.Similarity]]'s `pqDist`/`subL2` term order
+    * exactly. */
+  private def pqDistSql(a: String, b: String, sub: String): String =
+    (0 until 8).map { s =>
+      val terms = (0 until 8).map { i =>
+        val idx = s * 8 + i + 1
+        s"(CAST($a[$idx] AS DOUBLE) - CAST($b[$idx] AS DOUBLE)) * " +
+          s"(CAST($a[$idx] AS DOUBLE) - CAST($b[$idx] AS DOUBLE))"
+      }.mkString(" + ")
+      s"WHEN $sub = $s THEN ($terms)"
+    }.mkString("CASE ", " ", " END")
 
   val multimodal: Map[String, String] = Map(
     "q43_multimodal_meta" ->

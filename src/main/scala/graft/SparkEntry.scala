@@ -126,6 +126,7 @@ object SparkEntry {
     "q103_span_gate_shuffled" -> (Curation.spanDedupShardedGateShuffled _),
     "q104_ivf_trained" -> (Similarity.ivfTrained _),
     "q105_bloom_shuffled" -> (Curation.bloomIncrementShardedShuffled _),
+    "q106_pq_ann" -> (Similarity.pqAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -347,6 +347,87 @@ object Similarity {
     ivfAnnWith(emb, gridProbes(emb), cent, nprobe = 4, k = 5)
   }
 
+  /** Squared L2 between subspace `s` (dims s·dsub+1 … (s+1)·dsub) of two
+    * float vectors, deterministic left-assoc double accumulation — the
+    * oracle emits the identical term chain. */
+  private def subL2(a: Column, b: Column, s: Int, dsub: Int): Column =
+    (0 until dsub).map { i =>
+      val d = element_at(a, s * dsub + i + 1).cast("double") -
+        element_at(b, s * dsub + i + 1).cast("double")
+      d * d
+    }.reduce(_ + _)
+
+  /** Subspace-dispatched [[subL2]]: one CASE branch per subspace, so a
+    * (vector, sub) row joined against the full codebook computes exactly
+    * its own subspace's distance — all branches codegen into the one
+    * whole-stage pass. */
+  private def pqDist(a: Column, b: Column, sub: Column, m: Int, dsub: Int): Column =
+    (1 until m).foldLeft(when(sub === 0, subL2(a, b, 0, dsub))) {
+      (acc, s) => acc.when(sub === s, subL2(a, b, s, dsub))
+    }
+
+  /** q106: product-quantization ANN (IVF-PQ's compression half) — m=8
+    * subspaces of 8 dims, 16 codes per subspace seeded from the first 16
+    * vec_ids (the q102 seeding convention), ADC scoring.
+    *
+    * This is the MEMORY-scale path 100 TB embedding search actually
+    * runs: the full-precision corpus is touched exactly once (encode);
+    * every query afterwards scans the code table — 8 small ints per
+    * vector vs 64 floats, a 32× IO/memory cut — and scores candidates
+    * with a per-probe lookup table of m×16 precomputed subspace
+    * distances instead of any vector arithmetic. IVF (q102/q104) prunes
+    * WHICH vectors a probe scores; PQ shrinks WHAT a scored vector
+    * costs; a production index composes both. */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqAnnFrom(emb, gridProbes(emb), m = 8, dsub = 8, nCodes = 16, k = 5)
+  }
+
+  /** [[pqAnn]] over explicit probes. Scale shape: the codebook (m·nCodes
+    * full seed vectors) broadcasts to the encode scan — corpus×m explode,
+    * per-(vector, subspace) argmin as a partial-aggregated struct-min (NO
+    * window sort over the corpus); the LUT (probes×m×nCodes distances) is
+    * broadcast-sized by the fixed-probe-budget contract; ADC is one
+    * equality join of the COMPRESSED codes against the LUT plus a
+    * decimal-exact regroup on (probe, vector) — the repo's
+    * order-independent summation rule, so the m subspace terms add
+    * identically in any engine and at any parallelism. */
+  def pqAnnFrom(emb: DataFrame, probes: DataFrame, m: Int, dsub: Int,
+      nCodes: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val cb = emb.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("cvec"))
+    // encode: argmin code per (vector, subspace) — min(struct) partial-aggs
+    // map-side, ties break to the smaller code via the struct's field order
+    val codes = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .crossJoin(broadcast(cb))
+      .withColumn("d", pqDist(col("embedding"), col("cvec"), col("sub"), m, dsub))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    val lut = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        explode(sequence(lit(0), lit(m - 1))).as("l_sub"))
+      .crossJoin(broadcast(cb))
+      .withColumn("d", pqDist(col("p_emb"), col("cvec"), col("l_sub"), m, dsub))
+      .select(col("probe_id"), col("l_sub"), col("code").as("l_code"), col("d"))
+    val scored = codes
+      .join(broadcast(lut),
+        col("sub") === col("l_sub") && col("code") === col("l_code") &&
+          (if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true)))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg((sum(floor(col("d") * 1e9).cast("decimal(28,9)")).cast("double") / 1e9)
+        .as("adc"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc").asc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("cand_id"), round(col("adc"), 6).as("adc"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Per-label embedding statistics — vector aggregation sanity surface.
     * Averages use the repo's decimal-exact-sum rule (floor to 1e-9,
     * DECIMAL sum, truncate to 6 dp): a plain `avg` over irrational

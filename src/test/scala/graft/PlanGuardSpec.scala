@@ -70,6 +70,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(plans("q41_ann_bucketed").contains("BroadcastHashJoin"))
     assert(plans("q58_rp_lsh_ann").contains("BroadcastHashJoin"))
     assert(plans("q55_range_join").contains("BroadcastHashJoin"))
+    // q106: the ADC join must probe the compressed code table with the
+    // broadcast LUT — a shuffle there would move the whole code table
+    // for a handful of probes
+    assert(plans("q106_pq_ann").contains("BroadcastHashJoin"))
+  }
+
+  test("q55 joins events on (bucket, salt) with the overfull table broadcast") {
+    // the r12 skew guard: the pair join must carry the salt key (so an
+    // overfull bucket's near-cartesian work spreads across tasks) and
+    // the overfull-bucket histogram must stay broadcast on BOTH sides —
+    // a shuffle there would cost more than the skew it guards against
+    val p = plans("q55_range_join")
+    assert(("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) " +
+      "\\[bucket#\\d+L, salt#\\d+\\], \\[bucket#\\d+L, salt#\\d+\\]")
+      .r.findFirstIn(p).nonEmpty, s"q55 pair join lost the salt key:\n$p")
   }
 
   test("declared shuffled regimes plan shuffle joins, not broadcasts (q103, q105)") {

@@ -109,6 +109,44 @@ class SimilaritySpec extends SparkSpec {
       assert(g.map(_.getLong(2)).sorted.sameElements(1L to g.length)) }
   }
 
+  test("pq ann: codes in range, ADC self-distance zero for seed vectors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // a seed vector (vec_id < 16) quantizes to ITSELF in every subspace
+    // (self-distance 0 wins every argmin), so with excludeSelf off its
+    // own ADC distance must be exactly 0 — the quantizer's fixed points
+    val seeds = emb.filter(col("vec_id") < 16)
+    val self = Similarity.pqAnnFrom(emb, seeds, m = 8, dsub = 8, nCodes = 16,
+        k = 1, excludeSelf = false)
+      .filter(col("rank") === 1).collect()
+    assert(self.length == seeds.count())
+    self.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), s"seed ${r.getLong(0)} not its own NN: $r")
+      assert(r.getDouble(3) == 0.0, s"seed self-ADC nonzero: $r")
+    }
+  }
+
+  test("pq ann: declared query ranks densely and beats random recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val rows = Similarity.pqAnn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to g.length))
+      // ADC is non-decreasing down the ranking
+      val byRank = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // sanity recall: PQ top-5 should recover a nontrivial share of the
+    // exact cosine top-5 (loose bound — quantization is lossy by design;
+    // L2-ADC vs cosine also differ by norm, so this is recall not rank)
+    val exact = Similarity.cosineTopKFrom(emb, probes, k = 5)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.count(r => exact((r.getLong(0), r.getLong(2))))
+    assert(hits * 5 >= exact.size,
+      s"PQ recall@5 under 20%: $hits of ${exact.size}")
+  }
+
   test("media decode stub: byte sums consistent with payload lengths") {
     val out = Multimodal.mediaDecode(spark, sfDir).collect()
     assert(out.length == Tables.documents(spark, sfDir).count())
