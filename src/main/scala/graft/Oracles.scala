@@ -227,6 +227,27 @@ object Oracles {
   )
 
   val temporal: Map[String, String] = Map(
+    // q107: q54's union-sort shape with the matched click's time carried
+    // forward so the tolerance is a post-window filter — floor() before
+    // the BIGINT cast on both sides (DuckDB CAST rounds, Spark truncates).
+    "q107_asof_tolerance" ->
+      """WITH u AS (
+        | SELECT user_id AS k, epoch(ts) AS t, 0 AS side, event_id AS eid
+        | FROM events WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT user_id, epoch(ts), 1, event_id
+        | FROM events WHERE event_type = 'purchase'),
+        | w AS (SELECT *,
+        |   last_value(CASE WHEN side = 0 THEN eid END IGNORE NULLS) OVER
+        |     (PARTITION BY k ORDER BY t, side, eid ROWS UNBOUNDED PRECEDING) AS asof_click,
+        |   last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+        |     (PARTITION BY k ORDER BY t, side, eid ROWS UNBOUNDED PRECEDING) AS asof_t
+        |  FROM u)
+        |SELECT eid AS event_id, k AS user_id, asof_click,
+        | CAST(floor(t - asof_t) AS BIGINT) AS gap_s
+        |FROM w WHERE side = 1 AND asof_click IS NOT NULL AND t - asof_t <= 3600
+        |ORDER BY event_id""".stripMargin,
+
     "q20_tumbling_window" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
         | event_type,
@@ -768,6 +789,57 @@ object Oracles {
          | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |         ORDER BY adc, cand_id) AS rnk FROM sc)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(adc, 6) AS adc
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+  )
+
+  val similarity3: Map[String, String] = Map(
+    // IVF-PQ: q102's cell routing (ac/asg/pr/pcells) composed with
+    // q106's PQ machinery (cb/codes/lut) — candidates are the probed
+    // cells' members, scored by the decimal-exact ADC sum.
+    "q108_ivfpq_ann" ->
+      s"""WITH $embCte,
+         | cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 16),
+         | ac AS (SELECT v.vec_id, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, cent c),
+         | asg AS (SELECT vec_id, cell FROM ac WHERE rn = 1),
+         | pr AS (SELECT p.vec_id AS probe_id, c.cell,
+         |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
+         |     c.cell) AS prn
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         | pcells AS (SELECT probe_id, cell FROM pr WHERE prn <= 4),
+         | cb AS (SELECT CAST(vec_id AS INT) AS code, embedding AS cvec
+         |   FROM e WHERE vec_id < 16),
+         | vs AS (SELECT vec_id, embedding, unnest(range(0, 8)) AS sub FROM e),
+         | ecd AS (SELECT v.vec_id, v.sub, c.code,
+         |    (${pqDistSql("v.embedding", "c.cvec", "v.sub")}) AS d
+         |   FROM vs v, cb c),
+         | ec AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |         ORDER BY d, code) AS rn FROM ecd),
+         | codes AS (SELECT vec_id, sub, code FROM ec WHERE rn = 1),
+         | ps AS (SELECT vec_id AS probe_id, embedding,
+         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0),
+         | lut AS (SELECT p.probe_id, p.sub, c.code,
+         |    (${pqDistSql("p.embedding", "c.cvec", "p.sub")}) AS d
+         |   FROM ps p, cb c),
+         | cand AS (SELECT pc.probe_id, a.vec_id, pc.cell
+         |   FROM pcells pc JOIN asg a ON pc.cell = a.cell
+         |                           AND pc.probe_id <> a.vec_id),
+         | sc AS (SELECT cd.probe_id, cd.vec_id AS cand_id, cd.cell,
+         |    CAST(sum(CAST(floor(l.d * 1e9) AS DECIMAL(28,9))) AS DOUBLE) / 1e9 AS adc
+         |   FROM cand cd
+         |   JOIN codes k ON k.vec_id = cd.vec_id
+         |   JOIN lut l ON l.probe_id = cd.probe_id AND l.sub = k.sub
+         |             AND l.code = k.code
+         |   GROUP BY 1, 2, 3),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY adc, cand_id) AS rnk FROM sc)
+         |SELECT probe_id, cell, CAST(rnk AS BIGINT) AS "rank", cand_id,
          | round(adc, 6) AS adc
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
   )

@@ -57,6 +57,16 @@ object ScaleCheck {
       ("recall_budget21", () =>
         Similarity.annRecallFrom(emb, probes)
           .write.format("noop").mode("overwrite").save()),
+      // r12 PQ family at the same fixed probe budget: encode is the
+      // corpus-linear term (corpus×m×nCodes argmin), ADC/IVF-PQ add only
+      // code-table joins — the claim is both stay in the linear band
+      ("pq_adc_budget21", () =>
+        Similarity.pqAnnFrom(emb, probes, m = 8, dsub = 8, nCodes = 16, k = 5)
+          .write.format("noop").mode("overwrite").save()),
+      ("ivfpq_budget21", () =>
+        Similarity.ivfPqAnnFrom(emb, probes, nlist = 16, nprobe = 4,
+          m = 8, dsub = 8, nCodes = 16, k = 5)
+          .write.format("noop").mode("overwrite").save()),
       (s"semdedup_k$k", () =>
         Curation.semDedupK(spark, sfDir, k)
           .write.format("noop").mode("overwrite").save()),

@@ -127,6 +127,8 @@ object SparkEntry {
     "q104_ivf_trained" -> (Similarity.ivfTrained _),
     "q105_bloom_shuffled" -> (Curation.bloomIncrementShardedShuffled _),
     "q106_pq_ann" -> (Similarity.pqAnn _),
+    "q107_asof_tolerance" -> (Temporal.asofJoinTolerance _),
+    "q108_ivfpq_ann" -> (Similarity.ivfPqAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,5 +137,6 @@ object SparkEntry {
     Oracles.relational ++ Oracles.temporal ++ Oracles.geo ++
       Oracles.text ++ Oracles.dedup ++ Oracles.similarity ++
       Oracles.multimodal ++ Oracles.advanced ++ Oracles.similarity2 ++
-      Oracles.dedup2 ++ Oracles.analytic ++ Oracles.curation
+      Oracles.similarity3 ++ Oracles.dedup2 ++ Oracles.analytic ++
+      Oracles.curation
 }

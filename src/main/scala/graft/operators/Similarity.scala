@@ -383,22 +383,18 @@ object Similarity {
     pqAnnFrom(emb, gridProbes(emb), m = 8, dsub = 8, nCodes = 16, k = 5)
   }
 
-  /** [[pqAnn]] over explicit probes. Scale shape: the codebook (m·nCodes
-    * full seed vectors) broadcasts to the encode scan — corpus×m explode,
-    * per-(vector, subspace) argmin as a partial-aggregated struct-min (NO
-    * window sort over the corpus); the LUT (probes×m×nCodes distances) is
-    * broadcast-sized by the fixed-probe-budget contract; ADC is one
-    * equality join of the COMPRESSED codes against the LUT plus a
-    * decimal-exact regroup on (probe, vector) — the repo's
-    * order-independent summation rule, so the m subspace terms add
-    * identically in any engine and at any parallelism. */
-  def pqAnnFrom(emb: DataFrame, probes: DataFrame, m: Int, dsub: Int,
-      nCodes: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val cb = emb.filter(col("vec_id") < nCodes)
+  /** PQ codebook: the first `nCodes` vec_ids as full seed vectors (each
+    * subspace reads its own dims — the q102 seeding convention). */
+  private[graft] def pqCodebook(emb: DataFrame, nCodes: Int): DataFrame =
+    emb.filter(col("vec_id") < nCodes)
       .select(col("vec_id").cast("int").as("code"), col("embedding").as("cvec"))
-    // encode: argmin code per (vector, subspace) — min(struct) partial-aggs
-    // map-side, ties break to the smaller code via the struct's field order
-    val codes = emb
+
+  /** PQ encode: argmin code per (vector, subspace) — min(struct)
+    * partial-aggs map-side (NO window sort over the corpus), ties break
+    * to the smaller code via the struct's field order. The output is the
+    * compressed corpus representation: m small ints per vector. */
+  private[graft] def pqCodes(emb: DataFrame, cb: DataFrame, m: Int, dsub: Int): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .crossJoin(broadcast(cb))
@@ -406,14 +402,30 @@ object Similarity {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d"), col("code"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.code").as("code"))
-    val lut = probes
+
+  /** Per-probe ADC lookup table: the probe's squared L2 to every
+    * (subspace, code) codebook entry — probes×m×nCodes rows,
+    * broadcast-sized by the fixed-probe-budget contract. */
+  private[graft] def pqLut(probes: DataFrame, cb: DataFrame, m: Int, dsub: Int): DataFrame =
+    probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         explode(sequence(lit(0), lit(m - 1))).as("l_sub"))
       .crossJoin(broadcast(cb))
       .withColumn("d", pqDist(col("p_emb"), col("cvec"), col("l_sub"), m, dsub))
       .select(col("probe_id"), col("l_sub"), col("code").as("l_code"), col("d"))
-    val scored = codes
-      .join(broadcast(lut),
+
+  /** [[pqAnn]] over explicit probes. Scale shape: the codebook (m·nCodes
+    * full seed vectors) broadcasts to the encode scan — corpus×m explode,
+    * per-(vector, subspace) argmin as a partial-aggregated struct-min;
+    * ADC is one equality join of the COMPRESSED codes against the
+    * broadcast LUT plus a decimal-exact regroup on (probe, vector) — the
+    * repo's order-independent summation rule, so the m subspace terms add
+    * identically in any engine and at any parallelism. */
+  def pqAnnFrom(emb: DataFrame, probes: DataFrame, m: Int, dsub: Int,
+      nCodes: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val cb = pqCodebook(emb, nCodes)
+    val scored = pqCodes(emb, cb, m, dsub)
+      .join(broadcast(pqLut(probes, cb, m, dsub)),
         col("sub") === col("l_sub") && col("code") === col("l_code") &&
           (if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true)))
       .groupBy(col("probe_id"), col("vec_id"))
@@ -424,6 +436,76 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("cand_id"), round(col("adc"), 6).as("adc"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** q108: IVF-PQ — the two halves composed exactly as a production
+    * vector index runs them (FAISS's IVFPQ architecture, re-expressed as
+    * a dataflow): q102's cell routing decides WHICH vectors a probe
+    * scores (corpus·nprobe/nlist candidates), q106's ADC decides what
+    * each scored candidate COSTS (m code lookups against the compressed
+    * table — the full-precision corpus is never touched after encode).
+    *
+    * Scale shape: centroids and the probe LUT broadcast; the candidate
+    * restriction is one equality join on the cell id; the ADC join keys
+    * on (probe, subspace, code) against the candidates' code rows; the
+    * only corpus-scale shuffles are the encode/assign aggregations and
+    * the (probe, vector) regroup — all partial-agg friendly. With
+    * nprobe = nlist this degenerates to exactly [[pqAnnFrom]]'s full-ADC
+    * ranking (cells partition the corpus) — spec-pinned, the PQ analogue
+    * of q102's exact-degeneracy contract. */
+  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfPqAnnFrom(emb, gridProbes(emb), nlist = 16, nprobe = 4,
+      m = 8, dsub = 8, nCodes = 16, k = 5)
+  }
+
+  /** [[ivfPqAnn]] over explicit probes. */
+  def ivfPqAnnFrom(emb: DataFrame, probes: DataFrame, nlist: Int, nprobe: Int,
+      m: Int, dsub: Int, nCodes: Int, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val en = emb.withColumn("nrm", norm(col("embedding")))
+    val cent = en.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    // corpus → cell (the IVF inverted list), q102's assignment shape
+    val cells = Curation.assignmentsWith(en,
+        cent.select(col("cell").as("cluster_id"), col("cvec"), col("cnrm")))
+      .select(col("vec_id"), col("cluster_id").as("c_cell"))
+    // probe → its top-nprobe cells, by cosine to the broadcast centroids
+    val pw = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
+    val pcells = probes
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pcos", dot(col("p_emb"), col("cvec")) / (col("p_nrm") * col("cnrm")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("probe_id"), col("cell"))
+    // candidate pairs: vectors living in a probed cell
+    val cand = cells
+      .join(broadcast(pcells), col("c_cell") === col("cell") &&
+        (if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true)))
+      .select(col("probe_id"), col("vec_id"), col("cell"))
+    // ADC over candidates only: candidate rows pick up their m code rows,
+    // each code row its precomputed probe distance
+    val cb = pqCodebook(emb, nCodes)
+    val scored = cand
+      .join(pqCodes(emb, cb, m, dsub), Seq("vec_id"))
+      .join(broadcast(pqLut(probes, cb, m, dsub)
+          .withColumnRenamed("probe_id", "l_probe")),
+        col("probe_id") === col("l_probe") &&
+          col("sub") === col("l_sub") && col("code") === col("l_code"))
+      .groupBy(col("probe_id"), col("vec_id"), col("cell"))
+      .agg((sum(floor(col("d") * 1e9).cast("decimal(28,9)")).cast("double") / 1e9)
+        .as("adc"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc").asc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cell"), col("rank").cast("long").as("rank"),
         col("vec_id").as("cand_id"), round(col("adc"), 6).as("adc"))
       .orderBy(col("probe_id"), col("rank"))
   }

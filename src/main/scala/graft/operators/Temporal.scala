@@ -56,6 +56,39 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** q107: tolerance-band as-of join — the pandas `merge_asof(tolerance=)`
+    * semantic, expressed as last-touch attribution inside the events
+    * stream: for each purchase, the most recent click by the same user at
+    * or before it AND within one hour; staler clicks attribute nothing.
+    *
+    * Same union-sort shape as [[asofJoin]] (ONE shuffle on the key): the
+    * matched click's time is carried forward alongside its id, so the
+    * band test is a post-window filter — the tolerance costs nothing
+    * extra, versus the equi+inequality join formulation whose per-hot-key
+    * fanout grows with the band. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolSec = 3600.0
+    val ev = Tables.events(spark, dir)
+    def sided(tpe: String, side: Int) = ev
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as("k"), col("ts").cast("double").as("t"),
+        col("event_id").as("eid"))
+      .withColumn("side", lit(side))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sided("click", 0).unionByName(sided("purchase", 1))
+      .withColumn("asof_click",
+        last(when(col("side") === 0, col("eid")), ignoreNulls = true).over(w))
+      .withColumn("asof_t",
+        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("asof_click").isNotNull &&
+        col("t") - col("asof_t") <= tolSec)
+      .select(col("eid").as("event_id"), col("k").as("user_id"),
+        col("asof_click"), floor(col("t") - col("asof_t")).cast("long").as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range self-join: pairs of events of different types within a 60-second
     * band, via the bucket-join pattern (equality join on adjacent 60 s
     * buckets, then the exact band filter). Fanout per row is bounded by

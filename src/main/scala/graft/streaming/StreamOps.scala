@@ -126,6 +126,34 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("segment"), col("n_events"))
 
+  /** Stream-stream interval join: the streaming dual of the batch
+    * range/as-of family (Temporal.rangeJoin / asofJoinTolerance) — two
+    * live event streams joined on key with a bounded time band (here:
+    * purchases attributed to every same-user click at or before them and
+    * within `bandSec`). Emits the full in-band pair set; a last-touch
+    * selection on top is a per-key agg consumers add as needed (the
+    * batch q107 shape).
+    *
+    * BOTH sides are watermarked and the join condition bounds each side's
+    * event time by the other's — the two facts Spark's state cleanup
+    * needs: a buffered click is dropped once the purchase-side watermark
+    * passes click.ts + band, a buffered purchase once the click side
+    * passes purchase.ts. State is O(in-flight band), not O(stream). */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
+                         bandSec: Int = 3600): DataFrame = {
+    val l = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("l_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val r = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("r_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    l.join(r, col("l_user") === col("r_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $bandSec seconds"))
+      .select(col("purchase_id"), col("click_id"), col("r_user").as("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** A streamed document: payload text + its arrival event time. */
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 

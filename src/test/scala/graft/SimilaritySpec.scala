@@ -147,6 +147,30 @@ class SimilaritySpec extends SparkSpec {
       s"PQ recall@5 under 20%: $hits of ${exact.size}")
   }
 
+  test("ivf-pq: nprobe = nlist degenerates to the full-ADC PQ ranking") {
+    // cells partition the corpus, so probing all of them makes the
+    // candidate set the whole corpus — IVF-PQ must then reproduce plain
+    // PQ's ranking exactly (the PQ analogue of q102's exact-degeneracy)
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val full = Similarity.ivfPqAnnFrom(emb, probes, nlist = 8, nprobe = 8,
+        m = 8, dsub = 8, nCodes = 16, k = 5)
+      .select("probe_id", "rank", "cand_id", "adc")
+    val pq = Similarity.pqAnnFrom(emb, probes, m = 8, dsub = 8, nCodes = 16, k = 5)
+      .select("probe_id", "rank", "cand_id", "adc")
+    assert(full.exceptAll(pq).isEmpty && pq.exceptAll(full).isEmpty)
+  }
+
+  test("ivf-pq: candidates come only from probed cells, ranked densely") {
+    val rows = Similarity.ivfPqAnn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(2)).sorted.sameElements(1L to g.length))
+      // at most nprobe distinct cells contribute per probe
+      assert(g.map(_.getLong(1)).distinct.length <= 4)
+    }
+  }
+
   test("media decode stub: byte sums consistent with payload lengths") {
     val out = Multimodal.mediaDecode(spark, sfDir).collect()
     assert(out.length == Tables.documents(spark, sfDir).count())

@@ -33,6 +33,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits exactly the in-band pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    // stage BOTH sides before the first trigger: each side's input is
+    // admitted against the GLOBAL watermark, so a click processed in an
+    // earlier batch than its purchases could legitimately advance the
+    // watermark past a same-batch sibling — deterministic staging pins
+    // the semantics, not trigger timing
+    // starts at ts(1), not ts(0): a row exactly at the initial watermark
+    // (epoch 0) is filtered as late — same edge the batch sessionize
+    // spec documents
+    clicks.addData(
+      Ev(1, ts(1), 1, "click", 0.0),
+      Ev(2, ts(30), 1, "click", 0.0),
+      Ev(3, ts(200), 2, "click", 0.0))
+    purchases.addData(
+      Ev(10, ts(45), 1, "purchase", 0.0),  // 44/15 min after clicks 1/2
+      Ev(11, ts(90), 1, "purchase", 0.0),  // 89 min after 1 (out), 60 after 2 (edge, in)
+      Ev(12, ts(100), 2, "purchase", 0.0)) // user 2's only click is LATER
+    val q = StreamOps.intervalJoinStream(clicks.toDF(), purchases.toDF(), 3600)
+      .writeStream.format("memory").queryName("ivj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ivj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 1L), (10L, 2L), (11L, 2L)),
+        s"interval join pairs diverged: $got")
+      // the join buffers both sides — state operator present and bounded
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark bounds state: finalized windows evicted, late rows dropped") {
     // the 100 TB guard for unbounded streams — aggregation state must not
     // grow with stream length, and data older than the watermark must not

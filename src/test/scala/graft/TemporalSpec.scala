@@ -27,6 +27,31 @@ class TemporalSpec extends SparkSpec {
     asof.foreach { case (k, v) => assert(naive(k) == v, s"event $k: $v vs ${naive(k)}") }
   }
 
+  test("tolerance as-of matches the naive band-join-then-rank reference") {
+    val got = Temporal.asofJoinTolerance(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("ck"), col("ts").cast("double").as("ct"),
+        col("event_id").as("cid"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("double").as("pt"),
+        col("event_id").as("pid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("ct").desc, col("cid").desc)
+    val naive = purch
+      .join(clicks, col("user_id") === col("ck") &&
+        col("ct") <= col("pt") && col("pt") - col("ct") <= 3600.0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getLong(2) -> (r.getLong(5),
+        math.floor(r.getDouble(1) - r.getDouble(4)).toLong)).toMap
+    assert(got == naive, s"tolerance as-of diverged: ${got.size} vs ${naive.size}")
+  }
+
   test("range join pair counts are symmetric-free and type-distinct") {
     val rows = Temporal.rangeJoin(spark, sfDir).collect()
     assert(rows.nonEmpty)
