@@ -70,10 +70,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(plans("q41_ann_bucketed").contains("BroadcastHashJoin"))
     assert(plans("q58_rp_lsh_ann").contains("BroadcastHashJoin"))
     assert(plans("q55_range_join").contains("BroadcastHashJoin"))
-    // q106: the ADC join must probe the compressed code table with the
-    // broadcast LUT — a shuffle there would move the whole code table
-    // for a handful of probes
+    // q106/q108: the ADC joins must probe the compressed code table with
+    // the broadcast LUT (and q108 its candidate set with the broadcast
+    // probe-cell table) — a shuffle there would move the whole code
+    // table for a handful of probes
     assert(plans("q106_pq_ann").contains("BroadcastHashJoin"))
+    assert(plans("q108_ivfpq_ann").contains("BroadcastHashJoin"))
   }
 
   test("q55 joins events on (bucket, salt) with the overfull table broadcast") {
