@@ -842,6 +842,67 @@ object Oracles {
          |SELECT probe_id, cell, CAST(rnk AS BIGINT) AS "rank", cand_id,
          | round(adc, 6) AS adc
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // PQ recall audit: q88's hits/probes shape with the approximate side
+    // replaced by the full q108 IVF-PQ stack.
+    "q109_pq_recall" ->
+      s"""WITH $embCte,
+         | ex AS (SELECT probe_id, cand_id FROM (
+         |   SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |     ORDER BY (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) DESC,
+         |       c.vec_id) AS rnk
+         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         | cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 16),
+         | ac AS (SELECT v.vec_id, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, cent c),
+         | asg AS (SELECT vec_id, cell FROM ac WHERE rn = 1),
+         | pr AS (SELECT p.vec_id AS probe_id, c.cell,
+         |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
+         |     c.cell) AS prn
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         | pcells AS (SELECT probe_id, cell FROM pr WHERE prn <= 4),
+         | cb AS (SELECT CAST(vec_id AS INT) AS code, embedding AS cvec
+         |   FROM e WHERE vec_id < 16),
+         | vs AS (SELECT vec_id, embedding, unnest(range(0, 8)) AS sub FROM e),
+         | ecd AS (SELECT v.vec_id, v.sub, c.code,
+         |    (${pqDistSql("v.embedding", "c.cvec", "v.sub")}) AS d
+         |   FROM vs v, cb c),
+         | ec AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |         ORDER BY d, code) AS rn FROM ecd),
+         | codes AS (SELECT vec_id, sub, code FROM ec WHERE rn = 1),
+         | ps AS (SELECT vec_id AS probe_id, embedding,
+         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0),
+         | lut AS (SELECT p.probe_id, p.sub, c.code,
+         |    (${pqDistSql("p.embedding", "c.cvec", "p.sub")}) AS d
+         |   FROM ps p, cb c),
+         | cand AS (SELECT pc.probe_id, a.vec_id
+         |   FROM pcells pc JOIN asg a ON pc.cell = a.cell
+         |                           AND pc.probe_id <> a.vec_id),
+         | sc AS (SELECT cd.probe_id, cd.vec_id AS cand_id,
+         |    CAST(sum(CAST(floor(l.d * 1e9) AS DECIMAL(28,9))) AS DOUBLE) / 1e9 AS adc
+         |   FROM cand cd
+         |   JOIN codes k ON k.vec_id = cd.vec_id
+         |   JOIN lut l ON l.probe_id = cd.probe_id AND l.sub = k.sub
+         |             AND l.code = k.code
+         |   GROUP BY 1, 2),
+         | ap AS (SELECT probe_id, cand_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id
+         |     ORDER BY adc, cand_id) AS rnk FROM sc) WHERE rnk <= 5),
+         | hits AS (SELECT ex.probe_id, count(*) AS n
+         |   FROM ex JOIN ap ON ex.probe_id = ap.probe_id AND ex.cand_id = ap.cand_id
+         |   GROUP BY ex.probe_id),
+         | probes AS (SELECT DISTINCT vec_id AS probe_id FROM e WHERE vec_id % 97 = 0)
+         |SELECT p.probe_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+         | coalesce(n, 0) / 5.0 AS recall_at_5
+         |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
+         |ORDER BY p.probe_id""".stripMargin,
   )
 
   /** q106: subspace-dispatched squared L2 — one CASE branch per subspace,

@@ -129,6 +129,7 @@ object SparkEntry {
     "q106_pq_ann" -> (Similarity.pqAnn _),
     "q107_asof_tolerance" -> (Temporal.asofJoinTolerance _),
     "q108_ivfpq_ann" -> (Similarity.ivfPqAnn _),
+    "q109_pq_recall" -> (Similarity.pqRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -163,6 +163,35 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** q109: recall audit for the COMPRESSED path — [[annRecall]]'s
+    * philosophy applied to q108's IVF-PQ: per probe,
+    * |IVF-PQ top-5 ∩ exact cosine top-5| / 5. Quantization loss and cell
+    * routing loss are measured TOGETHER, as deployed — recall stays a
+    * measured property of the data shipped as a query, never a prose
+    * claim. Same scale contract as q88: the audit join input is
+    * |probes|·k rows; production audits pass a bounded probe budget. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqRecallFrom(emb, gridProbes(emb))
+  }
+
+  /** [[pqRecall]] over an explicit probe set. */
+  def pqRecallFrom(emb: DataFrame, probes: DataFrame): DataFrame = {
+    val exact5 = cosineTopKFrom(emb, probes, k = 5)
+      .select(col("probe_id"), col("cand_id"))
+    val approx5 = ivfPqAnnFrom(emb, probes, nlist = 16, nprobe = 4,
+        m = 8, dsub = 8, nCodes = 16, k = 5)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = exact5.join(approx5, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n"))
+    exact5.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n"), lit(0L)).as("n_hits"),
+        (coalesce(col("n"), lit(0L)) / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Fixed random-hyperplane set for signed-random-projection LSH: 8
     * hyperplanes × 64 dims, seeded — the same constants are baked into the
     * native [[graft.functions.expressions.RpSignature]] kernel and the

@@ -45,7 +45,15 @@ object Tables {
     * footer under `path` (file or directory). O(1) driver-side work — one
     * footer, not a listing of millions of files. A missing path (e.g. an
     * empty streaming source directory) defaults every column to
-    * [[TsNative]], the encoding Spark itself writes. */
+    * [[TsNative]], the encoding Spark itself writes.
+    *
+    * CONTRACT: one physical unit per table directory — the sniffed unit
+    * is applied to every file in the scan, so a directory whose writer
+    * switched units mid-append must be normalized at write time (mixed
+    * units inside one scan cannot be expressed with a single declared
+    * read schema; ns files would need the raw-long read while µs files
+    * reject it). Spark's native reader fails loudly on the mismatched
+    * files rather than silently misreading them. */
   private[graft] def sniffTs(spark: SparkSession, path: String,
                              columns: Seq[String]): Map[String, TsPhysical] = {
     val native: Map[String, TsPhysical] = columns.map(_ -> (TsNative: TsPhysical)).toMap

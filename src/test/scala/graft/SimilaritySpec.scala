@@ -171,6 +171,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq recall: every probe reported, hits in [0,5], recall consistent") {
+    val rows = Similarity.pqRecall(spark, sfDir).collect()
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 97 === 0).count()
+    assert(rows.length == probes)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / 5.0) < 1e-9)
+    }
+  }
+
   test("media decode stub: byte sums consistent with payload lengths") {
     val out = Multimodal.mediaDecode(spark, sfDir).collect()
     assert(out.length == Tables.documents(spark, sfDir).count())
