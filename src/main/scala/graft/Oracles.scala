@@ -903,6 +903,25 @@ object Oracles {
          | coalesce(n, 0) / 5.0 AS recall_at_5
          |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
          |ORDER BY p.probe_id""".stripMargin,
+
+    // IVF refresh: q102's assignment CTE, split by the q94 %7
+    // corpus/batch convention, per-cell occupancy census.
+    "q110_ivf_refresh" ->
+      s"""WITH $embCte,
+         | cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 16),
+         | ac AS (SELECT v.vec_id, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, cent c),
+         | t AS (SELECT cell,
+         |   CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END AS is_batch
+         |  FROM ac WHERE rn = 1)
+         |SELECT cell, CAST(sum(1 - is_batch) AS BIGINT) AS n_corpus,
+         | CAST(sum(is_batch) AS BIGINT) AS n_batch,
+         | floor(CAST(sum(is_batch) AS DOUBLE) / count(*) * 1e6) / 1e6 AS frac_new
+         |FROM t GROUP BY cell ORDER BY cell""".stripMargin,
   )
 
   /** q106: subspace-dispatched squared L2 — one CASE branch per subspace,

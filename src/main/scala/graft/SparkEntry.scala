@@ -130,6 +130,7 @@ object SparkEntry {
     "q107_asof_tolerance" -> (Temporal.asofJoinTolerance _),
     "q108_ivfpq_ann" -> (Similarity.ivfPqAnn _),
     "q109_pq_recall" -> (Similarity.pqRecall _),
+    "q110_ivf_refresh" -> (Similarity.ivfRefresh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

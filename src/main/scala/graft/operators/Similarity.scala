@@ -192,6 +192,41 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** q110: incremental IVF index refresh — the vector-domain dual of the
+    * q79/q94 daily-ingest shape. The quantizer is FIXED (that is the
+    * point of a refresh: no per-batch re-clustering — re-training is
+    * q104's scheduled Lloyd job); the arriving batch (the q94 %7 split
+    * convention) routes through the same broadcast centroids as the
+    * standing corpus, and the output is per-cell occupancy: corpus
+    * count, batch count, and the batch's share of the refreshed cell. A
+    * cell whose batch share drifts far above its corpus share is the
+    * distribution-shift signal a production vector store audits at every
+    * append.
+    *
+    * Scale shape: one broadcast-centroid assignment scan + one agg with
+    * nlist final groups (map-side partials carry it). A deployment reads
+    * the standing side's counts from the inverted-list metadata instead
+    * of re-assigning the corpus — the declared query recomputes both so
+    * the whole result is hash-checkable from the raw table. */
+  def ivfRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val en = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val cent = en.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    Curation.assignmentsWith(en, cent)
+      .select(col("cluster_id").as("cell"),
+        (col("vec_id") % 7 === 0).cast("long").as("is_batch"))
+      .groupBy(col("cell"))
+      .agg(
+        sum(lit(1L) - col("is_batch")).as("n_corpus"),
+        sum(col("is_batch")).as("n_batch"))
+      .withColumn("frac_new",
+        floor(col("n_batch").cast("double") /
+          (col("n_corpus") + col("n_batch")) * 1e6) / 1e6)
+      .orderBy(col("cell"))
+  }
+
   /** Fixed random-hyperplane set for signed-random-projection LSH: 8
     * hyperplanes × 64 dims, seeded — the same constants are baked into the
     * native [[graft.functions.expressions.RpSignature]] kernel and the

@@ -182,6 +182,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf refresh: cell occupancies conserve the corpus/batch split") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Similarity.ivfRefresh(spark, sfDir).collect()
+    val nBatch = emb.filter(col("vec_id") % 7 === 0).count()
+    val nAll = emb.count()
+    assert(rows.map(_.getLong(1)).sum == nAll - nBatch)
+    assert(rows.map(_.getLong(2)).sum == nBatch)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("media decode stub: byte sums consistent with payload lengths") {
     val out = Multimodal.mediaDecode(spark, sfDir).collect()
     assert(out.length == Tables.documents(spark, sfDir).count())
