@@ -182,7 +182,22 @@ class PlanGuardSpec extends SparkSpec {
       // shuffled bloom admit: q100's window + sort, plus both sides of
       // the verify semi-join and of the dup anti-join (the two
       // broadcasts the dup-heavy-batch regime deliberately drops)
-      "q105_bloom_shuffled" -> 6)
+      "q105_bloom_shuffled" -> 6,
+      // PQ: encode struct-min agg + ADC (probe, vector) regroup + output
+      // sort; codebook and LUT joins broadcast
+      "q106_pq_ann" -> 3,
+      // tolerance as-of: ONE key shuffle for the carry-forward window +
+      // output sort — the band predicate adds no join
+      "q107_asof_tolerance" -> 2,
+      // IVF-PQ: cell-assign window + encode agg + candidate⨝codes join +
+      // ADC regroup + sort; centroids, probe cells, and LUT broadcast
+      "q108_ivfpq_ann" -> 5,
+      // recall audit: composes the exact top-k and the full IVF-PQ stack
+      // then joins their (probe, cand) slivers — the audit query is the
+      // sum of its parts, not a new corpus shape
+      "q109_pq_recall" -> 10,
+      // refresh census: cell-assign window + nlist-group agg + sort
+      "q110_ivf_refresh" -> 3)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None

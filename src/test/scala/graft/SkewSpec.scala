@@ -36,6 +36,49 @@ class SkewSpec extends SparkSpec {
     assert(salted.count() == 8L * dim.count())
   }
 
+  test("AQE splits a skewed join partition at runtime (the mitigation the manual salts complement)") {
+    // q92's explicit salt and q55's overfull-bucket salt are the
+    // DECLARED, oracle-stable guards; AQE's skew-join is the runtime
+    // backstop for skew nobody predicted. This pins that the backstop
+    // actually engages in this engine's config lineage: a 90%-hot-key
+    // join under low skew thresholds must execute with a skew-split
+    // sort-merge join and still produce exact results.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      import spark.implicits._
+      val n = 100000
+      // key 7 holds 90% of fact rows; payload pads partition bytes so the
+      // hot partition clears the lowered skew threshold
+      val fact = (1 to n)
+        .map(i => (if (i % 10 == 0) i.toLong % 97 else 7L, s"payload_padding_$i"))
+        .toDF("k", "payload")
+      val dim = (0L to 96L).map(k => (k, s"dim_$k")).toDF("k", "dv")
+      val joined = fact.join(dim, "k")
+      val rows = joined.collect()
+      assert(rows.length == n, s"skew join changed the row count: ${rows.length}")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE skew join did not engage:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
   test("salt values spread rows across buckets") {
     val fact = Tables.lineitem(spark, sfDir)
     val buckets = fact
