@@ -367,6 +367,32 @@ object Oracles {
            |FROM $grid g
            |GROUP BY lat_bin, lon_bin
            |ORDER BY lat_bin, lon_bin""".stripMargin,
+
+      // q111: 2D cell-bucketed proximity self-join; nearest-neighbor
+      // argmin orders by the ROUNDED distance then id (see Geo scaladoc).
+      "q111_spatial_join" ->
+        s"""WITH pts AS (SELECT p_partkey AS pid,
+           |  rho * sin(theta) AS x, $rho0 - rho * cos(theta) AS y
+           | FROM $fwd t),
+           | cells AS (SELECT *, CAST(floor(x / 11700.0) AS BIGINT) AS cx,
+           |   CAST(floor(y / 11700.0) AS BIGINT) AS cy FROM pts),
+           | r AS (SELECT pid AS p2, x AS x2, y AS y2,
+           |   cx + dx.d AS cx, cy + dy.d AS cy
+           |  FROM cells, (VALUES (-1), (0), (1)) dx(d),
+           |       (VALUES (-1), (0), (1)) dy(d)),
+           | p AS (SELECT l.pid AS p1, r.p2,
+           |   (l.x - r.x2) * (l.x - r.x2) + (l.y - r.y2) * (l.y - r.y2) AS d2
+           |  FROM cells l JOIN r ON l.cx = r.cx AND l.cy = r.cy
+           |                     AND l.pid <> r.p2),
+           | f AS (SELECT p1, p2, round(sqrt(d2), 4) AS dist FROM p
+           |  WHERE d2 <= 11700.0 * 11700.0),
+           | nn AS (SELECT p1, p2, dist,
+           |   count(*) OVER (PARTITION BY p1) AS n_neighbors,
+           |   row_number() OVER (PARTITION BY p1 ORDER BY dist, p2) AS rn
+           |  FROM f)
+           |SELECT p1 AS p_partkey, CAST(n_neighbors AS BIGINT) AS n_neighbors,
+           | p2 AS nn_id, dist AS nn_dist_m
+           |FROM nn WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
     )
   }
 

@@ -131,6 +131,7 @@ object SparkEntry {
     "q108_ivfpq_ann" -> (Similarity.ivfPqAnn _),
     "q109_pq_recall" -> (Similarity.pqRecall _),
     "q110_ivf_refresh" -> (Similarity.ivfRefresh _),
+    "q111_spatial_join" -> (Geo.spatialNeighbors _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -75,6 +75,61 @@ object Geo {
       .orderBy(col("p_partkey"))
   }
 
+  /** q111: spatial proximity self-join — the 2D analogue of
+    * Temporal.rangeJoin, over the reference's own projected space: pairs
+    * of grid points within `SpatialRadiusM` meters (LCC coordinates)
+    * meet via 2D cell bucketing — cell = radius-sized square, probe side
+    * explodes its 3×3 neighborhood, exact Euclidean band filter — so the
+    * inequality join runs as an equality join on (cx, cy) with fanout
+    * bounded by cell population, never all-pairs. Per-point output:
+    * neighbor count + nearest neighbor.
+    *
+    * Determinism: the nearest-neighbor argmin orders by the ROUNDED
+    * distance (4 dp — the same precision q26's oracle parity is proven
+    * at) then id, because a symmetric lattice has genuinely equidistant
+    * neighbors whose raw float distances could order differently across
+    * engines. The radius (11.7 km) sits in a gap of the lattice's
+    * distance spectrum (11.13 … 12.55 km), so the band boundary is
+    * float-robust too.
+    *
+    * Scale: one shuffle on the cell key; a density-skewed corpus (all
+    * points in one city) overfills cells exactly like q55's collapsed
+    * time axis — the same overfull-cell salt applies per (cx, cy) if
+    * needed; at this operator's declared data the cell population is the
+    * lattice density. */
+  val SpatialRadiusM = 11700.0
+
+  def spatialNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val r = SpatialRadiusM
+    val (xc, yc) = forwardCols(col("lat"), col("lon"))
+    val pts = grid(spark, dir)
+      .select(col("p_partkey").as("pid"), xc.as("x"), yc.as("y"))
+      .withColumn("cx", floor(col("x") / r).cast("long"))
+      .withColumn("cy", floor(col("y") / r).cast("long"))
+    val left = pts.select(col("pid").as("p1"), col("x").as("x1"),
+      col("y").as("y1"), col("cx"), col("cy"))
+    val right = pts
+      .withColumn("cx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
+      .withColumn("cy", explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
+      .select(col("pid").as("p2"), col("x").as("x2"), col("y").as("y2"),
+        col("cx"), col("cy"))
+    val pairs = left.join(right, Seq("cx", "cy"))
+      .filter(col("p1") =!= col("p2"))
+      .withColumn("d2",
+        (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+          (col("y1") - col("y2")) * (col("y1") - col("y2")))
+      .filter(col("d2") <= lit(r * r))
+      .withColumn("dist", round(sqrt(col("d2")), 4))
+    pairs
+      .groupBy(col("p1"))
+      .agg(
+        count(lit(1)).as("n_neighbors"),
+        min(struct(col("dist"), col("p2"))).as("nn"))
+      .select(col("p1").as("p_partkey"), col("n_neighbors"),
+        col("nn.p2").as("nn_id"), col("nn.dist").as("nn_dist_m"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** R6 part b: resample to a regular 0.25-degree lat/lon grid by
     * bin-and-aggregate (nearest/average resampling as a plain groupBy —
     * one shuffle on the bin key at any scale). */
