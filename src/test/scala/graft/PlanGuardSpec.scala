@@ -197,7 +197,10 @@ class PlanGuardSpec extends SparkSpec {
       // sum of its parts, not a new corpus shape
       "q109_pq_recall" -> 10,
       // refresh census: cell-assign window + nlist-group agg + sort
-      "q110_ivf_refresh" -> 3)
+      "q110_ivf_refresh" -> 3,
+      // spatial join: one shuffle on the 2D cell key + output sort (the
+      // per-point agg rides the cell-join partitioning)
+      "q111_spatial_join" -> 2)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
