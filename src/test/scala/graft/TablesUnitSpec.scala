@@ -89,6 +89,46 @@ class TablesUnitSpec extends SparkSpec {
       s"raw int64 file: $got")
   }
 
+  test("edge-case instants round-trip through every encoding") {
+    // pre-1970 (negative epoch), epoch itself, sub-millisecond precision,
+    // far future — the values a hard-coded unit assumption mangles first
+    val edgeMicros = Seq(
+      -1000000000000L,      // 1938, negative epoch
+      0L,                   // the epoch
+      1L,                   // 1 µs after
+      999999L,              // sub-second, sub-ms tail
+      1705322096789012L,    // 2024 with µs precision
+      4102444800000000L)    // 2100-01-01
+    def writeMany(ann: Option[String], vs: Seq[Long]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_unit_edge").toString
+      val annStr = ann.map(u => s" (TIMESTAMP($u,true))").getOrElse("")
+      val schema = MessageTypeParser.parseMessageType(
+        s"""message events {
+           |  required int64 event_id;
+           |  required int64 ts$annStr;
+           |}""".stripMargin)
+      val factory = new SimpleGroupFactory(schema)
+      val writer = ExampleParquetWriter
+        .builder(new Path(s"$dir/events.parquet")).withType(schema).build()
+      try vs.zipWithIndex.foreach { case (v, i) =>
+        val g = factory.newGroup()
+        g.add("event_id", i.toLong)
+        g.add("ts", v)
+        writer.write(g)
+      } finally writer.close()
+      dir
+    }
+    def micros(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+    Seq((Some("MICROS"), 1L), (Some("NANOS"), 1000L), (None, 1L)).foreach {
+      case (ann, scale) =>
+        val dir = writeMany(ann, edgeMicros.map(_ * scale))
+        val got = Tables.events(spark, dir).orderBy("event_id").collect()
+          .map(r => micros(r.getAs[Timestamp]("ts")))
+        assert(got.toSeq == edgeMicros,
+          s"encoding $ann mangled edge instants: ${got.toSeq} vs $edgeMicros")
+    }
+  }
+
   test("the driver testdata itself reads as 2024 wall-clock, whatever its physical unit") {
     // the assertion that would have caught r11: real event times live in
     // the data's declared 2024 span, not near the epoch
