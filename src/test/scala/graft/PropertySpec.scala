@@ -131,6 +131,30 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  // ------------------------------------------------------ skew-guard algebra
+
+  test("range-join salting is output-invariant under any cap") {
+    // the r12 skew guard's contract: salting redistributes WORK, never
+    // pairs — so the aggregated output must be identical at every cap,
+    // including caps small enough to salt every bucket and a cap so
+    // large no bucket salts at all. Sampled batch: most mass collapsed
+    // into two 60 s buckets (the r11 failure shape) plus a sparse tail.
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.oneOf("a", "b", "c"),
+      Gen.frequency(3 -> Gen.choose(0.0, 90.0), 1 -> Gen.choose(0.0, 36000.0)))
+    val evs = sample(gen, 800).zipWithIndex
+      .map { case ((tp, t), i) => (i.toLong, tp, math.rint(t * 100) / 100) }
+    val df = evs.toDF("event_id", "event_type", "t")
+    val outputs = Seq(2, 7, 64, Int.MaxValue).map { cap =>
+      graft.operators.Temporal.rangeJoinOn(df, cap).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    assert(outputs.head.nonEmpty)
+    outputs.tail.foreach(o => assert(o == outputs.head,
+      "salted outputs diverged across caps"))
+  }
+
   // ------------------------------------------------------ codec fuzzing
 
   test("geotiff encode/decode round-trips random rasters in every layout") {
