@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Geo, Similarity, Temporal}
 import graft.sources.Tables
 
 /** Dev tool (PlanAudit's sibling): time the BOUNDED variants of the
@@ -66,6 +66,25 @@ object ScaleCheck {
       ("ivfpq_budget21", () =>
         Similarity.ivfPqAnnFrom(emb, probes, nlist = 16, nprobe = 4,
           m = 8, dsub = 8, nCodes = 16, k = 5)
+          .write.format("noop").mode("overwrite").save()),
+      // r12-addition scaling rows (VERDICT r12 #3). The embeddings-based
+      // pair (recall audit, refresh census) rides the same fixed 21-probe
+      // budget as the ANN cases; the claim is the audit stays probe-
+      // bounded and the census nlist-bounded as the corpus grows.
+      ("pq_recall_budget21", () =>
+        Similarity.pqRecallFrom(emb, probes)
+          .write.format("noop").mode("overwrite").save()),
+      ("ivf_refresh", () =>
+        Similarity.ivfRefresh(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      // events/part-based r12 additions: /tmp/sf1 symlinks these tables
+      // from sf0.1 (gen_sf1 scales only docs/embeddings), so their 10×
+      // pair is sf0.01 → sf0.1, where the driver data itself scales.
+      ("asof_tolerance", () =>
+        Temporal.asofJoinTolerance(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("spatial_join", () =>
+        Geo.spatialNeighbors(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
       (s"semdedup_k$k", () =>
         Curation.semDedupK(spark, sfDir, k)

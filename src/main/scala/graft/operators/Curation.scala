@@ -865,12 +865,14 @@ object Curation {
 
   /** Duplicated-span hits (doc_id, i), window-count formulation: ONE
     * shuffle on the span hash — `count over (partition by h)` marks
-    * duplicates in the same pass that carries doc/position. The declared
-    * isolation queries (q95/q96) use this shape: the span explode feeds
-    * the window exactly once, where the two-phase marker would recompute
-    * it for both of its passes (measured at sf0.1: 1.6 s vs 2.6 s for
-    * q95 — BASELINE.md round 9). The trade: a viral span concentrates
-    * its whole hash partition in one task. */
+    * duplicates in the same pass that carries doc/position. Kept as a
+    * spec-pinned alternative (CurationSpec pins three-way marker
+    * equality), NOT the declared q95/q96 plan: a viral span concentrates
+    * its whole hash partition in one task, and the window's
+    * sort-per-partition inflated the q95/q96 in-suite bench 2 rounds
+    * running (r12: 50.9 s in-suite vs 2.2 s isolated) where the
+    * two-phase marker's partial-agg shape stayed flat — the same
+    * pressure a 100× skewed corpus applies for real. */
   private[graft] def dupHitsWindow(spans: DataFrame): DataFrame =
     spans
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
@@ -956,16 +958,17 @@ object Curation {
     * distinct documents sharing a long boilerplate paragraph.
     *
     * Scale shape: one explode to ≈|tokens| span rows, then the span
-    * marking pass ([[dupHitsWindow]] here — fastest in isolation;
-    * [[dupHitsTwoPhase]] is the viral-span-proof deployment marker the
-    * `*From` variant uses), then one per-doc aggregation
+    * marking pass ([[dupHitsTwoPhase]] — the viral-span-proof
+    * heavy-hitter marker; [[dupHitsWindow]] remains the spec-pinned
+    * single-shuffle alternative whose hot-partition trade r12's bench
+    * paid twice), then one per-doc aggregation
     * of span starts and covered positions. Docs shorter than [[SpanW]]
     * tokens carry no spans and are excluded by declaration (they cannot
     * contain a duplicated span). */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = spanDocs(Tables.documents(spark, dir))
     spanCoverage(docs.select(col("doc_id"), col("n")),
-      dupHitsWindow(spanRows(Tables.documents(spark, dir))))
+      dupHitsTwoPhase(spanRows(Tables.documents(spark, dir))))
   }
 
   /** [[spanDedup]] over an existing span table ([[spanTable]]) — the doc
@@ -1011,15 +1014,16 @@ object Curation {
     * canonical owner; pair q96 with q34/q37 when one copy should be
     * kept whole).
     *
-    * Scale shape: the span marking pass ([[dupHitsWindow]] /
-    * [[dupHitsTwoPhase]] — the q95 split), one per-doc
+    * Scale shape: the span marking pass ([[dupHitsTwoPhase]] — the q95
+    * choice; [[dupHitsWindow]] is the spec-pinned alternative), one
+    * per-doc
     * `collect_set` of covered positions (bounded by document length, not
     * corpus size), and the reconstruction is a per-row array pipeline —
     * filter the position range against the cut set, re-index into toks,
     * rejoin. Docs with no duplicated span pass through verbatim. */
   def spanTrim(spark: SparkSession, dir: String): DataFrame = {
     val docs = spanDocs(Tables.documents(spark, dir))
-    spanTrimCore(docs, dupHitsWindow(spanRows(Tables.documents(spark, dir))))
+    spanTrimCore(docs, dupHitsTwoPhase(spanRows(Tables.documents(spark, dir))))
   }
 
   /** [[spanTrim]] over an existing span table ([[spanTable]]); `documents`

@@ -94,26 +94,55 @@ object Geo {
     *
     * Scale: one shuffle on the cell key; a density-skewed corpus (all
     * points in one city) overfills cells exactly like q55's collapsed
-    * time axis — the same overfull-cell salt applies per (cx, cy) if
-    * needed; at this operator's declared data the cell population is the
-    * lattice density. */
+    * time axis, so the SAME overfull-bucket salt guard
+    * ([[Temporal.rangeJoinOn]]'s cap machinery) runs per (cx, cy) —
+    * promoted from the r12 prose note to code (VERDICT r12 #4): a cell
+    * whose population exceeds `saltCap` splits into hash sub-salts, the
+    * build side lands in one (cell, salt), the 3×3-exploded probe side
+    * replicates across that cell's salts, every in-radius pair still
+    * meets exactly once, and no join cell carries more than ~saltCap
+    * build rows. GeoSpec pins output identity on an
+    * all-points-in-one-cell corpus; at this operator's declared data the
+    * cell population is the lattice density and the overfull table is
+    * empty. */
   val SpatialRadiusM = 11700.0
 
   def spatialNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val r = SpatialRadiusM
     val (xc, yc) = forwardCols(col("lat"), col("lon"))
-    val pts = grid(spark, dir)
-      .select(col("p_partkey").as("pid"), xc.as("x"), yc.as("y"))
+    spatialNeighborsOn(
+      grid(spark, dir).select(col("p_partkey").as("pid"), xc.as("x"), yc.as("y")))
+      .withColumnRenamed("pid", "p_partkey")
+  }
+
+  /** Cell-bucketed proximity-join core over (pid, x, y) points, guarded
+    * against density skew exactly like [[Temporal.rangeJoinOn]] — the
+    * overfull-cell table is tiny by construction (only cells > saltCap)
+    * and broadcasts to both sides; a uniform corpus pays one
+    * column-pruned histogram scan and an empty broadcast. */
+  private[graft] def spatialNeighborsOn(points: DataFrame,
+      r: Double = SpatialRadiusM, saltCap: Int = 256): DataFrame = {
+    val pts = points
       .withColumn("cx", floor(col("x") / r).cast("long"))
       .withColumn("cy", floor(col("y") / r).cast("long"))
-    val left = pts.select(col("pid").as("p1"), col("x").as("x1"),
-      col("y").as("y1"), col("cx"), col("cy"))
+    val overfull = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > saltCap)
+      .withColumn("nsalt", ceil(col("bn") / saltCap).cast("int"))
+      .select(col("cx"), col("cy"), col("nsalt"))
+    val left = pts
+      .select(col("pid").as("p1"), col("x").as("x1"), col("y").as("y1"),
+        col("cx"), col("cy"))
+      .join(broadcast(overfull), Seq("cx", "cy"), "left_outer")
+      .withColumn("salt", coalesce(pmod(hash(col("p1")), col("nsalt")), lit(0)).cast("int"))
+      .drop("nsalt")
     val right = pts
       .withColumn("cx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
       .withColumn("cy", explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
+      .join(broadcast(overfull), Seq("cx", "cy"), "left_outer")
+      .withColumn("salt", explode(sequence(lit(0), coalesce(col("nsalt"), lit(1)) - 1)))
       .select(col("pid").as("p2"), col("x").as("x2"), col("y").as("y2"),
-        col("cx"), col("cy"))
-    val pairs = left.join(right, Seq("cx", "cy"))
+        col("cx"), col("cy"), col("salt").cast("int").as("salt"))
+    val pairs = left.join(right, Seq("cx", "cy", "salt"))
       .filter(col("p1") =!= col("p2"))
       .withColumn("d2",
         (col("x1") - col("x2")) * (col("x1") - col("x2")) +
@@ -125,9 +154,9 @@ object Geo {
       .agg(
         count(lit(1)).as("n_neighbors"),
         min(struct(col("dist"), col("p2"))).as("nn"))
-      .select(col("p1").as("p_partkey"), col("n_neighbors"),
+      .select(col("p1").as("pid"), col("n_neighbors"),
         col("nn.p2").as("nn_id"), col("nn.dist").as("nn_dist_m"))
-      .orderBy(col("p_partkey"))
+      .orderBy(col("pid"))
   }
 
   /** R6 part b: resample to a regular 0.25-degree lat/lon grid by

@@ -61,11 +61,27 @@ object Tables {
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) return native
+    // Descend into subdirectories (depth-bounded) when a level holds no
+    // parquet file directly — a hive-partitioned layout (table/date=.../
+    // part-*.parquet) otherwise found nothing and silently defaulted to
+    // TsNative, turning an ns-encoded nested table into a confusing
+    // scan-time failure instead of a sniffed conversion (ADVICE r12).
+    def findParquet(dir: Path, depth: Int): Option[Path] = {
+      val entries = fs.listStatus(dir)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+      entries.collectFirst {
+        case s if !s.isDirectory && s.getPath.getName.endsWith(".parquet") => s.getPath
+      }.orElse {
+        if (depth <= 0) None
+        else entries.iterator.filter(_.isDirectory)
+          .map(s => findParquet(s.getPath, depth - 1))
+          .collectFirst { case Some(f) => f }
+      }
+    }
     val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).sortBy(_.getName)
-          .find(q => q.getName.endsWith(".parquet") &&
-            !q.getName.startsWith("_") && !q.getName.startsWith("."))
+      if (fs.getFileStatus(p).isDirectory) findParquet(p, depth = 3)
       else Some(p)
     file.fold(native) { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
@@ -111,7 +127,14 @@ object Tables {
     val finish = (df: DataFrame) => tsCols.foldLeft(df) { (d, c) =>
       phys(c) match {
         case TsNative => d
-        case TsNanos => d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        // FLOOR division, in pure long arithmetic (a double floor(x/1000)
+        // loses precision past 2^53 — every modern epoch-ns value): `div`
+        // truncates toward zero, so a pre-1970 instant with a non-zero
+        // sub-µs remainder would round UP 1µs where DuckDB/Arrow floor
+        // (ADVICE r12). Subtracting 1 when the remainder is negative is
+        // exactly floor for a positive divisor.
+        case TsNanos => d.withColumn(c, timestamp_micros(expr(
+          s"`$c` div 1000 - (CASE WHEN `$c` % 1000 < 0 THEN 1 ELSE 0 END)")))
         case TsRawMicros => d.withColumn(c, timestamp_micros(col(c)))
       }
     }

@@ -41,4 +41,26 @@ class GeoSpec extends SparkSpec {
       assert(math.abs(nnD - eD) < 1e-3, s"point $p: nn dist $nnD vs $eD")
     }
   }
+
+  test("spatial salting on an all-points-in-one-cell corpus is output-identical") {
+    // density skew at its worst: every point inside ONE radius-sized cell
+    // (a 600-point city block), so the unsalted join concentrates all
+    // ~600² candidate pairs in a single task — the q55 collapsed-axis
+    // failure in 2D. The salt guard must engage (600 >> saltCap=16 →
+    // ceil(600/16)=38 sub-salts) WITHOUT changing a single output row.
+    import spark.implicits._
+    val r = Geo.SpatialRadiusM
+    val pts = (0 until 600)
+      .map(i => (i.toLong, (i % 25) * 400.0, (i / 25) * 400.0))
+      .toDF("pid", "x", "y") // 25×24 lattice, 400 m pitch: extent < r ⇒ ONE cell
+    val salted = Geo.spatialNeighborsOn(pts, r, saltCap = 16).collect()
+    val unsalted = Geo.spatialNeighborsOn(pts, r, saltCap = Int.MaxValue).collect()
+    assert(salted.length == 600 && salted.sameElements(unsalted),
+      s"salted output diverged: ${salted.length} rows vs ${unsalted.length}")
+
+    // cap invariance across intermediate salt widths (the rangeJoinOn
+    // property test's contract, applied to the 2D guard)
+    val cap40 = Geo.spatialNeighborsOn(pts, r, saltCap = 40).collect()
+    assert(cap40.sameElements(unsalted), "cap=40 output diverged")
+  }
 }

@@ -198,9 +198,12 @@ class PlanGuardSpec extends SparkSpec {
       "q109_pq_recall" -> 10,
       // refresh census: cell-assign window + nlist-group agg + sort
       "q110_ivf_refresh" -> 3,
-      // spatial join: one shuffle on the 2D cell key + output sort (the
-      // per-point agg rides the cell-join partitioning)
-      "q111_spatial_join" -> 2)
+      // spatial join: per-point agg shuffle + output sort, plus the r13
+      // density-skew guard's overfull-cell histogram — two map-side-
+      // combined aggs whose exchanges move #cells-sized counts feeding
+      // the broadcasts, never corpus rows (the q55 guard's documented
+      // price, now paid in 2D too)
+      "q111_spatial_join" -> 4)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None

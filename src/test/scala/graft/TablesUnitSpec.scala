@@ -129,6 +129,74 @@ class TablesUnitSpec extends SparkSpec {
     }
   }
 
+  test("NANOS with a sub-microsecond remainder FLOORS across the epoch") {
+    // ADVICE r12: `div` truncates toward zero, so a pre-1970 ns value
+    // with a non-zero sub-µs remainder (-X.5 µs) would read -X µs where
+    // DuckDB/Arrow floor to -(X+1) µs. Only negative values with a
+    // NON-ZERO remainder can catch it — the prior edge test's negative
+    // value was exactly divisible.
+    val nsValues = Seq(
+      -1000000000000500L, // 1938-era, -500 ns remainder → floors down 1 µs
+      -1499L,             // -1.499 µs → floor -2 µs (truncation says -1)
+      -1L,                // -0.001 µs → floor -1 µs (truncation says 0)
+      999L,               // +0.999 µs → floor 0 (same under both)
+      1500L)              // +1.5 µs → floor 1 (same under both)
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,true));
+        |}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft_unit_floor").toString
+    val factory = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter
+      .builder(new Path(s"$dir/events.parquet")).withType(schema).build()
+    try nsValues.zipWithIndex.foreach { case (v, i) =>
+      val g = factory.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", v)
+      writer.write(g)
+    } finally writer.close()
+    def micros(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+    val got = Tables.events(spark, dir).orderBy("event_id").collect()
+      .map(r => micros(r.getAs[Timestamp]("ts"))).toSeq
+    val want = nsValues.map(v => Math.floorDiv(v, 1000L))
+    assert(got == want, s"ns remainder handling diverged from floor: $got vs $want")
+  }
+
+  test("unit sniffing descends into a hive-partitioned table directory") {
+    // ADVICE r12: a nested layout (events.parquet/d=1/part-*.parquet)
+    // held no parquet file at the top level, so the sniff silently
+    // defaulted to TsNative and an ns-encoded nested table failed at
+    // scan time instead of being converted.
+    val dir = java.nio.file.Files.createTempDirectory("graft_unit_nested").toString
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,true));
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |  required double value;
+        |  required binary props (STRING);
+        |}""".stripMargin)
+    val factory = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter
+      .builder(new Path(s"$dir/events.parquet/d=1/part-0.parquet"))
+      .withType(schema).build()
+    try {
+      val g = factory.newGroup()
+      g.add("event_id", 1L)
+      g.add("ts", epochMicros * 1000)
+      g.add("user_id", 7L)
+      g.add("event_type", "click")
+      g.add("value", 1.5)
+      g.add("props", "{}")
+      writer.write(g)
+    } finally writer.close()
+    val got = readBack(dir)
+    assert(got.getTime == expected.getTime && got.getNanos == 789012000,
+      s"nested nanos file: $got")
+  }
+
   test("the driver testdata itself reads as 2024 wall-clock, whatever its physical unit") {
     // the assertion that would have caught r11: real event times live in
     // the data's declared 2024 span, not near the epoch
