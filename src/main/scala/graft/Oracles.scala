@@ -948,6 +948,98 @@ object Oracles {
          | CAST(sum(is_batch) AS BIGINT) AS n_batch,
          | floor(CAST(sum(is_batch) AS DOUBLE) / count(*) * 1e6) / 1e6 AS frac_new
          |FROM t GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // Fully-trained IVF-PQ: q104's one-Lloyd-step centroid CTEs (seed/
+    // a0/x/m/tc0/cent), residuals = v − centroid(cell(v)) narrowed to
+    // FLOAT (exact-in-double subtraction, so both engines produce the
+    // identical float32), PQ codebook = one Lloyd step on per-subspace
+    // residuals (E-step vs the first-16 residual seeds, decimal-exact
+    // M-step), cell-specific probe residuals for the ADC tables.
+    "q112_ivfpq_trained" ->
+      s"""WITH $embCte,
+         | seed AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 16),
+         | a0 AS (SELECT v.vec_id, v.embedding, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, seed c),
+         | x AS (SELECT cell,
+         |   unnest(range(len(embedding))) AS dim,
+         |   unnest(embedding) AS v
+         |  FROM a0 WHERE rn = 1),
+         | m AS (SELECT cell, dim,
+         |   floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9)
+         |       AS DECIMAL(28,9))) AS DOUBLE) / 1e9 / count(*) * 1e6) / 1e6 AS cm
+         |  FROM x GROUP BY cell, dim),
+         | tc0 AS MATERIALIZED (SELECT cell, list(CAST(cm AS FLOAT) ORDER BY dim) AS cvec
+         |  FROM m GROUP BY cell),
+         | cent AS MATERIALIZED (SELECT cell, cvec,
+         |   sqrt(${dotSql("cvec", "cvec")}) AS cnrm FROM tc0),
+         | ac AS (SELECT v.vec_id, v.embedding, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, cent c),
+         | asg AS MATERIALIZED (SELECT vec_id, embedding, cell FROM ac WHERE rn = 1),
+         | resid AS MATERIALIZED (SELECT a.vec_id, a.cell,
+         |   list_transform(range(1, 65), i ->
+         |     CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)
+         |       AS FLOAT)) AS resid
+         |  FROM asg a JOIN cent c ON a.cell = c.cell),
+         | scb AS (SELECT CAST(vec_id AS INT) AS code, resid AS cvec
+         |   FROM resid WHERE vec_id < 16),
+         | vs AS MATERIALIZED (SELECT vec_id, resid, unnest(range(0, 8)) AS sub FROM resid),
+         | ecd AS (SELECT v.vec_id, v.sub, c.code,
+         |    (${pqDistSql("v.resid", "c.cvec", "v.sub")}) AS d
+         |   FROM vs v, scb c),
+         | ec AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |         ORDER BY d, code) AS rn FROM ecd),
+         | c0 AS MATERIALIZED (SELECT vec_id, sub, code FROM ec WHERE rn = 1),
+         | xr AS (SELECT c0.sub, c0.code, ii.i, r.resid[c0.sub * 8 + ii.i] AS v
+         |   FROM c0 JOIN resid r ON c0.vec_id = r.vec_id
+         |   CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ii),
+         | mr AS (SELECT sub, code, i,
+         |   floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9)
+         |       AS DECIMAL(28,9))) AS DOUBLE) / 1e9 / count(*) * 1e6) / 1e6 AS cm
+         |  FROM xr GROUP BY sub, code, i),
+         | tcb AS MATERIALIZED (SELECT sub, code, list(CAST(cm AS FLOAT) ORDER BY i) AS scvec
+         |  FROM mr GROUP BY sub, code),
+         | ecd2 AS (SELECT v.vec_id, t.sub, t.code,
+         |    (${pqDistSegSql("v.resid", "t.scvec", "t.sub")}) AS d
+         |   FROM vs v JOIN tcb t ON v.sub = t.sub),
+         | ec2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |         ORDER BY d, code) AS rn FROM ecd2),
+         | codes AS MATERIALIZED (SELECT vec_id, sub, code FROM ec2 WHERE rn = 1),
+         | pr AS (SELECT p.vec_id AS probe_id, p.embedding AS p_emb,
+         |   c.cell, c.cvec,
+         |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
+         |     c.cell) AS prn
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         | pcells AS MATERIALIZED (SELECT probe_id, cell,
+         |   list_transform(range(1, 65), i ->
+         |     CAST(CAST(p_emb[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)
+         |       AS FLOAT)) AS p_resid
+         |  FROM pr WHERE prn <= 4),
+         | lut AS (SELECT pc.probe_id, pc.cell, t.sub, t.code,
+         |    (${pqDistSegSql("pc.p_resid", "t.scvec", "t.sub")}) AS d
+         |   FROM pcells pc, tcb t),
+         | cand AS (SELECT pc.probe_id, r.vec_id, pc.cell
+         |   FROM pcells pc JOIN resid r ON pc.cell = r.cell
+         |                             AND pc.probe_id <> r.vec_id),
+         | sc AS (SELECT cd.probe_id, cd.vec_id AS cand_id, cd.cell,
+         |    CAST(sum(CAST(floor(l.d * 1e9) AS DECIMAL(28,9))) AS DOUBLE) / 1e9 AS adc
+         |   FROM cand cd
+         |   JOIN codes k ON k.vec_id = cd.vec_id
+         |   JOIN lut l ON l.probe_id = cd.probe_id AND l.cell = cd.cell
+         |             AND l.sub = k.sub AND l.code = k.code
+         |   GROUP BY 1, 2, 3),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY adc, cand_id) AS rnk FROM sc)
+         |SELECT probe_id, cell, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(adc, 6) AS adc
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
   )
 
   /** q106: subspace-dispatched squared L2 — one CASE branch per subspace,
@@ -960,6 +1052,20 @@ object Oracles {
         val idx = s * 8 + i + 1
         s"(CAST($a[$idx] AS DOUBLE) - CAST($b[$idx] AS DOUBLE)) * " +
           s"(CAST($a[$idx] AS DOUBLE) - CAST($b[$idx] AS DOUBLE))"
+      }.mkString(" + ")
+      s"WHEN $sub = $s THEN ($terms)"
+    }.mkString("CASE ", " ", " END")
+
+  /** q112: [[pqDistSql]] against a dsub-dim SUB-codebook entry (`b`
+    * holds only its own subspace's dims) — mirrors `pqDistSeg`/
+    * `subL2Seg`'s term order exactly. */
+  private def pqDistSegSql(a: String, b: String, sub: String): String =
+    (0 until 8).map { s =>
+      val terms = (0 until 8).map { i =>
+        val ai = s * 8 + i + 1
+        val bi = i + 1
+        s"(CAST($a[$ai] AS DOUBLE) - CAST($b[$bi] AS DOUBLE)) * " +
+          s"(CAST($a[$ai] AS DOUBLE) - CAST($b[$bi] AS DOUBLE))"
       }.mkString(" + ")
       s"WHEN $sub = $s THEN ($terms)"
     }.mkString("CASE ", " ", " END")

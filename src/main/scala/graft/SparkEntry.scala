@@ -132,6 +132,7 @@ object SparkEntry {
     "q109_pq_recall" -> (Similarity.pqRecall _),
     "q110_ivf_refresh" -> (Similarity.ivfRefresh _),
     "q111_spatial_join" -> (Geo.spatialNeighbors _),
+    "q112_ivfpq_trained" -> (Similarity.ivfPqTrained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

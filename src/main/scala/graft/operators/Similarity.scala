@@ -155,7 +155,10 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"))
     val hits = exact5.join(approx5, Seq("probe_id", "cand_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n"))
-    exact5.select(col("probe_id")).distinct()
+    // report over the PROBE SET, not exact5's probe ids (the oracle's
+    // probes CTE enumerates probes independently): a probe with zero
+    // exact candidates must surface as recall 0, not vanish (ADVICE r12)
+    probes.select(col("vec_id").as("probe_id")).distinct()
       .join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("n"), lit(0L)).as("n_hits"),
@@ -184,7 +187,9 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"))
     val hits = exact5.join(approx5, Seq("probe_id", "cand_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n"))
-    exact5.select(col("probe_id")).distinct()
+    // probe-set enumeration, same rationale as [[annRecallFrom]]
+    // (ADVICE r12): a probe with zero exact candidates reports recall 0
+    probes.select(col("vec_id").as("probe_id")).distinct()
       .join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("n"), lit(0L)).as("n_hits"),
@@ -573,6 +578,167 @@ object Similarity {
       .join(broadcast(pqLut(probes, cb, m, dsub)
           .withColumnRenamed("probe_id", "l_probe")),
         col("probe_id") === col("l_probe") &&
+          col("sub") === col("l_sub") && col("code") === col("l_code"))
+      .groupBy(col("probe_id"), col("vec_id"), col("cell"))
+      .agg((sum(floor(col("d") * 1e9).cast("decimal(28,9)")).cast("double") / 1e9)
+        .as("adc"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc").asc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cell"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("cand_id"), round(col("adc"), 6).as("adc"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Per-vector residual against its assigned cell — the FAISS IVF-PQ
+    * convention: PQ encodes v − centroid(cell(v)), so the codes spend
+    * their precision on the within-cell offset instead of re-describing
+    * the coarse cell position the IVF half already knows. FLOAT
+    * subtraction of FLOAT inputs: the exact difference of two float32s
+    * fits a double, so DuckDB's double-subtract-then-narrow and Spark's
+    * float `zip_with` round to the SAME float — the residual table
+    * replays bit-identically in both engines. */
+  private[graft] def residualsWith(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val en = emb.withColumn("nrm", norm(col("embedding")))
+    Curation.assignmentsWith(en,
+        cent.select(col("cell").as("cluster_id"), col("cvec"), col("cnrm")))
+      .select(col("vec_id"), col("embedding"), col("cluster_id").as("cell"))
+      .join(broadcast(cent.select(col("cell"), col("cvec"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("resid"))
+  }
+
+  /** Trained per-subspace residual codebook: seeds are the first
+    * `nCodes` vectors' residuals (the q102/q106 seeding convention
+    * carried into residual space — subspace s of seed c IS the seed
+    * sub-codebook, so the E-step is exactly [[pqCodes]] over the
+    * residual table), then one Lloyd refinement: M-step per
+    * (sub, code, dim) with the repo's decimal-exact rule, re-narrowed to
+    * float. Output: (sub, code, scvec) — one trained dsub-dim sub-vector
+    * per surviving code; a (sub, code) cluster the E-step left empty is
+    * dropped in both engines alike and the encode argmin runs over the
+    * survivors.
+    *
+    * Scale shape: E-step = the broadcast-codebook corpus scan; M-step =
+    * one agg shuffle with m·nCodes·dsub final groups regardless of
+    * corpus size (map-side partials); the reassembled table is m·nCodes
+    * rows — broadcast-sized by construction. */
+  private[graft] def trainedSubCodebook(resid: DataFrame, m: Int, dsub: Int,
+      nCodes: Int): DataFrame = {
+    val rEmb = resid.select(col("vec_id"), col("resid").as("embedding"))
+    val seedCb = rEmb.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("cvec"))
+    pqCodes(rEmb, seedCb, m, dsub)
+      .join(rEmb, Seq("vec_id"))
+      .select(col("sub"), col("code"),
+        posexplode(slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)))
+          .as(Seq("i", "v")))
+      .groupBy(col("sub"), col("code"), col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1e9).cast("decimal(28,9)")).as("s"))
+      .withColumn("cm",
+        floor(col("s").cast("double") / 1e9 / col("n") * 1e6) / 1e6)
+      .groupBy(col("sub"), col("code"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(i, cm)))," +
+          " x -> CAST(x.cm AS FLOAT))").as("scvec"))
+  }
+
+  /** [[subL2]] against a dsub-dim SUB-codebook entry (`b` holds only its
+    * own subspace's dims) — same deterministic left-assoc chain. */
+  private def subL2Seg(a: Column, b: Column, s: Int, dsub: Int): Column =
+    (0 until dsub).map { i =>
+      val d = element_at(a, s * dsub + i + 1).cast("double") -
+        element_at(b, i + 1).cast("double")
+      d * d
+    }.reduce(_ + _)
+
+  /** Subspace-dispatched [[subL2Seg]] — [[pqDist]]'s trained-codebook
+    * counterpart. */
+  private def pqDistSeg(a: Column, b: Column, sub: Column, m: Int, dsub: Int): Column =
+    (1 until m).foldLeft(when(sub === 0, subL2Seg(a, b, 0, dsub))) {
+      (acc, s) => acc.when(sub === s, subL2Seg(a, b, s, dsub))
+    }
+
+  /** Encode against a per-subspace codebook (sub, code, scvec): argmin
+    * code per (vector, subspace), partial-agg struct-min like
+    * [[pqCodes]]. Row shape note: the trained table carries one row per
+    * (sub, code), so the join fans out to corpus × m·nCodes rows each
+    * computing ONE dsub-term distance — the flop count is identical to
+    * [[pqCodes]]'s grouped form (corpus × m × nCodes × dsub either way);
+    * what the grouped form saves is row overhead, which the full-vector
+    * codebook's layout enables and the per-subspace layout trades for
+    * the trained codes. */
+  private[graft] def pqCodesSeg(resid: DataFrame, tcb: DataFrame,
+      m: Int, dsub: Int): DataFrame =
+    resid.select(col("vec_id"), col("resid"))
+      .crossJoin(broadcast(tcb))
+      .withColumn("d", pqDistSeg(col("resid"), col("scvec"), col("sub"), m, dsub))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.code").as("code"))
+
+  /** q112: FULLY-trained IVF-PQ — q108's architecture with BOTH halves
+    * trained, closing the FAISS-parity loop (VERDICT r12 stretch): the
+    * coarse quantizer is q104's one-Lloyd-step centroid table, and the
+    * PQ codebook is one Lloyd step over per-subspace RESIDUALS
+    * ([[trainedSubCodebook]]) — vectors encode their offset from their
+    * trained cell, the way FAISS's IndexIVFPQ trains by default. ADC
+    * lookup tables are built per (probe, probed cell), because the
+    * probe's residual is cell-specific.
+    *
+    * Scale shape: q108's exactly — centroids, codebook, and LUT
+    * broadcast (LUT grows nprobe× vs q108: probes × nprobe × m × nCodes
+    * rows — still probe-budget-sized); the corpus-scale passes are the
+    * train/assign/encode aggregations, all map-side-partial friendly;
+    * the scored regroup keys on (probe, vector). The training scans run
+    * ONCE behind stage barriers, as a deployment's scheduled train job
+    * would. */
+  def ivfPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfPqTrainedFrom(emb, gridProbes(emb), nlist = 16, nprobe = 4,
+      m = 8, dsub = 8, nCodes = 16, k = 5)
+  }
+
+  /** [[ivfPqTrained]] over explicit probes. */
+  def ivfPqTrainedFrom(emb: DataFrame, probes: DataFrame, nlist: Int,
+      nprobe: Int, m: Int, dsub: Int, nCodes: Int, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    // staged like a deployment's trained index artifacts: quantizer
+    // (nlist rows), residual table (corpus-sized — the encode input and
+    // inverted-list cell map), trained codebook (m·nCodes rows). Each is
+    // consumed by 2+ downstream subtrees; unstaged, every use would
+    // re-run its corpus scan.
+    val cent = Materialize.stage(trainedCentroids(emb, nlist))
+    val resid = Materialize.stage(residualsWith(emb, cent))
+    val tcb = Materialize.stage(trainedSubCodebook(resid, m, dsub, nCodes))
+    val codes = pqCodesSeg(resid, tcb, m, dsub)
+    // probe → top-nprobe trained cells, carrying the CELL-SPECIFIC
+    // probe residual for the ADC tables
+    val pw = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
+    val pcells = probes
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pcos", dot(col("p_emb"), col("cvec")) / (col("p_nrm") * col("cnrm")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("probe_id"), col("cell"),
+        zip_with(col("p_emb"), col("cvec"), (a, b) => a - b).as("p_resid"))
+    val lut = pcells
+      .crossJoin(broadcast(tcb))
+      .withColumn("d", pqDistSeg(col("p_resid"), col("scvec"), col("sub"), m, dsub))
+      .select(col("probe_id").as("l_probe"), col("cell").as("l_cell"),
+        col("sub").as("l_sub"), col("code").as("l_code"), col("d"))
+    val cand = resid.select(col("vec_id"), col("cell"))
+      .join(broadcast(pcells.select(col("probe_id"), col("cell"))), Seq("cell"))
+      .filter(if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true))
+    val scored = cand
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        col("probe_id") === col("l_probe") && col("cell") === col("l_cell") &&
           col("sub") === col("l_sub") && col("code") === col("l_code"))
       .groupBy(col("probe_id"), col("vec_id"), col("cell"))
       .agg((sum(floor(col("d") * 1e9).cast("decimal(28,9)")).cast("double") / 1e9)

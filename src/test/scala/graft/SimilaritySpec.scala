@@ -171,6 +171,68 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained ivf-pq: nprobe = nlist reproduces a driver-side full residual-ADC reference") {
+    // the q108 degeneracy contract carried to the fully-trained index:
+    // probing every cell makes the candidate set the whole corpus, and
+    // the ranking must equal an INDEPENDENT driver-side scoring of every
+    // (probe, candidate) pair — same declared arithmetic (float32
+    // residuals, left-assoc double chains, floor(d·1e9) long sum), no
+    // routing machinery shared with the code under test
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val got = Similarity.ivfPqTrainedFrom(emb, probes, nlist = 8, nprobe = 8,
+        m = 8, dsub = 8, nCodes = 16, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+
+    val cent = Similarity.trainedCentroids(emb, 8)
+    val residDf = Similarity.residualsWith(emb, cent)
+    val cvecs = cent.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val resid = residDf.collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getSeq[Float](2).toArray))
+      .map { case (cell, vid, rv) => vid -> ((cell, rv)) }.toMap
+    val scvec = Similarity.trainedSubCodebook(residDf, 8, 8, 16).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+    val codes = Similarity.pqCodesSeg(residDf, Similarity
+        .trainedSubCodebook(residDf, 8, 8, 16), 8, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val pEmb = probes.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+    def subD(pr: Array[Float], sc: Array[Float], s: Int): Double =
+      (0 until 8).map { i =>
+        val d = pr(s * 8 + i).toDouble - sc(i).toDouble
+        d * d
+      }.sum
+    val want = pEmb.keys.toSeq.sorted.flatMap { p =>
+      val ranked = resid.keys.toSeq.filter(_ != p).map { v =>
+        val (cell, _) = resid(v)
+        val cv = cvecs(cell)
+        val pr = pEmb(p).zip(cv).map { case (a, b) => a - b } // float32 sub
+        val adc = (0 until 8).map { s =>
+          math.floor(subD(pr, scvec((s, codes((v, s)))), s) * 1e9).toLong
+        }.sum.toDouble / 1e9
+        (adc, v, cell)
+      }.sortBy(t => (t._1, t._2)).take(5)
+      ranked.zipWithIndex.map { case ((adc, v, _), i) => (p, (i + 1).toLong, v, adc) }
+    }
+    assert(got.length == want.length, s"${got.length} rows vs ${want.length}")
+    got.sortBy(t => (t._1, t._2)).zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3,
+        s"rank row diverged: $g vs $w")
+      assert(math.abs(g._4 - w._4) < 1e-6, s"adc diverged: $g vs $w")
+    }
+  }
+
+  test("trained ivf-pq: declared query ranks densely within probed cells") {
+    val rows = Similarity.ivfPqTrained(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(2)).sorted.sameElements(1L to g.length))
+      assert(g.map(_.getLong(1)).distinct.length <= 4)
+    }
+  }
+
   test("pq recall: every probe reported, hits in [0,5], recall consistent") {
     val rows = Similarity.pqRecall(spark, sfDir).collect()
     val probes = Tables.embeddings(spark, sfDir)
