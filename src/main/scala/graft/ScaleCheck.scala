@@ -74,6 +74,10 @@ object ScaleCheck {
       ("pq_recall_budget21", () =>
         Similarity.pqRecallFrom(emb, probes)
           .write.format("noop").mode("overwrite").save()),
+      ("ivfpq_trained_budget21", () =>
+        Similarity.ivfPqTrainedFrom(emb, probes, nlist = 16, nprobe = 4,
+          m = 8, dsub = 8, nCodes = 16, k = 5)
+          .write.format("noop").mode("overwrite").save()),
       ("ivf_refresh", () =>
         Similarity.ivfRefresh(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
