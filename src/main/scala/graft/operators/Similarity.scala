@@ -325,6 +325,30 @@ object Similarity {
     ivfAnnWith(emb, probes, cent, nprobe, k, excludeSelf)
   }
 
+  /** Probe → its top-`nprobe` cells by cosine against the broadcast
+    * centroid table, ties to the smaller cell — THE routing definition:
+    * every batch IVF entry point ([[ivfAnnWith]], [[ivfPqAnnFrom]],
+    * [[ivfPqTrainedFrom]]) consumes it, and the streaming dual
+    * ([[graft.streaming.StreamOps.ivfRouteStream]] — per-row array math
+    * instead of a window, because streams cannot sort) is spec-pinned
+    * equal to it, so the two paths cannot fork (the
+    * [[graft.sources.Tables.tsReadPlan]] philosophy applied to routing).
+    * Output keeps p_emb/p_nrm/cvec/cnrm/pcos/prn so callers project
+    * what they need. */
+  private[graft] def probeCells(probes: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame = {
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cell"))
+    probes
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pcos", dot(col("p_emb"), col("cvec")) / (col("p_nrm") * col("cnrm")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+  }
+
   /** IVF over an ARBITRARY centroid table (cell, cvec, cnrm) — the
     * trained-cells entry point: run q77's M-step over the seeded
     * assignment (or any clustering), feed the mean vectors back in, and
@@ -339,16 +363,7 @@ object Similarity {
         cent.select(col("cell").as("cluster_id"), col("cvec"), col("cnrm")))
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"), col("cluster_id").as("c_cell"))
-    val pw = Window.partitionBy(col("probe_id"))
-      .orderBy(col("pcos").desc, col("cell"))
-    val pcells = probes
-      .withColumn("nrm", norm(col("embedding")))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nrm").as("p_nrm"))
-      .crossJoin(broadcast(cent))
-      .withColumn("pcos", dot(col("p_emb"), col("cvec")) / (col("p_nrm") * col("cnrm")))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= nprobe)
+    val pcells = probeCells(probes, cent, nprobe)
       .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
     val pairs = broadcast(pcells)
       .join(cand, col("cell") === col("c_cell") &&
@@ -555,15 +570,7 @@ object Similarity {
         cent.select(col("cell").as("cluster_id"), col("cvec"), col("cnrm")))
       .select(col("vec_id"), col("cluster_id").as("c_cell"))
     // probe → its top-nprobe cells, by cosine to the broadcast centroids
-    val pw = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
-    val pcells = probes
-      .withColumn("nrm", norm(col("embedding")))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nrm").as("p_nrm"))
-      .crossJoin(broadcast(cent))
-      .withColumn("pcos", dot(col("p_emb"), col("cvec")) / (col("p_nrm") * col("cnrm")))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= nprobe)
+    val pcells = probeCells(probes, cent, nprobe)
       .select(col("probe_id"), col("cell"))
     // candidate pairs: vectors living in a probed cell
     val cand = cells
@@ -716,15 +723,7 @@ object Similarity {
     val codes = pqCodesSeg(resid, tcb, m, dsub)
     // probe → top-nprobe trained cells, carrying the CELL-SPECIFIC
     // probe residual for the ADC tables
-    val pw = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
-    val pcells = probes
-      .withColumn("nrm", norm(col("embedding")))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nrm").as("p_nrm"))
-      .crossJoin(broadcast(cent))
-      .withColumn("pcos", dot(col("p_emb"), col("cvec")) / (col("p_nrm") * col("cnrm")))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= nprobe)
+    val pcells = probeCells(probes, cent, nprobe)
       .select(col("probe_id"), col("cell"),
         zip_with(col("p_emb"), col("cvec"), (a, b) => a - b).as("p_resid"))
     val lut = pcells

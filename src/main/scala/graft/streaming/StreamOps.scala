@@ -318,6 +318,61 @@ object StreamOps {
       .withColumn("maybe_dup", graft.operators.Curation.bloomHit)
       .drop("shard", "bloom")
 
+  /** A streamed ANN query: id + embedding (the probe stream's shape). */
+  case class Probe(vec_id: Long, embedding: Seq[Float])
+
+  /** The IVF centroid table as ONE broadcastable row (`cells`: sorted
+    * array of (cell, cvec, cnrm) structs) — the static side of
+    * [[ivfRouteStream]], refreshed by a scheduled batch job exactly like
+    * [[corpusBloom]]/[[corpusSpanIndex]]; q110's refresh census audits
+    * the SAME fixed quantizer (first-`nlist` seeds), so the streaming
+    * router and the occupancy monitor read one index definition. */
+  def corpusIvfIndex(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
+    import graft.operators.Similarity
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+      .withColumn("cnrm", Similarity.norm(col("cvec")))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cvec"),
+        col("cnrm")))).as("cells"))
+  }
+
+  /** Streaming IVF probe routing — the ANN surface's streaming dual: each
+    * arriving query vector routes to its top-`nprobe` cells against the
+    * broadcast one-row centroid index in PURE per-row array math
+    * (transform → explicit-comparator array_sort → slice → posexplode):
+    * STATELESS, no shuffle, no state store — the window/row_number
+    * routing the batch path uses is illegal on a stream and would
+    * shuffle anyway; nlist is broadcast-sized so the per-row sort is
+    * O(nlist log nlist) column work. Emits (vec_id, prn, cell, pcos) ==
+    * [[graft.operators.Similarity.probeCells]]'s routing — StreamingSpec
+    * pins batch = stream equality, so a downstream scorer reads exactly
+    * the inverted lists the batch index would read. The explicit
+    * comparator mirrors the batch (pcos DESC, cell ASC) order including
+    * ties; identical float inputs and the identical `vec_dot` chain make
+    * the doubles — and therefore the routing — bit-equal. */
+  def ivfRouteStream(probes: DataFrame, index: DataFrame, nprobe: Int): DataFrame = {
+    import graft.operators.Similarity
+    val scoredCells = transform(col("cells"), c =>
+      struct(
+        (Similarity.dot(col("embedding"), c.getField("cvec")) /
+          (col("p_nrm") * c.getField("cnrm"))).as("pcos"),
+        c.getField("cell").as("cell")))
+    val ranked = array_sort(scoredCells, (l, r) =>
+      when(l.getField("pcos") > r.getField("pcos"), lit(-1))
+        .when(l.getField("pcos") < r.getField("pcos"), lit(1))
+        .otherwise(when(l.getField("cell") < r.getField("cell"), lit(-1))
+          .when(l.getField("cell") > r.getField("cell"), lit(1))
+          .otherwise(lit(0))))
+    probes
+      .withColumn("p_nrm", Similarity.norm(col("embedding")))
+      .crossJoin(broadcast(index))
+      .withColumn("routed", slice(ranked, 1, nprobe))
+      .select(col("vec_id"), posexplode(col("routed")).as(Seq("p0", "rc")))
+      .select(col("vec_id"), (col("p0") + 1).cast("long").as("prn"),
+        col("rc.cell").as("cell"), col("rc.pcos").as("pcos"))
+  }
+
   /** The corpus's duplicated-span index as ONE broadcastable row: its
     * Bloom sketch (`bloom`) plus the exact sorted hash array
     * (`span_idx`) — the static side of [[spanGateStream]], refreshed by a

@@ -759,4 +759,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && sink == batch,
       s"streamed windows diverged from batch: sink=${sink.size} batch=${batch.size}")
   }
+
+  test("streaming ivf route equals the batch probe routing, stateless") {
+    // the ANN surface's streaming dual (r13): probes arriving on a stream
+    // route to the same top-nprobe cells, in the same order, as
+    // Similarity.probeCells routes them in batch — one routing
+    // definition, two execution shapes (window vs per-row array sort)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.streaming.StreamOps.Probe
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = StreamOps.corpusIvfIndex(spark, sfDir, nlist = 8)
+    val probeRows = emb.filter(col("vec_id") % 97 === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => Probe(r.getLong(0), r.getSeq[Float](1)))
+    assert(probeRows.nonEmpty)
+    val input = MemoryStream[Probe]
+    val q = StreamOps.ivfRouteStream(input.toDF(), idx, nprobe = 4)
+      .writeStream.format("memory").queryName("ivf_route_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(probeRows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("ivf_route_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val cent = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+          col("nrm").as("cnrm"))
+      val want = Similarity.probeCells(
+          emb.filter(col("vec_id") % 97 === 0), cent, nprobe = 4)
+        .select(col("probe_id"), col("prn"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+        .toSet
+      assert(got == want,
+        s"routing diverged: extra=${got -- want} missing=${want -- got}")
+      // stateless: no state store rows in the progress metrics
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
