@@ -203,7 +203,13 @@ class PlanGuardSpec extends SparkSpec {
       // combined aggs whose exchanges move #cells-sized counts feeding
       // the broadcasts, never corpus rows (the q55 guard's documented
       // price, now paid in 2D too)
-      "q111_spatial_join" -> 4)
+      "q111_spatial_join" -> 4,
+      // fully-trained IVF-PQ: the training scans live behind stage
+      // barriers, so the query plan carries the per-subspace encode agg,
+      // candidate⨝codes join sides, the ADC (probe, vector, cell)
+      // regroup, top-k window + output sort; centroids/codebook/LUT all
+      // broadcast
+      "q112_ivfpq_trained" -> 7)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
