@@ -1897,5 +1897,11 @@ object Oracles {
     // construction (a broadcast hint changes the physical join strategy,
     // never the rows), so the broadcast queries' oracles bind verbatim
     "q103_span_gate_shuffled" -> curationBase("q95_span_dedup"),
+    // q113/q114: the sketch-phase marker and the incremental span table
+    // — same results as q95 by construction (sketch negatives are
+    // definitive + exact verify; union-additive occurrence counts), so
+    // q95's oracle binds verbatim and "by construction" is hash-checked
+    "q113_span_dedup_sketch" -> curationBase("q95_span_dedup"),
+    "q114_span_dedup_increment" -> curationBase("q95_span_dedup"),
     "q105_bloom_shuffled" -> curationBase("q94_bloom_increment"))
 }

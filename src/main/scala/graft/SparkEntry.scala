@@ -133,6 +133,8 @@ object SparkEntry {
     "q110_ivf_refresh" -> (Similarity.ivfRefresh _),
     "q111_spatial_join" -> (Geo.spatialNeighbors _),
     "q112_ivfpq_trained" -> (Similarity.ivfPqTrained _),
+    "q113_span_dedup_sketch" -> (Curation.spanDedupSketch _),
+    "q114_span_dedup_increment" -> (Curation.spanDedupIncrement _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

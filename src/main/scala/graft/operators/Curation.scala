@@ -1031,6 +1031,38 @@ object Curation {
   def spanTrimFrom(spans: DataFrame, documents: DataFrame): DataFrame =
     spanTrimCore(spanDocs(documents), dupHitsTwoPhase(spans))
 
+  /** q113: q95 through the PAST-BROADCAST deployment path — the staged
+    * span table consumed by the Bloom-sketch-phase marker
+    * ([[dupHitsSketchPhase]]): declared as its own query so the regime
+    * past the two-phase marker's broadcast ceiling is held to the same
+    * DuckDB hash gate as q95/q99 (the q103/q105 philosophy applied to
+    * the MARKER itself, not just the gates). Same oracle SQL — identical
+    * declared semantics by construction: sketch negatives are
+    * definitive, and the exact semi-join removes the false positives. */
+  def spanDedupSketch(spark: SparkSession, dir: String): DataFrame = {
+    val spans = spanTable(spark, dir)
+    spanCoverage(spans.select(col("doc_id"), col("n")).distinct(),
+      dupHitsSketchPhase(spans))
+  }
+
+  /** q114: q95 through the INCREMENTAL deployment path — the standing
+    * corpus's span table (q94's %7 split convention: doc_id % 7 ≠ 0)
+    * extended by UNION with the arriving batch's span rows
+    * ([[spanTableIncrement]] — the standing corpus is never
+    * re-exploded), then the two-phase marker over the merged table.
+    * Occurrence counts are additive under union, so the merged coverage
+    * equals the from-scratch q95 result by construction — and the
+    * declared oracle binds q95's SQL verbatim, so "equal by
+    * construction" is hash-checked every round instead of asserted. */
+  def spanDedupIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merged = spanTableIncrement(
+      spanRows(docs.filter(col("doc_id") % 7 =!= 0)),
+      docs.filter(col("doc_id") % 7 === 0))
+    spanCoverage(merged.select(col("doc_id"), col("n")).distinct(),
+      dupHitsTwoPhase(merged))
+  }
+
   /** q98: cross-source span contamination matrix — q87's provenance
     * question at SPAN granularity: for every source pair, how many
     * distinct [[SpanW]]-token spans appear verbatim in BOTH. Doc-level
