@@ -1904,4 +1904,149 @@ object Oracles {
     "q113_span_dedup_sketch" -> curationBase("q95_span_dedup"),
     "q114_span_dedup_increment" -> curationBase("q95_span_dedup"),
     "q105_bloom_shuffled" -> curationBase("q94_bloom_increment"))
+
+  val retrieval: Map[String, String] = Map(
+    // q115: the full q108 IVF-PQ chain producing a rnk<=20 ADC
+    // shortlist, then an exact-cosine re-rank over that sliver only
+    // (FAISS IndexRefineFlat).
+    "q115_pq_refine" ->
+      s"""WITH $embCte,
+         | cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 16),
+         | ac AS (SELECT v.vec_id, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, cent c),
+         | asg AS (SELECT vec_id, cell FROM ac WHERE rn = 1),
+         | pr AS (SELECT p.vec_id AS probe_id, c.cell,
+         |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
+         |     c.cell) AS prn
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         | pcells AS (SELECT probe_id, cell FROM pr WHERE prn <= 4),
+         | cb AS (SELECT CAST(vec_id AS INT) AS code, embedding AS cvec
+         |   FROM e WHERE vec_id < 16),
+         | vs AS (SELECT vec_id, embedding, unnest(range(0, 8)) AS sub FROM e),
+         | ecd AS (SELECT v.vec_id, v.sub, c.code,
+         |    (${pqDistSql("v.embedding", "c.cvec", "v.sub")}) AS d
+         |   FROM vs v, cb c),
+         | ec AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |         ORDER BY d, code) AS rn FROM ecd),
+         | codes AS (SELECT vec_id, sub, code FROM ec WHERE rn = 1),
+         | ps AS (SELECT vec_id AS probe_id, embedding,
+         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0),
+         | lut AS (SELECT p.probe_id, p.sub, c.code,
+         |    (${pqDistSql("p.embedding", "c.cvec", "p.sub")}) AS d
+         |   FROM ps p, cb c),
+         | cand AS (SELECT pc.probe_id, a.vec_id, pc.cell
+         |   FROM pcells pc JOIN asg a ON pc.cell = a.cell
+         |                           AND pc.probe_id <> a.vec_id),
+         | sc AS (SELECT cd.probe_id, cd.vec_id AS cand_id, cd.cell,
+         |    CAST(sum(CAST(floor(l.d * 1e9) AS DECIMAL(28,9))) AS DOUBLE) / 1e9 AS adc
+         |   FROM cand cd
+         |   JOIN codes k ON k.vec_id = cd.vec_id
+         |   JOIN lut l ON l.probe_id = cd.probe_id AND l.sub = k.sub
+         |             AND l.code = k.code
+         |   GROUP BY 1, 2, 3),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY adc, cand_id) AS rnk FROM sc),
+         | short AS (SELECT probe_id, cand_id FROM r WHERE rnk <= 20),
+         | ex AS (SELECT s.probe_id, s.cand_id,
+         |    (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
+         |   FROM short s JOIN e p ON p.vec_id = s.probe_id
+         |                JOIN e c ON c.vec_id = s.cand_id),
+         | rr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cosine DESC, cand_id) AS rk FROM ex)
+         |SELECT probe_id, CAST(rk AS BIGINT) AS "rank", cand_id,
+         | round(cosine, 6) AS cosine
+         |FROM rr WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    // q116: BM25 more-like-this — probe docs' top-3 TF-IDF terms (q65's
+    // scoring and tie-break) queried against the corpus tf/df/dl tables
+    // with Lucene-style idf; per-term scores sum decimal-exactly.
+    "q116_bm25" -> bm25Sql(k = 10),
+
+    // q117: reciprocal-rank fusion of the BM25 top-20 with the exact
+    // cosine top-20 (doc_id ≡ vec_id); each list contributes the
+    // INTEGER floor(1e9/(60+rank)), so fusion is exact arithmetic.
+    "q117_rrf_fusion" ->
+      s"""WITH $embCte,
+         | $bm25Ctes,
+         | bm AS (SELECT probe_id, cand_id, CAST(rnk AS BIGINT) AS bm25_rank
+         |   FROM bmr WHERE rnk <= 20),
+         | cosr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |     (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) DESC,
+         |     c.vec_id) AS crn
+         |  FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id),
+         | cos AS (SELECT probe_id, cand_id, CAST(crn AS BIGINT) AS cos_rank
+         |   FROM cosr WHERE crn <= 20),
+         | fused AS (SELECT probe_id, cand_id, bm25_rank, cos_rank,
+         |   COALESCE(CAST(floor(1e9 / (60 + bm25_rank)) AS BIGINT), 0) +
+         |   COALESCE(CAST(floor(1e9 / (60 + cos_rank)) AS BIGINT), 0) AS rrf_scaled
+         |  FROM bm FULL OUTER JOIN cos USING (probe_id, cand_id)),
+         | fr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY rrf_scaled DESC, cand_id) AS rk FROM fused)
+         |SELECT probe_id, CAST(rk AS BIGINT) AS "rank", cand_id,
+         | bm25_rank, cos_rank, rrf_scaled
+         |FROM fr WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    // q118: hard-negative mining — cosine top-5 restricted to
+    // DIFFERENT-label candidates.
+    "q118_hard_negatives" ->
+      s"""WITH $embCte,
+         | pr AS (SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |   c.vec_id AS cand_id, c.label AS cand_label,
+         |   (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
+         |  FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.label <> c.label),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cosine DESC, cand_id) AS rnk FROM pr)
+         |SELECT probe_id, probe_label, CAST(rnk AS BIGINT) AS "rank",
+         | cand_id, cand_label, round(cosine, 6) AS cosine
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+  )
+
+  /** The BM25 CTE chain through the ranked candidate table `bmr` —
+    * shared by q116 (the report) and q117 (the fusion input). Mirrors
+    * `Retrieval.bm25From` expression-for-expression: same tokenizer,
+    * q65's tfidf/tie-break for the query terms, Lucene idf, k1=1.2,
+    * b=0.75, decimal-exact term summation. */
+  private def bm25Ctes: String =
+    s"""tok AS (SELECT doc_id,
+       |   unnest(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS token
+       |  FROM documents),
+       | tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+       | dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+       | dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       | nd AS (SELECT count(*) AS n_docs FROM documents),
+       | consts AS (SELECT n_docs,
+       |    CAST(t.tot AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+       |   FROM nd, (SELECT sum(dl) AS tot FROM dlen) t),
+       | qt0 AS (SELECT f.doc_id AS probe_id, f.token,
+       |    floor(f.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) * 1e6) / 1e6 AS tfidf
+       |   FROM tf f JOIN dft d USING (token), nd n
+       |   WHERE f.doc_id % 97 = 0),
+       | qt AS (SELECT probe_id, token FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY tfidf DESC, token) AS rn FROM qt0) WHERE rn <= 3),
+       | term AS (SELECT q.probe_id, f.doc_id AS cand_id,
+       |    ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |    (f.tf * (1.2 + 1.0) /
+       |     (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.dl AS DOUBLE) / c.avgdl))) AS term_score
+       |   FROM qt q
+       |   JOIN tf f ON q.token = f.token AND f.doc_id <> q.probe_id
+       |   JOIN dft d ON d.token = q.token
+       |   JOIN dlen l ON l.doc_id = f.doc_id, consts c),
+       | bms AS (SELECT probe_id, cand_id, count(*) AS n_terms,
+       |    CAST(sum(CAST(floor(term_score * 1e9) AS DECIMAL(28,9))) AS DOUBLE) / 1e9 AS score
+       |   FROM term GROUP BY 1, 2),
+       | bmr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |         ORDER BY score DESC, cand_id) AS rnk FROM bms)""".stripMargin
+
+  private def bm25Sql(k: Int): String =
+    s"""WITH $bm25Ctes
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", cand_id,
+       | CAST(n_terms AS BIGINT) AS n_terms, round(score, 6) AS score
+       |FROM bmr WHERE rnk <= $k ORDER BY probe_id, rnk""".stripMargin
 }

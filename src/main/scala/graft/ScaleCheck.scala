@@ -37,6 +37,10 @@ object ScaleCheck {
       .select(col("vec_id"), col("embedding"))
     // corpus-proportional cluster count: keep c_i ≈ 250 like sf0.1's k=8
     val k = math.max(8, (n / 250).toInt)
+    // fixed 21-doc probe budget for the retrieval family (same rationale
+    // as the vector probes above)
+    val docProbes = Tables.documents(spark, sfDir)
+      .orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(21)
 
     // the three span dup-markers over a STAGED table — the deployment
     // regime where BASELINE.md claims the two-phase/sketch shapes ride a
@@ -77,6 +81,33 @@ object ScaleCheck {
       ("ivfpq_trained_budget21", () =>
         Similarity.ivfPqTrainedFrom(emb, probes, nlist = 16, nprobe = 4,
           m = 8, dsub = 8, nCodes = 16, k = 5)
+          .write.format("noop").mode("overwrite").save()),
+      // r13 additions: the refine stage re-ranks only the ADC shortlist
+      // (probes×kShort rows) — the claim is it adds a constant on top of
+      // ivfpq_budget21, not a corpus term; hard negatives are one
+      // label-filtered corpus scan per bounded probe set
+      ("pq_refine_budget21", () =>
+        Similarity.pqRefineFrom(emb, probes, nlist = 16, nprobe = 4,
+          m = 8, dsub = 8, nCodes = 16, kShort = 20, k = 5)
+          .write.format("noop").mode("overwrite").save()),
+      ("hard_neg_budget21", () =>
+        Similarity.hardNegativesFrom(emb,
+          emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(21), k = 5)
+          .write.format("noop").mode("overwrite").save()),
+      // BM25/RRF at a fixed 21-doc probe budget: the corpus-linear terms
+      // are the tf/df/dl aggregations; scoring joins touch only
+      // term-sharing candidates
+      ("bm25_budget21", () =>
+        graft.operators.Retrieval.bm25From(
+          Tables.documents(spark, sfDir), docProbes, nTerms = 3, k = 10)
+          .write.format("noop").mode("overwrite").save()),
+      ("rrf_budget21", () =>
+        graft.operators.Retrieval.rrfFusionFrom(
+          Tables.documents(spark, sfDir), emb, docProbes, kList = 20, k = 5)
+          .write.format("noop").mode("overwrite").save()),
+      // q114's union-refresh span path (increment + two-phase marker)
+      ("span_mark_increment", () =>
+        Curation.spanDedupIncrement(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
       ("ivf_refresh", () =>
         Similarity.ivfRefresh(spark, sfDir)

@@ -135,6 +135,10 @@ object SparkEntry {
     "q112_ivfpq_trained" -> (Similarity.ivfPqTrained _),
     "q113_span_dedup_sketch" -> (Curation.spanDedupSketch _),
     "q114_span_dedup_increment" -> (Curation.spanDedupIncrement _),
+    "q115_pq_refine" -> (Similarity.pqRefine _),
+    "q116_bm25" -> (Retrieval.bm25Search _),
+    "q117_rrf_fusion" -> (Retrieval.rrfFusion _),
+    "q118_hard_negatives" -> (Similarity.hardNegatives _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,5 +148,5 @@ object SparkEntry {
       Oracles.text ++ Oracles.dedup ++ Oracles.similarity ++
       Oracles.multimodal ++ Oracles.advanced ++ Oracles.similarity2 ++
       Oracles.similarity3 ++ Oracles.dedup2 ++ Oracles.analytic ++
-      Oracles.curation
+      Oracles.curation ++ Oracles.retrieval
 }

@@ -751,6 +751,80 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** q115: IVF-PQ with exact re-rank (FAISS's IndexRefineFlat pattern) —
+    * the compressed index produces an ADC shortlist (kShort per probe),
+    * then ONLY that sliver touches full-precision vectors for an exact
+    * cosine re-rank to the final k. This is how a production index buys
+    * back quantization loss without re-reading the corpus: at 100 TB the
+    * full-precision table is consulted for probes×kShort rows (a
+    * broadcast-join point lookup), never scanned.
+    *
+    * Scale shape: the shortlist (probes×kShort rows of (probe, cand)
+    * ids) broadcasts into one equality join against the corpus — the
+    * refine stage adds zero shuffles on top of [[ivfPqAnnFrom]]; probe
+    * vectors ride a second broadcast. */
+  def pqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqRefineFrom(emb, gridProbes(emb), nlist = 16, nprobe = 4,
+      m = 8, dsub = 8, nCodes = 16, kShort = 20, k = 5)
+  }
+
+  /** [[pqRefine]] over explicit probes. */
+  def pqRefineFrom(emb: DataFrame, probes: DataFrame, nlist: Int, nprobe: Int,
+      m: Int, dsub: Int, nCodes: Int, kShort: Int, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val short = ivfPqAnnFrom(emb, probes, nlist, nprobe, m, dsub, nCodes,
+        kShort, excludeSelf)
+      .select(col("probe_id"), col("cand_id"))
+    val cand = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_nrm"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("p_emb"), norm(col("embedding")).as("p_nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(short)
+      .join(cand, Seq("cand_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("cosine",
+        dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** q118: hard-negative mining for contrastive training — for each probe,
+    * the top-k most-similar vectors carrying a DIFFERENT label. The
+    * highest-cosine wrong-label neighbors are exactly the negatives a
+    * contrastive objective learns most from (the standard dense-retriever
+    * training-data op). Same scale shape as [[cosineTopKFrom]]: bounded
+    * probe set broadcast against one corpus scan; the label inequality
+    * rides the join condition so same-label rows never materialize. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    hardNegativesFrom(emb, emb.filter(col("vec_id") % 97 === 0), k = 5)
+  }
+
+  /** [[hardNegatives]] over explicit probes (must carry `label`). */
+  def hardNegativesFrom(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val cand = emb.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_nrm"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+      col("embedding").as("p_emb"), norm(col("embedding")).as("p_nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(p)
+      .join(cand, col("probe_label") =!= col("cand_label"))
+      .withColumn("cosine",
+        dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("probe_label"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cand_label"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Per-label embedding statistics — vector aggregation sanity surface.
     * Averages use the repo's decimal-exact-sum rule (floor to 1e-9,
     * DECIMAL sum, truncate to 6 dp): a plain `avg` over irrational

@@ -209,7 +209,23 @@ class PlanGuardSpec extends SparkSpec {
       // candidate⨝codes join sides, the ADC (probe, vector, cell)
       // regroup, top-k window + output sort; centroids/codebook/LUT all
       // broadcast
-      "q112_ivfpq_trained" -> 7)
+      "q112_ivfpq_trained" -> 7,
+      // refine: the q108 stack (5) plus the exact re-rank's top-k window
+      // — the shortlist and probe joins both broadcast, so the refine
+      // stage adds no corpus exchange
+      "q115_pq_refine" -> 6,
+      // BM25: df agg over the staged index + probe-sliver window + the
+      // (probe, cand) regroup + top-k window + output sort, plus the
+      // 1-row corpus-constant aggs (single-partition, 1-row payloads);
+      // the scoring scan itself joins the BROADCAST query-term sliver
+      // against the staged index — zero corpus-side join exchanges
+      "q116_bm25" -> 9,
+      // RRF: the q116 chain + the cosine list's top-k window + the
+      // full-outer fuse on two probes×20-row lists + final window+sort
+      "q117_rrf_fusion" -> 13,
+      // hard negatives: q40's shape — probe broadcast against one corpus
+      // scan; top-k window + output sort only
+      "q118_hard_negatives" -> 2)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None

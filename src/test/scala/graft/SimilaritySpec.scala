@@ -286,4 +286,67 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) == hits / 5.0)
     }
   }
+
+  test("pq refine: full-shortlist + full-probe degenerates to exact brute force") {
+    // With nprobe = nlist (every cell probed) and kShort >= corpus size
+    // (the whole candidate set re-ranked exactly), the refine stage IS
+    // brute-force cosine — q115's degeneracy contract, the refine
+    // analogue of q102/q108's nprobe=nlist pins.
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val n = emb.count().toInt
+    val refined = Similarity.pqRefineFrom(emb, probes, nlist = 16, nprobe = 16,
+      m = 8, dsub = 8, nCodes = 16, kShort = n + 1, k = 5)
+    val exact = Similarity.cosineTopKFrom(emb, probes, k = 5)
+    assert(refined.exceptAll(exact).isEmpty && exact.exceptAll(refined).isEmpty)
+  }
+
+  test("pq refine: recall@5 never below the unrefined IVF-PQ ranking's") {
+    // The point of the refine stage: exact re-ranking of the ADC
+    // shortlist can only improve agreement with exact top-5.
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val exact = Similarity.cosineTopKFrom(emb, probes, k = 5)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("probe_id", "cand_id").collect()
+        .count(r => exact((r.getLong(0), r.getLong(1))))
+    val refined = hits(Similarity.pqRefineFrom(emb, probes, nlist = 16,
+      nprobe = 4, m = 8, dsub = 8, nCodes = 16, kShort = 20, k = 5))
+    val unrefined = hits(Similarity.ivfPqAnnFrom(emb, probes, nlist = 16,
+      nprobe = 4, m = 8, dsub = 8, nCodes = 16, k = 5))
+    assert(refined >= unrefined)
+  }
+
+  test("hard negatives: no candidate shares its probe's label, cosine ranked") {
+    val out = Similarity.hardNegatives(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getInt(1) != r.getInt(4),
+      s"probe ${r.getLong(0)} negative ${r.getLong(3)} shares label ${r.getInt(1)}"))
+    out.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(2)).sorted.sameElements(1L to g.length))
+      val cs = g.sortBy(_.getLong(2)).map(_.getDouble(5))
+      assert(cs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("hard negatives: each negative is the label-filtered brute-force neighbor") {
+    // recompute per probe from the raw table: the k-th hard negative is
+    // the k-th highest-cosine different-label vector
+    val emb = Tables.embeddings(spark, sfDir)
+    val all = Similarity.cosineTopKFrom(emb,
+        emb.filter(col("vec_id") % 97 === 0), k = Int.MaxValue)
+      .join(emb.select(col("vec_id").as("cand_id"), col("label").as("cl")), "cand_id")
+      .join(emb.select(col("vec_id").as("probe_id"), col("label").as("pl")), "probe_id")
+      .filter(col("cl") =!= col("pl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("cand_id"))
+    val expect = all.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk").cast("long"), col("cand_id"))
+    val got = Similarity.hardNegatives(spark, sfDir)
+      .select(col("probe_id"), col("rank"), col("cand_id"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
 }
