@@ -1053,12 +1053,20 @@ object Curation {
     * Occurrence counts are additive under union, so the merged coverage
     * equals the from-scratch q95 result by construction — and the
     * declared oracle binds q95's SQL verbatim, so "equal by
-    * construction" is hash-checked every round instead of asserted. */
+    * construction" is hash-checked every round instead of asserted.
+    *
+    * Both halves are STAGED before the union, mirroring the deployment
+    * exactly (the standing table was materialized yesterday, the
+    * increment is materialized once on arrival): the marker and the
+    * doc-list/coverage consumers each read the merged table, and
+    * unstaged they would re-explode BOTH corpora once per consumer —
+    * measured 7.3 s vs ~4 s at sf0.1 (r13 bench) purely from the
+    * repeated explodes. */
   def spanDedupIncrement(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val merged = spanTableIncrement(
-      spanRows(docs.filter(col("doc_id") % 7 =!= 0)),
-      docs.filter(col("doc_id") % 7 === 0))
+    val existing = Materialize.stage(spanRows(docs.filter(col("doc_id") % 7 =!= 0)))
+    val increment = Materialize.stage(spanRows(docs.filter(col("doc_id") % 7 === 0)))
+    val merged = existing.unionByName(increment)
     spanCoverage(merged.select(col("doc_id"), col("n")).distinct(),
       dupHitsTwoPhase(merged))
   }

@@ -69,21 +69,36 @@ object Retrieval {
     * idf ln(1 + (N−df+0.5)/(df+0.5)); top-k per probe. Per-term scores
     * sum through the repo's decimal-exact rule (floor 1e-9, DECIMAL sum)
     * so term order can never perturb the ranking across engines. */
-  def bm25From(docs: DataFrame, probes: DataFrame, nTerms: Int, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
-    val idx = bm25Index(docs)
-    val dfT = idx.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val consts = docs.agg(count(lit(1)).as("n_docs"))
+  /** The per-term BM25 score, idf(df) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * with the Lucene idf ln(1 + (N−df+0.5)/(df+0.5)) — ONE shared
+    * expression used by both the batch scorer and the streaming scorer
+    * ([[graft.streaming.StreamOps.bm25ScoreStream]]), so the two can
+    * never drift; with identical inputs the doubles are bit-equal. */
+  private[graft] def termScore(tf: Column, df: Column, dl: Column,
+      nDocs: Column, avgdl: Column): Column =
+    log(lit(1.0) + (nDocs - df + 0.5) / (df + 0.5)) *
+      (tf * (K1 + 1.0) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl.cast("double") / avgdl)))
+
+  /** Corpus constants the BM25 formula closes over: document count and
+    * mean document length — one row. */
+  private def corpusConsts(docs: DataFrame, idx: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(idx.agg(sum(col("tf")).as("tot_dl")))
       .select(col("n_docs"),
         (col("tot_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-    // probe query terms: q65's tfidf ranking restricted to probe docs.
-    // The probe sliver (probes×terms rows) broadcasts against the
-    // vocabulary-sized df table, then carries df forward so the scoring
-    // join never touches dfT again.
+
+  /** Probe query terms (probe_id, token, df): q65's tfidf ranking — same
+    * scoring, same tie-break — restricted to probe docs, carrying df
+    * forward so the scoring join never touches the vocabulary table
+    * again. The probe sliver (probes×terms rows) broadcasts against the
+    * vocabulary-sized df aggregation. */
+  private[graft] def queryTerms(idx: DataFrame, consts: DataFrame,
+      probes: DataFrame, nTerms: Int): DataFrame = {
+    val dfT = idx.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val wq = Window.partitionBy(col("probe_id"))
       .orderBy(col("tfidf").desc, col("token"))
-    val qt = dfT
+    dfT
       .join(broadcast(idx.join(broadcast(probes.select(col("doc_id"))), Seq("doc_id"))
         .select(col("doc_id").as("probe_id"), col("token"), col("tf"))), Seq("token"))
       .crossJoin(broadcast(consts.select(col("n_docs"))))
@@ -93,6 +108,29 @@ object Retrieval {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nTerms)
       .select(col("probe_id"), col("token"), col("df"))
+  }
+
+  /** The query side as ONE broadcastable row — (qterms: sorted array of
+    * (probe_id, token, df) structs, n_docs, avgdl) — the static index of
+    * [[graft.streaming.StreamOps.bm25ScoreStream]], refreshed by a
+    * scheduled batch job exactly like the bloom/span/IVF stream indexes.
+    * Corpus statistics are FROZEN into the row (the standard
+    * between-refreshes approximation a production lexical index makes). */
+  def bm25QueryIndex(spark: SparkSession, dir: String, nTerms: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = bm25Index(docs)
+    val consts = corpusConsts(docs, idx)
+    queryTerms(idx, consts, gridDocProbes(docs), nTerms)
+      .agg(array_sort(collect_list(struct(col("probe_id"), col("token"),
+        col("df")))).as("qterms"))
+      .crossJoin(consts)
+  }
+
+  def bm25From(docs: DataFrame, probes: DataFrame, nTerms: Int, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val idx = bm25Index(docs)
+    val consts = corpusConsts(docs, idx)
+    val qt = queryTerms(idx, consts, probes, nTerms)
     // score candidates sharing a query term: one scan of the staged
     // index against the broadcast query terms — an inverted-index probe
     val term = idx
@@ -100,12 +138,8 @@ object Retrieval {
       .join(broadcast(qt), Seq("token"))
       .filter(if (excludeSelf) col("probe_id") =!= col("cand_id") else lit(true))
       .crossJoin(broadcast(consts))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("tfn",
-        col("tf") * (K1 + 1.0) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
-      .withColumn("term_score", col("idf") * col("tfn"))
+      .withColumn("term_score", termScore(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl")))
     val wr = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("cand_id"))
     term

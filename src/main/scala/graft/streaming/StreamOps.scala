@@ -459,6 +459,61 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming BM25 relevance scoring — the retrieval family's streaming
+    * dual (q116's gate shape): each arriving document is scored against
+    * the FIXED query-term set of the broadcast one-row
+    * [[graft.operators.Retrieval.bm25QueryIndex]] (probe query terms +
+    * frozen corpus statistics), emitting the batch q116 row
+    * (probe_id, cand_id, n_terms, score) for every query the document
+    * matches. A deployment uses this as topical routing/mining at ingest
+    * rate: keep or tag documents relevant to standing queries.
+    *
+    * STATELESS, no shuffle, no state store: tokenize, per-query-term tf
+    * (`size(filter(toks, …))`), the SHARED
+    * [[graft.operators.Retrieval.termScore]] expression per matched
+    * term, and a per-row fold over each probe's matched terms — the
+    * per-term scores enter the fold as the same floor(·1e9) integers the
+    * batch scorer feeds its decimal sum, so stream and batch scores are
+    * equal EXACTLY, not approximately (StreamingSpec pins row-for-row
+    * equality on replayed corpus docs). Documents sharing no query term
+    * emit nothing, matching the batch inner join. */
+  def bm25ScoreStream(docs: DataFrame, queryIndex: DataFrame): DataFrame = {
+    import graft.operators.Retrieval
+    val hits = filter(
+      transform(col("qterms"), q =>
+        struct(
+          q.getField("probe_id").as("probe_id"),
+          size(filter(col("toks"), t => t === q.getField("token")))
+            .cast("long").as("tf"),
+          q.getField("df").as("df"))),
+      h => h.getField("tf") > 0 && h.getField("probe_id") =!= col("doc_id"))
+    val scored = transform(col("hits"), h =>
+      struct(
+        h.getField("probe_id").as("probe_id"),
+        floor(Retrieval.termScore(h.getField("tf"), h.getField("df"),
+          col("dl"), col("n_docs"), col("avgdl")) * 1e9)
+          .cast("long").as("s9")))
+    val perProbe = transform(col("pids"), p =>
+      struct(
+        p.as("probe_id"),
+        size(filter(col("scored"), s => s.getField("probe_id") === p))
+          .cast("long").as("n_terms"),
+        aggregate(filter(col("scored"), s => s.getField("probe_id") === p),
+          lit(0L), (acc, s) => acc + s.getField("s9")).as("s9sum")))
+    docs
+      .withColumn("toks", Dedup.toks)
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .crossJoin(broadcast(queryIndex))
+      .withColumn("hits", hits)
+      .withColumn("scored", scored)
+      .withColumn("pids", array_distinct(transform(col("scored"),
+        s => s.getField("probe_id"))))
+      .select(col("doc_id").as("cand_id"), explode(perProbe).as("pp"))
+      .select(col("pp.probe_id").as("probe_id"), col("cand_id"),
+        col("pp.n_terms").as("n_terms"),
+        round(col("pp.s9sum").cast("double") / 1e9, 6).as("score"))
+  }
+
   /** Static corpus band index (band, band_sig) for the stream-static
     * near-dup join — built by one batch pass over the corpus. */
   def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {

@@ -802,4 +802,45 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming bm25 scorer equals batch q116 scores row for row, stateless") {
+    // the retrieval family's streaming dual: corpus docs replayed through
+    // the gate against the frozen query index must reproduce the batch
+    // scorer's (probe, cand, n_terms, score) rows EXACTLY — shared
+    // termScore expression, same floor(1e9) integers into the fold
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamOps.Doc
+    import graft.operators.Retrieval
+    import graft.sources.Tables
+    val qidx = Retrieval.bm25QueryIndex(spark, sfDir)
+    val docRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    assert(docRows.nonEmpty)
+    val input = MemoryStream[Doc]
+    val q = StreamOps.bm25ScoreStream(input.toDF(), qidx)
+      .writeStream.format("memory").queryName("bm25_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docRows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("bm25_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val docs = Tables.documents(spark, sfDir)
+      // batch with k unbounded: every scored (probe, cand) pair
+      val want = Retrieval.bm25From(docs,
+          docs.filter(col("doc_id") % 97 === 0), nTerms = 3, k = Int.MaxValue)
+        .select(col("probe_id"), col("cand_id"), col("n_terms"), col("score"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want,
+        s"bm25 stream diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(got.nonEmpty)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
