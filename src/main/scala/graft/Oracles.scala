@@ -1992,6 +1992,44 @@ object Oracles {
          | bm25_rank, cos_rank, rrf_scaled
          |FROM fr WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
 
+    // q119: multi-probe LSH — q58's bucket search extended to the
+    // nFlip=2 lowest-|margin| bit-flip cells; the margin chains use the
+    // same hyperplane literals in the same left-assoc order as the
+    // signature, so cell routing replays bit-identically.
+    "q119_multiprobe_lsh" -> {
+      val dChains = graft.operators.Similarity.hyperplanes.zipWithIndex
+        .map { case (h, j) =>
+          h.zipWithIndex
+            .map { case (w, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * ${w}" }
+            .mkString(" + ") + s" AS d$j"
+        }.mkString(",\n         |   ")
+      val pmArms = (0 until 8).map(j =>
+        s"SELECT probe_id, sig, $j AS j, CAST(${1L << j} AS BIGINT) AS bit, abs(d$j) AS a FROM pd")
+        .mkString("\n         |  UNION ALL ")
+      s"""WITH $embCte,
+         | es AS (SELECT *, ${rpSigSql("embedding")} AS sig FROM e),
+         | pd AS (SELECT vec_id AS probe_id, embedding, nrm, sig,
+         |   $dChains
+         |  FROM es WHERE vec_id % 97 = 0),
+         | pm AS ($pmArms),
+         | flips AS (SELECT probe_id, xor(sig, bit) AS pcell
+         |   FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY a, j) AS rn FROM pm)
+         |   WHERE rn <= 2),
+         | pcells AS (SELECT probe_id, sig AS pcell FROM pd
+         |   UNION ALL SELECT probe_id, pcell FROM flips),
+         | pairs AS (SELECT pc.probe_id, c.sig AS cell, c.vec_id AS cand_id,
+         |    (${dotSql("pp.embedding", "c.embedding")}) / (pp.nrm * c.nrm) AS cosine
+         |   FROM pcells pc
+         |   JOIN pd pp ON pp.probe_id = pc.probe_id
+         |   JOIN es c ON c.sig = pc.pcell AND c.vec_id <> pc.probe_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cosine DESC, cand_id) AS rnk FROM pairs)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", cand_id, cell,
+         | round(cosine, 6) AS cosine
+         |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+    },
+
     // q118: hard-negative mining — cosine top-5 restricted to
     // DIFFERENT-label candidates.
     "q118_hard_negatives" ->

@@ -94,6 +94,9 @@ object ScaleCheck {
         Similarity.hardNegativesFrom(emb,
           emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(21), k = 5)
           .write.format("noop").mode("overwrite").save()),
+      ("multiprobe_budget21", () =>
+        Similarity.multiprobeLshFrom(emb, probes, nFlip = 2, kRank = 3)
+          .write.format("noop").mode("overwrite").save()),
       // BM25/RRF at a fixed 21-doc probe budget: the corpus-linear terms
       // are the tf/df/dl aggregations; scoring joins touch only
       // term-sharing candidates

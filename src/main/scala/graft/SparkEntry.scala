@@ -139,6 +139,7 @@ object SparkEntry {
     "q116_bm25" -> (Retrieval.bm25Search _),
     "q117_rrf_fusion" -> (Retrieval.rrfFusion _),
     "q118_hard_negatives" -> (Similarity.hardNegatives _),
+    "q119_multiprobe_lsh" -> (Similarity.multiprobeLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

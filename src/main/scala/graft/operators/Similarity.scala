@@ -285,6 +285,75 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** q119: multi-probe LSH (Lv et al. 2007) over the q58 RP-LSH index —
+    * instead of growing the number of hash tables, each query ALSO
+    * probes the buckets reached by flipping its `nFlip` lowest-|margin|
+    * signature bits: the hyperplanes the query sits closest to are
+    * exactly where its true neighbors most likely landed on the other
+    * side. Recall approaches multi-table LSH at a fraction of the index
+    * memory — the reason production LSH deployments multi-probe.
+    *
+    * Scale shape: IDENTICAL to q58's — the corpus side computes only its
+    * one native `rp_signature64`; margins are per-row column math on the
+    * probe sliver alone, the probe side explodes to (nFlip+1) cells per
+    * probe and broadcasts into the same equality join on the signature.
+    * A candidate's single signature matches at most one probed cell, so
+    * no pair dedup is needed. q58's candidate set is a subset by
+    * construction (the base cell is always probed) — recall can only
+    * improve, spec-pinned. */
+  def multiprobeLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    multiprobeLshFrom(emb, gridProbes(emb), nFlip = 2, kRank = 3)
+  }
+
+  /** [[multiprobeLsh]] over an explicit probe set. */
+  def multiprobeLshFrom(emb: DataFrame, probes: DataFrame, nFlip: Int,
+      kRank: Int, excludeSelf: Boolean = true): DataFrame = {
+    val cand = emb
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("sig", rpSignature(col("embedding")))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("sig").as("c_sig"))
+    // per-hyperplane margins, probe sliver only: the same left-assoc
+    // literal chain as the signature kernel and its oracle, so the
+    // margin doubles replay bit-identically in DuckDB
+    val dots = hyperplanes.zipWithIndex.map { case (h, j) =>
+      (0 until 64).map(i =>
+        element_at(col("embedding"), i + 1).cast("double") * lit(h(i)))
+        .reduce(_ + _).as(s"d$j")
+    }
+    // sort the 8 (|margin|, bit index) pairs — struct array_sort orders
+    // by field position: margin asc, then bit index asc on ties, the
+    // same (a, j) order the oracle's row_number uses
+    val marg = array_sort(array((0 until 8).map(j =>
+      struct(abs(col(s"d$j")).as("a"), lit(j).as("j"),
+        lit(1L << j).as("bit"))): _*))
+    val p = probes
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("sig", rpSignature(col("embedding")))
+      .select(Seq(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"), col("sig")) ++ dots: _*)
+      .withColumn("flips", slice(marg, 1, nFlip))
+      .withColumn("pcells", concat(array(col("sig")),
+        transform(col("flips"), f => col("sig").bitwiseXOR(f.getField("bit")))))
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"),
+        explode(col("pcells")).as("pcell"))
+    val pairs = broadcast(p)
+      .join(cand, col("pcell") === col("c_sig") &&
+        (if (excludeSelf) col("probe_id") =!= col("cand_id") else lit(true)))
+      .withColumn("cosine",
+        dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kRank)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("c_sig").as("cell"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** q102: IVF ANN — inverted-file approximate nearest neighbor, the
     * third scale path next to the sign-bucket (q41) and RP-LSH (q58)
     * quantizers, and the one real vector stores ship: a coarse

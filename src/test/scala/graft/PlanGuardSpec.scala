@@ -225,7 +225,10 @@ class PlanGuardSpec extends SparkSpec {
       "q117_rrf_fusion" -> 13,
       // hard negatives: q40's shape — probe broadcast against one corpus
       // scan; top-k window + output sort only
-      "q118_hard_negatives" -> 2)
+      "q118_hard_negatives" -> 2,
+      // multi-probe LSH: q58's shape exactly — the (nFlip+1)-cell probe
+      // explode rides the broadcast side; top-k window + output sort
+      "q119_multiprobe_lsh" -> 2)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None

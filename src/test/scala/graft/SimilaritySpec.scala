@@ -319,6 +319,42 @@ class SimilaritySpec extends SparkSpec {
     assert(refined >= unrefined)
   }
 
+  test("multi-probe lsh: candidate set contains q58's, recall never below") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val pairsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full candidate sets (kRank unbounded): base-cell pairs ⊆ multi-probe pairs
+    val single = pairsOf(Similarity.rpLshAnnFrom(emb, probes, kRank = Int.MaxValue))
+    val multi = pairsOf(Similarity.multiprobeLshFrom(emb, probes, nFlip = 2,
+      kRank = Int.MaxValue))
+    assert(single.subsetOf(multi),
+      s"base-cell pairs missing from multi-probe: ${(single -- multi).take(3)}")
+    // recall@3 against exact top-3 can only improve
+    val exact = pairsOf(Similarity.cosineTopKFrom(emb, probes, k = 3))
+    val hitsSingle = pairsOf(Similarity.rpLshAnnFrom(emb, probes, kRank = 3))
+      .count(exact)
+    val hitsMulti = pairsOf(Similarity.multiprobeLshFrom(emb, probes, nFlip = 2,
+      kRank = 3)).count(exact)
+    assert(hitsMulti >= hitsSingle)
+  }
+
+  test("multi-probe lsh: every candidate's cell is the base or one flipped bit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val baseSig = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), Similarity.rpSignature(col("embedding")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Similarity.multiprobeLsh(spark, sfDir)
+      .select("probe_id", "cell").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val hamming = java.lang.Long.bitCount(baseSig(r.getLong(0)) ^ r.getLong(1))
+      assert(hamming <= 1, s"probe ${r.getLong(0)} candidate cell ${r.getLong(1)} " +
+        s"is $hamming bits from base ${baseSig(r.getLong(0))}")
+    }
+  }
+
   test("hard negatives: no candidate shares its probe's label, cosine ranked") {
     val out = Similarity.hardNegatives(spark, sfDir).collect()
     assert(out.nonEmpty)
