@@ -2030,6 +2030,62 @@ object Oracles {
          |FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
     },
 
+    // q120: SQ8 scalar-quantization ANN — per-dimension 8-bit codes
+    // against the corpus [min, max] range, asymmetric L2 on the
+    // reconstruction; every arithmetic shape mirrors the Column
+    // formulation so codes and distances replay bit-identically.
+    "q120_sq8_ann" -> {
+      def mn(i: Int) = s"CAST(mn$i AS DOUBLE)"
+      def dl(i: Int) = s"(CAST(mx$i AS DOUBLE) - ${mn(i)})"
+      val rngCols = ((0 until 64).map(i => s"min(embedding[${i + 1}]) AS mn$i") ++
+        (0 until 64).map(i => s"max(embedding[${i + 1}]) AS mx$i")).mkString(", ")
+      val codeCols = (0 until 64).map { i =>
+        s"CASE WHEN ${dl(i)} = 0.0 THEN 0 ELSE CAST(floor((CAST(embedding[${i + 1}] " +
+          s"AS DOUBLE) - ${mn(i)}) / ${dl(i)} * 255.0) AS BIGINT) END AS c$i"
+      }.mkString(",\n         |    ")
+      val distChain = (0 until 64).map { i =>
+        val rec = s"(${mn(i)} + (c.c$i + 0.5) * ${dl(i)} / 256.0)"
+        s"(CAST(p.embedding[${i + 1}] AS DOUBLE) - $rec) * " +
+          s"(CAST(p.embedding[${i + 1}] AS DOUBLE) - $rec)"
+      }.mkString(" + ")
+      s"""WITH rng AS (SELECT $rngCols FROM embeddings),
+         | codes AS (SELECT vec_id AS cand_id,
+         |    $codeCols
+         |   FROM embeddings, rng),
+         | pairs AS (SELECT p.vec_id AS probe_id, c.cand_id,
+         |    ($distChain) AS sqdist
+         |   FROM embeddings p, codes c, rng
+         |   WHERE p.vec_id % 97 = 0 AND p.vec_id <> c.cand_id),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY sqdist, cand_id) AS rnk FROM pairs)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(sqdist, 6) AS sqdist
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+    },
+
+    // q121: LSH pair-recall audit — the verified LSH pair set (q37's
+    // `pairs` CTE chain) LEFT-joined under the df-blocked exact pair
+    // set; both sides share ds/sizes so the jaccard judgment is one
+    // definition.
+    "q121_lsh_recall" ->
+      s"""WITH $lshPairCtes,
+         | dfc AS (SELECT hp FROM ds GROUP BY hp
+         |         HAVING count(*) <= ${graft.operators.Dedup.ShingleDfCap}),
+         | bl AS (SELECT doc_id, hp FROM ds JOIN dfc USING (hp)),
+         | ec AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM bl a JOIN bl b ON a.hp = b.hp AND a.doc_id < b.doc_id),
+         | ecom AS (SELECT d1, d2, count(*) AS common
+         |         FROM ec JOIN ds s1 ON d1 = s1.doc_id
+         |                 JOIN ds s2 ON d2 = s2.doc_id AND s1.hp = s2.hp
+         |         GROUP BY d1, d2),
+         | ep AS (SELECT d1, d2,
+         |   round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) AS jaccard
+         |  FROM ecom JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+         |  WHERE round(CAST(common AS DOUBLE) / (n1.n + n2.n - common), 6) >= 0.6)
+         |SELECT ep.d1, ep.d2, ep.jaccard, (p.d1 IS NOT NULL) AS caught
+         |FROM ep LEFT JOIN pairs p ON ep.d1 = p.d1 AND ep.d2 = p.d2
+         |ORDER BY ep.d1, ep.d2""".stripMargin,
+
     // q118: hard-negative mining — cosine top-5 restricted to
     // DIFFERENT-label candidates.
     "q118_hard_negatives" ->

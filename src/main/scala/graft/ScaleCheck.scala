@@ -97,6 +97,12 @@ object ScaleCheck {
       ("multiprobe_budget21", () =>
         Similarity.multiprobeLshFrom(emb, probes, nFlip = 2, kRank = 3)
           .write.format("noop").mode("overwrite").save()),
+      ("sq8_budget21", () =>
+        Similarity.sq8AnnFrom(emb, probes, k = 5)
+          .write.format("noop").mode("overwrite").save()),
+      ("lsh_recall_audit", () =>
+        graft.operators.Dedup.lshRecallAudit(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       // BM25/RRF at a fixed 21-doc probe budget: the corpus-linear terms
       // are the tf/df/dl aggregations; scoring joins touch only
       // term-sharing candidates

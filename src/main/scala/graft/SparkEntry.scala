@@ -140,6 +140,8 @@ object SparkEntry {
     "q117_rrf_fusion" -> (Retrieval.rrfFusion _),
     "q118_hard_negatives" -> (Similarity.hardNegatives _),
     "q119_multiprobe_lsh" -> (Similarity.multiprobeLsh _),
+    "q120_sq8_ann" -> (Similarity.sq8Ann _),
+    "q121_lsh_recall" -> (Dedup.lshRecallAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -270,6 +270,67 @@ object Dedup {
     lshVerify(cands, docs)
   }
 
+  /** q121: LSH pair-recall audit — the dedup-family analogue of the ANN
+    * recall audits (q88/q109): which exact near-dup pairs does the
+    * 4-band×4-row MinHash banding actually catch? The exact baseline
+    * blocks on shared hashed shingles with df ≤ [[ShingleDfCap]] (q35's
+    * blocking semantics moved to the hashed domain) and verifies with
+    * the SAME full-array jaccard the LSH verify uses — both sides judge
+    * a pair identically, so `caught` isolates the banding's behavior:
+    * the measured value of the theoretical S-curve on THIS corpus,
+    * shipped as a hash-gated query instead of a theory note.
+    *
+    * Scale shape: one staged hash-array table feeds the banding (q37's
+    * shape), the blocked exact self-join (worst task ≤ dfCap²/2 rows per
+    * shingle — the q35 guard), and both verifies; the final audit join
+    * is over the two verified pair sets (≪ corpus). */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("hs",
+        array_sort(array_distinct(transform(shingleCol, s => Hashing.h32p(s)))))
+      .withColumn("sig", call_function("minhash_sig16", col("hs")))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"), col("sig"))
+      .staged
+    // LSH side: q37's banding over the shared table
+    val bandStructs = (0 until Hashing.Bands).map { bnd =>
+      val cols = (0 until Hashing.RowsPerBand)
+        .map(r => element_at(col("sig"), bnd * Hashing.RowsPerBand + r + 1))
+      struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("sig"))
+    }
+    val banded = docs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val lshPairs = lshVerify(
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct(),
+      docs)
+    // exact side: df-blocked shared-shingle candidates, same verify
+    val ds = docs.select(col("doc_id"), explode(col("hs")).as("hp"))
+    val blocked = ds
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("hp"))))
+      .filter(col("df") <= ShingleDfCap)
+      .select("doc_id", "hp")
+    val exact = lshVerify(
+      blocked.as("a")
+        .join(blocked.as("b"),
+          col("a.hp") === col("b.hp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct(),
+      docs)
+    exact
+      .join(lshPairs.select(col("d1"), col("d2"), lit(true).as("c")),
+        Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), col("jaccard"),
+        coalesce(col("c"), lit(false)).as("caught"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Character 4-gram Jaccard near-dup pairs (threshold 0.5) — the
     * character-level dual of the word-shingle variant; robust to
     * whitespace/tokenization differences. Same distinct-gram equality

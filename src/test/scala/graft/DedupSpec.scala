@@ -154,4 +154,21 @@ class DedupSpec extends SparkSpec {
       .select("fp").collect().map(_.getLong(0))
     assert(fps(0) != fps(1))
   }
+
+  test("lsh recall audit: caught flags exactly the q37-detected exact pairs") {
+    import graft.operators.Dedup
+    val audit = Dedup.lshRecallAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(audit.nonEmpty)
+    audit.values.foreach { case (j, _) => assert(j >= 0.6) }
+    val lsh = Dedup.lshNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    audit.foreach { case (pair, (j, caught)) =>
+      if (caught) {
+        assert(lsh.contains(pair), s"caught pair $pair missing from q37")
+        assert(lsh(pair) == j, s"jaccard differs for $pair: ${lsh(pair)} vs $j")
+      } else assert(!lsh.contains(pair), s"pair $pair in q37 but marked uncaught")
+    }
+  }
 }

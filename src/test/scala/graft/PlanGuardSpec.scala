@@ -228,7 +228,15 @@ class PlanGuardSpec extends SparkSpec {
       "q118_hard_negatives" -> 2,
       // multi-probe LSH: q58's shape exactly — the (nFlip+1)-cell probe
       // explode rides the broadcast side; top-k window + output sort
-      "q119_multiprobe_lsh" -> 2)
+      "q119_multiprobe_lsh" -> 2,
+      // SQ8: the one-row range agg (single-partition exchange, 128
+      // floats) feeds encode and score as broadcasts; top-k window +
+      // output sort — the code-table scan itself never shuffles
+      "q120_sq8_ann" -> 4,
+      // recall audit: banding candidates + blocked exact candidates off
+      // one staged hash table, two pair-group aggs + the audit join +
+      // output sort; verify sides broadcast
+      "q121_lsh_recall" -> 5)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None

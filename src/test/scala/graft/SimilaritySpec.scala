@@ -355,6 +355,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq8: ranks densely and recall@5 vs exact L2 stays above the fidelity floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val out = Similarity.sq8AnnFrom(emb, probes, k = 5).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to g.length))
+      g.foreach(r => assert(r.getDouble(3) >= 0.0))
+    }
+    // exact L2 top-5 (driver-side, corpus is tiny at sf0.001)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => { val d = a(i).toDouble - b(i).toDouble; d * d }).sum
+    val exact = probes.select("vec_id").collect().map(_.getLong(0)).flatMap { p =>
+      vecs.toSeq.filter(_._1 != p)
+        .sortBy { case (id, v) => (l2(vecs(p), v), id) }
+        .take(5).map { case (id, _) => (p, id) }
+    }.toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@5 = $recall — 8-bit fidelity should stay high")
+  }
+
   test("hard negatives: no candidate shares its probe's label, cosine ranked") {
     val out = Similarity.hardNegatives(spark, sfDir).collect()
     assert(out.nonEmpty)
