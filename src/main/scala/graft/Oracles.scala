@@ -2086,6 +2086,55 @@ object Oracles {
          |FROM ep LEFT JOIN pairs p ON ep.d1 = p.d1 AND ep.d2 = p.d2
          |ORDER BY ep.d1, ep.d2""".stripMargin,
 
+    // q122: IVF-SQ8 — q108's cell-routing CTEs composed with q120's
+    // range/code/reconstruction chain, candidates restricted to probed
+    // cells.
+    "q122_ivf_sq8" -> {
+      def mn(i: Int) = s"CAST(mn$i AS DOUBLE)"
+      def dl(i: Int) = s"(CAST(mx$i AS DOUBLE) - ${mn(i)})"
+      val rngCols = ((0 until 64).map(i => s"min(embedding[${i + 1}]) AS mn$i") ++
+        (0 until 64).map(i => s"max(embedding[${i + 1}]) AS mx$i")).mkString(", ")
+      val codeCols = (0 until 64).map { i =>
+        s"CASE WHEN ${dl(i)} = 0.0 THEN 0 ELSE CAST(floor((CAST(embedding[${i + 1}] " +
+          s"AS DOUBLE) - ${mn(i)}) / ${dl(i)} * 255.0) AS BIGINT) END AS c$i"
+      }.mkString(",\n         |    ")
+      val distChain = (0 until 64).map { i =>
+        val rec = s"(${mn(i)} + (c.c$i + 0.5) * ${dl(i)} / 256.0)"
+        s"(CAST(p.embedding[${i + 1}] AS DOUBLE) - $rec) * " +
+          s"(CAST(p.embedding[${i + 1}] AS DOUBLE) - $rec)"
+      }.mkString(" + ")
+      s"""WITH $embCte,
+         | cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 16),
+         | ac AS (SELECT v.vec_id, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, cent c),
+         | asg AS (SELECT vec_id, cell FROM ac WHERE rn = 1),
+         | pr AS (SELECT p.vec_id AS probe_id, c.cell,
+         |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
+         |     c.cell) AS prn
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         | pcells AS (SELECT probe_id, cell FROM pr WHERE prn <= 4),
+         | rng AS (SELECT $rngCols FROM embeddings),
+         | codes AS (SELECT vec_id AS cand_id,
+         |    $codeCols
+         |   FROM embeddings, rng),
+         | pairs AS (SELECT pc.probe_id, pc.cell, c.cand_id,
+         |    ($distChain) AS sqdist
+         |   FROM pcells pc
+         |   JOIN asg a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+         |   JOIN codes c ON c.cand_id = a.vec_id
+         |   JOIN e p ON p.vec_id = pc.probe_id, rng),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY sqdist, cand_id) AS rnk FROM pairs)
+         |SELECT probe_id, cell, CAST(rnk AS BIGINT) AS "rank", cand_id,
+         | round(sqdist, 6) AS sqdist
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+    },
+
     // q118: hard-negative mining — cosine top-5 restricted to
     // DIFFERENT-label candidates.
     "q118_hard_negatives" ->

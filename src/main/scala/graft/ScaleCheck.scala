@@ -100,6 +100,9 @@ object ScaleCheck {
       ("sq8_budget21", () =>
         Similarity.sq8AnnFrom(emb, probes, k = 5)
           .write.format("noop").mode("overwrite").save()),
+      ("ivf_sq8_budget21", () =>
+        Similarity.ivfSq8AnnFrom(emb, probes, nlist = 16, nprobe = 4, k = 5)
+          .write.format("noop").mode("overwrite").save()),
       ("lsh_recall_audit", () =>
         graft.operators.Dedup.lshRecallAudit(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
@@ -180,8 +183,14 @@ object ScaleCheck {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => protectedIds(id) }
         .values.foreach(_.unpersist(true))
-    cases.foreach { case (_, f) => f(); release() } // warmup
-    val timed = cases.map { case (name, f) =>
+    // Dev-only subset filter (comma-separated name prefixes), mirroring
+    // Bench's SPARK_GRAFT_ONLY — a new case's scaling pair shouldn't cost
+    // a full-suite re-run.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSeq)
+    val selected = cases.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (_, f) => f(); release() } // warmup
+    val timed = selected.map { case (name, f) =>
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         f()

@@ -142,6 +142,7 @@ object SparkEntry {
     "q119_multiprobe_lsh" -> (Similarity.multiprobeLsh _),
     "q120_sq8_ann" -> (Similarity.sq8Ann _),
     "q121_lsh_recall" -> (Dedup.lshRecallAudit _),
+    "q122_ivf_sq8" -> (Similarity.ivfSq8Ann _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -914,46 +914,108 @@ object Similarity {
     sq8AnnFrom(emb, gridProbes(emb), k = 5)
   }
 
-  /** [[sq8Ann]] over explicit probes. */
-  def sq8AnnFrom(emb: DataFrame, probes: DataFrame, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
-    // per-dimension corpus range, one row (floats — exact in both engines)
+  /** Per-dimension corpus range, one row of 64 mins + 64 maxes (floats —
+    * exact in both engines): the SQ8 "trained" quantizer. */
+  private def sq8Rng(emb: DataFrame): DataFrame = {
     val aggs = (0 until 64).map(i =>
       min(element_at(col("embedding"), i + 1)).as(s"mn$i")) ++
       (0 until 64).map(i =>
         max(element_at(col("embedding"), i + 1)).as(s"mx$i"))
-    val rng = emb.agg(aggs.head, aggs.tail: _*)
-    // encode: code_i = floor((v_i − mn_i)/Δ_i · 255), Δ_i = mx_i − mn_i
-    // (degenerate Δ_i = 0 → code 0); doubles throughout, same shapes as
-    // the oracle so codes are integer-identical
-    def delta(i: Int): Column =
-      col(s"mx$i").cast("double") - col(s"mn$i").cast("double")
+    emb.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def sq8Delta(i: Int): Column =
+    col(s"mx$i").cast("double") - col(s"mn$i").cast("double")
+
+  /** SQ8 encode: code_i = floor((v_i − mn_i)/Δ_i · 255), Δ_i = mx_i −
+    * mn_i (degenerate Δ_i = 0 → code 0); doubles throughout, same shapes
+    * as the oracle so codes are integer-identical. One map-only corpus
+    * pass against the broadcast range row. */
+  private def sq8Codes(emb: DataFrame, rng: DataFrame): DataFrame = {
     val codeCols = (0 until 64).map { i =>
       val v = element_at(col("embedding"), i + 1).cast("double")
-      when(delta(i) === 0.0, lit(0L))
-        .otherwise(floor((v - col(s"mn$i").cast("double")) / delta(i) * 255.0)
+      when(sq8Delta(i) === 0.0, lit(0L))
+        .otherwise(floor((v - col(s"mn$i").cast("double")) / sq8Delta(i) * 255.0)
           .cast("long")).as(s"c$i")
     }
-    val codes = emb.crossJoin(broadcast(rng))
+    emb.crossJoin(broadcast(rng))
       .select((col("vec_id").as("cand_id") +: codeCols): _*)
-    // asymmetric distance: full-precision probe vs reconstructed
-    // candidate — the same left-assoc 64-term chain as the oracle
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-    val dist = (0 until 64).map { i =>
+  }
+
+  /** Asymmetric SQ8 distance: full-precision probe (`p_emb`) vs the
+    * reconstruction v̂_i = mn_i + (c_i+0.5)·Δ_i/256 — the same
+    * left-assoc 64-term chain as the oracle. */
+  private def sq8Dist: Column =
+    (0 until 64).map { i =>
       val rec = col(s"mn$i").cast("double") +
-        (col(s"c$i") + 0.5) * delta(i) / 256.0
+        (col(s"c$i") + 0.5) * sq8Delta(i) / 256.0
       val d = element_at(col("p_emb"), i + 1).cast("double") - rec
       d * d
     }.reduce(_ + _)
+
+  /** [[sq8Ann]] over explicit probes. */
+  def sq8AnnFrom(emb: DataFrame, probes: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val rng = sq8Rng(emb)
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sqdist").asc, col("cand_id"))
-    codes
+    sq8Codes(emb, rng)
       .join(broadcast(p),
         if (excludeSelf) col("probe_id") =!= col("cand_id") else lit(true))
       .crossJoin(broadcast(rng))
-      .withColumn("sqdist", dist)
+      .withColumn("sqdist", sq8Dist)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), round(col("sqdist"), 6).as("sqdist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** q122: IVF-SQ8 (FAISS IndexIVFScalarQuantizer) — q102's cell routing
+    * composed with q120's scalar-quantized storage: the coarse quantizer
+    * decides WHICH vectors a probe scores (corpus·nprobe/nlist), the SQ8
+    * codes decide what each costs (64 bytes + a reconstruction, no
+    * full-precision read). Completes the FAISS composed-index family
+    * next to IVF-PQ (q108/q112) and refine (q115).
+    *
+    * Scale shape: centroids, probe cells, and the one-row range table
+    * broadcast; the candidate restriction is one equality join on the
+    * cell id against the code table; the only corpus-scale work is the
+    * assignment window and the encode pass. nprobe = nlist degenerates
+    * to exactly [[sq8AnnFrom]]'s full ranking (cells partition the
+    * corpus) — spec-pinned, the SQ analogue of q108's contract. */
+  def ivfSq8Ann(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfSq8AnnFrom(emb, gridProbes(emb), nlist = 16, nprobe = 4, k = 5)
+  }
+
+  /** [[ivfSq8Ann]] over explicit probes. */
+  def ivfSq8AnnFrom(emb: DataFrame, probes: DataFrame, nlist: Int,
+      nprobe: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val en = emb.withColumn("nrm", norm(col("embedding")))
+    val cent = en.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val cells = Curation.assignmentsWith(en,
+        cent.select(col("cell").as("cluster_id"), col("cvec"), col("cnrm")))
+      .select(col("vec_id"), col("cluster_id").as("c_cell"))
+    val pcells = probeCells(probes, cent, nprobe)
+      .select(col("probe_id"), col("cell"))
+    val cand = cells
+      .join(broadcast(pcells), col("c_cell") === col("cell") &&
+        (if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true)))
+      .select(col("probe_id"), col("vec_id"), col("cell"))
+    val rng = sq8Rng(emb)
+    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sqdist").asc, col("cand_id"))
+    cand
+      .join(sq8Codes(emb, rng), col("vec_id") === col("cand_id"))
+      .join(broadcast(p), col("probe_id") === col("p_id"))
+      .crossJoin(broadcast(rng))
+      .withColumn("sqdist", sq8Dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cell"), col("rank").cast("long").as("rank"),
         col("cand_id"), round(col("sqdist"), 6).as("sqdist"))
       .orderBy(col("probe_id"), col("rank"))
   }

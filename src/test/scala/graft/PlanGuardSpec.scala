@@ -236,7 +236,11 @@ class PlanGuardSpec extends SparkSpec {
       // recall audit: banding candidates + blocked exact candidates off
       // one staged hash table, two pair-group aggs + the audit join +
       // output sort; verify sides broadcast
-      "q121_lsh_recall" -> 5)
+      "q121_lsh_recall" -> 5,
+      // IVF-SQ8: the cell-assign window + the candidate⨝codes join sides
+      // + the one-row range agg + top-k window + output sort; centroids,
+      // probe cells, probes, and the range row broadcast
+      "q122_ivf_sq8" -> 7)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None

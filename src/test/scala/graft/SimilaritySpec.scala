@@ -379,6 +379,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@5 = $recall — 8-bit fidelity should stay high")
   }
 
+  test("ivf-sq8: nprobe = nlist degenerates to the full SQ8 ranking") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val full = Similarity.sq8AnnFrom(emb, probes, k = 5)
+      .select("probe_id", "rank", "cand_id", "sqdist")
+    val ivf = Similarity.ivfSq8AnnFrom(emb, probes, nlist = 16, nprobe = 16, k = 5)
+      .select("probe_id", "rank", "cand_id", "sqdist")
+    assert(ivf.exceptAll(full).isEmpty && full.exceptAll(ivf).isEmpty)
+  }
+
+  test("ivf-sq8: candidates come only from probed cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.ivfSq8Ann(spark, sfDir)
+      .select("probe_id", "cell").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val en = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+    val cent = en.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val allowed = Similarity.probeCells(
+        emb.filter(col("vec_id") % 97 === 0), cent, nprobe = 4)
+      .select("probe_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.subsetOf(allowed), s"out-of-cell candidates: ${(out -- allowed).take(3)}")
+  }
+
   test("hard negatives: no candidate shares its probe's label, cosine ranked") {
     val out = Similarity.hardNegatives(spark, sfDir).collect()
     assert(out.nonEmpty)
