@@ -2135,6 +2135,37 @@ object Oracles {
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
     },
 
+    // q123: PageRank over the near-dup graph — q37's verified pairs as
+    // symmetric edges, 5 unrolled iterations. Every literal is CAST to
+    // DOUBLE: DuckDB's bare 1.0/0.85 are DECIMALs, and decimal-exact
+    // (1.0 - 0.85) = 0.15 is a DIFFERENT double than the engine's
+    // 1.0 - 0.85 fold; contributions floor to the 1e-12 grid before
+    // each order-independent integer sum, mirroring the Column side.
+    "q123_dup_pagerank" -> {
+      val iterCtes = (1 to 5).map { k =>
+        s""" c$k AS (SELECT e.dst, CAST(floor(r.r / d.deg * 1e12) AS BIGINT) AS c
+           |   FROM r${k - 1} r JOIN ed e ON e.src = r.id JOIN dg d ON d.src = e.src),
+           | r$k AS (SELECT n.id,
+           |   floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+           |     CAST(0.85 AS DOUBLE) * (CAST(COALESCE(s.s, 0) AS DOUBLE) / 1e12)) * 1e12)
+           |     / 1e12 AS r
+           |  FROM nodes n LEFT JOIN (SELECT dst, sum(c) AS s FROM c$k GROUP BY dst) s
+           |    ON s.dst = n.id, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lshPairCtes,
+         | ed AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |        UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         | nodes AS (SELECT DISTINCT src AS id FROM ed),
+         | nn AS (SELECT count(*) AS n FROM nodes),
+         | dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         | r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+         |$iterCtes
+         |SELECT r5.id AS doc_id, CAST(dg.deg AS BIGINT) AS deg,
+         | round(r5.r, 6) AS pagerank
+         |FROM r5 JOIN dg ON dg.src = r5.id
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // q118: hard-negative mining — cosine top-5 restricted to
     // DIFFERENT-label candidates.
     "q118_hard_negatives" ->

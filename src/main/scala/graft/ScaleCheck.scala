@@ -106,6 +106,9 @@ object ScaleCheck {
       ("lsh_recall_audit", () =>
         graft.operators.Dedup.lshRecallAudit(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      ("dup_pagerank", () =>
+        Curation.dupPageRank(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       // BM25/RRF at a fixed 21-doc probe budget: the corpus-linear terms
       // are the tf/df/dl aggregations; scoring joins touch only
       // term-sharing candidates

@@ -143,6 +143,7 @@ object SparkEntry {
     "q120_sq8_ann" -> (Similarity.sq8Ann _),
     "q121_lsh_recall" -> (Dedup.lshRecallAudit _),
     "q122_ivf_sq8" -> (Similarity.ivfSq8Ann _),
+    "q123_dup_pagerank" -> (Curation.dupPageRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

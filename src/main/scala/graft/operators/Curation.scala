@@ -1323,6 +1323,61 @@ object Curation {
   def pairTable(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshNearDup(spark, dir).staged
 
+  /** q123: PageRank centrality over the near-dup graph — which documents
+    * are the HUBS of the duplication structure (template sources, widely
+    * mirrored pages)? Complements q80's components (membership) and
+    * q82's representatives (keep-longest): rank identifies the documents
+    * whose removal/canonicalization collapses the most duplication —
+    * the graph-centrality curation signal. Undirected: each verified
+    * pair contributes both directions; damping 0.85, 5 iterations,
+    * ranks over the pair-graph node set (N = nodes in ≥1 pair).
+    *
+    * Determinism across engines: each contribution is floored to the
+    * 1e-12 grid before its ORDER-INDEPENDENT integer sum, and each new
+    * rank is floored back to the grid before the next iteration — the
+    * repo's decimal-exact rule applied per iteration, so five rounds of
+    * float math replay bit-identically in DuckDB.
+    *
+    * Scale shape: the edge table is the verified pair graph (≪ corpus —
+    * the q80 argument), staged once; each iteration is one small join +
+    * one partial-agg sum; the corpus-scale work is the LSH pipeline
+    * that built the pairs. */
+  def dupPageRank(spark: SparkSession, dir: String): DataFrame =
+    dupPageRankFrom(Dedup.lshNearDup(spark, dir))
+
+  /** [[dupPageRank]] over an existing pair table ([[pairTable]]). */
+  def dupPageRankFrom(pairTable: DataFrame, iters: Int = 5): DataFrame = {
+    val p = pairTable.select(col("d1"), col("d2"))
+    val edges = Materialize.stage(
+      p.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(p.select(col("d2").as("src"), col("d1").as("dst"))))
+    val nodes = Materialize.stage(edges.select(col("src").as("id")).distinct())
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("id"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      val sums = ranks
+        .join(edges, col("id") === col("src"))
+        .join(deg, "src")
+        .select(col("dst"),
+          floor(col("r") / col("deg") * 1e12).cast("long").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(sums, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("id"),
+          (floor(((lit(1.0) - lit(0.85)) / col("n") +
+            lit(0.85) * (coalesce(col("s"), lit(0L)).cast("double") / 1e12)) * 1e12)
+            / 1e12).as("r"))
+    }
+    ranks
+      .join(deg, col("id") === col("src"))
+      .select(col("id").as("doc_id"), col("deg"),
+        round(col("r"), 6).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[pairTable]], durably: write the verified pair table to a parquet
     * sink and return the re-read frame. The default stage is executor
     * state that dies with the executors; a deployment that wants the pair

@@ -748,4 +748,27 @@ class CurationSpec extends SparkSpec {
       assert(posts.sameElements(posts.sorted))
     }
   }
+
+  test("dup pagerank: probability mass conserved, hub outranks leaves on a star") {
+    import spark.implicits._
+    // star: doc 0 paired with 1, 2, 3 — the hub must outrank the
+    // (symmetric, equal-ranked) leaves
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("d1", "d2")
+    val out = Curation.dupPageRankFrom(star).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L)._1 == 3L && out(1L)._1 == 1L)
+    assert(out(0L)._2 > out(1L)._2, s"hub ${out(0L)._2} !> leaf ${out(1L)._2}")
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2)
+    // mass conservation (undirected graph has no dangling nodes): the
+    // 1e-12 contribution flooring leaks at most iters·N·1e-12
+    val mass = out.values.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass drifted from 1")
+    // real-corpus run: every rank at least the teleport floor
+    val real = Curation.dupPageRank(spark, sfDir).collect()
+    if (real.nonEmpty) {
+      val n = real.length
+      real.foreach(r => assert(r.getDouble(2) >= (1.0 - 0.85) / n - 1e-9))
+    }
+  }
 }

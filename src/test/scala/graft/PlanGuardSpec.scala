@@ -240,7 +240,12 @@ class PlanGuardSpec extends SparkSpec {
       // IVF-SQ8: the cell-assign window + the candidate⨝codes join sides
       // + the one-row range agg + top-k window + output sort; centroids,
       // probe cells, probes, and the range row broadcast
-      "q122_ivf_sq8" -> 7)
+      "q122_ivf_sq8" -> 7,
+      // PageRank: 5 unrolled iterations × (contrib join sides + sum agg +
+      // rank rebuild) over the PAIR-GRAPH-sized edge/node stages — every
+      // exchange here moves dup-graph rows (≪ corpus); the corpus-scale
+      // LSH work is behind the staged edges/nodes barriers
+      "q123_dup_pagerank" -> 29)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
