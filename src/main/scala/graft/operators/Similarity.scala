@@ -928,7 +928,7 @@ object Similarity {
 
   /** Per-dimension corpus range, one row of 64 mins + 64 maxes (floats —
     * exact in both engines): the SQ8 "trained" quantizer. */
-  private def sq8Rng(emb: DataFrame): DataFrame = {
+  private[graft] def sq8Rng(emb: DataFrame): DataFrame = {
     val aggs = (0 until 64).map(i =>
       min(element_at(col("embedding"), i + 1)).as(s"mn$i")) ++
       (0 until 64).map(i =>
@@ -943,7 +943,7 @@ object Similarity {
     * mn_i (degenerate Δ_i = 0 → code 0); doubles throughout, same shapes
     * as the oracle so codes are integer-identical. One map-only corpus
     * pass against the broadcast range row. */
-  private def sq8Codes(emb: DataFrame, rng: DataFrame): DataFrame = {
+  private[graft] def sq8Codes(emb: DataFrame, rng: DataFrame): DataFrame = {
     val codeCols = (0 until 64).map { i =>
       val v = element_at(col("embedding"), i + 1).cast("double")
       when(sq8Delta(i) === 0.0, lit(0L))

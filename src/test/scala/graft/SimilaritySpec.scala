@@ -379,6 +379,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@5 = $recall — 8-bit fidelity should stay high")
   }
 
+  test("sq8: per-dimension reconstruction error bounded by 0.6% of the range") {
+    // err = Δ·|u − (c+0.5)/256| with c = floor(255u) peaks at
+    // (255+128.5)/65280 ≈ 0.0059·Δ — checked for EVERY corpus vector and
+    // dimension, the quantizer's hard contract
+    val emb = Tables.embeddings(spark, sfDir)
+    val rng = Similarity.sq8Rng(emb)
+    val r = rng.collect()(0)
+    val mins = (0 until 64).map(i => r.getFloat(i).toDouble)
+    val maxs = (0 until 64).map(i => r.getFloat(64 + i).toDouble)
+    val codes = Similarity.sq8Codes(emb, rng).collect()
+      .map(row => row.getLong(0) -> (1 to 64).map(row.getLong).toArray).toMap
+    emb.select("vec_id", "embedding").collect().foreach { row =>
+      val v = row.getSeq[Float](1)
+      val cs = codes(row.getLong(0))
+      (0 until 64).foreach { i =>
+        val delta = maxs(i) - mins(i)
+        val rec = mins(i) + (cs(i) + 0.5) * delta / 256.0
+        assert(math.abs(v(i) - rec) <= delta * 0.006 + 1e-12,
+          s"vec ${row.getLong(0)} dim $i: |${v(i)} - $rec| > 0.6% of $delta")
+      }
+    }
+  }
+
   test("ivf-sq8: nprobe = nlist degenerates to the full SQ8 ranking") {
     val emb = Tables.embeddings(spark, sfDir)
     val probes = emb.filter(col("vec_id") % 97 === 0)
