@@ -2206,7 +2206,7 @@ object Oracles {
        |      ORDER BY tfidf DESC, token) AS rn FROM qt0) WHERE rn <= 3),
        | term AS (SELECT q.probe_id, f.doc_id AS cand_id,
        |    ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) *
-       |    (f.tf * (1.2 + 1.0) /
+       |    (f.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
        |     (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.dl AS DOUBLE) / c.avgdl))) AS term_score
        |   FROM qt q
        |   JOIN tf f ON q.token = f.token AND f.doc_id <> q.probe_id

@@ -179,11 +179,15 @@ object Dedup {
     * MinHash practice — a within-pair hash collision perturbs both
     * engines identically because the oracle hashes the same way; see
     * Oracles.lshPairCtes). */
-  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // One materialization feeds three consumers (banding + both verify
-    // sides), so the sha256-per-shingle pipeline runs once; the staging
-    // strategy is the graft.materialize setting (Materialize.stage).
-    val docs = Tables.documents(spark, dir)
+  /** The staged per-doc hash-array table (doc_id, hs, n, sig) THE shared
+    * LSH input: one materialization feeds every consumer (banding + both
+    * verify sides), so the sha256-per-shingle pipeline runs once; the
+    * staging strategy is the graft.materialize setting
+    * ([[Materialize.stage]]). ONE definition for q37/q80/q82/q87's
+    * pipeline, the capped variant, and the q121 audit — they can never
+    * disagree on what a document's hash set is. */
+  private[graft] def hashedDocTable(docsRaw: DataFrame): DataFrame =
+    docsRaw
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
       .withColumn("hs",
@@ -191,21 +195,39 @@ object Dedup {
       .withColumn("sig", call_function("minhash_sig16", col("hs")))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"), col("sig"))
       .staged
+
+  /** Banding candidate pairs (d1 < d2) over a [[hashedDocTable]] —
+    * optionally skipping (band, sig) buckets holding more than
+    * `bucketCap` documents (the [[lshNearDupCapped]] skew guard; the
+    * occupancy count rides the join's own shuffle key). */
+  private[graft] def bandCandidates(docs: DataFrame,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     val bandStructs = (0 until Hashing.Bands).map { bnd =>
       val cols = (0 until Hashing.RowsPerBand)
         .map(r => element_at(col("sig"), bnd * Hashing.RowsPerBand + r + 1))
       struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("sig"))
     }
-    val banded = docs
+    val banded0 = docs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cands = banded.as("a")
+    val banded =
+      if (bucketCap == Int.MaxValue) banded0
+      else banded0
+        .withColumn("occ",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+        .filter(col("occ") <= bucketCap)
+        .drop("occ")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    lshVerify(cands, docs)
+  }
+
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = hashedDocTable(Tables.documents(spark, dir))
+    lshVerify(bandCandidates(docs), docs)
   }
 
   /** Exact-Jaccard verify of an LSH candidate set against the per-doc
@@ -241,33 +263,8 @@ object Dedup {
     * otherwise. */
   def lshNearDupCapped(spark: SparkSession, dir: String,
                        bucketCap: Int = BandBucketCap): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) >= 3)
-      .withColumn("hs",
-        array_sort(array_distinct(transform(shingleCol, s => Hashing.h32p(s)))))
-      .withColumn("sig", call_function("minhash_sig16", col("hs")))
-      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"), col("sig"))
-      .staged
-    val bandStructs = (0 until Hashing.Bands).map { bnd =>
-      val cols = (0 until Hashing.RowsPerBand)
-        .map(r => element_at(col("sig"), bnd * Hashing.RowsPerBand + r + 1))
-      struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("sig"))
-    }
-    val banded = docs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .withColumn("occ",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
-      .filter(col("occ") <= bucketCap)
-      .drop("occ")
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    lshVerify(cands, docs)
+    val docs = hashedDocTable(Tables.documents(spark, dir))
+    lshVerify(bandCandidates(docs, bucketCap), docs)
   }
 
   /** q121: LSH pair-recall audit — the dedup-family analogue of the ANN
@@ -285,31 +282,9 @@ object Dedup {
     * shingle — the q35 guard), and both verifies; the final audit join
     * is over the two verified pair sets (≪ corpus). */
   def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) >= 3)
-      .withColumn("hs",
-        array_sort(array_distinct(transform(shingleCol, s => Hashing.h32p(s)))))
-      .withColumn("sig", call_function("minhash_sig16", col("hs")))
-      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"), col("sig"))
-      .staged
+    val docs = hashedDocTable(Tables.documents(spark, dir))
     // LSH side: q37's banding over the shared table
-    val bandStructs = (0 until Hashing.Bands).map { bnd =>
-      val cols = (0 until Hashing.RowsPerBand)
-        .map(r => element_at(col("sig"), bnd * Hashing.RowsPerBand + r + 1))
-      struct(lit(bnd).as("band"), concat_ws(",", cols: _*).as("sig"))
-    }
-    val banded = docs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val lshPairs = lshVerify(
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct(),
-      docs)
+    val lshPairs = lshVerify(bandCandidates(docs), docs)
     // exact side: df-blocked shared-shingle candidates, same verify
     val ds = docs.select(col("doc_id"), explode(col("hs")).as("hp"))
     val blocked = ds

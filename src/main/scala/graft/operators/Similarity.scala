@@ -750,11 +750,20 @@ object Similarity {
     * the q112 oracle binds unchanged). */
   private[graft] def pqCodesSeg(resid: DataFrame, tcb: DataFrame,
       m: Int, dsub: Int): DataFrame = {
+    // keyed by SUBSPACE, not position: a (sub, code) cluster the E-step
+    // left empty is dropped from tcb (the trained-codebook contract), so
+    // a positional pivot would silently shift every later subspace. The
+    // map lookup returns null for the missing entry and the null-safe
+    // +∞ sentinel removes that code from that subspace's argmin — the
+    // grouped layout reproducing exactly the per-(sub, code)-row
+    // formulation's survivor semantics (spec-pinned on a collided-seed
+    // corpus).
     val wide = tcb.groupBy(col("code"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, scvec)))," +
-        " x -> x.scvec)").as("svs"))
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("scvec"))))
+        .as("svm"))
     val dCols = (0 until m).map(s =>
-      subL2Seg(col("resid"), element_at(col("svs"), s + 1), s, dsub).as(s"d$s"))
+      coalesce(subL2Seg(col("resid"), element_at(col("svm"), lit(s)), s, dsub),
+        lit(Double.MaxValue)).as(s"d$s"))
     val mins = (0 until m).map(s =>
       min(struct(col(s"d$s"), col("code"))).as(s"b$s"))
     resid.select(col("vec_id"), col("resid"))

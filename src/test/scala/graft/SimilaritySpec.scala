@@ -379,6 +379,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@5 = $recall — 8-bit fidelity should stay high")
   }
 
+  test("trained-codebook encode: dropped empty (sub,code) clusters never misalign") {
+    import spark.implicits._
+    // m=2 subspaces of dsub=2 over 4-dim residuals; code 1 has NO entry
+    // for subspace 0 — the empty-cluster drop the trained-codebook
+    // contract allows. The grouped encode must treat the missing entry
+    // as a non-candidate for that subspace (survivor argmin), never
+    // shift later subspaces or let a null distance win the struct-min.
+    val tcb = Seq((0, 0, Seq(0f, 0f)), (1, 0, Seq(0f, 0f)), (1, 1, Seq(10f, 10f)))
+      .toDF("sub", "code", "scvec")
+    val resid = Seq((100L, Seq(9f, 9f, 9f, 9f)), (101L, Seq(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "resid")
+    val codes = Similarity.pqCodesSeg(resid, tcb, m = 2, dsub = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == 4)
+    // sub 0: only code 0 survives → every vector encodes 0 there
+    assert(codes((100L, 0)) == 0 && codes((101L, 0)) == 0)
+    // sub 1: (9,9) is nearer (10,10)=code 1; (0,0) stays on code 0
+    assert(codes((100L, 1)) == 1 && codes((101L, 1)) == 0)
+  }
+
   test("sq8: per-dimension reconstruction error bounded by 0.6% of the range") {
     // err = Δ·|u − (c+0.5)/256| with c = floor(255u) peaks at
     // (255+128.5)/65280 ≈ 0.0059·Δ — checked for EVERY corpus vector and
