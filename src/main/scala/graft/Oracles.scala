@@ -2166,6 +2166,30 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // q124: contrastive triplet manifest — per-anchor hardest same-label
+    // positive and hardest different-label negative with their margin.
+    "q124_triplet_mining" ->
+      s"""WITH $embCte,
+         | pr AS (SELECT p.vec_id AS probe_id, p.label AS plabel,
+         |   c.vec_id AS cand_id, c.label AS clabel,
+         |   (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
+         |  FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id),
+         | pos AS (SELECT probe_id, cand_id AS pos_id, cosine AS pc FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id
+         |     ORDER BY cosine DESC, cand_id) AS rn
+         |   FROM pr WHERE plabel = clabel) WHERE rn = 1),
+         | neg AS (SELECT probe_id, cand_id AS neg_id, cosine AS nc FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id
+         |     ORDER BY cosine DESC, cand_id) AS rn
+         |   FROM pr WHERE plabel <> clabel) WHERE rn = 1)
+         |SELECT p.probe_id AS anchor_id, e.label AS probe_label,
+         | p.pos_id, round(p.pc, 6) AS pos_cos,
+         | n.neg_id, round(n.nc, 6) AS neg_cos,
+         | round(p.pc - n.nc, 6) AS margin
+         |FROM pos p JOIN neg n ON n.probe_id = p.probe_id
+         |JOIN e ON e.vec_id = p.probe_id
+         |ORDER BY anchor_id""".stripMargin,
+
     // q118: hard-negative mining — cosine top-5 restricted to
     // DIFFERENT-label candidates.
     "q118_hard_negatives" ->

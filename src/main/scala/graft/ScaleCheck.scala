@@ -111,6 +111,10 @@ object ScaleCheck {
       ("dup_pagerank", () =>
         Curation.dupPageRank(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      ("triplet_budget21", () =>
+        Similarity.tripletMiningFrom(emb,
+          emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(21))
+          .write.format("noop").mode("overwrite").save()),
       // BM25/RRF at a fixed 21-doc probe budget: the corpus-linear terms
       // are the tf/df/dl aggregations; scoring joins touch only
       // term-sharing candidates

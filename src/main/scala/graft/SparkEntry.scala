@@ -144,6 +144,7 @@ object SparkEntry {
     "q121_lsh_recall" -> (Dedup.lshRecallAudit _),
     "q122_ivf_sq8" -> (Similarity.ivfSq8Ann _),
     "q123_dup_pagerank" -> (Curation.dupPageRank _),
+    "q124_triplet_mining" -> (Similarity.tripletMining _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1041,6 +1041,51 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** q124: contrastive triplet mining — for each anchor, the hardest
+    * POSITIVE (highest-cosine same-label neighbor) and the hardest
+    * NEGATIVE (highest-cosine different-label neighbor, q118's top-1)
+    * plus their margin: the (anchor, positive, negative) manifest a
+    * triplet/InfoNCE training run consumes, with margin ≤ 0 marking the
+    * pairs the current embedding gets wrong — the examples such a run
+    * learns most from. Anchors whose label has no second member carry no
+    * positive and are dropped (inner-join semantics, oracle-mirrored).
+    *
+    * Scale shape: ONE probe-broadcast corpus scan feeds both per-class
+    * argmax windows; everything downstream is probe-budget-sized. */
+  def tripletMining(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    tripletMiningFrom(emb, emb.filter(col("vec_id") % 97 === 0))
+  }
+
+  /** [[tripletMining]] over explicit probes (must carry `label`). */
+  def tripletMiningFrom(emb: DataFrame, probes: DataFrame): DataFrame = {
+    val cand = emb.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_nrm"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+      col("embedding").as("p_emb"), norm(col("embedding")).as("p_nrm"))
+    val pairs = broadcast(p)
+      .join(cand, col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    def top1(side: DataFrame, idAs: String, cosAs: String): DataFrame =
+      side.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("cand_id").as(idAs), col("cosine").as(cosAs))
+    val pos = top1(pairs.filter(col("probe_label") === col("cand_label")),
+      "pos_id", "pos_raw")
+    val neg = top1(pairs.filter(col("probe_label") =!= col("cand_label")),
+      "neg_id", "neg_raw")
+    pos.join(neg, Seq("probe_id"))
+      .join(broadcast(p.select(col("probe_id"), col("probe_label"))), Seq("probe_id"))
+      .select(col("probe_id").as("anchor_id"), col("probe_label"),
+        col("pos_id"), round(col("pos_raw"), 6).as("pos_cos"),
+        col("neg_id"), round(col("neg_raw"), 6).as("neg_cos"),
+        round(col("pos_raw") - col("neg_raw"), 6).as("margin"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** Per-label embedding statistics — vector aggregation sanity surface.
     * Averages use the repo's decimal-exact-sum rule (floor to 1e-9,
     * DECIMAL sum, truncate to 6 dp): a plain `avg` over irrational

@@ -245,7 +245,10 @@ class PlanGuardSpec extends SparkSpec {
       // rank rebuild) over the PAIR-GRAPH-sized edge/node stages — every
       // exchange here moves dup-graph rows (≪ corpus); the corpus-scale
       // LSH work is behind the staged edges/nodes barriers
-      "q123_dup_pagerank" -> 29)
+      "q123_dup_pagerank" -> 29,
+      // triplets: one probe-broadcast corpus scan feeds both per-class
+      // argmax windows (2 window shuffles) + output sort
+      "q124_triplet_mining" -> 3)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None

@@ -379,6 +379,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@5 = $recall — 8-bit fidelity should stay high")
   }
 
+  test("triplet mining: labels honored, negative is q118's top-1, margin consistent") {
+    val out = Similarity.tripletMining(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hardest = Similarity.hardNegatives(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out.foreach { r =>
+      val (a, al) = (r.getLong(0), r.getInt(1))
+      assert(labels(r.getLong(2)) == al, s"positive of $a crosses labels")
+      assert(labels(r.getLong(4)) != al, s"negative of $a shares the label")
+      assert(hardest(a) == r.getLong(4), s"negative of $a is not q118's top-1")
+      // margin rounds the raw difference; the two separately-rounded
+      // cosines can each drift 5e-7 from raw
+      assert(math.abs(r.getDouble(6) - (r.getDouble(3) - r.getDouble(5))) <= 2e-6)
+    }
+  }
+
   test("trained-codebook encode: dropped empty (sub,code) clusters never misalign") {
     import spark.implicits._
     // m=2 subspaces of dsub=2 over 4-dim residuals; code 1 has NO entry
