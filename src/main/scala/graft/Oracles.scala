@@ -645,7 +645,7 @@ object Oracles {
       s"""WITH $embCte,
          | pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
          |    (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
-         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id),
+         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.vec_id <> c.vec_id),
          | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |         ORDER BY cosine DESC, cand_id) AS rnk FROM pairs)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", cand_id,
@@ -660,7 +660,7 @@ object Oracles {
          | eb AS (SELECT *, $bucket AS bucket FROM e),
          | pairs AS (SELECT p.vec_id AS probe_id, p.bucket, c.vec_id AS cand_id,
          |    (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
-         |   FROM eb p JOIN eb c ON p.vec_id % 97 = 0 AND p.bucket = c.bucket
+         |   FROM eb p JOIN eb c ON p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.bucket = c.bucket
          |                      AND p.vec_id <> c.vec_id),
          | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |         ORDER BY cosine DESC, cand_id) AS rnk FROM pairs)
@@ -700,7 +700,7 @@ object Oracles {
          | es AS (SELECT *, ${rpSigSql("embedding")} AS sig FROM e),
          | pairs AS (SELECT p.vec_id AS probe_id, p.sig, c.vec_id AS cand_id,
          |    (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
-         |   FROM es p JOIN es c ON p.vec_id % 97 = 0 AND p.sig = c.sig
+         |   FROM es p JOIN es c ON p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.sig = c.sig
          |                      AND p.vec_id <> c.vec_id),
          | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |         ORDER BY cosine DESC, cand_id) AS rnk FROM pairs)
@@ -726,7 +726,7 @@ object Oracles {
          |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
          |     c.cell) AS prn
-         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0 AND p.vec_id < 2048),
          | pcells AS (SELECT probe_id, p_emb, p_nrm, cell FROM pr WHERE prn <= 4),
          | pairs AS (SELECT pc.probe_id, pc.cell, a.vec_id AS cand_id,
          |    (${dotSql("pc.p_emb", "a.embedding")}) / (pc.p_nrm * a.nrm) AS cosine
@@ -774,7 +774,7 @@ object Oracles {
          |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
          |     c.cell) AS prn
-         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0 AND p.vec_id < 2048),
          | pcells AS (SELECT probe_id, p_emb, p_nrm, cell FROM pr WHERE prn <= 4),
          | pairs AS (SELECT pc.probe_id, pc.cell, a.vec_id AS cand_id,
          |    (${dotSql("pc.p_emb", "a.embedding")}) / (pc.p_nrm * a.nrm) AS cosine
@@ -803,7 +803,7 @@ object Oracles {
          |         ORDER BY d, code) AS rn FROM ecd),
          | codes AS (SELECT vec_id, sub, code FROM ec WHERE rn = 1),
          | ps AS (SELECT vec_id AS probe_id, embedding,
-         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0),
+         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0 AND vec_id < 2048),
          | lut AS (SELECT p.probe_id, p.sub, c.code,
          |    (${pqDistSql("p.embedding", "c.cvec", "p.sub")}) AS d
          |   FROM ps p, cb c),
@@ -837,7 +837,7 @@ object Oracles {
          |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
          |     c.cell) AS prn
-         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0 AND p.vec_id < 2048),
          | pcells AS (SELECT probe_id, cell FROM pr WHERE prn <= 4),
          | cb AS (SELECT CAST(vec_id AS INT) AS code, embedding AS cvec
          |   FROM e WHERE vec_id < 16),
@@ -849,7 +849,7 @@ object Oracles {
          |         ORDER BY d, code) AS rn FROM ecd),
          | codes AS (SELECT vec_id, sub, code FROM ec WHERE rn = 1),
          | ps AS (SELECT vec_id AS probe_id, embedding,
-         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0),
+         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0 AND vec_id < 2048),
          | lut AS (SELECT p.probe_id, p.sub, c.code,
          |    (${pqDistSql("p.embedding", "c.cvec", "p.sub")}) AS d
          |   FROM ps p, cb c),
@@ -878,7 +878,7 @@ object Oracles {
          |    row_number() OVER (PARTITION BY p.vec_id
          |     ORDER BY (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) DESC,
          |       c.vec_id) AS rnk
-         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id)
+         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.vec_id <> c.vec_id)
          |  WHERE rnk <= 5),
          | cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
          |   FROM e WHERE vec_id < 16),
@@ -892,7 +892,7 @@ object Oracles {
          |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
          |     c.cell) AS prn
-         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0 AND p.vec_id < 2048),
          | pcells AS (SELECT probe_id, cell FROM pr WHERE prn <= 4),
          | cb AS (SELECT CAST(vec_id AS INT) AS code, embedding AS cvec
          |   FROM e WHERE vec_id < 16),
@@ -904,7 +904,7 @@ object Oracles {
          |         ORDER BY d, code) AS rn FROM ecd),
          | codes AS (SELECT vec_id, sub, code FROM ec WHERE rn = 1),
          | ps AS (SELECT vec_id AS probe_id, embedding,
-         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0),
+         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0 AND vec_id < 2048),
          | lut AS (SELECT p.probe_id, p.sub, c.code,
          |    (${pqDistSql("p.embedding", "c.cvec", "p.sub")}) AS d
          |   FROM ps p, cb c),
@@ -924,7 +924,7 @@ object Oracles {
          | hits AS (SELECT ex.probe_id, count(*) AS n
          |   FROM ex JOIN ap ON ex.probe_id = ap.probe_id AND ex.cand_id = ap.cand_id
          |   GROUP BY ex.probe_id),
-         | probes AS (SELECT DISTINCT vec_id AS probe_id FROM e WHERE vec_id % 97 = 0)
+         | probes AS (SELECT DISTINCT vec_id AS probe_id FROM e WHERE vec_id % 97 = 0 AND vec_id < 2048)
          |SELECT p.probe_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
          | coalesce(n, 0) / 5.0 AS recall_at_5
          |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
@@ -1016,7 +1016,7 @@ object Oracles {
          |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
          |     c.cell) AS prn
-         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0 AND p.vec_id < 2048),
          | pcells AS MATERIALIZED (SELECT probe_id, cell,
          |   list_transform(range(1, 65), i ->
          |     CAST(CAST(p_emb[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)
@@ -1519,7 +1519,7 @@ object Oracles {
          |   unnest(list_transform(range(1, len(toks) - 1),
          |     i -> array_to_string(toks[i:i+2], ' '))) AS gram
          |  FROM t WHERE len(toks) >= 3),
-         | ev AS (SELECT doc_id AS eval_id, gram FROM sh WHERE doc_id % 97 = 0),
+         | ev AS (SELECT doc_id AS eval_id, gram FROM sh WHERE doc_id % 97 = 0 AND doc_id < 2048),
          | ov AS (SELECT s.doc_id, e.eval_id,
          |   CAST(count(*) AS BIGINT) AS n_shared
          |  FROM sh s JOIN ev e USING (gram)
@@ -1606,7 +1606,7 @@ object Oracles {
          | sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
          |     i -> array_to_string(toks[i:i+2], ' '))) AS gram
          |  FROM t WHERE len(toks) >= 3),
-         | ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM sh WHERE doc_id % 97 = 0),
+         | ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM sh WHERE doc_id % 97 = 0 AND doc_id < 2048),
          | ov AS (SELECT s.doc_id, e.eval_id, count(DISTINCT s.gram) AS n_shared
          |  FROM sh s JOIN ev e USING (gram) WHERE s.doc_id <> e.eval_id
          |  GROUP BY s.doc_id, e.eval_id),
@@ -1771,20 +1771,20 @@ object Oracles {
          |    row_number() OVER (PARTITION BY p.vec_id
          |     ORDER BY (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) DESC,
          |       c.vec_id) AS rnk
-         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id)
+         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.vec_id <> c.vec_id)
          |  WHERE rnk <= 5),
          | ap AS (SELECT probe_id, cand_id FROM (
          |   SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
          |    row_number() OVER (PARTITION BY p.vec_id
          |     ORDER BY (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) DESC,
          |       c.vec_id) AS rnk
-         |   FROM eb p JOIN eb c ON p.vec_id % 97 = 0 AND p.bucket = c.bucket
+         |   FROM eb p JOIN eb c ON p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.bucket = c.bucket
          |                      AND p.vec_id <> c.vec_id)
          |  WHERE rnk <= 5),
          | hits AS (SELECT ex.probe_id, count(*) AS n
          |   FROM ex JOIN ap ON ex.probe_id = ap.probe_id AND ex.cand_id = ap.cand_id
          |   GROUP BY ex.probe_id),
-         | probes AS (SELECT DISTINCT vec_id AS probe_id FROM e WHERE vec_id % 97 = 0)
+         | probes AS (SELECT DISTINCT vec_id AS probe_id FROM e WHERE vec_id % 97 = 0 AND vec_id < 2048)
          |SELECT p.probe_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
          | coalesce(n, 0) / 5.0 AS recall_at_5
          |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
@@ -1923,7 +1923,7 @@ object Oracles {
          |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
          |     c.cell) AS prn
-         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0 AND p.vec_id < 2048),
          | pcells AS (SELECT probe_id, cell FROM pr WHERE prn <= 4),
          | cb AS (SELECT CAST(vec_id AS INT) AS code, embedding AS cvec
          |   FROM e WHERE vec_id < 16),
@@ -1935,7 +1935,7 @@ object Oracles {
          |         ORDER BY d, code) AS rn FROM ecd),
          | codes AS (SELECT vec_id, sub, code FROM ec WHERE rn = 1),
          | ps AS (SELECT vec_id AS probe_id, embedding,
-         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0),
+         |   unnest(range(0, 8)) AS sub FROM e WHERE vec_id % 97 = 0 AND vec_id < 2048),
          | lut AS (SELECT p.probe_id, p.sub, c.code,
          |    (${pqDistSql("p.embedding", "c.cvec", "p.sub")}) AS d
          |   FROM ps p, cb c),
@@ -1979,7 +1979,7 @@ object Oracles {
          |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |     (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) DESC,
          |     c.vec_id) AS crn
-         |  FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id),
+         |  FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.vec_id <> c.vec_id),
          | cos AS (SELECT probe_id, cand_id, CAST(crn AS BIGINT) AS cos_rank
          |   FROM cosr WHERE crn <= 20),
          | fused AS (SELECT probe_id, cand_id, bm25_rank, cos_rank,
@@ -2010,7 +2010,7 @@ object Oracles {
          | es AS (SELECT *, ${rpSigSql("embedding")} AS sig FROM e),
          | pd AS (SELECT vec_id AS probe_id, embedding, nrm, sig,
          |   $dChains
-         |  FROM es WHERE vec_id % 97 = 0),
+         |  FROM es WHERE vec_id % 97 = 0 AND vec_id < 2048),
          | pm AS ($pmArms),
          | flips AS (SELECT probe_id, xor(sig, bit) AS pcell
          |   FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
@@ -2055,7 +2055,7 @@ object Oracles {
          | pairs AS (SELECT p.vec_id AS probe_id, c.cand_id,
          |    ($distChain) AS sqdist
          |   FROM embeddings p, codes c, rng
-         |   WHERE p.vec_id % 97 = 0 AND p.vec_id <> c.cand_id),
+         |   WHERE p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.vec_id <> c.cand_id),
          | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |         ORDER BY sqdist, cand_id) AS rnk FROM pairs)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS "rank", cand_id,
@@ -2116,7 +2116,7 @@ object Oracles {
          |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
          |     c.cell) AS prn
-         |  FROM e p, cent c WHERE p.vec_id % 97 = 0),
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0 AND p.vec_id < 2048),
          | pcells AS (SELECT probe_id, cell FROM pr WHERE prn <= 4),
          | rng AS (SELECT $rngCols FROM embeddings),
          | codes AS (SELECT vec_id AS cand_id,
@@ -2173,7 +2173,7 @@ object Oracles {
          | pr AS (SELECT p.vec_id AS probe_id, p.label AS plabel,
          |   c.vec_id AS cand_id, c.label AS clabel,
          |   (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
-         |  FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id <> c.vec_id),
+         |  FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.vec_id <> c.vec_id),
          | pos AS (SELECT probe_id, cand_id AS pos_id, cosine AS pc FROM (
          |   SELECT *, row_number() OVER (PARTITION BY probe_id
          |     ORDER BY cosine DESC, cand_id) AS rn
@@ -2197,7 +2197,7 @@ object Oracles {
          | pr AS (SELECT p.vec_id AS probe_id, p.label AS probe_label,
          |   c.vec_id AS cand_id, c.label AS cand_label,
          |   (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
-         |  FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.label <> c.label),
+         |  FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id < 2048 AND p.label <> c.label),
          | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |         ORDER BY cosine DESC, cand_id) AS rnk FROM pr)
          |SELECT probe_id, probe_label, CAST(rnk AS BIGINT) AS "rank",
@@ -2224,7 +2224,7 @@ object Oracles {
        | qt0 AS (SELECT f.doc_id AS probe_id, f.token,
        |    floor(f.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) * 1e6) / 1e6 AS tfidf
        |   FROM tf f JOIN dft d USING (token), nd n
-       |   WHERE f.doc_id % 97 = 0),
+       |   WHERE f.doc_id % 97 = 0 AND f.doc_id < 2048),
        | qt AS (SELECT probe_id, token FROM (
        |    SELECT *, row_number() OVER (PARTITION BY probe_id
        |      ORDER BY tfidf DESC, token) AS rn FROM qt0) WHERE rn <= 3),

@@ -349,7 +349,11 @@ object Curation {
     * still never all-pairs. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    decontaminateFrom(docs, docs.filter(col("doc_id") % 97 === 0))
+    // eval slice capped like the ANN probe grids (Similarity.ProbeCap):
+    // a benchmark suite is a fixed-size table, not a corpus share, so
+    // the declared eval set is bounded at any corpus size too
+    decontaminateFrom(docs, docs.filter(col("doc_id") % 97 === 0 &&
+      col("doc_id") < Similarity.ProbeCap))
   }
 
   /** [[decontaminate]] over explicit corpus/eval tables — the deployment

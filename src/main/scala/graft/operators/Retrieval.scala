@@ -33,11 +33,13 @@ object Retrieval {
   /** RRF rank-shift constant (Cormack et al.'s k=60). */
   val RrfK = 60
 
-  /** The declared queries' probe set: every 97th document (the
-    * embeddings grid's convention in the doc-id space). Deployments pass
-    * a bounded probe set to the `*From` variants. */
+  /** The declared queries' probe set: every 97th document capped to the
+    * first [[Similarity.ProbeCap]] ids (the embeddings grid's convention
+    * in the doc-id space) — a fixed probe BUDGET at any corpus size, not
+    * a corpus share (VERDICT r13 #1). Deployments pass a bounded probe
+    * set to the `*From` variants. */
   private def gridDocProbes(docs: DataFrame): DataFrame =
-    docs.filter(col("doc_id") % 97 === 0)
+    docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < Similarity.ProbeCap)
 
   /** The BM25 "index": per-(doc, token) frequency with the doc length
     * alongside — (doc_id, token, tf, dl). Built from ONE tokenize

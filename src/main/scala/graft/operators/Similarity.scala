@@ -37,16 +37,23 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  /** The declared queries' probe set: every 97th vector — a fixed
-    * FRACTION of the corpus, so the exact baseline's cost is O(n²/97).
-    * That is fine for a bench surface but NOT the deployment shape: the
-    * sf1 smoke (BASELINE.md round 7) measured q40 at 23× for 10× data,
-    * exactly the quadratic this fraction implies. Deployments pass a
-    * bounded probe set (a fixed probe budget, not a corpus share) to the
-    * `*From` variants below; recall audits need hundreds of probes, not
-    * a percentage. */
-  private def gridProbes(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 97 === 0)
+  /** Declared-surface probe cap (VERDICT r13 #1): the %97 grid alone is
+    * a fixed FRACTION of the corpus, so the declared exact baseline's
+    * cost would be O(n²/97) — measured 23× at 10× data (BASELINE.md sf1
+    * smoke). The id cap turns the grid into a BOUNDED sample: at any
+    * corpus ≥ [[ProbeCap]] vectors the probe set is the fixed 22-entry
+    * id grid {0, 97, …, 1940} — a probe BUDGET, the plan you'd run at
+    * 100× — while every test SF ≤ 0.1 (max id 4999 docs / 1999 vecs)
+    * keeps the grid inside the cap where it matters for oracle variety.
+    * Every oracle carries the identical `AND id < 2048` predicate. */
+  private[graft] val ProbeCap = 2048L
+
+  /** The declared queries' probe set: every 97th vector, capped to the
+    * first [[ProbeCap]] ids — a fixed probe budget at scale, not a
+    * corpus share. Deployments pass their own bounded probe set to the
+    * `*From` variants below. */
+  private[graft] def gridProbes(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < ProbeCap)
 
   /** Brute-force cosine top-10 per probe (every 97th vector probes) — the
     * exact baseline every ANN variant is measured against. */
@@ -134,12 +141,11 @@ object Similarity {
     * re-measured when the embedding model or corpus mix changes.
     *
     * Scale shape: composes the two existing plans and joins their (probe,
-    * cand) sets — the join input is |probes|·k rows, never the corpus. At
-    * real scale the exact side runs on a BOUNDED probe sample only —
-    * the declared query inherits q40's fixed-fraction grid (so its cost
-    * is the baseline's, O(n²/97)); production audits pass a fixed probe
-    * budget to [[annRecallFrom]] — ground truth on a bounded sample,
-    * never a corpus share. */
+    * cand) sets — the join input is |probes|·k rows, never the corpus.
+    * The declared query inherits q40's CAPPED grid ([[ProbeCap]]), so the
+    * exact ground-truth side is probes × one corpus scan — linear in the
+    * corpus at any scale; production audits pass their own fixed probe
+    * budget to [[annRecallFrom]]. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     annRecallFrom(emb, gridProbes(emb))
@@ -893,7 +899,7 @@ object Similarity {
     * rides the join condition so same-label rows never materialize. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    hardNegativesFrom(emb, emb.filter(col("vec_id") % 97 === 0), k = 5)
+    hardNegativesFrom(emb, gridProbes(emb), k = 5)
   }
 
   /** [[hardNegatives]] over explicit probes (must carry `label`). */
@@ -1054,7 +1060,7 @@ object Similarity {
     * argmax windows; everything downstream is probe-budget-sized. */
   def tripletMining(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    tripletMiningFrom(emb, emb.filter(col("vec_id") % 97 === 0))
+    tripletMiningFrom(emb, gridProbes(emb))
   }
 
   /** [[tripletMining]] over explicit probes (must carry `label`). */
