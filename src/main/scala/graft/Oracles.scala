@@ -1903,7 +1903,60 @@ object Oracles {
     // q95's oracle binds verbatim and "by construction" is hash-checked
     "q113_span_dedup_sketch" -> curationBase("q95_span_dedup"),
     "q114_span_dedup_increment" -> curationBase("q95_span_dedup"),
-    "q105_bloom_shuffled" -> curationBase("q94_bloom_increment"))
+    "q105_bloom_shuffled" -> curationBase("q94_bloom_increment"),
+
+    // q125: q66's feature CTEs + the logistic head — same floored
+    // features, literal weights in the same left-assoc order, sigmoid
+    // floored to 1e-6 (the q116 convention for transcendental math).
+    "q125_quality_scorer" ->
+      s"""WITH $toksCte,
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+         | st AS (SELECT doc_id,
+         |   CAST(sum(c) AS BIGINT) AS n_tokens,
+         |   CAST(count(*) AS BIGINT) AS n_distinct,
+         |   max(c) AS max_tok,
+         |   CAST(sum(len(token) * c) AS BIGINT) AS sum_len
+         |  FROM cnt GROUP BY doc_id),
+         | f AS (SELECT doc_id, n_tokens,
+         |   floor(n_distinct * 1.0 / n_tokens * 1e6) / 1e6 AS ttr,
+         |   floor(max_tok * 1.0 / n_tokens * 1e6) / 1e6 AS top_ratio,
+         |   floor(sum_len * 1.0 / n_tokens * 1e6) / 1e6 AS mean_tok_len,
+         |   (n_tokens >= 30
+         |     AND floor(n_distinct * 1.0 / n_tokens * 1e6) / 1e6 >= 0.45
+         |     AND floor(max_tok * 1.0 / n_tokens * 1e6) / 1e6 <= 0.15) AS keep_rules
+         |  FROM st),
+         | z AS (SELECT *,
+         |   -7.0 + 1.0 * ln(n_tokens) + 10.0 * ttr + (-16.0) * top_ratio
+         |     + (-0.5) * abs(mean_tok_len - 5.0) AS zz FROM f)
+         |SELECT doc_id, n_tokens, ttr, top_ratio, mean_tok_len, keep_rules,
+         | floor(1.0 / (1.0 + exp(-zz)) * 1e6) / 1e6 AS ml_score,
+         | (floor(1.0 / (1.0 + exp(-zz)) * 1e6) / 1e6 >= 0.5) AS keep_ml
+         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // q126: q95's span/hit CTEs + gaps-and-islands — a break when the
+    // start gap exceeds SpanW (lag NULL on the first hit -> break), a
+    // running sum numbering the islands, min/max per island.
+    "q126_span_runs" ->
+      s"""WITH $toksCte,
+         | d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) >= 8),
+         | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM d),
+         | h AS (SELECT doc_id, i, sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         | o AS (SELECT doc_id, i, count(*) OVER (PARTITION BY hh) AS occ FROM h),
+         | hits AS (SELECT doc_id, i FROM o WHERE occ >= 2),
+         | g AS (SELECT doc_id, i,
+         |   CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+         |     THEN 0 ELSE 1 END AS brk FROM hits),
+         | isl AS (SELECT doc_id, i,
+         |   sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM g)
+         |SELECT doc_id, CAST(run_id AS BIGINT) AS run_id,
+         | CAST(min(i) AS BIGINT) AS run_start,
+         | CAST(max(i) + 7 AS BIGINT) AS run_end,
+         | CAST(max(i) + 8 - min(i) AS BIGINT) AS run_len,
+         | CAST(count(*) AS BIGINT) AS n_spans
+         |FROM isl GROUP BY doc_id, run_id ORDER BY doc_id, run_id""".stripMargin)
 
   val retrieval: Map[String, String] = Map(
     // q115: the full q108 IVF-PQ chain producing a rnk<=20 ADC
@@ -2203,7 +2256,112 @@ object Oracles {
          |SELECT probe_id, probe_label, CAST(rnk AS BIGINT) AS "rank",
          | cand_id, cand_label, round(cosine, 6) AS cosine
          |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // q127: the drift audit — q108's seeded cells + residuals shared,
+    // q112's residual-codebook training/encode/LUT/ADC chain
+    // instantiated TWICE (fresh = full training set, stale = the even-id
+    // half with its first-16 seeds in ids < 32), q109's exact/recall
+    // join per variant.
+    "q127_pq_drift" ->
+      s"""WITH $embCte,
+         | cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 16),
+         | ex AS (SELECT probe_id, cand_id FROM (
+         |   SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |     ORDER BY (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) DESC,
+         |       c.vec_id) AS rnk
+         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id < 2048
+         |                    AND p.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         | ac AS (SELECT v.vec_id, v.embedding, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |     (${dotSql("v.embedding", "c.cvec")}) / (v.nrm * c.cnrm) DESC,
+         |     c.cell) AS rn
+         |  FROM e v, cent c),
+         | asg AS MATERIALIZED (SELECT vec_id, embedding, cell FROM ac WHERE rn = 1),
+         | resid AS MATERIALIZED (SELECT a.vec_id, a.cell,
+         |   list_transform(range(1, 65), i ->
+         |     CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)
+         |       AS FLOAT)) AS resid
+         |  FROM asg a JOIN cent c ON a.cell = c.cell),
+         | vs AS MATERIALIZED (SELECT vec_id, resid, unnest(range(0, 8)) AS sub FROM resid),
+         | pr AS (SELECT p.vec_id AS probe_id, p.embedding AS p_emb,
+         |   c.cell, c.cvec,
+         |   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |     (${dotSql("p.embedding", "c.cvec")}) / (p.nrm * c.cnrm) DESC,
+         |     c.cell) AS prn
+         |  FROM e p, cent c WHERE p.vec_id % 97 = 0 AND p.vec_id < 2048),
+         | pcells AS MATERIALIZED (SELECT probe_id, cell,
+         |   list_transform(range(1, 65), i ->
+         |     CAST(CAST(p_emb[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)
+         |       AS FLOAT)) AS p_resid
+         |  FROM pr WHERE prn <= 4),
+         | cand AS (SELECT pc.probe_id, r.vec_id, pc.cell
+         |   FROM pcells pc JOIN resid r ON pc.cell = r.cell
+         |                             AND pc.probe_id <> r.vec_id),
+         |${pqCbChain("f", "1 = 1", "vec_id < 16")},
+         |${pqCbChain("s", "vec_id % 2 = 0", "vec_id % 2 = 0 AND vec_id < 32")},
+         | probes AS (SELECT DISTINCT vec_id AS probe_id FROM e
+         |   WHERE vec_id % 97 = 0 AND vec_id < 2048)
+         |SELECT p.probe_id,
+         | CAST(coalesce(hf.n, 0) AS BIGINT) AS n_hits_fresh,
+         | CAST(coalesce(hs.n, 0) AS BIGINT) AS n_hits_stale,
+         | coalesce(hf.n, 0) / 5.0 AS recall_fresh,
+         | coalesce(hs.n, 0) / 5.0 AS recall_stale,
+         | (coalesce(hf.n, 0) - coalesce(hs.n, 0)) / 5.0 AS drift
+         |FROM probes p LEFT JOIN hitsf hf ON p.probe_id = hf.probe_id
+         | LEFT JOIN hitss hs ON p.probe_id = hs.probe_id
+         |ORDER BY p.probe_id""".stripMargin,
   )
+
+  /** q127: one residual-PQ codebook variant's CTE chain (train → encode
+    * → LUT → ADC → top-5 → recall hits), suffixed so two variants
+    * coexist in one query. `trainPred` restricts the TRAINING set (the
+    * E/M-step inputs); `seedPred` picks the seed residuals. Mirrors the
+    * q112 oracle's chain (and `Similarity.trainedSubCodebook` /
+    * `pqCodesSeg` / `ivfPqScoreWith`) expression-for-expression. */
+  private def pqCbChain(sfx: String, trainPred: String, seedPred: String): String =
+    s""" scb$sfx AS (SELECT CAST(vec_id AS INT) AS code, resid AS cvec
+       |   FROM resid WHERE $seedPred),
+       | ecd$sfx AS (SELECT v.vec_id, v.sub, c.code,
+       |    (${pqDistSql("v.resid", "c.cvec", "v.sub")}) AS d
+       |   FROM (SELECT * FROM vs WHERE $trainPred) v, scb$sfx c),
+       | ec$sfx AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |         ORDER BY d, code) AS rn FROM ecd$sfx),
+       | c0$sfx AS MATERIALIZED (SELECT vec_id, sub, code FROM ec$sfx WHERE rn = 1),
+       | xr$sfx AS (SELECT c0.sub, c0.code, ii.i, r.resid[c0.sub * 8 + ii.i] AS v
+       |   FROM c0$sfx c0 JOIN resid r ON c0.vec_id = r.vec_id
+       |   CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ii),
+       | mr$sfx AS (SELECT sub, code, i,
+       |   floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9)
+       |       AS DECIMAL(28,9))) AS DOUBLE) / 1e9 / count(*) * 1e6) / 1e6 AS cm
+       |  FROM xr$sfx GROUP BY sub, code, i),
+       | tcb$sfx AS MATERIALIZED (SELECT sub, code, list(CAST(cm AS FLOAT) ORDER BY i) AS scvec
+       |  FROM mr$sfx GROUP BY sub, code),
+       | ecd2$sfx AS (SELECT v.vec_id, t.sub, t.code,
+       |    (${pqDistSegSql("v.resid", "t.scvec", "t.sub")}) AS d
+       |   FROM vs v JOIN tcb$sfx t ON v.sub = t.sub),
+       | ec2$sfx AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |         ORDER BY d, code) AS rn FROM ecd2$sfx),
+       | codes$sfx AS MATERIALIZED (SELECT vec_id, sub, code FROM ec2$sfx WHERE rn = 1),
+       | lut$sfx AS (SELECT pc.probe_id, pc.cell, t.sub, t.code,
+       |    (${pqDistSegSql("pc.p_resid", "t.scvec", "t.sub")}) AS d
+       |   FROM pcells pc, tcb$sfx t),
+       | sc$sfx AS (SELECT cd.probe_id, cd.vec_id AS cand_id,
+       |    CAST(sum(CAST(floor(l.d * 1e9) AS DECIMAL(28,9))) AS DOUBLE) / 1e9 AS adc
+       |   FROM cand cd
+       |   JOIN codes$sfx k ON k.vec_id = cd.vec_id
+       |   JOIN lut$sfx l ON l.probe_id = cd.probe_id AND l.cell = cd.cell
+       |             AND l.sub = k.sub AND l.code = k.code
+       |   GROUP BY 1, 2),
+       | ap$sfx AS (SELECT probe_id, cand_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY probe_id
+       |     ORDER BY adc, cand_id) AS rnk FROM sc$sfx) WHERE rnk <= 5),
+       | hits$sfx AS (SELECT ex.probe_id, count(*) AS n
+       |   FROM ex JOIN ap$sfx ap ON ex.probe_id = ap.probe_id
+       |                         AND ex.cand_id = ap.cand_id
+       |   GROUP BY ex.probe_id)""".stripMargin
 
   /** The BM25 CTE chain through the ranked candidate table `bmr` —
     * shared by q116 (the report) and q117 (the fusion input). Mirrors

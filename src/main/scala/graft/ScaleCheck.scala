@@ -60,6 +60,14 @@ object ScaleCheck {
       Curation.spanIndexSharded(Curation.dupSpanIndexFrom(spans), 4).staged
 
     val cases: Seq[(String, () => Unit)] = Seq(
+      // The DECLARED q40 (gridProbes — %97 grid capped at ProbeCap):
+      // since r14 the declared surface IS the bounded-probe plan
+      // (VERDICT r13 #1), so this case measures the exact query the
+      // driver benches; the claim is the 10× ratio sits in the linear
+      // band (~2×), where the uncapped fraction measured 23×.
+      ("cosine_topk_declared", () =>
+        Similarity.cosineTopK(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       ("recall_budget21", () =>
         Similarity.annRecallFrom(emb, probes)
           .write.format("noop").mode("overwrite").save()),

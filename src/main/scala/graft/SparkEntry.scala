@@ -145,6 +145,9 @@ object SparkEntry {
     "q122_ivf_sq8" -> (Similarity.ivfSq8Ann _),
     "q123_dup_pagerank" -> (Curation.dupPageRank _),
     "q124_triplet_mining" -> (Similarity.tripletMining _),
+    "q125_quality_scorer" -> (Curation.qualityScorer _),
+    "q126_span_runs" -> (Curation.spanRuns _),
+    "q127_pq_drift" -> (Similarity.pqDriftAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -75,6 +75,63 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** q125: model-based quality scoring — the learned-filter stage every
+    * modern curation pipeline runs between hand-crafted heuristics (q66)
+    * and dedup (the CCNet/fastText-style classifier step): a logistic
+    * scorer over the SAME aggregate features the heuristic gate computes,
+    * with the model's weights as a broadcast one-row table. q90's
+    * calibration query is this scorer's threshold-tuning dual: sweep the
+    * cut on `ml_score` exactly as it sweeps the heuristic features.
+    *
+    * Determinism across engines: the features enter already floored to
+    * the 1e-6 grid (q66's rule), the linear term mixes them with literal
+    * weights in fixed order, and the sigmoid output is floored to 1e-6 —
+    * the BM25 convention (q116) for transcendental math. `keep_ml`
+    * compares the floored score so both engines decide on identical
+    * doubles.
+    *
+    * Scale shape: q66's two partial-agg shuffles build the features; the
+    * model itself is ONE broadcast row and the scoring is a pure
+    * projection — at 100 TB the "inference" pass adds zero shuffles to
+    * the feature build. A real fastText-style model (n-gram embedding
+    * buckets + linear head) keeps the identical dataflow: the weight
+    * table grows to |buckets| rows and the dot product becomes a
+    * token-explode groupBy — both already this engine's bread and
+    * butter. */
+  def qualityScorer(spark: SparkSession, dir: String): DataFrame =
+    qualityScorerFrom(qualityGateFrom(tokenTable(Tables.documents(spark, dir))),
+      defaultQualityWeights(spark))
+
+  /** The "trained" classifier head: one broadcast row of logistic
+    * weights over (ln n_tokens, ttr, top_ratio, |mean_tok_len − 5|).
+    * Literal constants stand in for a fitted model — the deployment
+    * swaps this one-row table for its training job's output and nothing
+    * else changes. */
+  def defaultQualityWeights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((-7.0, 1.0, 10.0, -16.0, -0.5))
+      .toDF("w0", "w_logtok", "w_ttr", "w_top", "w_len")
+  }
+
+  /** [[qualityScorer]] over an explicit feature table ([[qualityGateFrom]]'s
+    * shape) and weight row — the deployment entry point. */
+  def qualityScorerFrom(features: DataFrame, weights: DataFrame): DataFrame = {
+    val z = col("w0") +
+      col("w_logtok") * log(col("n_tokens")) +
+      col("w_ttr") * col("ttr") +
+      col("w_top") * col("top_ratio") +
+      col("w_len") * abs(col("mean_tok_len") - 5.0)
+    features
+      .crossJoin(broadcast(weights))
+      .withColumn("ml_score",
+        floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e6) / 1e6)
+      .select(
+        col("doc_id"), col("n_tokens"), col("ttr"), col("top_ratio"),
+        col("mean_tok_len"), col("keep").as("keep_rules"),
+        col("ml_score"), (col("ml_score") >= 0.5).as("keep_ml"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q67: within-document repetition — the duplicate-bigram fraction
     * (Gopher's "repetitive document" signal, bigrams because the
     * synthetic vocabulary is small enough that longer n-grams never
@@ -1041,6 +1098,47 @@ object Curation {
   def spanTrimFrom(spans: DataFrame, documents: DataFrame): DataFrame =
     spanTrimCore(spanDocs(documents), dupHitsTwoPhase(spans))
 
+  /** q126: maximal duplicated runs — exact-substring semantics over the
+    * span-hit table (VERDICT r13 #3): q95 reports per-WINDOW coverage;
+    * this merges adjacent/overlapping duplicated windows
+    * (gaps-and-islands) into the maximal contiguous duplicated REGIONS
+    * (doc_id, run_start, run_end) — the report an exact-substring dedup
+    * (suffix-array style) would emit, recovered from the sliding-window
+    * machinery already in place. Two hit windows at starts i < j belong
+    * to one run iff j ≤ i + [[SpanW]] (their covered token ranges
+    * overlap or touch), so Σ run_len per doc equals q95's n_covered by
+    * construction — spec-pinned.
+    *
+    * Scale shape: the input is the DUP-HIT sliver ([[dupHitsTwoPhase]] —
+    * the skew-proof marker), not the corpus span table; the
+    * gaps-and-islands window partitions by doc_id, so per-task work is
+    * bounded by one document's hit count, never the corpus. */
+  def spanRuns(spark: SparkSession, dir: String): DataFrame =
+    spanRunsFrom(spanRows(Tables.documents(spark, dir)))
+
+  /** [[spanRuns]] over an existing span table ([[spanTable]]). */
+  def spanRunsFrom(spans: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    dupHitsTwoPhase(spans)
+      // island break: a gap strictly wider than SpanW tokens between
+      // consecutive hit starts; the first hit's lag is null -> break
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(wOrd) <= SpanW, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("run_id",
+        sum(col("brk")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(
+        min(col("i")).cast("long").as("run_start"),
+        (max(col("i")) + (SpanW - 1)).cast("long").as("run_end"),
+        count(lit(1)).as("n_spans"))
+      .withColumn("run_len", col("run_end") - col("run_start") + 1L)
+      .select(col("doc_id"), col("run_id"), col("run_start"),
+        col("run_end"), col("run_len"), col("n_spans"))
+      .orderBy(col("doc_id"), col("run_id"))
+  }
+
   /** q113: q95 through the PAST-BROADCAST deployment path — the staged
     * span table consumed by the Bloom-sketch-phase marker
     * ([[dupHitsSketchPhase]]): declared as its own query so the regime
@@ -1355,8 +1453,26 @@ object Curation {
   def dupPageRank(spark: SparkSession, dir: String): DataFrame =
     dupPageRankFrom(Dedup.lshNearDup(spark, dir))
 
-  /** [[dupPageRank]] over an existing pair table ([[pairTable]]). */
-  def dupPageRankFrom(pairTable: DataFrame, iters: Int = 5): DataFrame = {
+  /** PageRank lineage-checkpoint cadence: plan depth between checkpoints
+    * stays ≤ this many iterations' worth of joins. 4 keeps the default
+    * iters=5 run checkpoint-free except one cut, and bounds any larger
+    * iteration count. */
+  private[graft] val PrCkptEvery = 4
+
+  /** [[dupPageRank]] over an existing pair table ([[pairTable]]).
+    *
+    * Lineage bound (VERDICT r13 #2): each iteration stacks two joins and
+    * an agg onto the `ranks` plan, so convergence-style iteration counts
+    * would blow up analysis/optimization time the way [[componentLabels]]'
+    * fixpoint would without its checkpoints. Every [[PrCkptEvery]]
+    * iterations the (tiny — one row per pair-graph node) rank table is
+    * localCheckpointed, cutting the accumulated plan back to a leaf; the
+    * ranks are already floored to the 1e-12 grid each iteration, so
+    * checkpointing changes nothing numerically (CurationSpec pins
+    * iters=20 output equal to an uncheckpointed replay and its plan
+    * depth bounded). */
+  def dupPageRankFrom(pairTable: DataFrame, iters: Int = 5,
+      ckptEvery: Int = PrCkptEvery): DataFrame = {
     val p = pairTable.select(col("d1"), col("d2"))
     val edges = Materialize.stage(
       p.select(col("d1").as("src"), col("d2").as("dst"))
@@ -1366,7 +1482,7 @@ object Curation {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("id"), (lit(1.0) / col("n")).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val sums = ranks
         .join(edges, col("id") === col("src"))
         .join(deg, "src")
@@ -1380,6 +1496,7 @@ object Curation {
           (floor(((lit(1.0) - lit(0.85)) / col("n") +
             lit(0.85) * (coalesce(col("s"), lit(0L)).cast("double") / 1e12)) * 1e12)
             / 1e12).as("r"))
+      if (i % ckptEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
       .join(deg, col("id") === col("src"))

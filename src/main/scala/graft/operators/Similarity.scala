@@ -707,9 +707,13 @@ object Similarity {
     * corpus size (map-side partials); the reassembled table is m·nCodes
     * rows — broadcast-sized by construction. */
   private[graft] def trainedSubCodebook(resid: DataFrame, m: Int, dsub: Int,
-      nCodes: Int): DataFrame = {
+      nCodes: Int, seedCap: Int = -1): DataFrame = {
     val rEmb = resid.select(col("vec_id"), col("resid").as("embedding"))
-    val seedCb = rEmb.filter(col("vec_id") < nCodes)
+    // seedCap widens the seed id range when the TRAINING table is a
+    // corpus slice (q127's stale codebook trains on vec_id % 2 = 0, so
+    // its first 16 seeds live in ids < 32) — the seed count, not the id
+    // bound, is the codebook-size contract
+    val seedCb = rEmb.filter(col("vec_id") < (if (seedCap < 0) nCodes else seedCap))
       .select(col("vec_id").cast("int").as("code"), col("embedding").as("cvec"))
     pqCodes(rEmb, seedCb, m, dsub)
       .join(rEmb, Seq("vec_id"))
@@ -763,7 +767,13 @@ object Similarity {
     // +∞ sentinel removes that code from that subspace's argmin — the
     // grouped layout reproducing exactly the per-(sub, code)-row
     // formulation's survivor semantics (spec-pinned on a collided-seed
-    // corpus).
+    // corpus). Precondition (ADVICE r13): each subspace must keep ≥ 1
+    // surviving code — guaranteed for any NONEMPTY training table,
+    // because every training vector assigns some code in every subspace
+    // and that (sub, code) cluster is then nonempty. If a whole subspace
+    // were ever codeless, every code's sentinel distance would tie and
+    // the struct-min would emit the lowest code where the per-row
+    // formulation emitted no row.
     val wide = tcb.groupBy(col("code"))
       .agg(map_from_entries(collect_list(struct(col("sub"), col("scvec"))))
         .as("svm"))
@@ -816,6 +826,18 @@ object Similarity {
     val cent = Materialize.stage(trainedCentroids(emb, nlist))
     val resid = Materialize.stage(residualsWith(emb, cent))
     val tcb = Materialize.stage(trainedSubCodebook(resid, m, dsub, nCodes))
+    ivfPqScoreWith(probes, cent, resid, tcb, m, dsub, nprobe, k, excludeSelf)
+  }
+
+  /** The residual-PQ IVF scoring engine over EXPLICIT index artifacts —
+    * (cell, cvec, cnrm) quantizer, (vec_id, cell, resid) residual table,
+    * (sub, code, scvec) codebook. [[ivfPqTrainedFrom]] trains and feeds
+    * its own artifacts; q127's drift audit feeds the SAME engine two
+    * different codebooks over shared cells/residuals, so the audited
+    * ranking is exactly the deployed one. */
+  private[graft] def ivfPqScoreWith(probes: DataFrame, cent: DataFrame,
+      resid: DataFrame, tcb: DataFrame, m: Int, dsub: Int, nprobe: Int,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     val codes = pqCodesSeg(resid, tcb, m, dsub)
     // probe → top-nprobe trained cells, carrying the CELL-SPECIFIC
     // probe residual for the ADC tables
@@ -890,6 +912,64 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** q127: PQ codebook drift audit (VERDICT r13 #4) — the
+    * retrain-scheduling signal a 100 TB vector deployment actually
+    * needs: q112 trains its codebook ONCE, so as the corpus distribution
+    * shifts, when has the codebook gone stale enough to retrain? The
+    * audit composes q109's recall machinery with a STALE-vs-RETRAINED
+    * codebook pair over one shared index: the coarse quantizer and
+    * residual table are fixed (q108's seeded cells — the audit isolates
+    * the PQ half), the stale codebook trains on the `vec_id % 2 = 0`
+    * half (yesterday's corpus), the fresh one on the full corpus, and
+    * BOTH feed the identical [[ivfPqScoreWith]] engine. Output per
+    * probe: exact-top-5 hits under each codebook and the drift
+    * (fresh − stale recall) — aggregate drift above a threshold is the
+    * "schedule a retrain" trigger.
+    *
+    * Scale shape: q112's exactly — two extra training scans (the stale
+    * E/M-step over half the residual table) and a second broadcast
+    * codebook; the audit join inputs are |probes|·k rows per side. */
+  def pqDriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqDriftAuditFrom(emb, gridProbes(emb), nlist = 16, nprobe = 4,
+      m = 8, dsub = 8, nCodes = 16)
+  }
+
+  /** [[pqDriftAudit]] over explicit probes. */
+  def pqDriftAuditFrom(emb: DataFrame, probes: DataFrame, nlist: Int,
+      nprobe: Int, m: Int, dsub: Int, nCodes: Int): DataFrame = {
+    val en = emb.withColumn("nrm", norm(col("embedding")))
+    val cent = en.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val resid = Materialize.stage(residualsWith(emb, cent))
+    val tcbFresh = Materialize.stage(trainedSubCodebook(resid, m, dsub, nCodes))
+    // the stale codebook's training set is the even-id half playing
+    // "yesterday's corpus"; its first nCodes seeds live in ids < 2·nCodes
+    val tcbStale = Materialize.stage(trainedSubCodebook(
+      resid.filter(col("vec_id") % 2 === 0), m, dsub, nCodes,
+      seedCap = 2 * nCodes))
+    val exact5 = Materialize.stage(cosineTopKFrom(emb, probes, k = 5)
+      .select(col("probe_id"), col("cand_id")))
+    def hitsWith(tcb: DataFrame, as: String): DataFrame =
+      exact5.join(
+          ivfPqScoreWith(probes, cent, resid, tcb, m, dsub, nprobe, k = 5)
+            .select(col("probe_id"), col("cand_id")),
+          Seq("probe_id", "cand_id"))
+        .groupBy(col("probe_id")).agg(count(lit(1)).as(as))
+    probes.select(col("vec_id").as("probe_id")).distinct()
+      .join(hitsWith(tcbFresh, "nf"), Seq("probe_id"), "left")
+      .join(hitsWith(tcbStale, "ns"), Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("nf"), lit(0L)).as("n_hits_fresh"),
+        coalesce(col("ns"), lit(0L)).as("n_hits_stale"),
+        (coalesce(col("nf"), lit(0L)) / lit(5.0)).as("recall_fresh"),
+        (coalesce(col("ns"), lit(0L)) / lit(5.0)).as("recall_stale"),
+        ((coalesce(col("nf"), lit(0L)) - coalesce(col("ns"), lit(0L))) / lit(5.0))
+          .as("drift"))
+      .orderBy(col("probe_id"))
+  }
+
   /** q118: hard-negative mining for contrastive training — for each probe,
     * the top-k most-similar vectors carrying a DIFFERENT label. The
     * highest-cosine wrong-label neighbors are exactly the negatives a
@@ -954,25 +1034,33 @@ object Similarity {
   private def sq8Delta(i: Int): Column =
     col(s"mx$i").cast("double") - col(s"mn$i").cast("double")
 
-  /** SQ8 encode: code_i = floor((v_i − mn_i)/Δ_i · 255), Δ_i = mx_i −
-    * mn_i (degenerate Δ_i = 0 → code 0); doubles throughout, same shapes
-    * as the oracle so codes are integer-identical. One map-only corpus
-    * pass against the broadcast range row. */
-  private[graft] def sq8Codes(emb: DataFrame, rng: DataFrame): DataFrame = {
-    val codeCols = (0 until 64).map { i =>
+  /** The SQ8 code columns c0..c63 — code_i = floor((v_i − mn_i)/Δ_i ·
+    * 255), Δ_i = mx_i − mn_i (degenerate Δ_i = 0 → code 0); doubles
+    * throughout, same shapes as the oracle so codes are
+    * integer-identical. Shared column defs: the batch encode
+    * ([[sq8Codes]]) and the streaming scorer
+    * ([[graft.streaming.StreamOps.sq8ScoreStream]]) both apply exactly
+    * these expressions, so the two paths cannot drift. Requires
+    * `embedding` + the range row's mn/mx columns in scope. */
+  private[graft] def sq8CodeCols: Seq[Column] =
+    (0 until 64).map { i =>
       val v = element_at(col("embedding"), i + 1).cast("double")
       when(sq8Delta(i) === 0.0, lit(0L))
         .otherwise(floor((v - col(s"mn$i").cast("double")) / sq8Delta(i) * 255.0)
           .cast("long")).as(s"c$i")
     }
+
+  /** SQ8 encode: one map-only corpus pass against the broadcast range
+    * row, emitting (cand_id, c0..c63). */
+  private[graft] def sq8Codes(emb: DataFrame, rng: DataFrame): DataFrame =
     emb.crossJoin(broadcast(rng))
-      .select((col("vec_id").as("cand_id") +: codeCols): _*)
-  }
+      .select((col("vec_id").as("cand_id") +: sq8CodeCols): _*)
 
   /** Asymmetric SQ8 distance: full-precision probe (`p_emb`) vs the
     * reconstruction v̂_i = mn_i + (c_i+0.5)·Δ_i/256 — the same
-    * left-assoc 64-term chain as the oracle. */
-  private def sq8Dist: Column =
+    * left-assoc 64-term chain as the oracle. Shared with the streaming
+    * scorer like [[sq8CodeCols]]. */
+  private[graft] def sq8Dist: Column =
     (0 until 64).map { i =>
       val rec = col(s"mn$i").cast("double") +
         (col(s"c$i") + 0.5) * sq8Delta(i) / 256.0

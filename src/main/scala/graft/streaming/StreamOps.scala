@@ -514,6 +514,56 @@ object StreamOps {
         round(col("pp.s9sum").cast("double") / 1e9, 6).as("score"))
   }
 
+  /** The SQ8 ANN scorer's static side as ONE broadcastable row: the
+    * 128-column per-dimension range (the "trained" scalar quantizer,
+    * [[graft.operators.Similarity.sq8Rng]]) plus the standing probe set
+    * as a sorted array of (probe_id, p_emb) structs — refreshed by a
+    * scheduled batch job exactly like [[corpusBloom]]/[[corpusIvfIndex]].
+    * Codes-free on purpose: the stream side encodes each ARRIVING vector
+    * itself, so the index stays probe-budget-sized however large the
+    * corpus grows. */
+  def corpusSq8Index(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.sq8Rng(emb).crossJoin(
+      Similarity.gridProbes(emb)
+        .agg(array_sort(collect_list(struct(
+          col("vec_id").as("probe_id"), col("embedding").as("p_emb"))))
+          .as("probes")))
+  }
+
+  /** Streaming SQ8 ANN scoring — the compressed-storage tier's streaming
+    * dual (q120's gate shape), completing the stream family next to the
+    * bloom/span/IVF-routing/BM25 gates: each arriving vector is SQ8-
+    * ENCODED against the broadcast range row with the SAME shared code
+    * columns the batch encode uses
+    * ([[graft.operators.Similarity.sq8CodeCols]]), then scored against
+    * every standing probe by the SAME asymmetric reconstruction chain
+    * ([[graft.operators.Similarity.sq8Dist]]) — identical float inputs
+    * through identical expression trees, so the stream's distances are
+    * bit-equal to the batch scorer's (StreamingSpec re-ranks replayed
+    * corpus vectors and pins row-for-row equality with `sq8AnnFrom`).
+    *
+    * STATELESS: one broadcast crossJoin, per-row column math, an explode
+    * over the probe array — no shuffle, no state store, no window (the
+    * batch top-k is a downstream consumer's regroup; a deployment
+    * typically gates on a distance threshold at ingest rate instead).
+    * Emits (probe_id, cand_id, sqdist) at full precision. */
+  def sq8ScoreStream(vecs: DataFrame, index: DataFrame): DataFrame = {
+    import graft.operators.Similarity
+    vecs.select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(broadcast(index))
+      .select(Seq(col("cand_id"), col("probes")) ++
+        (0 until 64).flatMap(i => Seq(col(s"mn$i"), col(s"mx$i"))) ++
+        Similarity.sq8CodeCols: _*)
+      .withColumn("p", explode(col("probes")))
+      .withColumn("probe_id", col("p.probe_id"))
+      .withColumn("p_emb", col("p.p_emb"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sqdist", Similarity.sq8Dist)
+      .select(col("probe_id"), col("cand_id"), col("sqdist"))
+  }
+
   /** Static corpus band index (band, band_sig) for the stream-static
     * near-dup join — built by one batch pass over the corpus. */
   def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {

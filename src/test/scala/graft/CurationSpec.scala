@@ -771,4 +771,90 @@ class CurationSpec extends SparkSpec {
       real.foreach(r => assert(r.getDouble(2) >= (1.0 - 0.85) / n - 1e-9))
     }
   }
+
+  test("pagerank checkpoints bound plan depth at iters=20 without changing ranks") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // a small but non-trivial graph: chain + a hub
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 4L),
+      (0L, 5L), (0L, 6L)).toDF("d1", "d2")
+    val ck = Curation.dupPageRankFrom(pairs, iters = 20)
+    val raw = Curation.dupPageRankFrom(pairs, iters = 20, ckptEvery = Int.MaxValue)
+    // identical ranks: the 1e-12 grid flooring each iteration makes the
+    // values independent of where (or whether) the lineage is cut
+    val got = ck.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = raw.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"checkpointing changed ranks: ${got -- want}")
+    // bounded lineage: the optimized plan carries at most PrCkptEvery
+    // iterations' joins (4 join nodes per iteration: edges, deg, the
+    // left sum join, and the broadcast-nn cross) + the final deg join,
+    // where the uncheckpointed plan stacks all 20 iterations' worth
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+    assert(joins(ck) <= 4 * Curation.PrCkptEvery + 2,
+      s"checkpointed plan still carries ${joins(ck)} joins")
+    assert(joins(raw) > joins(ck),
+      s"uncheckpointed ${joins(raw)} !> checkpointed ${joins(ck)}")
+  }
+
+  test("span runs: maximal, disjoint, and covering exactly q95's positions") {
+    val spans = Curation.spanTable(spark, sfDir)
+    val runs = Curation.spanRunsFrom(spans).collect()
+    assert(runs.nonEmpty)
+    // per doc: runs disjoint with a gap > 0 between them (maximality:
+    // touching runs would have merged), each at least SpanW long
+    runs.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      sorted.foreach { r =>
+        assert(r.getLong(4) >= Curation.SpanW,
+          s"run shorter than a span: $r")
+        assert(r.getLong(3) == r.getLong(2) + r.getLong(4) - 1)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) > a.getLong(3) + 1,
+            s"adjacent runs failed to merge: $a | $b")
+        case _ =>
+      }
+    }
+    // sum of run lengths == q95's covered-position count, doc for doc
+    val covByRuns = runs.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(4)).sum).toMap
+    val q95 = Curation.spanDedupFrom(spans).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).filter(_._2 > 0L).toMap
+    assert(covByRuns == q95,
+      s"run coverage diverged from q95: ${covByRuns.size} vs ${q95.size} docs")
+  }
+
+  test("quality scorer: hand-checked logistic on a fixture, corpus non-degenerate") {
+    import spark.implicits._
+    val docs = Seq(
+      // n=4, distinct=3, max=2, sum_len=19 -> ttr .75, top .5, mean 4.75
+      (1L, "alpha beta gamma alpha"),
+      // n=6, distinct=1 -> ttr .166666, top 1.0, mean 1.0: junk
+      (2L, "x x x x x x"),
+      // 40 distinct 5-char tokens -> ttr 1.0, top .025, mean 5.0: keeper
+      (3L, (1 to 40).map(i => f"tok$i%02d").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Curation.qualityScorerFrom(
+        Curation.qualityGateFrom(Curation.tokenTable(docs)),
+        Curation.defaultQualityWeights(spark))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(6), r.getBoolean(7)))).toMap
+    def sig(z: Double): Double =
+      math.floor(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6
+    // doc 1 by hand: z = -7 + ln(4) + 10*.75 - 16*.5 - .5*|4.75-5|
+    val z1 = -7.0 + 1.0 * math.log(4.0) + 10.0 * 0.75 +
+      (-16.0) * 0.5 + (-0.5) * math.abs(4.75 - 5.0)
+    assert(out(1L)._1 == sig(z1), s"doc1 score ${out(1L)._1} != ${sig(z1)}")
+    assert(!out(1L)._2 && !out(2L)._2 && out(3L)._2,
+      s"keep decisions off: $out")
+    // junk scores below the mixed doc, keeper above it
+    assert(out(2L)._1 < out(1L)._1 && out(1L)._1 < out(3L)._1)
+    // real corpus: the scorer must actually split it (both classes)
+    val corpus = Curation.qualityScorer(spark, sfDir).collect()
+    val kept = corpus.count(_.getBoolean(7))
+    assert(kept > 0 && kept < corpus.length,
+      s"scorer degenerate on corpus: $kept/${corpus.length}")
+  }
 }

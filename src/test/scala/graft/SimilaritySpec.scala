@@ -497,4 +497,39 @@ class SimilaritySpec extends SparkSpec {
       .select(col("probe_id"), col("rank"), col("cand_id"))
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
+
+  test("pq drift audit: one row per probe, hits bounded, drift arithmetic exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val out = Similarity.pqDriftAuditFrom(emb, probes, nlist = 16,
+      nprobe = 4, m = 8, dsub = 8, nCodes = 16).collect()
+    assert(out.length == probes.count().toInt)
+    out.foreach { r =>
+      val (nf, ns) = (r.getLong(1), r.getLong(2))
+      assert(nf >= 0L && nf <= 5L && ns >= 0L && ns <= 5L)
+      assert(r.getDouble(3) == nf / 5.0 && r.getDouble(4) == ns / 5.0)
+      assert(r.getDouble(5) == (nf - ns) / 5.0)
+    }
+  }
+
+  test("trainedSubCodebook seedCap: default id bound reproduces nCodes exactly") {
+    // seedCap exists so a SLICED training table can still seed nCodes
+    // codes (q127's stale half) — on the full table the explicit cap at
+    // nCodes must be the identity
+    val emb = Tables.embeddings(spark, sfDir)
+    val en = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+    val cent = en.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val resid = Similarity.residualsWith(emb, cent)
+    val a = Similarity.trainedSubCodebook(resid, 8, 8, 16)
+    val b = Similarity.trainedSubCodebook(resid, 8, 8, 16, seedCap = 16)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the stale half really trains a DIFFERENT codebook (the audit
+    // has something to measure)
+    val s = Similarity.trainedSubCodebook(
+      resid.filter(col("vec_id") % 2 === 0), 8, 8, 16, seedCap = 32)
+    assert(s.count() > 0)
+    assert(s.exceptAll(a).count() > 0, "stale codebook identical to fresh")
+  }
 }

@@ -843,4 +843,47 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming sq8 scorer reproduces batch q120 ranking row for row, stateless") {
+    // the compressed-storage tier's streaming dual (r14): corpus vectors
+    // replayed through the gate are SQ8-encoded with the shared code
+    // columns and scored by the shared reconstruction chain, so
+    // re-ranking the streamed distances reproduces sq8AnnFrom EXACTLY
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Similarity
+    import graft.streaming.StreamOps.Probe
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = StreamOps.corpusSq8Index(spark, sfDir)
+    val vecRows = emb.select("vec_id", "embedding").collect()
+      .map(r => Probe(r.getLong(0), r.getSeq[Float](1)))
+    assert(vecRows.nonEmpty)
+    val input = MemoryStream[Probe]
+    val q = StreamOps.sq8ScoreStream(input.toDF(), idx)
+      .writeStream.format("memory").queryName("sq8_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(vecRows.toSeq: _*)
+      q.processAllAvailable()
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sqdist").asc, col("cand_id"))
+      val got = spark.table("sq8_out")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("cand_id"), round(col("sqdist"), 6).as("sqdist"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = Similarity.sq8Ann(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want,
+        s"sq8 stream diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(got.nonEmpty)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
