@@ -92,6 +92,19 @@ object ScaleCheck {
         Similarity.ivfPqTrainedFrom(emb, probes, nlist = 16, nprobe = 4,
           m = 8, dsub = 8, nCodes = 16, k = 5)
           .write.format("noop").mode("overwrite").save()),
+      // r14 additions: the drift audit doubles the trained-PQ chain over
+      // shared residuals — the claim is it scales like ivfpq_trained×2,
+      // not worse; scorer/runs are one-pass agg/window shapes
+      ("pq_drift_budget21", () =>
+        Similarity.pqDriftAuditFrom(emb, probes, nlist = 16, nprobe = 4,
+          m = 8, dsub = 8, nCodes = 16)
+          .write.format("noop").mode("overwrite").save()),
+      ("quality_scorer", () =>
+        Curation.qualityScorer(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("span_runs", () =>
+        Curation.spanRuns(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       // r13 additions: the refine stage re-ranks only the ADC shortlist
       // (probes×kShort rows) — the claim is it adds a constant on top of
       // ivfpq_budget21, not a corpus term; hard negatives are one

@@ -248,7 +248,21 @@ class PlanGuardSpec extends SparkSpec {
       "q123_dup_pagerank" -> 29,
       // triplets: one probe-broadcast corpus scan feeds both per-class
       // argmax windows (2 window shuffles) + output sort
-      "q124_triplet_mining" -> 3)
+      "q124_triplet_mining" -> 3,
+      // quality scorer: q66's two feature aggs + output sort — the
+      // broadcast weight row adds NO exchange (the whole point: model
+      // inference is a projection)
+      "q125_quality_scorer" -> 3,
+      // span runs: the two-phase dup-hash agg + the doc-partitioned
+      // islands window (the run regroup rides its partitioning) +
+      // output sort — input is the dup-hit sliver, never the corpus
+      "q126_span_runs" -> 3,
+      // drift audit: two full q112-style chains (codebook train E/M +
+      // encode + ADC regroup + top-5 window, all over SHARED staged
+      // residuals) + the exact top-5 window + two audit hit-aggs +
+      // output sort; every joined side beyond the encode/assign aggs is
+      // probe- or code-table-sized
+      "q127_pq_drift" -> 20)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
