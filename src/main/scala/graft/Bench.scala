@@ -252,7 +252,10 @@ object Bench {
           // (q112 9.8 s vs 6.5 s fresh, q111 5.5 s vs 3.1 s) without
           // tripping the moved->2× rule — pin them so the fresh-session
           // figure is always on record
-          "q111_spatial_join", "q112_ivfpq_trained").filter(names.contains)
+          "q111_spatial_join", "q112_ivfpq_trained",
+          // r14: the new span-family member and the drift audit (the
+          // round's heaviest addition, ~1.5 q112s) join the pin set
+          "q126_span_runs", "q127_pq_drift").filter(names.contains)
         val suspects = (eligible.map(_._1)
           .sortBy(n => math.min(bySpread(n), byMedian(n)))
           .take(isolatedK) ++ moved ++ pinned).distinct

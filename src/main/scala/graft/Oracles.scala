@@ -1956,7 +1956,45 @@ object Oracles {
          | CAST(max(i) + 7 AS BIGINT) AS run_end,
          | CAST(max(i) + 8 - min(i) AS BIGINT) AS run_len,
          | CAST(count(*) AS BIGINT) AS n_spans
-         |FROM isl GROUP BY doc_id, run_id ORDER BY doc_id, run_id""".stripMargin)
+         |FROM isl GROUP BY doc_id, run_id ORDER BY doc_id, run_id""".stripMargin,
+
+    // q128: DSIR — q66's keep slice as the target, q73's shingle
+    // definition hashed into 1024 buckets, add-1-smoothed bucket
+    // distributions, decimal-exact per-occurrence log-ratio sums, and
+    // the value-derived Gumbel top-50 (same dHash coin as q93).
+    "q128_dsir_select" ->
+      s"""WITH $toksCte,
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+         | st AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         |   max(c) AS max_tok FROM cnt GROUP BY doc_id),
+         | keepers AS (SELECT doc_id FROM st WHERE n_tokens >= 30
+         |   AND floor(n_distinct * 1.0 / n_tokens * 1e6) / 1e6 >= 0.45
+         |   AND floor(max_tok * 1.0 / n_tokens * 1e6) / 1e6 <= 0.15),
+         | f AS (SELECT doc_id, ${dHash("gram")} % 1024 AS b FROM (
+         |   SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3)),
+         | raw AS (SELECT b, count(*) AS c_r FROM f GROUP BY b),
+         | tgt AS (SELECT b, count(*) AS c_t
+         |  FROM f JOIN keepers USING (doc_id) GROUP BY b),
+         | nr AS (SELECT sum(c_r) AS n_r FROM raw),
+         | nt AS (SELECT sum(c_t) AS n_t FROM tgt),
+         | lr AS (SELECT r.b,
+         |   ln((coalesce(tg.c_t, 0) + 1.0) / (nt.n_t + 1024)) -
+         |   ln((r.c_r + 1.0) / (nr.n_r + 1024)) AS llr
+         |  FROM raw r LEFT JOIN tgt tg USING (b), nr, nt),
+         | sc AS (SELECT f.doc_id, count(*) AS n_feats,
+         |   CAST(sum(CAST(floor(llr * 1e9) AS DECIMAL(28,9))) AS DOUBLE) / 1e9 AS lw
+         |  FROM f JOIN lr ON f.b = lr.b GROUP BY f.doc_id),
+         | sel AS (SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+         |   floor(lw * 1e6) / 1e6 AS log_w,
+         |   floor((lw - ln(-ln(
+         |     (${dHash("CAST(doc_id AS VARCHAR)")} + 0.5) / 4294967296.0)))
+         |     * 1e6) / 1e6 AS sel_key
+         |  FROM sc)
+         |SELECT doc_id, n_feats, log_w, sel_key FROM sel
+         |ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin)
 
   val retrieval: Map[String, String] = Map(
     // q115: the full q108 IVF-PQ chain producing a rnk<=20 ADC

@@ -102,6 +102,11 @@ object ScaleCheck {
       ("quality_scorer", () =>
         Curation.qualityScorer(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      // DSIR: the feature explode + two B-bounded count aggs are the
+      // linear terms; selection is per-partition top-k (no global sort)
+      ("dsir_select", () =>
+        Curation.dsirSelect(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       ("span_runs", () =>
         Curation.spanRuns(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),

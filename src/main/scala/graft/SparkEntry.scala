@@ -148,6 +148,7 @@ object SparkEntry {
     "q125_quality_scorer" -> (Curation.qualityScorer _),
     "q126_span_runs" -> (Curation.spanRuns _),
     "q127_pq_drift" -> (Similarity.pqDriftAudit _),
+    "q128_dsir_select" -> (Curation.dsirSelect _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

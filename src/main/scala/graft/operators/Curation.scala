@@ -283,6 +283,82 @@ object Curation {
           < col("quality"))
       .orderBy(col("doc_id"))
 
+  /** DSIR hashed-feature bucket count (the paper's hashed n-gram
+    * dimensionality reduction): small enough that the two distribution
+    * tables always broadcast, large enough that bucket collisions don't
+    * flatten the likelihood ratio on the test vocabulary. */
+  private[graft] val DsirBuckets = 1024L
+
+  /** q128: DSIR importance resampling (Xie et al. 2023) — the
+    * data-SELECTION stage that completes the mixing family (q76 mixture
+    * weights, q89 epoch plan, q93 quality-weighted thinning, q125
+    * learned filter): score every raw document by how much more likely
+    * its hashed n-gram features are under a TARGET domain's distribution
+    * than under the raw corpus's, then draw a fixed-size sample
+    * importance-weighted by that ratio. The declared target is the q66
+    * gate's keep slice (the in-repo stand-in for "Wikipedia+books");
+    * a deployment passes its own target ids to [[dsirSelectFrom]].
+    *
+    * Semantics: bag-of-hashed-n-grams likelihood ratio — each shingle
+    * occurrence contributes ln p_target(bucket) − ln p_raw(bucket),
+    * add-1-smoothed over [[DsirBuckets]] buckets; selection is Gumbel
+    * top-k WITHOUT replacement (key = log w + Gumbel(0,1), the standard
+    * weighted-sampling-without-replacement construction), with the
+    * Gumbel driven by the repo's value-derived hash coin so the draw
+    * replays identically in any engine — no `rand()`, q89's defense.
+    * Per-term costs floor to the 1e-9 grid and sum as DECIMAL (q75's
+    * rule); the selection key floors to 1e-6 before the rank with
+    * doc_id as the tie-break.
+    *
+    * Scale shape: the feature explode is staged once and feeds the raw
+    * counts, the target counts, and the scoring join; both distribution
+    * tables are ≤ [[DsirBuckets]] rows → broadcast; scoring is one
+    * bucket equi-join + a decimal agg; the fixed-k selection plans
+    * TakeOrderedAndProject — per-partition top-k, never a global sort.
+    * The target membership join shuffles at most the feature table once
+    * (AQE broadcasts the id list when it fits). */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val target = qualityGateFrom(tokenTable(docs))
+      .filter(col("keep")).select(col("doc_id"))
+    dsirSelectFrom(docs, target, k = 50)
+  }
+
+  /** [[dsirSelect]] over explicit raw docs / target-id tables. */
+  def dsirSelectFrom(docs: DataFrame, targetIds: DataFrame, k: Int): DataFrame = {
+    import Materialize.Stageable
+    val feats = docs.withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(Dedup.shingleCol).as("gram"))
+      .select(col("doc_id"),
+        (Hashing.h32(col("gram")) % DsirBuckets).as("b"))
+      .staged
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val tgt = feats.join(targetIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val nR = raw.agg(sum(col("c_r")).as("n_r"))
+    val nT = tgt.agg(sum(col("c_t")).as("n_t"))
+    // every feats bucket appears in raw, so the left join's null c_t is
+    // exactly the smoothing floor for target-absent buckets
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("b"),
+        (log((coalesce(col("c_t"), lit(0L)) + 1.0) / (col("n_t") + DsirBuckets)) -
+          log((col("c_r") + 1.0) / (col("n_r") + DsirBuckets))).as("llr"))
+    val cost = floor(col("llr") * 1e9).cast("decimal(28,9)")
+    val u = (Hashing.h32(col("doc_id").cast("string")) + 0.5) / lit(4294967296.0)
+    feats.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(cost).as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("s").cast("double") / 1e9).as("lw"))
+      .withColumn("sel_key", floor((col("lw") - log(-log(u))) * 1e6) / 1e6)
+      .select(col("doc_id"), col("n_feats"),
+        (floor(col("lw") * 1e6) / 1e6).as("log_w"), col("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** q70: k-means assignment step — every embedding assigned to its
     * nearest of 8 fixed centroids (the vectors with vec_id < 8) by
     * cosine; per-cluster size and cosine envelope. One Lloyd iteration's

@@ -826,6 +826,28 @@ class CurationSpec extends SparkSpec {
       s"run coverage diverged from q95: ${covByRuns.size} vs ${q95.size} docs")
   }
 
+  test("dsir selection: deterministic, fixed-size, biased toward the target") {
+    val docs = Tables.documents(spark, sfDir)
+    val target = Curation.qualityGateFrom(Curation.tokenTable(docs))
+      .filter(col("keep")).select(col("doc_id"))
+    val sel = Curation.dsirSelectFrom(docs, target, k = 20)
+    val rows = sel.collect()
+    assert(rows.length == 20)
+    // value-derived Gumbel: the draw replays identically
+    assert(Curation.dsirSelectFrom(docs, target, k = 20)
+      .exceptAll(sel).count() == 0L)
+    // keys arrive rank-ordered, ties broken by doc_id
+    val keys = rows.map(r => (r.getDouble(3), r.getLong(0)))
+    assert(keys.sameElements(keys.sortBy { case (k2, d) => (-k2, d) }))
+    // importance weighting must bias the sample toward target-like docs:
+    // the selected mean log-ratio sits above the corpus mean
+    val all = Curation.dsirSelectFrom(docs, target, k = Int.MaxValue).collect()
+    val meanAll = all.map(_.getDouble(2)).sum / all.length
+    val meanSel = rows.map(_.getDouble(2)).sum / rows.length
+    assert(meanSel > meanAll,
+      s"selected mean log_w $meanSel !> corpus mean $meanAll")
+  }
+
   test("quality scorer: hand-checked logistic on a fixture, corpus non-degenerate") {
     import spark.implicits._
     val docs = Seq(

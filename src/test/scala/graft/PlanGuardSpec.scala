@@ -257,6 +257,13 @@ class PlanGuardSpec extends SparkSpec {
       // islands window (the run regroup rides its partitioning) +
       // output sort — input is the dup-hit sliver, never the corpus
       "q126_span_runs" -> 3,
+      // DSIR: the target gate's two feature aggs + the bucket count
+      // aggs on each side of the left join + the two 1-row totals
+      // (single-partition, 1-row payloads) + the semi-join sides + the
+      // per-doc decimal regroup — the distribution tables themselves are
+      // B-bounded broadcasts and the fixed-k selection plans
+      // TakeOrderedAndProject (per-partition top-k, no sort exchange)
+      "q128_dsir_select" -> 11,
       // drift audit: two full q112-style chains (codebook train E/M +
       // encode + ADC regroup + top-5 window, all over SHARED staged
       // residuals) + the exact top-5 window + two audit hit-aggs +
