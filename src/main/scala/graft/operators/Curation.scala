@@ -324,27 +324,41 @@ object Curation {
     dsirSelectFrom(docs, target, k = 50)
   }
 
-  /** [[dsirSelect]] over explicit raw docs / target-id tables. */
-  def dsirSelectFrom(docs: DataFrame, targetIds: DataFrame, k: Int): DataFrame = {
-    import Materialize.Stageable
-    val feats = docs.withColumn("toks", toks)
+  /** The hashed-feature table (doc_id, b) — THE DSIR feature definition,
+    * shared by the batch selector and the streaming scorer's index
+    * build. Callers stage it (three consumers in the batch plan). */
+  private[graft] def dsirFeats(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(Dedup.shingleCol).as("gram"))
       .select(col("doc_id"),
         (Hashing.h32(col("gram")) % DsirBuckets).as("b"))
-      .staged
+
+  /** The smoothed log-likelihood-ratio table (b, llr) plus the two
+    * 1-row feature totals — one definition for the batch selector and
+    * the streaming index. Every feats bucket appears in raw, so the
+    * left join's null c_t is exactly the smoothing floor for
+    * target-absent buckets. */
+  private[graft] def dsirLrParts(feats: DataFrame, targetIds: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
     val tgt = feats.join(targetIds, Seq("doc_id"), "left_semi")
       .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
     val nR = raw.agg(sum(col("c_r")).as("n_r"))
     val nT = tgt.agg(sum(col("c_t")).as("n_t"))
-    // every feats bucket appears in raw, so the left join's null c_t is
-    // exactly the smoothing floor for target-absent buckets
     val lr = raw.join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
       .select(col("b"),
         (log((coalesce(col("c_t"), lit(0L)) + 1.0) / (col("n_t") + DsirBuckets)) -
           log((col("c_r") + 1.0) / (col("n_r") + DsirBuckets))).as("llr"))
+    (lr, nR, nT)
+  }
+
+  /** [[dsirSelect]] over explicit raw docs / target-id tables. */
+  def dsirSelectFrom(docs: DataFrame, targetIds: DataFrame, k: Int): DataFrame = {
+    import Materialize.Stageable
+    val feats = dsirFeats(docs).staged
+    val (lr, _, _) = dsirLrParts(feats, targetIds)
     val cost = floor(col("llr") * 1e9).cast("decimal(28,9)")
     val u = (Hashing.h32(col("doc_id").cast("string")) + 0.5) / lit(4294967296.0)
     feats.join(broadcast(lr), Seq("b"))

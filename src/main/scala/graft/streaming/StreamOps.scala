@@ -564,6 +564,64 @@ object StreamOps {
       .select(col("probe_id"), col("cand_id"), col("sqdist"))
   }
 
+  /** The DSIR scorer's static side as ONE broadcastable row: the dense
+    * 1024-entry array of integer-scaled log-likelihood ratios
+    * (floor(llr·1e9), indexed by feature bucket), built from the SAME
+    * [[graft.operators.Curation.dsirFeats]]/`dsirLrParts` definitions
+    * as batch q128 — refreshed by a scheduled batch job like every
+    * other stream index here. Buckets absent from the corpus
+    * distributions carry the pure smoothing ratio
+    * ln(1/(n_t+B)) − ln(1/(n_r+B)) (the c=0 case of the shared
+    * formula), so a NOVEL stream document still scores; replayed corpus
+    * documents never hit that branch, which is what makes the batch
+    * equality pin exact. */
+  def corpusDsirIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, dir)
+    val target = Curation.qualityGateFrom(Curation.tokenTable(docs))
+      .filter(col("keep")).select(col("doc_id"))
+    val feats = graft.operators.Materialize.stage(Curation.dsirFeats(docs))
+    val (lr, nR, nT) = Curation.dsirLrParts(feats, target)
+    val B = Curation.DsirBuckets
+    // the 1024-probe element_at over a 1024-entry map is a one-time
+    // index-build cost (the q94 densify lesson applied BEFORE the
+    // per-row path, not in it)
+    lr.agg(map_from_entries(collect_list(struct(col("b"),
+        floor(col("llr") * 1e9).cast("long")))).as("m"))
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(transform(sequence(lit(0L), lit(B - 1)), b =>
+        coalesce(element_at(col("m"), b),
+          floor((log(lit(1.0) / (col("n_t") + B)) -
+            log(lit(1.0) / (col("n_r") + B))) * 1e9).cast("long")))
+        .as("llr9"))
+  }
+
+  /** Streaming DSIR scoring — q128's importance weight at ingest rate:
+    * each arriving document's hashed trigram buckets index the broadcast
+    * dense llr9 array and fold to the integer-scaled log weight in pure
+    * per-row column math — STATELESS, no shuffle, no state store. Emits
+    * (doc_id, n_feats, log_w) with exactly the batch selector's
+    * arithmetic (integer fold → /1e9 → 1e-6 floor), so replayed corpus
+    * docs score identically row for row (StreamingSpec pin). The
+    * selection itself stays a batch concern (top-k needs the
+    * population); a deployment gates on a log_w threshold here instead. */
+  def dsirScoreStream(docs: DataFrame, index: DataFrame): DataFrame = {
+    import graft.operators.Curation
+    val B = Curation.DsirBuckets
+    docs
+      .withColumn("toks", Dedup.toks)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("grams", Dedup.shingleCol)
+      .crossJoin(broadcast(index))
+      .withColumn("s9", aggregate(
+        transform(col("grams"), g => element_at(col("llr9"),
+          (graft.functions.Hashing.h32(g) % B).cast("int") + 1)),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_feats"),
+        (floor(col("s9").cast("double") / 1e9 * 1e6) / 1e6).as("log_w"))
+  }
+
   /** Static corpus band index (band, band_sig) for the stream-static
     * near-dup join — built by one batch pass over the corpus. */
   def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {

@@ -844,6 +844,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dsir scorer equals batch q128 log weights row for row, stateless") {
+    // corpus docs replayed through the gate score exactly the batch
+    // selector's (doc_id, n_feats, log_w) — shared feature/ratio
+    // definitions, identical integer fold
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamOps.Doc
+    import graft.operators.Curation
+    import graft.sources.Tables
+    val idx = StreamOps.corpusDsirIndex(spark, sfDir)
+    val docRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.dsirScoreStream(input.toDF(), idx)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docRows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val docs = Tables.documents(spark, sfDir)
+      val target = Curation.qualityGateFrom(Curation.tokenTable(docs))
+        .filter(col("keep")).select(col("doc_id"))
+      val want = Curation.dsirSelectFrom(docs, target, k = Int.MaxValue)
+        .select(col("doc_id"), col("n_feats"), col("log_w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"dsir stream diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(got.nonEmpty)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sq8 scorer reproduces batch q120 ranking row for row, stateless") {
     // the compressed-storage tier's streaming dual (r14): corpus vectors
     // replayed through the gate are SQ8-encoded with the shared code
