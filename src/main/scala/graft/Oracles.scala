@@ -1994,7 +1994,34 @@ object Oracles {
          |     * 1e6) / 1e6 AS sel_key
          |  FROM sc)
          |SELECT doc_id, n_feats, log_w, sel_key FROM sel
-         |ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin)
+         |ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // q129: q75's CTE shapes one model order up — zipped unnests build
+    // the bigram rows, Jelinek-Mercer interpolation with the unigram
+    // backoff, identical decimal-exact summation and projections.
+    "q129_bigram_surprisal" ->
+      s"""WITH $toksCte,
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+         | tot AS (SELECT count(*) AS ntot FROM tok),
+         | bg AS (SELECT doc_id,
+         |   unnest(toks[1:len(toks) - 1]) AS prev,
+         |   unnest(toks[2:len(toks)]) AS w
+         |  FROM t WHERE len(toks) >= 2),
+         | c2 AS (SELECT prev, w, count(*) AS c2 FROM bg GROUP BY prev, w),
+         | cp AS (SELECT prev, count(*) AS cp FROM bg GROUP BY prev),
+         | lm AS (SELECT c2.prev, c2.w,
+         |   -ln(0.75 * (c2.c2 * 1.0 / cp.cp) + 0.25 * (u.c1 * 1.0 / tot.ntot)) AS nll
+         |  FROM c2 JOIN cp USING (prev) JOIN uni u ON u.token = c2.w, tot),
+         | sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |   sum(CAST(floor(nll * 1e9) AS DECIMAL(28,9))) AS s
+         |  FROM bg JOIN lm ON bg.prev = lm.prev AND bg.w = lm.w
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         | floor(CAST(s AS DOUBLE) / 1e9 / n_bigrams * 1e6) / 1e6 AS mean_nll,
+         | floor(exp(floor(CAST(s AS DOUBLE) / 1e9 / n_bigrams * 1e6) / 1e6) * 1e6) / 1e6
+         |   AS perplexity
+         |FROM sc ORDER BY doc_id""".stripMargin)
 
   val retrieval: Map[String, String] = Map(
     // q115: the full q108 IVF-PQ chain producing a rnk<=20 ADC

@@ -107,6 +107,11 @@ object ScaleCheck {
       ("dsir_select", () =>
         Curation.dsirSelect(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      // bigram LM: the pair-count aggs and the shuffled scoring join are
+      // the linear terms; the LM table grows with distinct pairs
+      ("bigram_surprisal", () =>
+        Curation.bigramSurprisal(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       ("span_runs", () =>
         Curation.spanRuns(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),

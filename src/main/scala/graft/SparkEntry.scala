@@ -149,6 +149,7 @@ object SparkEntry {
     "q126_span_runs" -> (Curation.spanRuns _),
     "q127_pq_drift" -> (Similarity.pqDriftAudit _),
     "q128_dsir_select" -> (Curation.dsirSelect _),
+    "q129_bigram_surprisal" -> (Curation.bigramSurprisal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

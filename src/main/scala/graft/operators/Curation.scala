@@ -596,6 +596,61 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** q129: interpolated bigram-LM surprisal — q75's quality filter one
+    * model order up (the CCNet/KenLM direction: production pipelines
+    * score with n-gram LMs, not unigrams): each document's mean negative
+    * log-likelihood under p̂(w|prev) = λ·c(prev,w)/c(prev·) +
+    * (1−λ)·c(w)/N, λ = 0.75 — Jelinek-Mercer interpolation with the
+    * unigram as the backoff, trained on the corpus itself so the score
+    * is "how typical is this text's PHRASING", which catches
+    * scrambled-but-common-words junk the unigram model scores as fluent.
+    *
+    * Determinism: q75's rule — each bigram cost floored to 1e-9 and
+    * summed as DECIMAL, mean/perplexity projected from identical
+    * doubles.
+    *
+    * Scale shape: the bigram explode is staged once (three consumers:
+    * pair counts, context counts, scoring); the unigram table and the
+    * 1-row total broadcast (q75's Zipf argument); the bigram LM table is
+    * distinct-pair-sized — vocabulary², NOT reliably broadcastable at
+    * 100 TB — so the scoring join deliberately SHUFFLES on (prev, w),
+    * where both sides are partial-agg-friendly. That is the honest
+    * at-scale plan; a deployment with a pruned LM (min-count cutoff)
+    * flips it to a broadcast. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import Materialize.Stageable
+    val docs = Tables.documents(spark, dir)
+    val pairs = transform(
+      sequence(lit(1), size(col("toks")) - 1),
+      i => struct(element_at(col("toks"), i).as("prev"),
+        element_at(col("toks"), i + 1).as("w")))
+    val bg = docs.withColumn("toks", toks)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+      .staged
+    val tok = tokenTable(docs)
+    val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val ntot = tok.agg(count(lit(1)).as("ntot"))
+    val c2 = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+    val cp = bg.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    val lm = c2.join(cp, Seq("prev"))
+      .join(broadcast(uni.withColumnRenamed("token", "w")), Seq("w"))
+      .crossJoin(broadcast(ntot))
+      .select(col("prev"), col("w"),
+        (-log(lit(0.75) * (col("c2") * 1.0 / col("cp")) +
+          lit(0.25) * (col("c1") * 1.0 / col("ntot")))).as("nll"))
+    val cost = floor(col("nll") * 1e9).cast("decimal(28,9)")
+    bg.join(lm, Seq("prev", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(cost).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        trunc6(col("s").cast("double") / 1e9 / col("n_bigrams")).as("mean_nll"),
+        trunc6(exp(floor(col("s").cast("double") / 1e9 / col("n_bigrams") * 1e6) / 1e6))
+          .as("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q76: domain mixture reweighting — per source stream: its document
     * and token counts, its share of the corpus, and the up/down-sampling
     * weight that would flatten the mixture to uniform across sources

@@ -826,6 +826,29 @@ class CurationSpec extends SparkSpec {
       s"run coverage diverged from q95: ${covByRuns.size} vs ${q95.size} docs")
   }
 
+  test("bigram surprisal: per-doc coverage exact, phrasing beats bag-of-words") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Curation.bigramSurprisal(spark, sfDir).collect()
+    val eligible = docs.filter(size(graft.operators.Dedup.toks) >= 2).count()
+    assert(out.length == eligible.toInt)
+    // every bigram position scores exactly once (the LM join drops none)
+    val nTok = docs.select(col("doc_id"), size(graft.operators.Dedup.toks).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == nTok(r.getLong(0)) - 1L,
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} bigrams != n-1")
+      assert(r.getDouble(2) > 0.0)
+    }
+    // the corpus is REAL phrasing to a bigram model: conditioning on the
+    // previous token must beat the bag-of-words model on average
+    // (deterministic given the fixed corpus)
+    val uni = Curation.unigramSurprisal(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val mBi = out.map(_.getDouble(2)).sum / out.length
+    val mUni = out.map(r => uni(r.getLong(0))).sum / out.length
+    assert(mBi < mUni, s"bigram mean nll $mBi !< unigram $mUni")
+  }
+
   test("dsir selection: deterministic, fixed-size, biased toward the target") {
     val docs = Tables.documents(spark, sfDir)
     val target = Curation.qualityGateFrom(Curation.tokenTable(docs))

@@ -257,6 +257,12 @@ class PlanGuardSpec extends SparkSpec {
       // islands window (the run regroup rides its partitioning) +
       // output sort — input is the dup-hit sliver, never the corpus
       "q126_span_runs" -> 3,
+      // bigram LM: pair/context/unigram count aggs (+ the 1-row total,
+      // single-partition) + the deliberately-SHUFFLED scoring join on
+      // (prev, w) — the vocabulary² LM table is the one side this
+      // family does NOT broadcast at scale — + the per-doc decimal
+      // regroup + output sort
+      "q129_bigram_surprisal" -> 6,
       // DSIR: the target gate's two feature aggs + the bucket count
       // aggs on each side of the left join + the two 1-row totals
       // (single-partition, 1-row payloads) + the semi-join sides + the
