@@ -113,18 +113,26 @@ object Curation {
       .toDF("w0", "w_logtok", "w_ttr", "w_top", "w_len")
   }
 
-  /** [[qualityScorer]] over an explicit feature table ([[qualityGateFrom]]'s
-    * shape) and weight row — the deployment entry point. */
-  def qualityScorerFrom(features: DataFrame, weights: DataFrame): DataFrame = {
+  /** The logistic head as ONE shared expression over the (floored)
+    * feature columns + weight columns — the batch scorer and the
+    * streaming gate ([[graft.streaming.StreamOps.mlScoreStream]]) both
+    * apply exactly this, so the two can never drift (the
+    * `Retrieval.termScore` convention). */
+  private[graft] def mlScoreCol: Column = {
     val z = col("w0") +
       col("w_logtok") * log(col("n_tokens")) +
       col("w_ttr") * col("ttr") +
       col("w_top") * col("top_ratio") +
       col("w_len") * abs(col("mean_tok_len") - 5.0)
+    floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e6) / 1e6
+  }
+
+  /** [[qualityScorer]] over an explicit feature table ([[qualityGateFrom]]'s
+    * shape) and weight row — the deployment entry point. */
+  def qualityScorerFrom(features: DataFrame, weights: DataFrame): DataFrame = {
     features
       .crossJoin(broadcast(weights))
-      .withColumn("ml_score",
-        floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e6) / 1e6)
+      .withColumn("ml_score", mlScoreCol)
       .select(
         col("doc_id"), col("n_tokens"), col("ttr"), col("top_ratio"),
         col("mean_tok_len"), col("keep").as("keep_rules"),

@@ -230,6 +230,42 @@ object StreamOps {
       .drop("toks", "n_distinct", "max_tok")
   }
 
+  /** Streaming model-based quality scoring — q125's learned filter at
+    * ingest rate, next to [[gateStream]]'s rule gate: the q66 feature
+    * set is computed STATELESSLY per row (gateStream's
+    * higher-order-function histogram plus the per-row length fold) and
+    * the broadcast one-row weight table scores it through the SHARED
+    * [[graft.operators.Curation.mlScoreCol]] logistic — identical
+    * floored features through an identical expression, so replayed
+    * corpus docs score exactly the batch q125 row (StreamingSpec pin).
+    * No state store, no shuffle; a deployment drops rows under a score
+    * threshold inline. */
+  def mlScoreStream(docs: DataFrame, weights: DataFrame): DataFrame = {
+    import graft.operators.Curation
+    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
+    val t6 = (c: Column) => floor(c * 1e6) / 1e6
+    docs
+      .withColumn("toks", toksC)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_distinct",
+        size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("max_tok",
+        array_max(transform(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t)))).cast("long"))
+      .withColumn("sum_len", aggregate(
+        transform(col("toks"), t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x))
+      .withColumn("ttr", t6(col("n_distinct") * lit(1.0) / col("n_tokens")))
+      .withColumn("top_ratio", t6(col("max_tok") * lit(1.0) / col("n_tokens")))
+      .withColumn("mean_tok_len", t6(col("sum_len") * lit(1.0) / col("n_tokens")))
+      .crossJoin(broadcast(weights))
+      .withColumn("ml_score", Curation.mlScoreCol)
+      .select(col("doc_id"), col("n_tokens"), col("ttr"), col("top_ratio"),
+        col("mean_tok_len"), col("ml_score"),
+        (col("ml_score") >= 0.5).as("keep_ml"))
+  }
+
   /** Streaming near-dup candidate flagging — the streaming dual of the
     * LSH banding join: each in-flight document computes its MinHash
     * signature PER ROW with the native `minhash_sig16` kernel (zero

@@ -844,6 +844,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ml scorer equals batch q125 scores row for row, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamOps.Doc
+    import graft.operators.Curation
+    import graft.sources.Tables
+    val w = Curation.defaultQualityWeights(spark)
+    val docRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.mlScoreStream(input.toDF(), w)
+      .writeStream.format("memory").queryName("mlscore_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docRows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("mlscore_out")
+        .select(col("doc_id"), col("ml_score"), col("keep_ml")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      val want = Curation.qualityScorer(spark, sfDir)
+        .select(col("doc_id"), col("ml_score"), col("keep_ml")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      assert(got == want,
+        s"ml scorer stream diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(got.nonEmpty)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dsir scorer equals batch q128 log weights row for row, stateless") {
     // corpus docs replayed through the gate score exactly the batch
     // selector's (doc_id, n_feats, log_w) — shared feature/ratio
