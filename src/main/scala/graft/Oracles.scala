@@ -2021,7 +2021,30 @@ object Oracles {
          | floor(CAST(s AS DOUBLE) / 1e9 / n_bigrams * 1e6) / 1e6 AS mean_nll,
          | floor(exp(floor(CAST(s AS DOUBLE) / 1e9 / n_bigrams * 1e6) / 1e6) * 1e6) / 1e6
          |   AS perplexity
-         |FROM sc ORDER BY doc_id""".stripMargin)
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // q130: q95's span CTEs with the occurrence count PARTITIONED BY
+    // (doc_id, hh) — within-document self-repetition only.
+    "q130_self_repeat" ->
+      s"""WITH $toksCte,
+         | d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) >= 8),
+         | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM d),
+         | h AS (SELECT doc_id, n, i,
+         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         | o AS (SELECT doc_id, i,
+         |   count(*) OVER (PARTITION BY doc_id, hh) AS occ FROM h),
+         | hits AS (SELECT doc_id, i FROM o WHERE occ >= 2),
+         | cov AS (SELECT doc_id,
+         |   CAST(count(DISTINCT i) AS BIGINT) AS n_self_spans,
+         |   CAST(count(DISTINCT pos) AS BIGINT) AS n_covered
+         |  FROM (SELECT doc_id, i, unnest(range(i, i + 8)) AS pos FROM hits)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, d.n AS n_tokens,
+         | coalesce(cov.n_self_spans, 0) AS n_self_spans,
+         | coalesce(cov.n_covered, 0) AS n_covered,
+         | floor(coalesce(cov.n_covered, 0) * 1.0 / d.n * 1e6) / 1e6 AS self_ratio
+         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin)
 
   val retrieval: Map[String, String] = Map(
     // q115: the full q108 IVF-PQ chain producing a rnk<=20 ADC

@@ -115,6 +115,11 @@ object ScaleCheck {
       ("span_runs", () =>
         Curation.spanRuns(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      // self-repeat keys its only shuffle on (doc_id, h) — the claim is
+      // the doc-prefixed key keeps it in the span family's linear band
+      ("self_repeat", () =>
+        Curation.selfRepeat(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       // r13 additions: the refine stage re-ranks only the ADC shortlist
       // (probes×kShort rows) — the claim is it adds a constant on top of
       // ivfpq_budget21, not a corpus term; hard negatives are one

@@ -150,6 +150,7 @@ object SparkEntry {
     "q127_pq_drift" -> (Similarity.pqDriftAudit _),
     "q128_dsir_select" -> (Curation.dsirSelect _),
     "q129_bigram_surprisal" -> (Curation.bigramSurprisal _),
+    "q130_self_repeat" -> (Curation.selfRepeat _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

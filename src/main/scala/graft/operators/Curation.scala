@@ -1251,6 +1251,51 @@ object Curation {
   def spanTrimFrom(spans: DataFrame, documents: DataFrame): DataFrame =
     spanTrimCore(spanDocs(documents), dupHitsTwoPhase(spans))
 
+  /** q130: within-document self-repetition — the span family's THIRD
+    * granularity (corpus-wide q95, chunk q91): a span duplicated
+    * *inside one document* is the loop/babble signal (Lee et al. 2021's
+    * self-repeat case) that corpus-level marking dilutes (a span unique
+    * to one doc but repeated 50× within it still gets occ ≥ 2 in q95,
+    * but its coverage is attributed as cross-doc duplication; q67's
+    * bigram ratio sees repetition without locating it). Per document:
+    * spans occurring ≥ 2 times IN THAT DOCUMENT, their covered-token
+    * count, and the self-repetition ratio a looping-text filter gates
+    * on.
+    *
+    * Scale shape: the ONLY shuffle keys on (doc_id, h) — doc-prefixed,
+    * so a corpus-viral span cannot form a hot partition (each document
+    * carries only its own copies) and map-side partials collapse
+    * within-doc repeats before the wire; coverage is the q95
+    * aggregation shape keyed by doc. */
+  def selfRepeat(spark: SparkSession, dir: String): DataFrame =
+    selfRepeatFrom(spanRows(Tables.documents(spark, dir)))
+
+  /** [[selfRepeat]] over an existing span table ([[spanTable]]). */
+  def selfRepeatFrom(spans: DataFrame): DataFrame = {
+    val dup = spans.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("doc_id"), col("h"))
+    val hits = spans.join(dup, Seq("doc_id", "h"), "left_semi")
+      .select(col("doc_id"), col("i"))
+    val cov = hits
+      .select(col("doc_id"), col("i"),
+        explode(sequence(col("i"), col("i") + (SpanW - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("i")).as("n_self_spans"),
+        countDistinct(col("pos")).as("n_covered"))
+    spans.select(col("doc_id"), col("n")).distinct()
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("n_self_spans"), lit(0L)).as("n_self_spans"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (floor(coalesce(col("n_covered"), lit(0L)) / col("n") * 1e6) / 1e6)
+          .as("self_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q126: maximal duplicated runs — exact-substring semantics over the
     * span-hit table (VERDICT r13 #3): q95 reports per-WINDOW coverage;
     * this merges adjacent/overlapping duplicated windows

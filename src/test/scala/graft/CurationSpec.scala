@@ -826,6 +826,30 @@ class CurationSpec extends SparkSpec {
       s"run coverage diverged from q95: ${covByRuns.size} vs ${q95.size} docs")
   }
 
+  test("self-repeat: looping fixture flags, self coverage bounded by corpus coverage") {
+    import spark.implicits._
+    val phrase = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val docs = Seq(
+      (1L, s"$phrase $phrase", "s"),                       // the loop
+      (2L, (1 to 16).map(i => s"u$i").mkString(" "), "s")  // all distinct
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.selfRepeatFrom(Curation.spanRows(docs)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: spans at 0 and 8 share the phrase hash -> 16/16 covered
+    assert(out(1L) == ((2L, 16L, 1.0)), s"loop doc: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0.0)), s"distinct doc: ${out(2L)}")
+    // real corpus: a self-duplicated span is corpus-duplicated a
+    // fortiori, so self coverage never exceeds q95's per doc
+    val spans = Curation.spanTable(spark, sfDir)
+    val self = Curation.selfRepeatFrom(spans).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val corpus = Curation.spanDedupFrom(spans).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    self.foreach { case (d, c) =>
+      assert(c <= corpus(d), s"doc $d: self $c > corpus ${corpus(d)}")
+    }
+  }
+
   test("bigram surprisal: per-doc coverage exact, phrasing beats bag-of-words") {
     val docs = Tables.documents(spark, sfDir)
     val out = Curation.bigramSurprisal(spark, sfDir).collect()

@@ -257,6 +257,10 @@ class PlanGuardSpec extends SparkSpec {
       // islands window (the run regroup rides its partitioning) +
       // output sort — input is the dup-hit sliver, never the corpus
       "q126_span_runs" -> 3,
+      // self-repeat: the (doc_id, h) occurrence agg + semi-join side +
+      // the per-doc coverage agg + the doc-list distinct + output sort —
+      // every shuffle key doc-prefixed (no viral-span hot partition)
+      "q130_self_repeat" -> 5,
       // bigram LM: pair/context/unigram count aggs (+ the 1-row total,
       // single-partition) + the deliberately-SHUFFLED scoring join on
       // (prev, w) — the vocabulary² LM table is the one side this
