@@ -266,6 +266,36 @@ object StreamOps {
         (col("ml_score") >= 0.5).as("keep_ml"))
   }
 
+  /** Streaming within-document self-repetition — q130 at ingest rate,
+    * and the one span-family member that needs NO corpus index at all:
+    * self-repetition is a property of the document alone, so the whole
+    * verdict is per-row column math over the SAME shared
+    * [[graft.operators.Curation.spanHashes]] fingerprints — count each
+    * span's occurrences within its own hash array, union the flagged
+    * spans' covered positions, ratio. O(spans²) per row, bounded by
+    * document length (the gateStream histogram precedent), zero
+    * shuffle, zero state, zero broadcast. StreamingSpec pins replayed
+    * corpus docs row-for-row equal to batch q130 (docs shorter than
+    * SpanW carry no spans and are dropped on both sides). */
+  def selfRepeatStream(docs: DataFrame): DataFrame = {
+    import graft.operators.Curation.{SpanW, spanHashes}
+    docs
+      .withColumn("toks", Dedup.toks)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= SpanW)
+      .withColumn("hs", spanHashes)
+      .withColumn("flagged",
+        filter(sequence(lit(0), size(col("hs")) - 1), i =>
+          size(filter(col("hs"), x => x === element_at(col("hs"), i + 1))) >= 2))
+      .withColumn("covered", array_distinct(flatten(
+        transform(col("flagged"), i => sequence(i, i + (SpanW - 1))))))
+      .select(
+        col("doc_id"), col("n").as("n_tokens"),
+        size(col("flagged")).cast("long").as("n_self_spans"),
+        size(col("covered")).cast("long").as("n_covered"),
+        (floor(size(col("covered")) / col("n") * 1e6) / 1e6).as("self_ratio"))
+  }
+
   /** Streaming near-dup candidate flagging — the streaming dual of the
     * LSH banding join: each in-flight document computes its MinHash
     * signature PER ROW with the native `minhash_sig16` kernel (zero
