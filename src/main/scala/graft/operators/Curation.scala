@@ -1671,6 +1671,9 @@ object Curation {
     * depth bounded). */
   def dupPageRankFrom(pairTable: DataFrame, iters: Int = 5,
       ckptEvery: Int = PrCkptEvery): DataFrame = {
+    // "never checkpoint" is spelled ckptEvery > iters (the spec uses
+    // Int.MaxValue); 0 would crash the modulo below
+    require(ckptEvery > 0, s"ckptEvery must be positive, got $ckptEvery")
     val p = pairTable.select(col("d1"), col("d2"))
     val edges = Materialize.stage(
       p.select(col("d1").as("src"), col("d2").as("dst"))

@@ -711,8 +711,10 @@ object Similarity {
     val rEmb = resid.select(col("vec_id"), col("resid").as("embedding"))
     // seedCap widens the seed id range when the TRAINING table is a
     // corpus slice (q127's stale codebook trains on vec_id % 2 = 0, so
-    // its first 16 seeds live in ids < 32) — the seed count, not the id
-    // bound, is the codebook-size contract
+    // its 16 seeds live in ids < 32). The contract is an ID BOUND, not
+    // a seed count: the caller must size the cap so the slice yields
+    // exactly nCodes ids under it (a slice with id gaps seeds fewer
+    // codes — a smaller codebook, not an error)
     val seedCb = rEmb.filter(col("vec_id") < (if (seedCap < 0) nCodes else seedCap))
       .select(col("vec_id").cast("int").as("code"), col("embedding").as("cvec"))
     pqCodes(rEmb, seedCb, m, dsub)
@@ -936,12 +938,17 @@ object Similarity {
   }
 
   /** [[pqDriftAudit]] over explicit probes. */
-  def pqDriftAuditFrom(emb: DataFrame, probes: DataFrame, nlist: Int,
+  def pqDriftAuditFrom(emb: DataFrame, probes0: DataFrame, nlist: Int,
       nprobe: Int, m: Int, dsub: Int, nCodes: Int): DataFrame = {
+    // probes (4 consumers: exact ground truth, the output spine, both
+    // score chains) and the quantizer (3) are staged like the other
+    // index artifacts — unstaged, each use re-runs its corpus filter
+    // scan (review finding r14)
+    val probes = Materialize.stage(probes0)
     val en = emb.withColumn("nrm", norm(col("embedding")))
-    val cent = en.filter(col("vec_id") < nlist)
+    val cent = Materialize.stage(en.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
-        col("nrm").as("cnrm"))
+        col("nrm").as("cnrm")))
     val resid = Materialize.stage(residualsWith(emb, cent))
     val tcbFresh = Materialize.stage(trainedSubCodebook(resid, m, dsub, nCodes))
     // the stale codebook's training set is the even-id half playing

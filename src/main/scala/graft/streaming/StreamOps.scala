@@ -211,11 +211,19 @@ object StreamOps {
     * histogram max comes from a per-row higher-order-function pass —
     * O(tokens × distinct) per document, bounded by document length,
     * embarrassingly parallel, and entirely in codegen. */
-  def gateStream(docs: DataFrame): DataFrame = {
-    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
-    val t6 = (c: Column) => floor(c * 1e6) / 1e6
+  private def t6(c: Column): Column = floor(c * 1e6) / 1e6
+
+  /** The q66 feature set computed STATELESSLY per row — the batch gate
+    * gets the token histogram from explode + groupBy; a streaming
+    * groupBy would need state, so the histogram max comes from a
+    * per-row higher-order-function pass: O(tokens × distinct) per
+    * document, bounded by document length, entirely in codegen. ONE
+    * definition shared by the rule gate ([[gateStream]]) and the
+    * learned gate ([[mlScoreStream]]) so the two can never drift
+    * (review finding r14). */
+  private def perRowGateFeatures(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", toksC)
+      .withColumn("toks", Dedup.toks)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
       .withColumn("n_distinct",
@@ -223,12 +231,14 @@ object StreamOps {
       .withColumn("max_tok",
         array_max(transform(array_distinct(col("toks")),
           t => size(filter(col("toks"), x => x === t)))).cast("long"))
+
+  def gateStream(docs: DataFrame): DataFrame =
+    perRowGateFeatures(docs)
       .withColumn("keep",
         col("n_tokens") >= 30 &&
         t6(col("n_distinct") * lit(1.0) / col("n_tokens")) >= 0.45 &&
         t6(col("max_tok") * lit(1.0) / col("n_tokens")) <= 0.15)
       .drop("toks", "n_distinct", "max_tok")
-  }
 
   /** Streaming model-based quality scoring — q125's learned filter at
     * ingest rate, next to [[gateStream]]'s rule gate: the q66 feature
@@ -242,17 +252,7 @@ object StreamOps {
     * threshold inline. */
   def mlScoreStream(docs: DataFrame, weights: DataFrame): DataFrame = {
     import graft.operators.Curation
-    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
-    val t6 = (c: Column) => floor(c * 1e6) / 1e6
-    docs
-      .withColumn("toks", toksC)
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .filter(col("n_tokens") > 0)
-      .withColumn("n_distinct",
-        size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("max_tok",
-        array_max(transform(array_distinct(col("toks")),
-          t => size(filter(col("toks"), x => x === t)))).cast("long"))
+    perRowGateFeatures(docs)
       .withColumn("sum_len", aggregate(
         transform(col("toks"), t => length(t).cast("long")),
         lit(0L), (a, x) => a + x))
