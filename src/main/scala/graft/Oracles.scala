@@ -1101,6 +1101,28 @@ object Oracles {
         | FROM documents)
         |SELECT doc_id, n_bytes, byte_sum, byte_sum % 4096 AS stub_feature
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q131: aligned 256-byte frames, content-derived frame hash (dHash
+    // of the slice — Spark's h32 of the identical substring), q95's
+    // coverage semantics at frame granularity.
+    "q131_frame_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |   CAST(strlen(text) AS BIGINT) AS nb FROM documents),
+         | f AS (SELECT doc_id,
+         |   CAST(floor(nb / 256) + 1 AS BIGINT) AS n_frames,
+         |   unnest(range(0, CAST(floor(nb / 256) + 1 AS INT))) AS frame_id,
+         |   text FROM d),
+         | h AS (SELECT doc_id, n_frames, frame_id,
+         |   ${dHash("substring(text, CAST(frame_id * 256 + 1 AS INT), 256)")} AS fhash
+         |  FROM f),
+         | dup AS (SELECT fhash FROM h GROUP BY fhash HAVING count(*) >= 2),
+         | hits AS (SELECT doc_id, count(*) AS ndf
+         |  FROM h JOIN dup USING (fhash) GROUP BY doc_id),
+         | base AS (SELECT DISTINCT doc_id, n_frames FROM h)
+         |SELECT b.doc_id, b.n_frames,
+         | CAST(coalesce(ndf, 0) AS BIGINT) AS n_dup_frames,
+         | floor(coalesce(ndf, 0) * 1.0 / b.n_frames * 1e6) / 1e6 AS dup_ratio
+         |FROM base b LEFT JOIN hits USING (doc_id) ORDER BY b.doc_id""".stripMargin,
   )
 
   val dedup2: Map[String, String] = Map(

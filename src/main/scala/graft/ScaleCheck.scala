@@ -120,6 +120,11 @@ object ScaleCheck {
       ("self_repeat", () =>
         Curation.selfRepeat(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      // frame dedup rides the q95 two-phase marker at frame granularity;
+      // frames = bytes/256, so the explode is 8x lighter than spans
+      ("frame_dedup", () =>
+        graft.operators.Multimodal.frameDedup(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       // r13 additions: the refine stage re-ranks only the ADC shortlist
       // (probes×kShort rows) — the claim is it adds a constant on top of
       // ivfpq_budget21, not a corpus term; hard negatives are one

@@ -151,6 +151,7 @@ object SparkEntry {
     "q128_dsir_select" -> (Curation.dsirSelect _),
     "q129_bigram_surprisal" -> (Curation.bigramSurprisal _),
     "q130_self_repeat" -> (Curation.selfRepeat _),
+    "q131_frame_dedup" -> (Multimodal.frameDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -63,6 +63,45 @@ object Multimodal {
       .select("doc_id", "frame_id", "phash")
       .orderBy("doc_id", "frame_id")
 
+  /** q131: frame-level perceptual dedup — the multimodal op an image/
+    * video training pipeline cannot skip (near-identical frames and
+    * mirrored clips dominate crawled media): every payload is cut into
+    * aligned 256-byte frames, each frame carries a content-derived
+    * perceptual-hash stand-in (the SAME portable h32 the text family
+    * uses — a real pipeline swaps in pHash/dHash of the decoded pixels;
+    * the plan is indifferent), frames occurring ≥ 2 times ANYWHERE in
+    * the corpus are duplicated visuals, and each asset reports its
+    * duplicated-frame count and ratio — q95's span-coverage semantics
+    * at frame granularity, completing dedup across all three media
+    * shapes (documents/spans q95, chunks q91, frames here).
+    *
+    * Scale shape: the q95 two-phase marker applied to frames — the
+    * frame-hash count agg collapses a corpus-viral frame (the same
+    * intro card on a million videos) map-side before the shuffle, the
+    * ≥2 set broadcasts into a semi-join, and the per-asset regroup keys
+    * on doc_id. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables.documents(spark, dir)
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+      .withColumn("n_frames", floor(col("n_bytes") / 256) + 1)
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
+      .withColumn("fhash",
+        Hashing.h32(col("text").substr((col("frame_id") * 256 + 1).cast("int"), lit(256))))
+      .select(col("doc_id"), col("n_frames"), col("frame_id"), col("fhash"))
+    val dup = frames.groupBy(col("fhash")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("fhash"))
+    val hits = frames.join(broadcast(dup), Seq("fhash"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_frames"))
+    frames.select(col("doc_id"), col("n_frames")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_dup_frames"), lit(0L)).as("n_dup_frames"),
+        (floor(coalesce(col("n_dup_frames"), lit(0L)) / col("n_frames") * 1e6) / 1e6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The real mapPartitions decode path: batches rows per partition through
     * the (stub) codec — the plan shape used when decode needs a heavyweight
     * per-partition-initialized native library. The stub is a pure byte fold,

@@ -257,6 +257,11 @@ class PlanGuardSpec extends SparkSpec {
       // islands window (the run regroup rides its partitioning) +
       // output sort — input is the dup-hit sliver, never the corpus
       "q126_span_runs" -> 3,
+      // frame dedup: the frame-hash occurrence agg (map-side combined,
+      // the q95 two-phase marker at frame granularity) + the per-asset
+      // regroup + the asset-list distinct + output sort; the ≥2 set
+      // broadcasts into the semi-join
+      "q131_frame_dedup" -> 4,
       // self-repeat: the (doc_id, h) occurrence agg + semi-join side +
       // the per-doc coverage agg + the doc-list distinct + output sort —
       // every shuffle key doc-prefixed (no viral-span hot partition)
