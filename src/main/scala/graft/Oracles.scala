@@ -1107,22 +1107,21 @@ object Oracles {
     // coverage semantics at frame granularity.
     "q131_frame_dedup" ->
       s"""WITH d AS (SELECT doc_id, text,
-         |   CAST(strlen(text) AS BIGINT) AS nb FROM documents),
-         | f AS (SELECT doc_id,
-         |   CAST(floor(nb / 256) + 1 AS BIGINT) AS n_frames,
-         |   unnest(range(0, CAST(floor(nb / 256) + 1 AS INT))) AS frame_id,
-         |   text FROM d),
-         | h AS (SELECT doc_id, n_frames, frame_id,
+         |   CAST(length(text) AS BIGINT) AS nc FROM documents),
+         | s AS (SELECT doc_id, text,
+         |   greatest(CAST(ceil(nc / 256.0) AS BIGINT), 1) AS n_frames FROM d),
+         | f AS (SELECT doc_id, n_frames,
+         |   unnest(range(0, CAST(n_frames AS INT))) AS frame_id, text FROM s),
+         | h AS (SELECT doc_id, frame_id,
          |   ${dHash("substring(text, CAST(frame_id * 256 + 1 AS INT), 256)")} AS fhash
          |  FROM f),
          | dup AS (SELECT fhash FROM h GROUP BY fhash HAVING count(*) >= 2),
          | hits AS (SELECT doc_id, count(*) AS ndf
-         |  FROM h JOIN dup USING (fhash) GROUP BY doc_id),
-         | base AS (SELECT DISTINCT doc_id, n_frames FROM h)
-         |SELECT b.doc_id, b.n_frames,
+         |  FROM h JOIN dup USING (fhash) GROUP BY doc_id)
+         |SELECT s.doc_id, s.n_frames,
          | CAST(coalesce(ndf, 0) AS BIGINT) AS n_dup_frames,
-         | floor(coalesce(ndf, 0) * 1.0 / b.n_frames * 1e6) / 1e6 AS dup_ratio
-         |FROM base b LEFT JOIN hits USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+         | floor(coalesce(ndf, 0) * 1.0 / s.n_frames * 1e6) / 1e6 AS dup_ratio
+         |FROM s LEFT JOIN hits USING (doc_id) ORDER BY s.doc_id""".stripMargin,
   )
 
   val dedup2: Map[String, String] = Map(

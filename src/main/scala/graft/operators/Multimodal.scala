@@ -81,19 +81,29 @@ object Multimodal {
     * ≥2 set broadcasts into a semi-join, and the per-asset regroup keys
     * on doc_id. */
   def frameDedup(spark: SparkSession, dir: String): DataFrame = {
-    val frames = Tables.documents(spark, dir)
-      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
-      .withColumn("n_frames", floor(col("n_bytes") / 256) + 1)
-      .select(col("doc_id"), col("text"), col("n_frames"),
+    // ceil, not floor+1: a payload that is an exact multiple of the
+    // frame size must NOT grow an empty tail frame — empty frames hash
+    // identically across unrelated assets and would flag phantom dups
+    // (review finding r14). Genuinely empty payloads keep one empty
+    // frame: two empty payloads ARE identical content. Frames are
+    // 256-CHAR slices (char ≡ byte on this ASCII corpus; a binary
+    // pipeline slices the payload bytes — the plan is unchanged).
+    val sized = Tables.documents(spark, dir)
+      .withColumn("nc", length(col("text")).cast("long"))
+      .withColumn("n_frames", greatest(ceil(col("nc") / 256.0), lit(1L)))
+    val frames = sized
+      .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
       .withColumn("fhash",
         Hashing.h32(col("text").substr((col("frame_id") * 256 + 1).cast("int"), lit(256))))
-      .select(col("doc_id"), col("n_frames"), col("frame_id"), col("fhash"))
+      .select(col("doc_id"), col("frame_id"), col("fhash"))
     val dup = frames.groupBy(col("fhash")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("fhash"))
     val hits = frames.join(broadcast(dup), Seq("fhash"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_frames"))
-    frames.select(col("doc_id"), col("n_frames")).distinct()
+    // output spine from the pre-explode scan (the q95 spanCoverage
+    // shape), not a distinct over the frame table
+    sized.select(col("doc_id"), col("n_frames"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_frames"),
         coalesce(col("n_dup_frames"), lit(0L)).as("n_dup_frames"),

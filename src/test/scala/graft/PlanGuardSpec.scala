@@ -259,9 +259,9 @@ class PlanGuardSpec extends SparkSpec {
       "q126_span_runs" -> 3,
       // frame dedup: the frame-hash occurrence agg (map-side combined,
       // the q95 two-phase marker at frame granularity) + the per-asset
-      // regroup + the asset-list distinct + output sort; the ≥2 set
-      // broadcasts into the semi-join
-      "q131_frame_dedup" -> 4,
+      // regroup + output sort; the ≥2 set broadcasts into the semi-join
+      // and the output spine rides the pre-explode scan (no distinct)
+      "q131_frame_dedup" -> 3,
       // self-repeat: the (doc_id, h) occurrence agg + semi-join side +
       // the per-doc coverage agg + the doc-list distinct + output sort —
       // every shuffle key doc-prefixed (no viral-span hot partition)

@@ -522,6 +522,12 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(t(1L)._1 == t(1L)._2 && t(2L)._1 == t(2L)._2,
       s"identical twins not fully flagged: $t")
+    // the negative case is load-bearing (review finding r14): the
+    // unique doc must report ZERO dup frames — an everything-flags
+    // regression (constant hash, empty-tail-frame collision) dies here
+    assert(t(3L)._2 == 0L, s"unique doc flagged: ${t(3L)}")
+    // ceil framing: 800 chars -> 4 frames, never an empty tail frame
+    assert(t(1L)._1 == 4L, s"expected ceil(800/256)=4 frames: ${t(1L)}")
   }
 
   test("pq drift audit: one row per probe, hits bounded, drift arithmetic exact") {
