@@ -80,23 +80,33 @@ object Multimodal {
     * intro card on a million videos) map-side before the shuffle, the
     * ≥2 set broadcasts into a semi-join, and the per-asset regroup keys
     * on doc_id. */
-  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
-    // ceil, not floor+1: a payload that is an exact multiple of the
-    // frame size must NOT grow an empty tail frame — empty frames hash
-    // identically across unrelated assets and would flag phantom dups
-    // (review finding r14). Genuinely empty payloads keep one empty
-    // frame: two empty payloads ARE identical content. Frames are
-    // 256-CHAR slices (char ≡ byte on this ASCII corpus; a binary
-    // pipeline slices the payload bytes — the plan is unchanged).
-    val sized = Tables.documents(spark, dir)
+  /** Documents with the frame count attached — ceil, not floor+1: a
+    * payload that is an exact multiple of the frame size must NOT grow
+    * an empty tail frame — empty frames hash identically across
+    * unrelated assets and would flag phantom dups (review finding r14).
+    * Genuinely empty payloads keep one empty frame: two empty payloads
+    * ARE identical content. Frames are 256-CHAR slices (char ≡ byte on
+    * this ASCII corpus; a binary pipeline slices the payload bytes —
+    * the plan is unchanged). */
+  private[graft] def sizedDocs(docs: DataFrame): DataFrame =
+    docs
       .withColumn("nc", length(col("text")).cast("long"))
       .withColumn("n_frames", greatest(ceil(col("nc") / 256.0), lit(1L)))
-    val frames = sized
+
+  /** One row per frame with its content hash — THE frame fingerprint
+    * definition, shared by batch q131 and the streaming gate's index
+    * build ([[graft.streaming.StreamOps.corpusFrameIndex]]). */
+  private[graft] def frameRows(docs: DataFrame): DataFrame =
+    sizedDocs(docs)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
       .withColumn("fhash",
         Hashing.h32(col("text").substr((col("frame_id") * 256 + 1).cast("int"), lit(256))))
       .select(col("doc_id"), col("frame_id"), col("fhash"))
+
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sized = sizedDocs(Tables.documents(spark, dir))
+    val frames = frameRows(Tables.documents(spark, dir))
     val dup = frames.groupBy(col("fhash")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("fhash"))
     val hits = frames.join(broadcast(dup), Seq("fhash"), "left_semi")

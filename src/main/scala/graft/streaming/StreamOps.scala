@@ -688,6 +688,48 @@ object StreamOps {
         (floor(col("s9").cast("double") / 1e9 * 1e6) / 1e6).as("log_w"))
   }
 
+  /** The corpus's duplicated-frame index as ONE broadcastable row: the
+    * sorted long array of ≥2-occurrence frame hashes — the static side
+    * of [[frameGateStream]], refreshed by a batch job like
+    * [[corpusSpanIndex]]. Indexing only the DUPLICATED frames keeps the
+    * gate's semantics aligned with batch q131 (a replayed corpus asset
+    * reports exactly its batch row). */
+  def corpusFrameIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.frameRows(Tables.documents(spark, dir))
+      .groupBy(col("fhash")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .agg(sort_array(collect_list(col("fhash"))).as("frame_idx"))
+  }
+
+  /** Streaming frame-dedup gate — q131 at ingest rate (the media-asset
+    * admission check an image/video pipeline runs before paying decode
+    * + embedding costs on a mirrored clip): each arriving payload
+    * fingerprints its frames with the SAME shared
+    * [[graft.operators.Multimodal.frameRows]] definition (as per-row
+    * array math) and binary-searches each hash against the broadcast
+    * dup-frame index (`sorted_array_contains` — log-cost in the index).
+    * No Bloom prefilter, unlike the span gate: a payload carries
+    * ~len/256 frames (single digits), not ~len span hashes, so the
+    * per-row probe count is already tiny. STATELESS; emits the batch
+    * q131 row (n_frames, n_dup_frames, dup_ratio) — StreamingSpec pins
+    * replayed corpus assets doc-for-doc. */
+  def frameGateStream(docs: DataFrame, frameIndex: DataFrame): DataFrame = {
+    import graft.functions.Hashing
+    docs
+      .withColumn("nc", length(col("text")).cast("long"))
+      .withColumn("n_frames", greatest(ceil(col("nc") / 256.0), lit(1L)))
+      .crossJoin(broadcast(frameIndex))
+      .withColumn("n_dup_frames",
+        size(filter(
+          transform(sequence(lit(0L), col("n_frames") - 1), i =>
+            Hashing.h32(col("text").substr((i * 256 + 1).cast("int"), lit(256)))),
+          h => call_function("sorted_array_contains", col("frame_idx"), h)))
+          .cast("long"))
+      .select(col("doc_id"), col("n_frames"), col("n_dup_frames"),
+        (floor(col("n_dup_frames") / col("n_frames") * 1e6) / 1e6).as("dup_ratio"))
+  }
+
   /** Static corpus band index (band, band_sig) for the stream-static
     * near-dup join — built by one batch pass over the corpus. */
   def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {

@@ -844,6 +844,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming frame gate equals batch q131 row for row, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Multimodal
+    import graft.streaming.StreamOps.Doc
+    import graft.sources.Tables
+    val idx = StreamOps.corpusFrameIndex(spark, sfDir)
+    val docRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.frameGateStream(input.toDF(), idx)
+      .writeStream.format("memory").queryName("framegate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docRows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("framegate_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = Multimodal.frameDedup(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want,
+        s"frame gate diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(got.nonEmpty)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming self-repeat equals batch q130 row for row, index-free") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
