@@ -316,8 +316,12 @@ object Bench {
     // stdout short line must stay inside the driver's bounded tail
     def line(short: Boolean) = {
       val adjud = if (short) "" else
-        s""""gate_wait_sec":$gateWaitSec,"retried":[${retried.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"""
-      s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,$adjud"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":${entries(short)},"sf":"$sfDir"}"""
+        s""""retried":[${retried.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"""
+      // gate_wait_sec rides BOTH lines (VERDICT r14 #1c): the settle wait
+      // happens before any timed query, so `value` never includes it —
+      // publishing it in the driver-captured short line makes that
+      // exclusion auditable from BENCH_r{N}.json alone
+      s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"gate_wait_sec":$gateWaitSec,$adjud"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":${entries(short)},"sf":"$sfDir"}"""
     }
     // Full query names → BENCH_LOCAL.json (committed per round); the stdout
     // line uses the qNN short keys and 3-decimal times so the whole line

@@ -36,10 +36,12 @@ object Retrieval {
   /** The declared queries' probe set: every 97th document capped to the
     * first [[Similarity.ProbeCap]] ids (the embeddings grid's convention
     * in the doc-id space) — a fixed probe BUDGET at any corpus size, not
-    * a corpus share (VERDICT r13 #1). Deployments pass a bounded probe
+    * a corpus share (VERDICT r13 #1). The predicate is
+    * [[Similarity.probeFilter]] — the one Scala source of truth the 27
+    * oracle-mirrored predicates track. Deployments pass a bounded probe
     * set to the `*From` variants. */
   private def gridDocProbes(docs: DataFrame): DataFrame =
-    docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < Similarity.ProbeCap)
+    docs.filter(Similarity.probeFilter(col("doc_id")))
 
   /** The BM25 "index": per-(doc, token) frequency with the doc length
     * alongside — (doc_id, token, tf, dl). Built from ONE tokenize

@@ -42,18 +42,28 @@ object Similarity {
     * cost would be O(n²/97) — measured 23× at 10× data (BASELINE.md sf1
     * smoke). The id cap turns the grid into a BOUNDED sample: at any
     * corpus ≥ [[ProbeCap]] vectors the probe set is the fixed 22-entry
-    * id grid {0, 97, …, 1940} — a probe BUDGET, the plan you'd run at
-    * 100× — while every test SF ≤ 0.1 (max id 4999 docs / 1999 vecs)
-    * keeps the grid inside the cap where it matters for oracle variety.
-    * Every oracle carries the identical `AND id < 2048` predicate. */
+    * id grid {0, 97, …, 2037} (21×97 = 2037 is the last multiple under
+    * the cap) — a probe BUDGET, the plan you'd run at 100× — while every
+    * test SF ≤ 0.1 (max id 4999 docs / 1999 vecs) keeps the grid inside
+    * the cap where it matters for oracle variety. Every oracle carries
+    * the identical `AND id < 2048` predicate. */
   private[graft] val ProbeCap = 2048L
+
+  /** THE declared probe-budget predicate — the single Scala source of
+    * truth for the `% 97 = 0 AND id < 2048` filter that 27 oracle
+    * predicates mirror (VERDICT r14 #5). Every declared probe grid
+    * ([[gridProbes]], `Retrieval.gridDocProbes`, `Curation.decontaminate`'s
+    * eval slice) routes through here so cap and grid can never drift
+    * apart between families. */
+  private[graft] def probeFilter(id: Column): Column =
+    id % 97 === 0 && id < ProbeCap
 
   /** The declared queries' probe set: every 97th vector, capped to the
     * first [[ProbeCap]] ids — a fixed probe budget at scale, not a
     * corpus share. Deployments pass their own bounded probe set to the
     * `*From` variants below. */
   private[graft] def gridProbes(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < ProbeCap)
+    emb.filter(probeFilter(col("vec_id")))
 
   /** Brute-force cosine top-10 per probe (every 97th vector probes) — the
     * exact baseline every ANN variant is measured against. */
@@ -707,15 +717,18 @@ object Similarity {
     * corpus size (map-side partials); the reassembled table is m·nCodes
     * rows — broadcast-sized by construction. */
   private[graft] def trainedSubCodebook(resid: DataFrame, m: Int, dsub: Int,
-      nCodes: Int, seedCap: Int = -1): DataFrame = {
+      nCodes: Int): DataFrame = {
     val rEmb = resid.select(col("vec_id"), col("resid").as("embedding"))
-    // seedCap widens the seed id range when the TRAINING table is a
-    // corpus slice (q127's stale codebook trains on vec_id % 2 = 0, so
-    // its 16 seeds live in ids < 32). The contract is an ID BOUND, not
-    // a seed count: the caller must size the cap so the slice yields
-    // exactly nCodes ids under it (a slice with id gaps seeds fewer
-    // codes — a smaller codebook, not an error)
-    val seedCb = rEmb.filter(col("vec_id") < (if (seedCap < 0) nCodes else seedCap))
+    // Seeds are the first nCodes vec_ids PRESENT in the training table
+    // (top-k by id, not an id bound): a sliced training set with id gaps
+    // — q127's stale codebook trains on vec_id % 2 = 0, seeding from ids
+    // 0,2,…,30 — still yields exactly nCodes seeds by construction
+    // (ADVICE r14: the former `seedCap` id bound silently under-seeded
+    // when mis-sized, degrading recall with no signal). The top-k is a
+    // TakeOrderedAndProject over nCodes rows — per-partition heaps, no
+    // full sort — and on contiguous-id corpora it selects the identical
+    // id set the oracle SQL's `vec_id < bound` predicates describe.
+    val seedCb = rEmb.orderBy(col("vec_id")).limit(nCodes)
       .select(col("vec_id").cast("int").as("code"), col("embedding").as("cvec"))
     pqCodes(rEmb, seedCb, m, dsub)
       .join(rEmb, Seq("vec_id"))
@@ -840,20 +853,42 @@ object Similarity {
   private[graft] def ivfPqScoreWith(probes: DataFrame, cent: DataFrame,
       resid: DataFrame, tcb: DataFrame, m: Int, dsub: Int, nprobe: Int,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val codes = pqCodesSeg(resid, tcb, m, dsub)
-    // probe → top-nprobe trained cells, carrying the CELL-SPECIFIC
-    // probe residual for the ADC tables
-    val pcells = probeCells(probes, cent, nprobe)
+    val pcells = pqProbeRouting(probes, cent, nprobe)
+    ivfPqScoreRouted(pcells, pqCellCandidates(pcells, resid, excludeSelf),
+      resid, tcb, m, dsub, k)
+  }
+
+  /** Probe → top-nprobe cells, carrying the CELL-SPECIFIC probe residual
+    * for the ADC tables — the codebook-INDEPENDENT half of the IVF-PQ
+    * score, split out (with [[pqCellCandidates]]) so q127's drift audit
+    * stages it once across both codebook chains (VERDICT r14 #1a)
+    * instead of re-running the routing window per chain. */
+  private[graft] def pqProbeRouting(probes: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame =
+    probeCells(probes, cent, nprobe)
       .select(col("probe_id"), col("cell"),
         zip_with(col("p_emb"), col("cvec"), (a, b) => a - b).as("p_resid"))
+
+  /** The (probe_id, vec_id, cell) candidate set from a probe routing —
+    * also codebook-independent; only the ADC LUT differs per codebook. */
+  private[graft] def pqCellCandidates(pcells: DataFrame, resid: DataFrame,
+      excludeSelf: Boolean): DataFrame =
+    resid.select(col("vec_id"), col("cell"))
+      .join(broadcast(pcells.select(col("probe_id"), col("cell"))), Seq("cell"))
+      .filter(if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true))
+
+  /** The codebook-DEPENDENT half of [[ivfPqScoreWith]]: encode against
+    * `tcb`, build the per-(probe, cell) ADC LUT, score the routed
+    * candidates. `pcells`/`cand` come from [[pqProbeRouting]] /
+    * [[pqCellCandidates]] (staged by callers reusing them). */
+  private[graft] def ivfPqScoreRouted(pcells: DataFrame, cand: DataFrame,
+      resid: DataFrame, tcb: DataFrame, m: Int, dsub: Int, k: Int): DataFrame = {
+    val codes = pqCodesSeg(resid, tcb, m, dsub)
     val lut = pcells
       .crossJoin(broadcast(tcb))
       .withColumn("d", pqDistSeg(col("p_resid"), col("scvec"), col("sub"), m, dsub))
       .select(col("probe_id").as("l_probe"), col("cell").as("l_cell"),
         col("sub").as("l_sub"), col("code").as("l_code"), col("d"))
-    val cand = resid.select(col("vec_id"), col("cell"))
-      .join(broadcast(pcells.select(col("probe_id"), col("cell"))), Seq("cell"))
-      .filter(if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true))
     val scored = cand
       .join(codes, Seq("vec_id"))
       .join(broadcast(lut),
@@ -952,15 +987,21 @@ object Similarity {
     val resid = Materialize.stage(residualsWith(emb, cent))
     val tcbFresh = Materialize.stage(trainedSubCodebook(resid, m, dsub, nCodes))
     // the stale codebook's training set is the even-id half playing
-    // "yesterday's corpus"; its first nCodes seeds live in ids < 2·nCodes
+    // "yesterday's corpus"; trainedSubCodebook seeds from the first
+    // nCodes ids PRESENT in the slice (0,2,…,2·nCodes−2 here)
     val tcbStale = Materialize.stage(trainedSubCodebook(
-      resid.filter(col("vec_id") % 2 === 0), m, dsub, nCodes,
-      seedCap = 2 * nCodes))
+      resid.filter(col("vec_id") % 2 === 0), m, dsub, nCodes))
     val exact5 = Materialize.stage(cosineTopKFrom(emb, probes, k = 5)
       .select(col("probe_id"), col("cand_id")))
+    // the probe→cell routing and routed candidate set are codebook-
+    // INDEPENDENT — staged once and shared by both chains (only the ADC
+    // LUT and encode differ per codebook), VERDICT r14 #1a
+    val pcells = Materialize.stage(pqProbeRouting(probes, cent, nprobe))
+    val cand = Materialize.stage(pqCellCandidates(pcells, resid,
+      excludeSelf = true))
     def hitsWith(tcb: DataFrame, as: String): DataFrame =
       exact5.join(
-          ivfPqScoreWith(probes, cent, resid, tcb, m, dsub, nprobe, k = 5)
+          ivfPqScoreRouted(pcells, cand, resid, tcb, m, dsub, k = 5)
             .select(col("probe_id"), col("cand_id")),
           Seq("probe_id", "cand_id"))
         .groupBy(col("probe_id")).agg(count(lit(1)).as(as))

@@ -713,7 +713,19 @@ object StreamOps {
     * ~len/256 frames (single digits), not ~len span hashes, so the
     * per-row probe count is already tiny. STATELESS; emits the batch
     * q131 row (n_frames, n_dup_frames, dup_ratio) — StreamingSpec pins
-    * replayed corpus assets doc-for-doc. */
+    * replayed corpus assets doc-for-doc.
+    *
+    * Known divergence for NOVEL assets (ADVICE r14 — the
+    * [[dsirScoreStream]] n_feats convention): the gate tests arriving
+    * frames against the CORPUS dup-frame index only, so a novel payload
+    * whose frames repeat within itself (a looping clip), or two
+    * identical frames landing in one microbatch, reports zero dup
+    * frames — where batch q131 run on a corpus CONTAINING that asset
+    * would flag them. The batch-equality pin therefore holds exactly
+    * for replayed corpus assets; an admission deployment that must
+    * catch looping clips adds an intra-payload self-dup term (count
+    * frame hashes repeated within `text`'s own frame list — pure
+    * per-row array math, no state) alongside the corpus probe. */
   def frameGateStream(docs: DataFrame, frameIndex: DataFrame): DataFrame = {
     import graft.functions.Hashing
     docs

@@ -544,10 +544,11 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("trainedSubCodebook seedCap: default id bound reproduces nCodes exactly") {
-    // seedCap exists so a SLICED training table can still seed nCodes
-    // codes (q127's stale half) — on the full table the explicit cap at
-    // nCodes must be the identity
+  test("trainedSubCodebook seeds exactly nCodes codes from any training slice") {
+    // Seeds are the first nCodes ids PRESENT in the training table, so
+    // a sliced training set with id gaps (q127's stale even-id half)
+    // still seeds exactly nCodes codes — the ADVICE r14 silent-under-
+    // seeding failure mode is structurally impossible
     val emb = Tables.embeddings(spark, sfDir)
     val en = emb.withColumn("nrm", Similarity.norm(col("embedding")))
     val cent = en.filter(col("vec_id") < 16)
@@ -555,13 +556,24 @@ class SimilaritySpec extends SparkSpec {
         col("nrm").as("cnrm"))
     val resid = Similarity.residualsWith(emb, cent)
     val a = Similarity.trainedSubCodebook(resid, 8, 8, 16)
-    val b = Similarity.trainedSubCodebook(resid, 8, 8, 16, seedCap = 16)
-    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-    // and the stale half really trains a DIFFERENT codebook (the audit
-    // has something to measure)
+    // full contiguous-id table: seeds are ids 0..15 — the id set the
+    // q112 oracle's `vec_id < 16` predicate describes. (Surviving
+    // trained codes are a SUBSET: ids < 16 are the q108 centroids, whose
+    // residuals are exactly zero, so those 16 identical seeds tie every
+    // E-step argmin to code 0 — empty clusters drop, per the docstring.)
+    val aCodes = a.select(col("code")).distinct().collect().map(_.getInt(0)).toSet
+    assert(aCodes.nonEmpty && aCodes.forall(c => c >= 0 && c < 16))
+    // gapped slice (q127's stale even-id half): top-k-by-id seeding
+    // takes the first 16 ids PRESENT — {0,2,…,30} — where the old
+    // `vec_id < nCodes` bound would silently seed only the 8 even ids
+    // under 16. Codes ≥ 16 surviving in the trained output is exactly
+    // the behavior the id bound made impossible.
     val s = Similarity.trainedSubCodebook(
-      resid.filter(col("vec_id") % 2 === 0), 8, 8, 16, seedCap = 32)
-    assert(s.count() > 0)
+      resid.filter(col("vec_id") % 2 === 0), 8, 8, 16)
+    val sCodes = s.select(col("code")).distinct().collect().map(_.getInt(0)).toSet
+    assert(sCodes.forall(c => c % 2 == 0 && c >= 0 && c < 32))
+    assert(sCodes.exists(_ >= 16),
+      "no seed beyond the old id bound survived — under-seeding regressed")
     assert(s.exceptAll(a).count() > 0, "stale codebook identical to fresh")
   }
 }
