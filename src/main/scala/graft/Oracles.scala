@@ -626,6 +626,39 @@ object Oracles {
          |FROM sub a JOIN sub b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY d1, d2""".stripMargin,
+
+    // q132: the q37 pair CTEs + the q61 pair CTEs full-joined on the
+    // pair key, swept over a 4-threshold grid; ratio floors on the 1e-6
+    // grid, pair samples as zero-padded MIN strings so string order is
+    // numeric pair order in both engines.
+    "q132_crossmodal_agreement" ->
+      s"""WITH $lshPairCtes,
+         | $embCte,
+         | ee AS (SELECT * FROM e WHERE vec_id < 300),
+         | ep AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |   round((${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM ee a JOIN ee b ON a.vec_id < b.vec_id
+         |  WHERE round((${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6) >= 0.35),
+         | lx AS (SELECT d1 AS a, d2 AS b FROM pairs WHERE d1 < 300 AND d2 < 300),
+         | j AS (SELECT coalesce(lx.a, ep.v1) AS a, coalesce(lx.b, ep.v2) AS b,
+         |   lx.a IS NOT NULL AS in_lex, ep.cosine AS cosine
+         |  FROM lx FULL JOIN ep ON lx.a = ep.v1 AND lx.b = ep.v2),
+         | pk AS (SELECT *, lpad(CAST(a AS VARCHAR), 6, '0') || '-' ||
+         |    lpad(CAST(b AS VARCHAR), 6, '0') AS pair_key FROM j),
+         | th AS (SELECT CAST(unnest([0.35, 0.5, 0.65, 0.8]) AS DOUBLE) AS thr),
+         | ag AS (SELECT thr,
+         |   sum(CASE WHEN in_lex THEN 1 ELSE 0 END) AS n_lex,
+         |   sum(CASE WHEN cosine >= thr THEN 1 ELSE 0 END) AS n_emb,
+         |   sum(CASE WHEN in_lex AND cosine >= thr THEN 1 ELSE 0 END) AS n_both,
+         |   min(CASE WHEN cosine >= thr AND NOT in_lex THEN pair_key END) AS min_emb_only_pair,
+         |   min(CASE WHEN in_lex AND (cosine IS NULL OR cosine < thr) THEN pair_key END) AS min_lex_only_pair
+         |  FROM pk, th GROUP BY thr)
+         |SELECT thr, CAST(n_lex AS BIGINT) AS n_lex, CAST(n_emb AS BIGINT) AS n_emb,
+         | CAST(n_both AS BIGINT) AS n_both,
+         | CASE WHEN n_emb > 0 THEN floor(n_both * 1e6 / n_emb) / 1e6 END AS emb_precision,
+         | CASE WHEN n_lex > 0 THEN floor(n_both * 1e6 / n_lex) / 1e6 END AS emb_recall,
+         | min_emb_only_pair, min_lex_only_pair
+         |FROM ag ORDER BY thr""".stripMargin,
   )
 
   // ---- similarity / multimodal -------------------------------------------
@@ -1702,10 +1735,13 @@ object Oracles {
          |FROM comp JOIN documents d ON d.doc_id = comp.id
          |ORDER BY cluster_rep, doc_id""".stripMargin,
 
+    // seed count mirrors Curation.semDedupClusterCount: corpus-
+    // proportional k = max(8, n // 256) as a scalar subquery (VERDICT
+    // r14 #2) — both test SFs land on the k=8 floor
     "q83_semdedup" ->
       s"""WITH $embCte,
          | c AS (SELECT vec_id AS cluster_id, embedding AS cvec, nrm AS cnrm
-         |   FROM e WHERE vec_id < 8),
+         |   FROM e WHERE vec_id < (SELECT greatest(8, count(*) // 256) FROM e)),
          | p AS (SELECT e.vec_id, c.cluster_id,
          |   (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) AS cos
          |  FROM e, c),
@@ -2422,6 +2458,65 @@ object Oracles {
          |FROM probes p LEFT JOIN hitsf hf ON p.probe_id = hf.probe_id
          | LEFT JOIN hitss hs ON p.probe_id = hs.probe_id
          |ORDER BY p.probe_id""".stripMargin,
+
+    // q133: drop-reason provenance — the q66 rule evaluation, q34
+    // fingerprint window, q37 pair CTEs (near-dup keeper = min verified
+    // partner), and q73 overlap CTEs, each reduced to its doc-aligned
+    // drop rows and UNION ALLed. Detail strings concatenate BIGINT
+    // casts, so both engines print identical evidence.
+    "q133_drop_provenance" ->
+      s"""WITH $lshPairCtes,
+         | qtok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | qcnt AS (SELECT doc_id, token, count(*) AS c
+         |  FROM qtok GROUP BY doc_id, token),
+         | qst AS (SELECT doc_id,
+         |   CAST(sum(c) AS BIGINT) AS n_tokens,
+         |   CAST(count(*) AS BIGINT) AS n_distinct,
+         |   max(c) AS max_tok
+         |  FROM qcnt GROUP BY doc_id),
+         | qg AS (SELECT doc_id, n_tokens,
+         |   floor(n_distinct * 1.0 / n_tokens * 1e6) / 1e6 AS ttr,
+         |   floor(max_tok * 1.0 / n_tokens * 1e6) / 1e6 AS top_ratio FROM qst),
+         | fpd AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+         |    sha256(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keeper
+         |  FROM documents),
+         | nd AS (SELECT d2 AS doc_id, min(d1) AS dup_of, count(*) AS n_pairs
+         |  FROM pairs GROUP BY d2),
+         | dsh AS (SELECT DISTINCT doc_id,
+         |   unnest(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3),
+         | dev AS (SELECT doc_id AS eval_id, gram FROM dsh
+         |   WHERE doc_id % 97 = 0 AND doc_id < 2048),
+         | dov AS (SELECT s.doc_id, e.eval_id, count(*) AS n_shared
+         |  FROM dsh s JOIN dev e USING (gram) WHERE s.doc_id <> e.eval_id
+         |  GROUP BY s.doc_id, e.eval_id),
+         | dct AS (SELECT doc_id, count(*) AS n_eval, min(eval_id) AS first_eval
+         |  FROM dov WHERE n_shared >= 2 GROUP BY doc_id),
+         | un AS (
+         |  SELECT doc_id, 'quality' AS stage, 'failed_rule' AS reason,
+         |   concat_ws(',',
+         |     CASE WHEN n_tokens < 30 THEN 'min_tokens' END,
+         |     CASE WHEN ttr < 0.45 THEN 'low_ttr' END,
+         |     CASE WHEN top_ratio > 0.15 THEN 'dominant_token' END) AS detail
+         |  FROM qg
+         |  WHERE NOT (n_tokens >= 30 AND ttr >= 0.45 AND top_ratio <= 0.15)
+         |  UNION ALL
+         |  SELECT doc_id, 'exact_dedup', 'duplicate',
+         |   'keeper=' || CAST(keeper AS VARCHAR)
+         |  FROM fpd WHERE doc_id <> keeper
+         |  UNION ALL
+         |  SELECT doc_id, 'near_dedup', 'near_duplicate',
+         |   'dup_of=' || CAST(dup_of AS VARCHAR) ||
+         |     ',n_pairs=' || CAST(n_pairs AS VARCHAR)
+         |  FROM nd
+         |  UNION ALL
+         |  SELECT doc_id, 'decontamination', 'eval_overlap',
+         |   'n_eval=' || CAST(n_eval AS VARCHAR) ||
+         |     ',first_eval=' || CAST(first_eval AS VARCHAR)
+         |  FROM dct)
+         |SELECT doc_id, stage, reason, detail FROM un
+         |ORDER BY doc_id, stage""".stripMargin,
   )
 
   /** q127: one residual-PQ codebook variant's CTE chain (train → encode

@@ -149,6 +149,15 @@ object ScaleCheck {
       ("lsh_recall_audit", () =>
         graft.operators.Dedup.lshRecallAudit(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      // r15 additions: the cross-modal audit joins two blocked pair
+      // tables (each bounded by its own blocking) — the claim is flat;
+      // provenance unions four doc-aligned drop slivers — linear
+      ("crossmodal_audit", () =>
+        graft.operators.Dedup.crossModalAgreement(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("drop_provenance", () =>
+        Curation.dropProvenance(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       ("dup_pagerank", () =>
         Curation.dupPageRank(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
@@ -182,6 +191,12 @@ object ScaleCheck {
           .write.format("noop").mode("overwrite").save()),
       ("spatial_join", () =>
         Geo.spatialNeighbors(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      // since r15 the DECLARED q83 is itself corpus-proportional
+      // (semDedupClusterCount) — this case measures the exact query the
+      // driver benches, like cosine_topk_declared above
+      ("semdedup_declared", () =>
+        Curation.semDedup(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
       (s"semdedup_k$k", () =>
         Curation.semDedupK(spark, sfDir, k)

@@ -152,6 +152,8 @@ object SparkEntry {
     "q129_bigram_surprisal" -> (Curation.bigramSurprisal _),
     "q130_self_repeat" -> (Curation.selfRepeat _),
     "q131_frame_dedup" -> (Multimodal.frameDedup _),
+    "q132_crossmodal_agreement" -> (Dedup.crossModalAgreement _),
+    "q133_drop_provenance" -> (Curation.dropProvenance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

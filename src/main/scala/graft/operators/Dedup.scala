@@ -394,4 +394,72 @@ object Dedup {
       .filter(col("hamming") <= 6)
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** q132: cross-modal dup-agreement audit (VERDICT r14 #3) — do the
+    * LEXICAL near-dup detector ([[lshNearDup]], MinHash-LSH + exact
+    * Jaccard ≥ 0.6) and the EMBEDDING near-dup detector
+    * ([[embeddingNearDup]], pairwise cosine) flag the same pairs? The
+    * audit joins the two verified pair tables on the pair key and
+    * sweeps the embedding cosine cut: per threshold, both pair counts,
+    * the overlap, precision/recall of the embedding method against the
+    * lexical pairs as reference (which read inverted are recall/
+    * precision of the lexical method against the embedding pairs — both
+    * directions from two columns), and the smallest disagreeing pair
+    * each way as a deterministic inspection sample. This is the
+    * multimodal-consistency check a curation pipeline runs before
+    * trusting one modality's dedup to stand in for the other, and it
+    * completes the audit family (q88/q109/q121/q127).
+    *
+    * Id spaces: on this corpus `vec_id` i is document i's embedding, so
+    * the pair keys align directly; the lexical side is restricted to
+    * [[embeddingNearDup]]'s bounded probe range so both detectors judge
+    * the same population. A deployment passes its own two pair tables
+    * to [[crossModalAgreementFrom]] with whatever id mapping joins
+    * them.
+    *
+    * Scale shape: both inputs are blocked, verified PAIR tables (≪
+    * corpus — each already bounded by its own blocking structure), the
+    * audit is one full-outer equi-join on the pair key, and the
+    * threshold sweep is a 4-row broadcast against that join's output —
+    * flat at any corpus scale (the ScaleCheck `crossmodal_audit` row
+    * measures it). */
+  def crossModalAgreement(spark: SparkSession, dir: String): DataFrame =
+    crossModalAgreementFrom(
+      lshNearDup(spark, dir).filter(col("d1") < 300 && col("d2") < 300),
+      embeddingNearDup(spark, dir))
+
+  /** [[crossModalAgreement]] over explicit pair tables: `lexPairs`
+    * carries (d1, d2), `embPairs` (v1, v2, cosine) with cosine already
+    * rounded to the 1e-6 grid; the two id spaces must join directly. */
+  def crossModalAgreementFrom(lexPairs: DataFrame, embPairs: DataFrame): DataFrame = {
+    val lex = lexPairs.select(col("d1").as("a"), col("d2").as("b"),
+      lit(true).as("in_lex"))
+    val emb = embPairs.select(col("v1").as("a"), col("v2").as("b"), col("cosine"))
+    val joined = lex.join(emb, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("in_lex"), lit(false)).as("in_lex"), col("cosine"))
+    // zero-padded pair label so string MIN is numeric pair order
+    val pairKey = concat(lpad(col("a").cast("string"), 6, "0"), lit("-"),
+      lpad(col("b").cast("string"), 6, "0"))
+    val thresholds = explode(array(Seq(0.35, 0.5, 0.65, 0.8).map(lit): _*))
+    val inEmb = col("cosine") >= col("thr") // null cosine → null → false in agg
+    joined
+      .crossJoin(broadcast(joined.sparkSession.range(1)
+        .select(thresholds.as("thr"))))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("in_lex"), 1L).otherwise(0L)).as("n_lex"),
+        sum(when(inEmb, 1L).otherwise(0L)).as("n_emb"),
+        sum(when(col("in_lex") && inEmb, 1L).otherwise(0L)).as("n_both"),
+        min(when(inEmb && !col("in_lex"), pairKey)).as("min_emb_only_pair"),
+        min(when(col("in_lex") && (col("cosine").isNull || col("cosine") < col("thr")),
+          pairKey)).as("min_lex_only_pair"))
+      .select(col("thr"), col("n_lex"), col("n_emb"), col("n_both"),
+        when(col("n_emb") > 0, floor(col("n_both") * 1e6 / col("n_emb")) / 1e6)
+          .as("emb_precision"),
+        when(col("n_lex") > 0, floor(col("n_both") * 1e6 / col("n_lex")) / 1e6)
+          .as("emb_recall"),
+        col("min_emb_only_pair"), col("min_lex_only_pair"))
+      .orderBy(col("thr"))
+  }
 }

@@ -7,6 +7,39 @@ import graft.sources.Tables
 
 class CurationSpec extends SparkSpec {
 
+  test("drop provenance: each stage's rows equal its standalone operator's verdicts") {
+    val out = Curation.dropProvenance(spark, sfDir).cache()
+    val byStage = out.groupBy(col("stage")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.keySet.subsetOf(
+      Set("quality", "exact_dedup", "near_dedup", "decontamination")))
+    // quality rows = gate failures, and every detail names ≥1 failed rule
+    val gate = Curation.qualityGate(spark, sfDir)
+    assert(byStage.getOrElse("quality", 0L) == gate.filter(!col("keep")).count())
+    out.filter(col("stage") === "quality").collect().foreach { r =>
+      val rules = r.getString(3).split(",").toSet
+      assert(rules.nonEmpty && rules.subsetOf(
+        Set("min_tokens", "low_ttr", "dominant_token")))
+    }
+    // exact-dup rows = corpus minus distinct fingerprints (q34's keepers)
+    val docs = Tables.documents(spark, sfDir)
+    val nFp = Dedup.dedupExact(spark, sfDir).count()
+    assert(byStage.getOrElse("exact_dedup", 0L) == docs.count() - nFp)
+    // near-dup rows = distinct d2 of the verified pair table, keeper < doc
+    val nd = Dedup.lshNearDup(spark, sfDir)
+    assert(byStage.getOrElse("near_dedup", 0L) ==
+      nd.select(col("d2")).distinct().count())
+    out.filter(col("stage") === "near_dedup").collect().foreach { r =>
+      val dupOf = r.getString(3).split(",")(0).stripPrefix("dup_of=").toLong
+      assert(dupOf < r.getLong(0), s"keeper not lower-id: $r")
+    }
+    // decontamination rows = distinct contaminated docs
+    assert(byStage.getOrElse("decontamination", 0L) ==
+      Curation.decontaminate(spark, sfDir).select(col("doc_id")).distinct().count())
+    out.unpersist()
+    ()
+  }
+
   test("quality gate: ratios bounded, keep splits the corpus, rules consistent") {
     val out = Curation.qualityGate(spark, sfDir).collect()
     assert(out.nonEmpty)

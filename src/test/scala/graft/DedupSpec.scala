@@ -6,6 +6,39 @@ import graft.sources.Tables
 
 class DedupSpec extends SparkSpec {
 
+  test("cross-modal agreement: hand-checked fixture, counts and samples exact") {
+    import spark.implicits._
+    val lex = Seq((1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    val emb = Seq((1L, 2L, 0.9), (5L, 6L, 0.4)).toDF("v1", "v2", "cosine")
+    val rows = Dedup.crossModalAgreementFrom(lex, emb).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.35, 0.5, 0.65, 0.8))
+    val at35 = rows(0)
+    assert(at35.getLong(1) == 2 && at35.getLong(2) == 2 && at35.getLong(3) == 1)
+    assert(at35.getDouble(4) == 0.5 && at35.getDouble(5) == 0.5)
+    assert(at35.getString(6) == "000005-000006") // emb-only: (5,6) cos 0.4
+    assert(at35.getString(7) == "000003-000004") // lex-only: (3,4) no cosine
+    val at50 = rows(1) // only (1,2) clears 0.5 — emb-only sample empty
+    assert(at50.getLong(2) == 1 && at50.getLong(3) == 1)
+    assert(at50.getDouble(4) == 1.0 && at50.isNullAt(6))
+    assert(at50.getString(7) == "000003-000004")
+  }
+
+  test("cross-modal agreement: declared q132 invariants on the corpus") {
+    val rows = Dedup.crossModalAgreement(spark, sfDir).collect()
+    assert(rows.length == 4)
+    // n_lex is threshold-independent; n_emb monotone non-increasing;
+    // the overlap can never exceed either side
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    val nEmb = rows.map(_.getLong(2))
+    assert(nEmb.zip(nEmb.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)))
+      // a null emb-only sample means every emb pair was also lexical
+      assert(r.isNullAt(6) == (r.getLong(2) == r.getLong(3)))
+      assert(r.isNullAt(7) == (r.getLong(1) == r.getLong(3)))
+    }
+  }
+
   test("exact dedup is idempotent and keeps min doc_id") {
     val out = Dedup.dedupExact(spark, sfDir).cache()
     val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
