@@ -2517,6 +2517,58 @@ object Oracles {
          |  FROM dct)
          |SELECT doc_id, stage, reason, detail FROM un
          |ORDER BY doc_id, stage""".stripMargin,
+
+    // q134: cross-split leakage — the q37 pair CTEs doubled to both
+    // orientations, each end labeled with q84's h32 % 100 split rule
+    // (the same dHash mirror), reduced to the val/test docs that have a
+    // train-side partner.
+    "q134_split_leakage" ->
+      s"""WITH $lshPairCtes,
+         | dp AS (SELECT d1 AS doc_id, d2 AS partner, jaccard FROM pairs
+         |        UNION ALL SELECT d2, d1, jaccard FROM pairs),
+         | lab AS (SELECT doc_id, partner, jaccard,
+         |   CASE WHEN ${dHash("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |        WHEN ${dHash("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |        ELSE 'test' END AS split,
+         |   CASE WHEN ${dHash("CAST(partner AS VARCHAR)")} % 100 < 90
+         |        THEN 'train' ELSE 'other' END AS psplit
+         |  FROM dp)
+         |SELECT doc_id, split,
+         | CAST(count(*) AS BIGINT) AS n_train_partners,
+         | max(jaccard) AS max_jaccard,
+         | min(partner) AS min_train_partner
+         |FROM lab WHERE split IN ('val', 'test') AND psplit = 'train'
+         |GROUP BY doc_id, split ORDER BY doc_id""".stripMargin,
+
+    // q135: dedup-savings census — q34's fingerprint window flags exact
+    // drops; a survivor is near-dropped iff a smaller exact-surviving
+    // partner verifies against it in the q37 pair CTEs; census to
+    // source granularity.
+    "q135_dedup_savings" ->
+      s"""WITH $lshPairCtes,
+         | fpt AS (SELECT doc_id, source,
+         |   CAST(len(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS BIGINT) AS n_toks,
+         |   sha256(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM documents),
+         | fl AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY fp) AS exact_drop
+         |  FROM fpt),
+         | nd AS (SELECT DISTINCT p.d2 AS doc_id
+         |  FROM pairs p JOIN fl s ON p.d1 = s.doc_id AND NOT s.exact_drop),
+         | lab AS (SELECT fl.source, fl.n_toks, fl.exact_drop,
+         |   (NOT fl.exact_drop AND nd.doc_id IS NOT NULL) AS near_drop
+         |  FROM fl LEFT JOIN nd ON fl.doc_id = nd.doc_id)
+         |SELECT source,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN exact_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dropped,
+         | CAST(sum(CASE WHEN exact_drop THEN n_toks ELSE 0 END) AS BIGINT) AS tok_exact_dropped,
+         | CAST(sum(CASE WHEN near_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_dropped,
+         | CAST(sum(CASE WHEN near_drop THEN n_toks ELSE 0 END) AS BIGINT) AS tok_neardup_dropped,
+         | CAST(sum(CASE WHEN NOT exact_drop AND NOT near_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(sum(CASE WHEN NOT exact_drop AND NOT near_drop THEN n_toks ELSE 0 END) AS BIGINT) AS tok_kept,
+         | floor(sum(CASE WHEN NOT exact_drop AND NOT near_drop THEN n_toks ELSE 0 END) * 1.0
+         |   / sum(n_toks) * 1e6) / 1e6 AS pct_tokens_kept
+         |FROM lab GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** q127: one residual-PQ codebook variant's CTE chain (train → encode

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Geo, Similarity, Temporal}
+import graft.operators.{Curation, Geo, Materialize, Similarity, Temporal}
 import graft.sources.Tables
 
 /** Dev tool (PlanAudit's sibling): time the BOUNDED variants of the
@@ -58,6 +58,13 @@ object ScaleCheck {
     import graft.operators.Materialize.Stageable
     lazy val spanIdxSharded =
       Curation.spanIndexSharded(Curation.dupSpanIndexFrom(spans), 4).staged
+    // pre-staged near-dup pair tables for the crossmodal_audit_staged
+    // case (the deployment shape: both pair tables already exist via the
+    // pairTable pattern) — forced before the warmup like `spans`
+    lazy val lexPairsStaged = Curation.pairTable(spark, sfDir)
+      .filter(col("d1") < 300 && col("d2") < 300).staged
+    lazy val embPairsStaged =
+      Materialize.stage(graft.operators.Dedup.embeddingNearDup(spark, sfDir))
 
     val cases: Seq[(String, () => Unit)] = Seq(
       // The DECLARED q40 (gridProbes — %97 grid capped at ProbeCap):
@@ -155,8 +162,25 @@ object ScaleCheck {
       ("crossmodal_audit", () =>
         graft.operators.Dedup.crossModalAgreement(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      // ... and the audit alone over PRE-staged pair tables — this
+      // isolates the full-outer join + threshold sweep, the part
+      // claimed flat (the in-query pair-table builds above are the
+      // declared query's linear terms)
+      ("crossmodal_audit_staged", () =>
+        graft.operators.Dedup
+          .crossModalAgreementFrom(lexPairsStaged, embPairsStaged)
+          .write.format("noop").mode("overwrite").save()),
       ("drop_provenance", () =>
         Curation.dropProvenance(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      // the r15 governance pair: both are pair-table-plus-doc-aligned
+      // shapes — the LSH build is the linear term, the audit/census adds
+      // pair-sized (q134) or one-window + source-agg (q135) work
+      ("split_leakage", () =>
+        Curation.splitLeakage(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("dedup_savings", () =>
+        Curation.dedupSavings(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
       ("dup_pagerank", () =>
         Curation.dupPageRank(spark, sfDir)
@@ -256,6 +280,9 @@ object ScaleCheck {
         "span_gate_sharded", "span_gate_shuffled", "span_family_staged")
     if (selected.exists(c => spanConsumers.exists(c._1.startsWith))) {
       spans; spanIdxSharded; ()
+    }
+    if (selected.exists(_._1 == "crossmodal_audit_staged")) {
+      lexPairsStaged.count(); embPairsStaged.count(); ()
     }
     val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
     def release(): Unit =

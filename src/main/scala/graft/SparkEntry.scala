@@ -154,6 +154,8 @@ object SparkEntry {
     "q131_frame_dedup" -> (Multimodal.frameDedup _),
     "q132_crossmodal_agreement" -> (Dedup.crossModalAgreement _),
     "q133_drop_provenance" -> (Curation.dropProvenance _),
+    "q134_split_leakage" -> (Curation.splitLeakage _),
+    "q135_dedup_savings" -> (Curation.dedupSavings _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

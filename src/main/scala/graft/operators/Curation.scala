@@ -1991,20 +1991,30 @@ object Curation {
       .orderBy(col("cluster_id"))
   }
 
+  /** THE q84 split rule — the single Scala source of truth for the
+    * 90/5/5 `h32(doc_id) mod 100` train/val/test assignment, shared by
+    * the split manifest (q84) and the cross-split leakage audit (q134)
+    * so the two can never disagree about which split a document is in
+    * (the [[Similarity.probeFilter]] precedent). Value-derived, so the
+    * assignment is stable across re-runs, engines, and cluster sizes. */
+  private[graft] def splitOf(id: Column): Column = {
+    val bucket = Hashing.h32(id.cast("string")) % 100
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
   /** q84: train/val/test split manifest — every document deterministically
-    * assigned by portable hash (90/5/5 on h32(doc_id) mod 100), reported
-    * per (source, split) with document and token counts and the split's
-    * within-source document share. The same hash everywhere means the
-    * split is stable across re-runs, engines, and machines — the property
-    * a reproducible training pipeline needs from its split function.
+    * assigned by portable hash (90/5/5 on h32(doc_id) mod 100, the shared
+    * [[splitOf]] rule), reported per (source, split) with document and
+    * token counts and the split's within-source document share. The same
+    * hash everywhere means the split is stable across re-runs, engines,
+    * and machines — the property a reproducible training pipeline needs
+    * from its split function.
     *
     * Scale shape: stateless per-row hash + one agg to (source, split)
     * granularity + one tiny window over ≤ 3k group rows. */
   def splitManifest(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Hashing.h32(col("doc_id").cast("string")) % 100
     val docs = Tables.documents(spark, dir)
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .withColumn("split", splitOf(col("doc_id")))
       .withColumn("n_toks", size(toks))
     val wSrc = Window.partitionBy(col("source"))
     docs.groupBy(col("source"), col("split"))
@@ -2012,6 +2022,113 @@ object Curation {
       .withColumn("pct_docs",
         trunc6(col("n_docs") * lit(1.0) / sum(col("n_docs")).over(wSrc)))
       .orderBy(col("source"), col("split"))
+  }
+
+  /** q134: cross-split near-dup LEAKAGE audit — every val/test document
+    * that has a verified near-duplicate (q37's LSH pairs, J ≥ 0.6) in
+    * the TRAIN split, with the evidence attached: how many train
+    * partners, the strongest jaccard, and the smallest train partner id.
+    * A document-level split (q84) does not stop a near-copy of an eval
+    * document from landing in train — exactly the benchmark-contamination
+    * path Lee et al. 2021 (§6) and Dodge et al. 2021 measured in C4 —
+    * so a governed pipeline audits the SPLIT × the DUP GRAPH, not each
+    * alone. The output is the actionable artifact: the eval docs to
+    * drop or re-assign before the split ships. Both the split rule
+    * ([[splitOf]]) and the pair table are the shared definitions the
+    * declared q84/q37 use, so this audit can never disagree with them.
+    *
+    * Scale shape: the pair table is the expensive term (built once via
+    * [[Curation.pairTable]] in a deployment — [[splitLeakageFrom]] is
+    * that entry point); the audit itself doubles the pair rows (both
+    * orientations), labels each end with the stateless hash rule, and
+    * aggregates to doc grain — pair-table-sized work, ≪ corpus, flat
+    * whenever the pair table is staged (the q132 staged-audit shape). */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageFrom(Dedup.lshNearDup(spark, dir))
+
+  /** [[splitLeakage]] over any verified (d1, d2, jaccard) pair table —
+    * the staged-pair-table deployment shape. */
+  def splitLeakageFrom(pairs: DataFrame): DataFrame = {
+    val directed = pairs
+      .select(col("d1").as("doc_id"), col("d2").as("partner"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("d2").as("doc_id"), col("d1").as("partner"), col("jaccard")))
+    directed
+      .withColumn("split", splitOf(col("doc_id")))
+      .filter(col("split").isin("val", "test") &&
+        splitOf(col("partner")) === "train")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(
+        count(lit(1)).as("n_train_partners"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(col("partner")).as("min_train_partner"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q135: dedup-savings census — what dedup actually buys, per source:
+    * raw document/token counts, the documents and tokens an exact-dedup
+    * pass drops (q34's keep-smallest-id rule), the FURTHER documents and
+    * tokens a near-dup pass drops among the exact survivors (a survivor
+    * is near-dropped iff a SMALLER exact-surviving partner verifies
+    * against it in q37's pair table — keep-lowest-id at pair grain; q82
+    * refines the keeper choice at cluster grain), and the effective
+    * corpus that remains. This is the "effective dataset size" number a
+    * training-data budget is planned against — raw token counts
+    * overstate a crawl's worth by exactly the duplication this table
+    * quantifies (Lee et al. 2021's headline measurement, as a query).
+    *
+    * Stage order matches the curation funnel (q78): exact dedup first,
+    * near-dup only among its survivors, so the two drop sets are
+    * disjoint by construction and the census columns add up:
+    * n_docs = n_exact_dropped + n_neardup_dropped + n_kept (spec-pinned).
+    *
+    * Scale shape: one corpus scan for fingerprints + token counts, one
+    * window over the fingerprint (q34's shape), the pair table (the
+    * expensive term, shared/staged in deployment), and a pair-sized
+    * distinct + doc-aligned left join; the census agg is to source
+    * granularity with map-side partials. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame =
+    dedupSavingsFrom(Tables.documents(spark, dir),
+      Dedup.lshNearDup(spark, dir))
+
+  /** [[dedupSavings]] over any (doc_id, source, text) frame and any
+    * verified (d1, d2, jaccard) pair table — the staged-pair-table
+    * deployment shape and the spec's fixture hook. */
+  private[graft] def dedupSavingsFrom(docs0: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val docs = docs0
+      .withColumn("fp", Dedup.textFp)
+      .withColumn("n_toks", size(toks).cast("long"))
+    val wFp = Window.partitionBy(col("fp"))
+    val flagged = docs
+      .withColumn("exact_drop", col("doc_id") =!= min(col("doc_id")).over(wFp))
+    val survivors = flagged.filter(!col("exact_drop"))
+      .select(col("doc_id").as("d1"))
+    val nearDropped = pairs
+      .join(survivors, "d1") // the smaller partner must itself survive exact dedup
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("nd", lit(true))
+    flagged
+      .join(nearDropped, Seq("doc_id"), "left")
+      .withColumn("near_drop",
+        !col("exact_drop") && coalesce(col("nd"), lit(false)))
+      .withColumn("kept", !col("exact_drop") && !col("near_drop"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        count(when(col("exact_drop"), lit(1))).as("n_exact_dropped"),
+        coalesce(sum(when(col("exact_drop"), col("n_toks"))), lit(0L))
+          .as("tok_exact_dropped"),
+        count(when(col("near_drop"), lit(1))).as("n_neardup_dropped"),
+        coalesce(sum(when(col("near_drop"), col("n_toks"))), lit(0L))
+          .as("tok_neardup_dropped"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("n_toks"))), lit(0L))
+          .as("tok_kept"))
+      .withColumn("pct_tokens_kept",
+        trunc6(col("tok_kept") * lit(1.0) / col("n_tokens")))
+      .orderBy(col("source"))
   }
 
   /** q85: robust length-outlier filter — per source: the median document

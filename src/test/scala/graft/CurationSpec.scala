@@ -959,4 +959,107 @@ class CurationSpec extends SparkSpec {
     assert(kept > 0 && kept < corpus.length,
       s"scorer degenerate on corpus: $kept/${corpus.length}")
   }
+
+  test("split leakage: fixture pairs route by the shared split rule") {
+    import spark.implicits._
+    // resolve splits 0..99 through the SHARED rule (the same definition
+    // q84 hash-binds), then build a pair fixture around them
+    val splits = spark.range(100).toDF("id")
+      .withColumn("s", Curation.splitOf(col("id")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trains = (0L to 99L).filter(splits(_) == "train")
+    val evals = (0L to 99L).filter(id => splits(id) != "train")
+    assert(trains.size >= 2 && evals.size >= 2, s"degenerate split fixture")
+    val v = evals.head
+    val (t1, t2) = (trains(0), trains(1))
+    def ordered(a: Long, b: Long, j: Double) =
+      (math.min(a, b), math.max(a, b), j)
+    // two leaking pairs onto v, plus a train–train and an eval–eval pair
+    // that must NOT be reported
+    val pairs = Seq(
+      ordered(t1, v, 0.7), ordered(t2, v, 0.9),
+      ordered(trains(0), trains(1), 0.95),
+      ordered(evals(0), evals(1), 0.8))
+      .toDF("d1", "d2", "jaccard")
+    val out = Curation.splitLeakageFrom(pairs).collect()
+    assert(out.length == 1, s"expected 1 leaked doc, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) == v && r.getString(1) == splits(v))
+    assert(r.getLong(2) == 2L, s"n_train_partners: $r")
+    assert(r.getDouble(3) == 0.9, s"max_jaccard: $r")
+    assert(r.getLong(4) == math.min(t1, t2), s"min_train_partner: $r")
+  }
+
+  test("split leakage: declared query consistent with pair table + split rule") {
+    val out = Curation.splitLeakage(spark, sfDir).cache()
+    out.collect().foreach { r =>
+      assert(Set("val", "test").contains(r.getString(1)), s"bad split: $r")
+      assert(r.getDouble(3) >= 0.6, s"jaccard below verify threshold: $r")
+      assert(r.getLong(2) >= 1L)
+    }
+    // independent recount: distinct (eval doc, train partner) relations
+    val pairs = Dedup.lshNearDup(spark, sfDir)
+      .withColumn("s1", Curation.splitOf(col("d1")))
+      .withColumn("s2", Curation.splitOf(col("d2")))
+    val expected =
+      pairs.filter(col("s1") === "train" && col("s2") =!= "train")
+        .select(col("d2").as("doc_id"))
+        .unionByName(pairs.filter(col("s2") === "train" && col("s1") =!= "train")
+          .select(col("d1").as("doc_id")))
+        .distinct().count()
+    assert(out.count() == expected, s"leaked-doc count mismatch")
+    // every reported min partner is a train doc
+    out.select(col("min_train_partner"))
+      .withColumn("s", Curation.splitOf(col("min_train_partner")))
+      .collect().foreach(r => assert(r.getString(1) == "train"))
+    out.unpersist()
+    ()
+  }
+
+  test("dedup savings: fixture census — exact first, near-dup among survivors only") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a", "x y z"),
+      (1L, "a", "dup dup"),
+      (2L, "a", "dup dup"), // exact copy of 1 → exact-dropped
+      (3L, "a", "x y w"),   // near-dup of 0 via injected pair
+      (4L, "a", "q r"))     // paired only with the exact-dropped 2
+      .toDF("doc_id", "source", "text")
+    val pairs = Seq(
+      (0L, 3L, 0.8),  // survivor partner → 3 near-dropped
+      (2L, 4L, 0.9),  // partner 2 is exact-dropped → 4 survives
+      (1L, 2L, 1.0))  // 2 already exact-dropped → no double count
+      .toDF("d1", "d2", "jaccard")
+    val out = Curation.dedupSavingsFrom(docs, pairs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 12L) // n_docs, n_tokens
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L)  // exact: doc 2
+    assert(r.getLong(5) == 1L && r.getLong(6) == 3L)  // near: doc 3
+    assert(r.getLong(7) == 3L && r.getLong(8) == 7L)  // kept: 0, 1, 4
+    assert(r.getDouble(9) == math.floor(7.0 / 12.0 * 1e6) / 1e6)
+  }
+
+  test("dedup savings: declared census adds up and matches q34") {
+    val out = Curation.dedupSavings(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) + r.getLong(5) + r.getLong(7),
+        s"doc counts don't add up: $r")
+      assert(r.getLong(2) == r.getLong(4) + r.getLong(6) + r.getLong(8),
+        s"token counts don't add up: $r")
+      assert(r.getDouble(9) >= 0.0 && r.getDouble(9) <= 1.0)
+    }
+    // total exact drops = corpus docs − q34 keepers
+    val docs = Tables.documents(spark, sfDir)
+    val totalExact = out.map(_.getLong(3)).sum
+    assert(totalExact == docs.count() - Dedup.dedupExact(spark, sfDir).count())
+    // total near drops = distinct d2 with exact-surviving d1
+    val fpKeeper = docs.withColumn("fp", graft.operators.Dedup.textFp)
+      .withColumn("k", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("k")).select(col("doc_id").as("d1"))
+    val totalNear = Dedup.lshNearDup(spark, sfDir)
+      .join(fpKeeper, "d1").select(col("d2")).distinct().count()
+    assert(out.map(_.getLong(5)).sum == totalNear)
+  }
 }
