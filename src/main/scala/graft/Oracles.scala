@@ -490,6 +490,24 @@ object Oracles {
          | list_reduce(hs, (acc, x) -> (acc * ${Bbase} + x) % ${P}) AS rolling_fp,
          | substr(sha256(text), 1, 16) AS sha_fp
          |FROM hh ORDER BY doc_id""".stripMargin,
+
+    // q138: tokenizer fertility — ratios floor-truncated on the
+    // integer-first form (n * 1e6 / d), one IEEE rounding, identical
+    // both engines.
+    "q138_token_fertility" ->
+      s"""WITH $toksCte,
+         | pd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars FROM t GROUP BY lang),
+         | tk AS (SELECT lang, unnest(toks) AS token FROM t),
+         | pt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT token) AS BIGINT) AS n_vocab,
+         |         CAST(sum(len(token)) AS BIGINT) AS sum_tok_len
+         |        FROM tk GROUP BY lang)
+         |SELECT pd.lang, n_docs, n_chars, n_tokens, n_vocab,
+         | floor(n_chars * 1e6 / n_tokens) / 1e6 AS chars_per_token,
+         | floor(sum_tok_len * 1e6 / n_tokens) / 1e6 AS mean_tok_len,
+         | floor(n_vocab * 1e6 / n_tokens) / 1e6 AS ttr
+         |FROM pd JOIN pt ON pd.lang = pt.lang ORDER BY pd.lang""".stripMargin,
   )
 
   private val sigSelect: String = {
@@ -2569,6 +2587,239 @@ object Oracles {
          | floor(sum(CASE WHEN NOT exact_drop AND NOT near_drop THEN n_toks ELSE 0 END) * 1.0
          |   / sum(n_toks) * 1e6) / 1e6 AS pct_tokens_kept
          |FROM lab GROUP BY source ORDER BY source""".stripMargin,
+
+    // q136: semantic decontamination — corpus × capped eval grid cosine,
+    // flagged on the 6-decimal ROUNDED value (q61's boundary-determinism
+    // convention; dotSql mirrors the Spark fold order term for term).
+    "q136_semantic_decontam" ->
+      s"""WITH $embCte,
+         | ev AS (SELECT vec_id AS eval_id, embedding, nrm FROM e
+         |        WHERE vec_id % 97 = 0 AND vec_id < 2048)
+         |SELECT c.vec_id, ev.eval_id,
+         | round((${dotSql("c.embedding", "ev.embedding")}) / (c.nrm * ev.nrm), 6) AS cosine
+         |FROM e c JOIN ev ON c.vec_id <> ev.eval_id
+         |WHERE round((${dotSql("c.embedding", "ev.embedding")}) / (c.nrm * ev.nrm), 6) >= 0.30
+         |ORDER BY vec_id, eval_id""".stripMargin,
+
+    // q137: quality-aware keeper — the q37 pair CTEs doubled to both
+    // orientations, each end scored by (distinct-token richness, n_chars,
+    // lower id) dominance; best_partner coalesced to -1 so the column
+    // stays a non-null BIGINT in both engines.
+    "q137_quality_keeper" ->
+      s"""WITH $lshPairCtes,
+         | sc AS (SELECT doc_id, n_chars,
+         |   CAST(len(list_distinct(list_filter(string_split(text, ' '),
+         |     s -> len(s) > 0))) AS BIGINT) AS rich
+         |  FROM documents),
+         | dp AS (SELECT d1 AS doc_id, d2 AS partner FROM pairs
+         |        UNION ALL SELECT d2, d1 FROM pairs),
+         | j AS (SELECT dp.doc_id, a.rich, a.n_chars, dp.partner,
+         |         b.rich AS p_rich, b.n_chars AS p_chars
+         |  FROM dp JOIN sc a ON a.doc_id = dp.doc_id
+         |          JOIN sc b ON b.doc_id = dp.partner),
+         | v AS (SELECT *,
+         |   (p_rich > rich OR (p_rich = rich AND p_chars > n_chars)
+         |     OR (p_rich = rich AND p_chars = n_chars AND partner < doc_id)) AS beats
+         |  FROM j)
+         |SELECT doc_id, rich, n_chars,
+         | CAST(count(*) AS BIGINT) AS n_partners,
+         | CAST(sum(CASE WHEN beats THEN 1 ELSE 0 END) AS BIGINT) AS n_better,
+         | coalesce(min(CASE WHEN beats THEN partner END), -1) AS best_partner,
+         | CAST(CASE WHEN sum(CASE WHEN beats THEN 1 ELSE 0 END) = 0
+         |      THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM v GROUP BY doc_id, rich, n_chars ORDER BY doc_id""".stripMargin,
+
+    // q139: drift PSI — parity split, three feature binnings as a
+    // UNION ALL (the Spark side explodes one scan; same rows), +0.5
+    // Laplace smoothing over the per-feature observed-bin universe.
+    "q139_drift_psi" ->
+      """WITH d AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cand' END AS half,
+        |   n_chars, lang,
+        |   len(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS n_toks
+        |  FROM documents),
+        | b AS (
+        |  SELECT half, 'len' AS feature,
+        |   CAST(least(9, CAST(floor(n_chars / 64.0) AS BIGINT)) AS VARCHAR) AS bin FROM d
+        |  UNION ALL
+        |  SELECT half, 'tok',
+        |   CAST(least(9, CAST(floor(n_toks / 16.0) AS BIGINT)) AS VARCHAR) FROM d
+        |  UNION ALL
+        |  SELECT half, 'lang', lang FROM d),
+        | g AS (SELECT feature, bin,
+        |   CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |   CAST(sum(CASE WHEN half = 'cand' THEN 1 ELSE 0 END) AS BIGINT) AS c_cand
+        |  FROM b GROUP BY feature, bin),
+        | w AS (SELECT *, count(*) OVER (PARTITION BY feature) AS k,
+        |   sum(c_ref) OVER (PARTITION BY feature) AS n_ref,
+        |   sum(c_cand) OVER (PARTITION BY feature) AS n_cand FROM g),
+        | terms AS (SELECT feature, k,
+        |   ((c_ref + 0.5) / (n_ref + 0.5 * k) - (c_cand + 0.5) / (n_cand + 0.5 * k))
+        |    * ln(((c_ref + 0.5) / (n_ref + 0.5 * k))
+        |         / ((c_cand + 0.5) / (n_cand + 0.5 * k))) AS term
+        |  FROM w)
+        |SELECT feature, CAST(k AS BIGINT) AS n_bins, round(sum(term), 6) AS psi
+        |FROM terms GROUP BY feature, k ORDER BY feature""".stripMargin,
+
+    // q140: per-dimension moments via the decimal-exact-sum rule
+    // (floor to 1e-9 → DECIMAL sum → truncate), q75's idiom; variance
+    // from the truncated first/second moments through one shared chain.
+    "q140_dimension_stats" ->
+      """WITH v AS (SELECT t.i AS dim,
+        |   CAST(embedding[t.i + 1] AS DOUBLE) AS vd
+        |  FROM embeddings, range(64) t(i)),
+        | g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |   sum(CAST(floor(vd * 1e9) AS DECIMAL(28,9))) AS s1,
+        |   sum(CAST(floor(vd * vd * 1e9) AS DECIMAL(28,9))) AS s2,
+        |   floor(min(vd) * 1e6) / 1e6 AS min_v,
+        |   floor(max(vd) * 1e6) / 1e6 AS max_v
+        |  FROM v GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        | floor(CAST(s1 AS DOUBLE) / 1e9 / n * 1e6) / 1e6 AS mean_v,
+        | floor((CAST(s2 AS DOUBLE) / 1e9 / n
+        |   - (CAST(s1 AS DOUBLE) / 1e9 / n) * (CAST(s1 AS DOUBLE) / 1e9 / n))
+        |   * 1e6) / 1e6 AS var_v,
+        | min_v, max_v
+        |FROM g ORDER BY dim""".stripMargin,
+
+    // q141: q70's assignment chain + the label cross-tab; purity on the
+    // shared floor-truncation.
+    "q141_cluster_purity" ->
+      s"""WITH $embCte,
+         | c AS (SELECT vec_id AS cluster_id, embedding AS cvec, nrm AS cnrm
+         |   FROM e WHERE vec_id < 8),
+         | p AS (SELECT e.vec_id, c.cluster_id,
+         |   (${dotSql("e.embedding", "c.cvec")}) / (e.nrm * c.cnrm) AS cos
+         |  FROM e, c),
+         | a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY cos DESC, cluster_id) AS rn FROM p),
+         | asg AS (SELECT vec_id, cluster_id FROM a WHERE rn = 1),
+         | lc AS (SELECT cluster_id, label, count(*) AS cnt
+         |   FROM asg JOIN e USING (vec_id) GROUP BY cluster_id, label),
+         | r AS (SELECT *, sum(cnt) OVER (PARTITION BY cluster_id) AS n_assigned,
+         |   row_number() OVER (PARTITION BY cluster_id
+         |     ORDER BY cnt DESC, label) AS rn2 FROM lc)
+         |SELECT cluster_id, CAST(n_assigned AS BIGINT) AS n_assigned,
+         | CAST(label AS BIGINT) AS top_label, CAST(cnt AS BIGINT) AS n_top,
+         | floor(cnt * 1.0 / n_assigned * 1e6) / 1e6 AS purity
+         |FROM r WHERE rn2 = 1 ORDER BY cluster_id""".stripMargin,
+
+    // q142: decile rule from the broadcast max-id scalar (mirrors the
+    // Spark 1-row crossJoin), shingling identical to shCte.
+    "q142_novelty_curve" ->
+      s"""WITH $toksCte,
+         | mx AS (SELECT max(doc_id) AS mx FROM documents),
+         | b AS (SELECT least(9, CAST(floor(doc_id * 10.0 / (mx + 1)) AS BIGINT))
+         |         AS bucket, toks FROM t, mx WHERE len(toks) >= 3),
+         | sh0 AS (SELECT bucket,
+         |   unnest(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM b),
+         | sh AS (SELECT DISTINCT bucket, gram FROM sh0),
+         | pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_distinct_grams
+         |   FROM sh GROUP BY bucket),
+         | fs AS (SELECT gram, min(bucket) AS bucket FROM sh GROUP BY gram),
+         | nw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_grams
+         |   FROM fs GROUP BY bucket),
+         | j AS (SELECT pb.bucket, n_distinct_grams,
+         |   coalesce(n_new_grams, 0) AS n_new_grams
+         |  FROM pb LEFT JOIN nw USING (bucket))
+         |SELECT bucket, n_distinct_grams, n_new_grams,
+         | CAST(sum(n_new_grams) OVER (ORDER BY bucket
+         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new_grams,
+         | floor(n_new_grams * 1.0 / n_distinct_grams * 1e6) / 1e6
+         |   AS novelty_ratio
+         |FROM j ORDER BY bucket""".stripMargin,
+
+    // q143: three gram widths as a UNION ALL (the Spark side explodes a
+    // struct array from one scan; same rows); per-distinct-gram counts
+    // via nested list lambdas, occurrence-weighted fractions truncated.
+    "q143_ngram_repetition" ->
+      s"""WITH $toksCte,
+         | u AS (
+         |  SELECT doc_id, CAST(2 AS BIGINT) AS n,
+         |   list_transform(range(1, len(toks)),
+         |     i -> array_to_string(toks[i:i+1], ' ')) AS g
+         |  FROM t WHERE len(toks) >= 2
+         |  UNION ALL
+         |  SELECT doc_id, 3, list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))
+         |  FROM t WHERE len(toks) >= 2
+         |  UNION ALL
+         |  SELECT doc_id, 4, list_transform(range(1, len(toks) - 2),
+         |     i -> array_to_string(toks[i:i+3], ' '))
+         |  FROM t WHERE len(toks) >= 2),
+         | s AS (SELECT doc_id, n, CAST(len(g) AS BIGINT) AS n_grams,
+         |   list_transform(list_distinct(g),
+         |     x -> len(list_filter(g, y -> y = x))) AS counts FROM u),
+         | f AS (SELECT doc_id, n, n_grams,
+         |   CAST(list_max(counts) AS BIGINT) AS top_occ,
+         |   CAST(coalesce(list_sum(list_filter(counts, c -> c >= 2)), 0)
+         |     AS BIGINT) AS dup_occ
+         |  FROM s WHERE n_grams >= 1)
+         |SELECT doc_id, n, n_grams,
+         | floor(top_occ * 1.0 / n_grams * 1e6) / 1e6 AS top_frac,
+         | floor(dup_occ * 1.0 / n_grams * 1e6) / 1e6 AS dup_frac
+         |FROM f ORDER BY doc_id, n""".stripMargin,
+
+    // q144: q95's span-hash chain; eval set = the capped probe grid on
+    // doc_id (q73's convention), spans full sha256 (no truncation).
+    "q144_eval_span_overlap" ->
+      s"""WITH $toksCte,
+         | d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) >= 8),
+         | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i,
+         |   toks FROM d),
+         | h AS (SELECT doc_id, n, i,
+         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         | ev AS (SELECT DISTINCT hh FROM h
+         |   WHERE doc_id % 7 = 0 AND doc_id < 2048),
+         | c AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_eval_spans
+         |  FROM h JOIN ev USING (hh)
+         |  WHERE NOT (doc_id % 7 = 0 AND doc_id < 2048)
+         |  GROUP BY doc_id, n)
+         |SELECT doc_id, n AS n_tokens, n - 7 AS n_spans, n_eval_spans,
+         | floor(n_eval_spans * 1.0 / (n - 7) * 1e6) / 1e6 AS contamination
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q145: q34's fingerprint window for exact multiplicity, pair-table
+    // degree for the near-dup discount.
+    "q145_soft_dedup_weights" ->
+      s"""WITH $lshPairCtes,
+         | f AS (SELECT doc_id,
+         |   sha256(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM documents),
+         | cnt AS (SELECT doc_id,
+         |   count(*) OVER (PARTITION BY fp) AS n_copies FROM f),
+         | dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+         |    SELECT d1 AS doc_id FROM pairs
+         |    UNION ALL SELECT d2 FROM pairs) GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(c.n_copies AS BIGINT) AS n_copies,
+         | coalesce(dg.n_near, 0) AS n_near,
+         | floor(1.0 / c.n_copies * 1e6) / 1e6 AS weight,
+         | floor(1.0 / (c.n_copies + coalesce(dg.n_near, 0)) * 1e6) / 1e6
+         |   AS weight_discounted
+         |FROM cnt c LEFT JOIN dg USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+
+    // q146: 4-width bucketing sweep as a VALUES lateral (the Spark side
+    // explodes a literal array); padding = Σ per bin (max − len).
+    "q146_padding_waste" ->
+      """WITH l AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+        |     s -> len(s) > 0)) AS BIGINT) AS len FROM documents),
+        | w AS (SELECT len, width FROM l,
+        |   (VALUES (1000000), (256), (64), (16)) AS v(width)),
+        | b AS (SELECT width, CAST(floor(len / width) AS BIGINT) AS bin,
+        |   CAST(count(*) AS BIGINT) AS n_docs, max(len) AS mx,
+        |   CAST(sum(len) AS BIGINT) AS toks
+        |  FROM w GROUP BY width, bin),
+        | g AS (SELECT width, CAST(count(*) AS BIGINT) AS n_bins,
+        |   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |   CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |   CAST(sum(mx * n_docs - toks) AS BIGINT) AS padding_tokens
+        |  FROM b GROUP BY width)
+        |SELECT CAST(width AS BIGINT) AS width, n_bins, n_docs, n_tokens,
+        | padding_tokens,
+        | floor(padding_tokens * 1.0 / (padding_tokens + n_tokens) * 1e6) / 1e6
+        |   AS padding_frac
+        |FROM g ORDER BY width""".stripMargin,
   )
 
   /** q127: one residual-PQ codebook variant's CTE chain (train → encode

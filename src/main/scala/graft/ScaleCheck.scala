@@ -182,6 +182,48 @@ object ScaleCheck {
       ("dedup_savings", () =>
         Curation.dedupSavings(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      // r15 batch 2: q136 is one corpus scan against the broadcast
+      // capped eval grid (linear by construction); q137's linear term is
+      // the LSH pair build, the dominance verdict is pair-sized;
+      // q138/q139 are single-scan aggregations to lang/bin grain
+      ("semantic_decontam", () =>
+        Curation.semanticDecontam(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("quality_keeper", () =>
+        Curation.qualityKeeper(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("token_fertility", () =>
+        graft.operators.Text.tokenFertility(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("drift_psi", () =>
+        Curation.driftPsi(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      // r15 batch 3: q140/q141 are broadcast-or-64-key corpus scans;
+      // q142 is vocabulary-keyed; q143 is a zero-shuffle narrow scan
+      ("dimension_stats", () =>
+        Similarity.dimensionStats(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("cluster_purity", () =>
+        Curation.clusterPurity(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("novelty_curve", () =>
+        Curation.noveltyCurve(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("ngram_repetition", () =>
+        Curation.ngramRepetition(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      // r15 batch 4: q144's linear term is the span explode (staged in
+      // deployments); q145 rides the LSH pair build + one fp window;
+      // q146 is a two-level partial agg to 4 rows
+      ("eval_span_overlap", () =>
+        Curation.evalSpanOverlap(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("soft_dedup_weights", () =>
+        Curation.softDedupWeights(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("padding_waste", () =>
+        Curation.paddingWaste(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       ("dup_pagerank", () =>
         Curation.dupPageRank(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),

@@ -69,6 +69,7 @@ object StreamBench {
     val dsirIdx = eager(StreamOps.corpusDsirIndex(spark, sfDir))
     val frameIdx = eager(StreamOps.corpusFrameIndex(spark, sfDir))
     val sq8Idx = eager(StreamOps.corpusSq8Index(spark, sfDir))
+    val evalIdx = eager(StreamOps.corpusEvalIndex(spark, sfDir))
 
     // one representative per gate family (the batch=stream equality for
     // each is pinned in StreamingSpec; this measures rate only)
@@ -83,7 +84,9 @@ object StreamBench {
       ("gate_bm25", nDocs, () => StreamOps.bm25ScoreStream(docStream, bm25Idx)),
       ("gate_dsir", nDocs, () => StreamOps.dsirScoreStream(docStream, dsirIdx)),
       ("gate_frame", nDocs, () => StreamOps.frameGateStream(docStream, frameIdx)),
-      ("gate_sq8", nVecs, () => StreamOps.sq8ScoreStream(vecStream, sq8Idx)))
+      ("gate_sq8", nVecs, () => StreamOps.sq8ScoreStream(vecStream, sq8Idx)),
+      ("gate_semantic", nVecs,
+        () => StreamOps.semanticGateStream(vecStream, evalIdx)))
 
     def drain(mk: () => DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -1252,4 +1252,46 @@ object Similarity {
         t6(col("c0_s").cast("double") / 1e9 / col("n_vectors")).as("avg_c0"))
       .orderBy(col("label"))
   }
+
+  /** q140: per-DIMENSION embedding health audit — mean, variance and
+    * value envelope of every coordinate across the corpus. This is the
+    * collapsed-dimension / anisotropy check an embedding pipeline runs
+    * before trusting cosine geometry: a dimension whose variance ≈ 0
+    * carries no signal (dead unit), one whose |mean| dwarfs its spread
+    * drags every cosine toward a common hub direction. Sums follow the
+    * repo's decimal-exact rule (floor to 1e-9 → DECIMAL sum →
+    * truncate), so the 64-row report replays bit-identically in DuckDB
+    * regardless of accumulation order; variance is computed from the
+    * truncated first/second moments through one shared expression.
+    *
+    * Scale shape: one corpus scan, posexplode to (dim, value) with
+    * map-side partial aggregation onto 64 keys — output is
+    * dimensionality-sized, never corpus-sized. At 100 TB the 64-key
+    * shuffle carries only partial sums per task. */
+  def dimensionStats(spark: SparkSession, dir: String): DataFrame =
+    dimensionStatsFrom(Tables.embeddings(spark, dir))
+
+  /** [[dimensionStats]] over any (embedding) frame — the deployment /
+    * fixture entry point. */
+  private[graft] def dimensionStatsFrom(emb: DataFrame): DataFrame = {
+    val t6 = (c: Column) => floor(c * 1e6) / 1e6
+    val decSum = (c: Column) => sum(floor(c * 1e9).cast("decimal(28,9)"))
+    val s1 = col("s1").cast("double") / 1e9 / col("n")
+    val s2 = col("s2").cast("double") / 1e9 / col("n")
+    emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vd", col("v").cast("double"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        decSum(col("vd")).as("s1"),
+        decSum(col("vd") * col("vd")).as("s2"),
+        t6(min(col("vd"))).as("min_v"),
+        t6(max(col("vd"))).as("max_v"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        t6(s1).as("mean_v"),
+        t6(s2 - s1 * s1).as("var_v"),
+        col("min_v"), col("max_v"))
+      .orderBy(col("dim"))
+  }
 }

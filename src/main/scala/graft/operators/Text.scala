@@ -212,4 +212,40 @@ object Text {
       .select("doc_id", "rn", "token", "tf", "df", "tfidf")
       .orderBy("doc_id", "rn")
   }
+
+  /** q138: tokenizer fertility census — per language: document/token
+    * volumes, raw characters emitted per token (the fertility number a
+    * multilingual pipeline budgets context length with: a language whose
+    * tokens carry fewer characters "costs" more tokens for the same
+    * text), mean token length, and language-level type/token ratio
+    * (vocabulary richness). On a byte-transparent tokenizer over this
+    * ASCII corpus chars = bytes; on real multilingual data the same
+    * query over `octet_length` is the bytes-per-token variant. Token
+    * definition is THE shared [[toks]], so fertility can never disagree
+    * with dedup/packing on what a token is.
+    *
+    * Scale shape: one docs-grain agg (no explode) + one token-explode
+    * agg with map-side partials, both keyed by the 5-value language —
+    * the tiny per-lang tables broadcast-join. The countDistinct is per
+    * lang over the token vocabulary (≪ token stream); at 100 TB it is
+    * the one shuffle and is bounded by vocabulary, not corpus. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDoc = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val tok = docs.select(col("lang"), explode(toks).as("token"))
+    val perTok = tok.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_vocab"),
+        sum(length(col("token"))).cast("long").as("sum_tok_len"))
+    perDoc.join(broadcast(perTok), "lang")
+      .select(
+        col("lang"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_vocab"),
+        (floor(col("n_chars") * 1e6 / col("n_tokens")) / 1e6).as("chars_per_token"),
+        (floor(col("sum_tok_len") * 1e6 / col("n_tokens")) / 1e6).as("mean_tok_len"),
+        (floor(col("n_vocab") * 1e6 / col("n_tokens")) / 1e6).as("ttr"))
+      .orderBy(col("lang"))
+  }
 }

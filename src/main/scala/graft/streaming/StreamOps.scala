@@ -742,6 +742,42 @@ object StreamOps {
         (floor(col("n_dup_frames") / col("n_frames") * 1e6) / 1e6).as("dup_ratio"))
   }
 
+  /** The semantic-decontamination gate's static side as ONE
+    * broadcastable row: the eval suite's (eval_id, e_emb, e_nrm)
+    * structs, norms precomputed by the SAME [[Similarity.norm]] chain
+    * the batch query uses — refreshed whenever the eval suite changes
+    * (rarely). The declared eval set is q136's capped probe grid. */
+  def corpusEvalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.gridProbes(Tables.embeddings(spark, dir))
+      .agg(collect_list(struct(col("vec_id").as("eval_id"),
+        col("embedding").as("e_emb"),
+        Similarity.norm(col("embedding")).as("e_nrm"))).as("evals"))
+  }
+
+  /** Streaming semantic-decontamination gate — q136 at ingest rate: each
+    * arriving vector's cosine against every broadcast eval vector through
+    * the SAME dot/norm expression chain and the SAME rounded-threshold
+    * predicate as the batch query, so replayed corpus vectors flag
+    * identically row for row (StreamingSpec pin). STATELESS: one
+    * broadcast crossJoin, an explode over the eval array, per-row column
+    * math — no shuffle, no state store. Emits the flagged
+    * (vec_id, eval_id, cosine) evidence rows; an admission deployment
+    * anti-joins its payload on the flagged ids. */
+  def semanticGateStream(vecs: DataFrame, evalIndex: DataFrame): DataFrame = {
+    import graft.operators.{Curation, Similarity}
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(evalIndex))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .withColumn("ev", explode(col("evals")))
+      .filter(col("vec_id") =!= col("ev.eval_id"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("embedding"), col("ev.e_emb")) /
+          (col("nrm") * col("ev.e_nrm")), 6))
+      .filter(col("cosine") >= Curation.SemDecontamTau)
+      .select(col("vec_id"), col("ev.eval_id").as("eval_id"), col("cosine"))
+  }
+
   /** Static corpus band index (band, band_sig) for the stream-static
     * near-dup join — built by one batch pass over the corpus. */
   def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {

@@ -1062,4 +1062,301 @@ class CurationSpec extends SparkSpec {
       .join(fpKeeper, "d1").select(col("d2")).distinct().count()
     assert(out.map(_.getLong(5)).sum == totalNear)
   }
+
+  test("semantic decontam: fixture — threshold, self-exclusion, evidence") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat)
+    // eval vec 0 = e1; corpus: 0 itself (self-excluded), 10 ≡ e1
+    // (cos 1), 11 ⊥ (cos 0), 12 at cos 0.8, 13 at cos 0.28 (below τ)
+    val emb = Seq(
+      (0L, vec(1.0)), (10L, vec(2.0)), (11L, vec(0.0, 3.0)),
+      (12L, vec(0.8, 0.6)), (13L, vec(0.28, 0.96)))
+      .toDF("vec_id", "embedding")
+    val ev = emb.filter(col("vec_id") === 0L)
+    val out = Curation.semanticDecontamFrom(emb, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 0L, 1.0), (12L, 0L, 0.8)),
+      s"flag set: ${out.toSeq}")
+  }
+
+  test("semantic decontam: declared query matches an independent recount") {
+    import graft.operators.Similarity
+    val out = Curation.semanticDecontam(spark, sfDir).cache()
+    out.collect().foreach { r =>
+      assert(r.getDouble(2) >= Curation.SemDecontamTau, s"below tau: $r")
+      assert(r.getLong(0) != r.getLong(1), s"self-pair: $r")
+    }
+    // eval ends must satisfy the shared probe predicate
+    assert(out.filter(!Similarity.probeFilter(col("eval_id"))).count() == 0)
+    // independent recount from raw columns
+    val emb = Tables.embeddings(spark, sfDir)
+    val ev = emb.filter(Similarity.probeFilter(col("vec_id")))
+      .select(col("vec_id").as("e_id"), col("embedding").as("e"))
+    val expected = emb.crossJoin(ev)
+      .filter(col("vec_id") =!= col("e_id"))
+      .filter(round(Similarity.dot(col("embedding"), col("e")) /
+        (Similarity.norm(col("embedding")) * Similarity.norm(col("e"))), 6)
+        >= Curation.SemDecontamTau)
+      .count()
+    assert(out.count() == expected)
+    out.unpersist()
+    ()
+  }
+
+  test("quality keeper: fixture — richness, char and id tie-breaks") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c", 5L),    // rich 3
+      (1L, "a a b", 5L),    // rich 2 — dominated by 0
+      (2L, "a b c d", 7L),  // rich 4 — dominates 0
+      (3L, "x y", 3L),      // rich 2, ties with 4 → lower id survives
+      (4L, "y x", 3L))      // rich 2 — dominated by 3 on the id tie
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((0L, 1L, 0.8), (0L, 2L, 0.7), (3L, 4L, 0.9))
+      .toDF("d1", "d2", "jaccard")
+    val out = Curation.qualityKeeperFrom(docs, pairs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(0L) == ((2L, 1L, 2L, 0L)), s"doc 0: ${out(0L)}")  // beaten by 2 only
+    assert(out(1L) == ((1L, 1L, 0L, 0L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((1L, 0L, -1L, 1L)), s"doc 2: ${out(2L)}") // the keeper
+    assert(out(3L) == ((1L, 0L, -1L, 1L)), s"doc 3: ${out(3L)}") // id tie win
+    assert(out(4L) == ((1L, 1L, 3L, 0L)), s"doc 4: ${out(4L)}")
+  }
+
+  test("quality keeper: dominance is total — no pair survives whole") {
+    val out = Curation.qualityKeeper(spark, sfDir).cache()
+    val pairs = Dedup.lshNearDup(spark, sfDir)
+    // output covers exactly the docs touched by a pair
+    val touched = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+    assert(out.count() == touched.count())
+    // (rich, n_chars, -id) is a strict total order, so in every verified
+    // pair at least one end must be dominated
+    val kept = out.filter(col("kept") === 1L).select(col("doc_id"))
+    val bothKept = pairs
+      .join(kept.withColumnRenamed("doc_id", "d1"), "d1")
+      .join(kept.withColumnRenamed("doc_id", "d2"), "d2")
+    assert(bothKept.count() == 0, "a pair with both ends kept")
+    // kept verdict is exactly n_better == 0
+    assert(out.filter((col("kept") === 1L) =!= (col("n_better") === 0L))
+      .count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("cluster purity: fixture — pure cluster at 1.0, tied cluster takes the smaller label") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat)
+    // centroids = vec_ids 0 and 1; 2 joins cluster 0 (same label → pure),
+    // 3 joins cluster 1 with a different label (1-1 tie → label 0 wins)
+    val emb = Seq(
+      (0L, vec(1.0), 0), (1L, vec(0.0, 1.0), 1),
+      (2L, vec(1.0, 0.1), 0), (3L, vec(0.1, 1.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Curation.clusterPurityFrom(emb, 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(0L) == ((2L, 0L, 2L, 1.0)), s"cluster 0: ${out(0L)}")
+    assert(out(1L) == ((2L, 0L, 1L, 0.5)), s"cluster 1: ${out(1L)}")
+  }
+
+  test("cluster purity: declared query covers the corpus and bounds hold") {
+    val out = Curation.clusterPurity(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(out.map(_.getLong(1)).sum == emb.count())
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"n_top > n_assigned: $r")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, s"purity: $r")
+    }
+  }
+
+  test("novelty curve: fixture — repeated gram is new only in its first decile") {
+    import spark.implicits._
+    // ids 0..9 → mx=9 → bucket = id; one shared shingle everywhere,
+    // plus a second shingle appearing first in bucket 5
+    val docs = (0L to 9L).map(i =>
+      (i, if (i >= 5) "p q r s" else "a b c")).toDF("doc_id", "text")
+    val out = Curation.noveltyCurveFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(0L) == ((1L, 1L, 1L, 1.0)), s"bucket 0: ${out(0L)}")
+    // bucket 5 introduces "p q r" and "q r s": 2 distinct, both new
+    assert(out(5L) == ((2L, 2L, 3L, 1.0)), s"bucket 5: ${out(5L)}")
+    assert(out(6L) == ((2L, 0L, 3L, 0.0)), s"bucket 6: ${out(6L)}")
+    assert(out(9L)._3 == 3L, "cumulative must end at the corpus total")
+  }
+
+  test("novelty curve: declared — cumulative ends at the corpus distinct-shingle count") {
+    val out = Curation.noveltyCurve(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"more new than distinct: $r")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    assert(out.map(_.getLong(2)).sum == out.last.getLong(3),
+      "sum of new != final cumulative")
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.withColumn("toks", org.apache.spark.sql.functions.filter(
+        split(col("text"), " "), t => length(t) > 0))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(graft.operators.Dedup.shingleCol).as("g"))
+      .distinct().count()
+    assert(out.last.getLong(3) == total,
+      s"cumulative ${out.last.getLong(3)} != corpus distinct $total")
+  }
+
+  test("ngram repetition: fixture — loop doc saturates, distinct doc floors, short docs drop rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a a"), (1L, "a b c d"), (2L, "x y z"), (3L, "w"))
+      .toDF("doc_id", "text")
+    val out = Curation.ngramRepetitionFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out((0L, 2L)) == ((3L, 1.0, 1.0)))
+    assert(out((0L, 3L)) == ((2L, 1.0, 1.0)))
+    // a single 4-gram is trivially the top but NOT a duplicate
+    assert(out((0L, 4L)) == ((1L, 1.0, 0.0)))
+    assert(out((1L, 2L)) == ((3L, 0.333333, 0.0)))
+    // 3-token doc: no n=4 row; 1-token doc: no rows at all
+    assert(!out.contains((2L, 4L)) && out.contains((2L, 3L)))
+    assert(!out.keys.exists(_._1 == 3L))
+  }
+
+  test("ngram repetition: declared agrees with q67 on bigram duplicate existence") {
+    val out = Curation.ngramRepetition(spark, sfDir)
+      .filter(col("n") === 2L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val q67 = Curation.repetitionRatio(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.keySet == q67.keySet)
+    out.foreach { case (doc, dupFrac) =>
+      assert((dupFrac > 0.0) == (q67(doc) > 0.0),
+        s"doc $doc: dup_frac $dupFrac vs q67 ${q67(doc)}")
+    }
+  }
+
+  test("eval span overlap: fixture — quoted span flagged, clean doc absent") {
+    import spark.implicits._
+    val evalDocs = Seq((0L, "src", "e1 e2 e3 e4 e5 e6 e7 e8"))
+      .toDF("doc_id", "source", "text")
+    val corpus = Seq(
+      (10L, "src", "x e1 e2 e3 e4 e5 e6 e7 e8 y"), // quotes the eval span
+      (11L, "src", "a b c d f g h i j k"))          // clean
+      .toDF("doc_id", "source", "text")
+    val out = Curation.evalSpanOverlapFrom(
+      Curation.spanRows(corpus), Curation.spanRows(evalDocs)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == math.floor(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("eval span overlap: declared matches an independent recount, eval excluded") {
+    val out = Curation.evalSpanOverlap(spark, sfDir).cache()
+    assert(out.filter(Curation.evalGrid(col("doc_id"))).count() == 0)
+    out.collect().foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(2), s"bad counts: $r")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val ev = Curation.spanRows(docs.filter(Curation.evalGrid(col("doc_id"))))
+      .select(col("h")).distinct()
+    val expected = Curation.spanRows(
+        docs.filter(!Curation.evalGrid(col("doc_id"))))
+      .join(ev, "h").select(col("doc_id")).distinct().count()
+    assert(out.count() == expected)
+    out.unpersist()
+    ()
+  }
+
+  test("soft dedup weights: fixture — copies split the unit, near partners discount") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "dup dup"), (1L, "dup dup"),  // exact cluster of 2
+      (2L, "a b"), (3L, "a b c"))        // near-dup pair
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L, 0.8)).toDF("d1", "d2", "jaccard")
+    val out = Curation.softDedupWeightsFrom(docs, pairs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0L) == ((2L, 0L, 0.5, 0.5)))
+    assert(out(1L) == ((2L, 0L, 0.5, 0.5)))
+    assert(out(2L) == ((1L, 1L, 1.0, 0.5)))
+    assert(out(3L) == ((1L, 1L, 1.0, 0.5)))
+  }
+
+  test("soft dedup weights: declared covers the corpus, clusters sum to ~1") {
+    val out = Curation.softDedupWeights(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.count() == docs.count())
+    out.collect().foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-12, s"discount above base: $r")
+      // weight is exactly 1/n_copies up to the 1e-6 floor
+      assert(math.abs(r.getDouble(3) * r.getLong(1) - 1.0) < 1e-5, s"weight: $r")
+    }
+    out.unpersist()
+    ()
+  }
+
+  test("padding waste: fixture — fine buckets eliminate, coarse pay the spread") {
+    import spark.implicits._
+    val docs = Seq((0L, Seq.fill(10)("t").mkString(" ")),
+      (1L, Seq.fill(20)("t").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.paddingWasteFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // width 16: lens 10 and 20 land in different bins → zero padding
+    assert(out(16L) == ((2L, 30L, 0L, 0.0)), s"w16: ${out(16L)}")
+    // one shared bin for the coarser widths: the 10-token doc pads to 20
+    assert(out(64L) == ((1L, 30L, 10L, 0.25)), s"w64: ${out(64L)}")
+    assert(out(1000000L) == ((1L, 30L, 10L, 0.25)))
+  }
+
+  test("padding waste: declared — nested widths are monotone, fractions sane") {
+    val out = Curation.paddingWaste(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(out.size == 4)
+    // 16 | 64 | 256 are nested refinements → padding can only shrink
+    assert(out(16L)._1 <= out(64L)._1 && out(64L)._1 <= out(256L)._1)
+    out.values.foreach { case (pad, frac) =>
+      assert(pad >= 0L && frac >= 0.0 && frac < 1.0)
+    }
+  }
+
+  test("drift PSI: fixture — disjoint langs give the closed-form PSI, identical bins give 0") {
+    import spark.implicits._
+    val ref = Seq((0L, "a b", "en", 10L), (2L, "c d", "en", 10L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val cand = Seq((1L, "e f", "de", 10L), (3L, "g h", "de", 10L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = Curation.driftPsiFrom(ref, cand).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // len and tok distributions are identical → PSI exactly 0
+    assert(out("len") == ((1L, 0.0)), s"len: ${out("len")}")
+    assert(out("tok") == ((1L, 0.0)), s"tok: ${out("tok")}")
+    // lang: bins {en, de}, counts (2,0) vs (0,2), smoothed ±0.5 over
+    // K=2 → p = 2.5/3 vs 0.5/3 both directions
+    val p = 2.5 / 3.0; val q = 0.5 / 3.0
+    val expected = BigDecimal(2 * (p - q) * math.log(p / q))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("lang")._1 == 2L)
+    assert(math.abs(out("lang")._2 - expected) < 1e-9,
+      s"lang psi ${out("lang")._2} vs $expected")
+  }
+
+  test("drift PSI: declared query — three nonnegative features over the parity split") {
+    val out = Curation.driftPsi(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSet == Set("lang", "len", "tok"))
+    out.foreach { r =>
+      // each PSI term (p−q)·ln(p/q) is ≥ 0, so the sum must be
+      assert(r.getDouble(2) >= 0.0, s"negative PSI: $r")
+      assert(r.getLong(1) >= 1L)
+    }
+  }
 }

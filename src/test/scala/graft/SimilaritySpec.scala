@@ -576,4 +576,37 @@ class SimilaritySpec extends SparkSpec {
       "no seed beyond the old id bound survived — under-seeding regressed")
     assert(s.exceptAll(a).count() > 0, "stale codebook identical to fresh")
   }
+
+  test("dimension stats: fixture — exact moments on a two-vector column") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat)
+    val emb = Seq((0L, vec(1.0, -0.5)), (1L, vec(3.0, -0.5)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.dimensionStatsFrom(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.size == 64)
+    // dim 0: values {1, 3} → mean 2, var 1, envelope [1, 3]
+    assert(out(0L) == ((2L, 2.0, 1.0, 1.0, 3.0)), s"dim 0: ${out(0L)}")
+    // dim 1: constant −0.5 → var exactly 0 (dead unit detected)
+    assert(out(1L) == ((2L, -0.5, 0.0, -0.5, -0.5)), s"dim 1: ${out(1L)}")
+    // dim 2: constant 0
+    assert(out(2L) == ((2L, 0.0, 0.0, 0.0, 0.0)), s"dim 2: ${out(2L)}")
+  }
+
+  test("dimension stats: declared — 64 dims, full coverage, sane envelopes") {
+    val out = Similarity.dimensionStats(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length == 64)
+    assert(out.map(_.getLong(0)).toSeq == (0L to 63L))
+    out.foreach { r =>
+      assert(r.getLong(1) == n, s"dim missing rows: $r")
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5),
+        s"mean outside envelope: $r")
+      // truncation of the two moments can dent an exact-zero variance
+      // by at most 2e-6; anything more negative is a real defect
+      assert(r.getDouble(3) >= -2e-6, s"variance negative: $r")
+    }
+  }
 }

@@ -972,6 +972,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic-decontam gate reproduces batch q136 flags row for row, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Curation
+    import graft.streaming.StreamOps.Probe
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = StreamOps.corpusEvalIndex(spark, sfDir)
+    val vecRows = emb.select("vec_id", "embedding").collect()
+      .map(r => Probe(r.getLong(0), r.getSeq[Float](1)))
+    assert(vecRows.nonEmpty)
+    val input = MemoryStream[Probe]
+    val q = StreamOps.semanticGateStream(input.toDF(), idx)
+      .writeStream.format("memory").queryName("semdecon_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(vecRows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("semdecon_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Curation.semanticDecontam(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"semantic gate diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(got.nonEmpty)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sq8 scorer reproduces batch q120 ranking row for row, stateless") {
     // the compressed-storage tier's streaming dual (r14): corpus vectors
     // replayed through the gate are SQ8-encoded with the shared code
