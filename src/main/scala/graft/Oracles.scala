@@ -2820,6 +2820,91 @@ object Oracles {
         | floor(padding_tokens * 1.0 / (padding_tokens + n_tokens) * 1e6) / 1e6
         |   AS padding_frac
         |FROM g ORDER BY width""".stripMargin,
+
+    // q147: per-label decimal-exact means floored to integer micro-units,
+    // then pairwise dot/norms as exact BIGINT sums — no float summation,
+    // so accumulation order cannot matter in either engine.
+    "q147_label_centroid_sim" ->
+      """WITH v AS (SELECT label, t.i AS dim,
+        |   CAST(embedding[t.i + 1] AS DOUBLE) AS vd
+        |  FROM embeddings, range(64) t(i)),
+        | c AS (SELECT label, dim,
+        |   CAST(floor(CAST(sum(CAST(floor(vd * 1e9) AS DECIMAL(28,9))) AS DOUBLE)
+        |     / 1e9 / count(*) * 1e6) AS BIGINT) AS mi
+        |  FROM v GROUP BY label, dim),
+        | p AS (SELECT a.label AS l1, b.label AS l2,
+        |   CAST(sum(a.mi * b.mi) AS BIGINT) AS dot,
+        |   CAST(sum(a.mi * a.mi) AS BIGINT) AS n1,
+        |   CAST(sum(b.mi * b.mi) AS BIGINT) AS n2
+        |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY l1, l2)
+        |SELECT CAST(l1 AS BIGINT) AS l1, CAST(l2 AS BIGINT) AS l2,
+        | round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cosine
+        |FROM p ORDER BY l1, l2""".stripMargin,
+
+    // q148: q40's exact chain (k=10) as the relevant set, q41's bucketed
+    // chain (k=10) as the ranked list; DCG weights floored to integer
+    // 1e-9 units (q75's ln precedent) so per-probe sums are exact.
+    "q148_rank_quality" -> {
+      val bucket = (0 until 4)
+        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      s"""WITH $embCte,
+         | probes AS (SELECT vec_id AS probe_id FROM e
+         |   WHERE vec_id % 97 = 0 AND vec_id < 2048),
+         | ep AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
+         |   FROM e p JOIN e c ON p.vec_id % 97 = 0 AND p.vec_id < 2048
+         |                    AND p.vec_id <> c.vec_id),
+         | ex AS (SELECT probe_id, cand_id FROM (SELECT *, row_number()
+         |     OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+         |    FROM ep) WHERE rnk <= 10),
+         | eb AS (SELECT *, $bucket AS bucket FROM e),
+         | ap AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    (${dotSql("p.embedding", "c.embedding")}) / (p.nrm * c.nrm) AS cosine
+         |   FROM eb p JOIN eb c ON p.vec_id % 97 = 0 AND p.vec_id < 2048
+         |     AND p.bucket = c.bucket AND p.vec_id <> c.vec_id),
+         | an AS (SELECT probe_id, cand_id, rnk FROM (SELECT *, row_number()
+         |     OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+         |    FROM ap) WHERE rnk <= 10),
+         | h AS (SELECT an.probe_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(min(rnk) AS BIGINT) AS first_rank,
+         |    CAST(sum(CAST(floor(1e9 / (ln(rnk + 1.0) / ln(2.0))) AS BIGINT))
+         |      AS BIGINT) AS dcg9
+         |   FROM an JOIN ex USING (probe_id, cand_id) GROUP BY an.probe_id),
+         | wt AS (SELECT i, CAST(floor(1e9 / (ln(i + 1.0) / ln(2.0))) AS BIGINT)
+         |     AS iw9 FROM range(1, 11) t(i)),
+         | sc AS (SELECT probe_id, n_hits, first_rank, dcg9,
+         |    CAST(sum(iw9) AS BIGINT) AS idcg9
+         |   FROM h JOIN wt ON wt.i <= h.n_hits
+         |   GROUP BY probe_id, n_hits, first_rank, dcg9)
+         |SELECT p.probe_id,
+         | coalesce(sc.n_hits, 0) AS n_hits,
+         | floor(coalesce(sc.n_hits, 0) * 1.0 / 10 * 1e6) / 1e6 AS recall_at_10,
+         | coalesce(floor(1.0 / sc.first_rank * 1e6) / 1e6, 0.0) AS mrr,
+         | coalesce(floor(sc.dcg9 * 1.0 / sc.idcg9 * 1e6) / 1e6, 0.0) AS ndcg
+         |FROM probes p LEFT JOIN sc USING (probe_id)
+         |ORDER BY p.probe_id""".stripMargin
+    },
+
+    // q149: q94's %7 increment convention at shingle grain; the corpus
+    // vocabulary distinct-reduces before the join (q60's DISTINCT+unnest
+    // shape).
+    "q149_increment_novelty" ->
+      s"""WITH $toksCte,
+         | g AS (SELECT DISTINCT doc_id,
+         |   unnest(list_transform(range(1, len(toks) - 1),
+         |     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3),
+         | cv AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 <> 0),
+         | bg AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 = 0)
+         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         | CAST(sum(CASE WHEN cv.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_novel,
+         | floor(sum(CASE WHEN cv.gram IS NULL THEN 1 ELSE 0 END) * 1.0
+         |   / count(*) * 1e6) / 1e6 AS novelty
+         |FROM bg LEFT JOIN cv USING (gram)
+         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
   )
 
   /** q127: one residual-PQ codebook variant's CTE chain (train → encode

@@ -224,6 +224,18 @@ object ScaleCheck {
       ("padding_waste", () =>
         Curation.paddingWaste(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      // r15 batch 5: q147 is a posexplode scan to (labels × 64) keys;
+      // q148 composes the two capped-probe ANN plans; q149 joins the
+      // increment's grams against the distinct-reduced corpus vocabulary
+      ("label_centroid_sim", () =>
+        Similarity.labelCentroidSim(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("rank_quality", () =>
+        Similarity.rankQuality(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
+      ("increment_novelty", () =>
+        Curation.incrementNovelty(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       ("dup_pagerank", () =>
         Curation.dupPageRank(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),

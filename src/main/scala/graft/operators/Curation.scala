@@ -2607,6 +2607,47 @@ object Curation {
       .orderBy(col("width"))
   }
 
+  /** q149: increment novelty scoring — q94's daily-increment convention
+    * (doc_id % 7 == 0 is the arriving batch) scored at shingle grain:
+    * per batch document, its distinct 3-token shingles, how many are
+    * NOVEL against the standing corpus's shingle vocabulary, and the
+    * novelty ratio. q142 measures novelty decay across acquisition
+    * deciles; THIS is the per-document admission signal — a zero-novelty
+    * arrival adds nothing the corpus doesn't already have, even when it
+    * isn't a dedup hit (recombined boilerplate), and a high-novelty one
+    * is worth keeping even from an over-represented source.
+    *
+    * Scale shape: the corpus shingle vocabulary is distinct-reduced with
+    * map-side partials BEFORE the join (vocabulary-sized, not
+    * token-volume-sized); the batch side is increment-sized; the join
+    * shuffles on the gram key — the q79 incremental-dedup shape one
+    * granularity finer. */
+  def incrementNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementNoveltyFrom(docs.filter(col("doc_id") % 7 === 0),
+      docs.filter(col("doc_id") % 7 =!= 0))
+  }
+
+  /** [[incrementNovelty]] over explicit increment/corpus frames — the
+    * deployment entry point (yesterday's index, today's arrivals). */
+  private[graft] def incrementNoveltyFrom(batch: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(Dedup.shingleCol).as("gram"))
+    val corpusVocab = grams(corpus).select(col("gram")).distinct()
+      .withColumn("known", lit(true))
+    grams(batch).distinct()
+      .join(corpusVocab, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("known").isNull, lit(1))).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        trunc6(col("n_novel") * 1.0 / col("n_grams")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q141: cluster–label purity audit — q70's k-means assignment
     * cross-tabulated against the embedding labels: per cluster, its
     * size, majority label, majority count, and purity (majority/size).
@@ -2776,19 +2817,27 @@ object Curation {
       docs.filter(col("doc_id") % 2 === 1))
   }
 
+  /** THE drift-feature binning — one row per (feature, bin) per
+    * document: length decile-capped /64 bins, token /16 bins, language
+    * as its own categorical bin. Shared by batch q139 and the streaming
+    * drift monitor ([[graft.streaming.StreamOps.driftBinsStream]]) so
+    * the two sides can never disagree on what a bin is. Extra input
+    * columns (e.g. a stream's event time) ride through untouched. */
+  private[graft] def driftBinned(df: DataFrame): DataFrame = df
+    .withColumn("fb", explode(array(
+      struct(lit("len").as("feature"),
+        least(lit(9L), floor(col("n_chars") / 64)).cast("string").as("bin")),
+      struct(lit("tok").as("feature"),
+        least(lit(9L), floor(size(toks) / 16)).cast("string").as("bin")),
+      struct(lit("lang").as("feature"), col("lang").as("bin")))))
+    .select((df.columns.toSeq.diff(Seq("text", "n_chars", "lang")).map(col) ++
+      Seq(col("fb.feature").as("feature"), col("fb.bin").as("bin"))): _*)
+
   /** [[driftPsi]] over explicit reference/candidate corpora — the
     * deployment entry point (e.g. consecutive crawl snapshots). */
   private[graft] def driftPsiFrom(ref: DataFrame, cand: DataFrame): DataFrame = {
-    def binned(df: DataFrame, half: String): DataFrame = df.select(
-      lit(half).as("half"),
-      explode(array(
-        struct(lit("len").as("feature"),
-          least(lit(9L), floor(col("n_chars") / 64)).cast("string").as("bin")),
-        struct(lit("tok").as("feature"),
-          least(lit(9L), floor(size(toks) / 16)).cast("string").as("bin")),
-        struct(lit("lang").as("feature"), col("lang").as("bin"))))
-        .as("fb"))
-      .select(col("half"), col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+    def binned(df: DataFrame, half: String): DataFrame =
+      driftBinned(df).withColumn("half", lit(half))
     val counts = binned(ref, "ref").unionByName(binned(cand, "cand"))
       .groupBy(col("feature"), col("bin"), col("half"))
       .agg(count(lit(1)).as("c"))

@@ -1253,6 +1253,97 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** q147: label-centroid similarity matrix — the cosine between every
+    * pair of per-label mean vectors. This is the class-confusability /
+    * source-redundancy audit an embedding-based router or SemDeDup pass
+    * reads first: two labels whose centroids sit at cosine ≈ 1 will
+    * never be separated by centroid routing, and their corpora are
+    * candidates for merging. Per-dim means use the decimal-exact-sum
+    * rule, then floor to INTEGER micro-units (1e-6) so the pairwise
+    * dot/norm sums are exact LONG arithmetic — order-independent across
+    * engines by construction, no float summation anywhere.
+    *
+    * Scale shape: one posexplode scan → (label, dim) partials; the
+    * pairwise stage joins two (labels × 64)-row tables — label-count
+    * sized, never corpus-sized. */
+  def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidSimFrom(Tables.embeddings(spark, dir))
+
+  /** [[labelCentroidSim]] over any (label, embedding) frame. */
+  private[graft] def labelCentroidSimFrom(emb: DataFrame): DataFrame = {
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1e9).cast("decimal(28,9)")).as("s"))
+      .select(col("label"), col("dim"),
+        floor(col("s").cast("double") / 1e9 / col("n") * 1e6)
+          .cast("long").as("mi"))
+    val a = cent.select(col("label").as("l1"), col("dim"), col("mi").as("m1"))
+    val b = cent.select(col("label").as("l2"), col("dim"), col("mi").as("m2"))
+    a.join(b, Seq("dim"))
+      .filter(col("l1") < col("l2"))
+      .groupBy(col("l1"), col("l2"))
+      .agg(
+        sum(col("m1") * col("m2")).as("dot"),
+        sum(col("m1") * col("m1")).as("n1"),
+        sum(col("m2") * col("m2")).as("n2"))
+      .select(col("l1").cast("long").as("l1"), col("l2").cast("long").as("l2"),
+        round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 6).as("cosine"))
+      .orderBy(col("l1"), col("l2"))
+  }
+
+  /** q148: ANN ranking-quality audit — q88's recall philosophy extended
+    * to ORDER: per probe, the sign-bucketed ANN's top-10 scored against
+    * the exact cosine top-10 as the relevant set, reporting hits,
+    * recall@10, MRR (reciprocal rank of the first relevant result) and
+    * nDCG@10. Recall alone hides rank inversions that matter when the
+    * consumer truncates further downstream; MRR/nDCG are the standard
+    * ranking metrics shipped as a query, re-measured whenever the
+    * embedding model or corpus mix changes. DCG gains are the fixed
+    * 1/log2(rank+1) table floored to integer 1e-9 units (q75's
+    * ln-flooring precedent), so every per-probe sum is exact LONG
+    * arithmetic.
+    *
+    * Scale shape: composes the two existing plans; the audit join input
+    * is |probes|·k rows, never the corpus (q88's contract, capped probe
+    * grid declared / fixed budget via the `From`). */
+  def rankQuality(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    rankQualityFrom(emb, gridProbes(emb))
+  }
+
+  /** [[rankQuality]] over an explicit probe set. */
+  def rankQualityFrom(emb: DataFrame, probes: DataFrame): DataFrame = {
+    val exact = cosineTopKFrom(emb, probes, k = 10)
+      .select(col("probe_id"), col("cand_id"))
+    val ann = annBucketedFrom(emb, probes, k = 10)
+      .select(col("probe_id"), col("rank"), col("cand_id"))
+    // integer 1e-9 DCG weight of a hit at `rank`
+    def w9(rank: Column): Column =
+      floor(lit(1e9) / (log(rank + 1.0) / log(lit(2.0)))).cast("long")
+    val hits = ann.join(exact, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("first_rank"),
+        sum(w9(col("rank"))).as("dcg9"))
+    // ideal DCG = the same weights packed at ranks 1..n_hits
+    val wt = broadcast(probes.sparkSession.range(1, 11).toDF("i")
+      .select(col("i"), w9(col("i")).as("iw9")))
+    val scored = hits.join(wt, col("i") <= col("n_hits"))
+      .groupBy(col("probe_id"), col("n_hits"), col("first_rank"), col("dcg9"))
+      .agg(sum(col("iw9")).as("idcg9"))
+    probes.select(col("vec_id").as("probe_id")).distinct()
+      .join(scored, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        trunc6(coalesce(col("n_hits"), lit(0L)) * 1.0 / 10).as("recall_at_10"),
+        coalesce(trunc6(lit(1.0) / col("first_rank")), lit(0.0)).as("mrr"),
+        coalesce(trunc6(col("dcg9") * 1.0 / col("idcg9")), lit(0.0)).as("ndcg"))
+      .orderBy(col("probe_id"))
+  }
+
+  private def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
+
   /** q140: per-DIMENSION embedding health audit — mean, variance and
     * value envelope of every coordinate across the corpus. This is the
     * collapsed-dimension / anisotropy check an embedding pipeline runs

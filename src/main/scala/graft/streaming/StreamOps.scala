@@ -387,6 +387,11 @@ object StreamOps {
   /** A streamed ANN query: id + embedding (the probe stream's shape). */
   case class Probe(vec_id: Long, embedding: Seq[Float])
 
+  /** A metadata-bearing document arrival (the columns the drift monitor
+    * bins on). */
+  case class DocMeta(doc_id: Long, ts: java.sql.Timestamp, text: String,
+      lang: String, n_chars: Long)
+
   /** The IVF centroid table as ONE broadcastable row (`cells`: sorted
     * array of (cell, cvec, cnrm) structs) — the static side of
     * [[ivfRouteStream]], refreshed by a scheduled batch job exactly like
@@ -776,6 +781,54 @@ object StreamOps {
           (col("nrm") * col("ev.e_nrm")), 6))
       .filter(col("cosine") >= Curation.SemDecontamTau)
       .select(col("vec_id"), col("ev.eval_id").as("eval_id"), col("cosine"))
+  }
+
+  /** The drift monitor's static side: q139's reference half binned and
+    * counted by the SHARED [[graft.operators.Curation.driftBinned]]
+    * projection, with the per-feature bin-universe size and reference
+    * total attached — a bins-sized table (tens of rows), broadcast.
+    * Refreshed when the reference snapshot rolls, like every other
+    * stream index here. */
+  def corpusDriftRef(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val ref = Curation.driftBinned(
+        Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0))
+      .groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("c_ref"))
+    val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
+    ref
+      .withColumn("k_ref", count(lit(1)).over(wF))
+      .withColumn("n_ref", sum(col("c_ref")).over(wF))
+  }
+
+  /** Streaming drift monitor — q139's candidate side at ingest rate:
+    * arriving documents bin through the SHARED
+    * [[graft.operators.Curation.driftBinned]] projection and aggregate
+    * to per-window (feature, bin) counts, each joined (broadcast,
+    * stateless per row) with the reference snapshot's count for that
+    * bin. The emitted (window_start, feature, bin, c_cand, c_ref,
+    * k_ref, n_ref) rows are the PSI's raw terms; the finalize —
+    * summing (p−q)·ln(p/q) over a window's bins, plus bins the window
+    * never saw — is one bins-sized batch projection over the sink,
+    * because PSI is only defined once a window closes. Replayed corpus
+    * odd-half rows through one window reproduce batch q139's candidate
+    * bin counts row for row (StreamingSpec pin).
+    *
+    * State is the windowed count aggregation only — O(windows ×
+    * bins ≤ 30), watermark-evicted; the monitoring family's dual next
+    * to the 11 admission gates. */
+  def driftBinsStream(docs: DataFrame, refBins: DataFrame): DataFrame = {
+    import graft.operators.Curation
+    Curation.driftBinned(docs.select(col("ts"), col("text"),
+        col("n_chars"), col("lang")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("feature"), col("bin"))
+      .agg(count(lit(1)).as("c_cand"))
+      .join(broadcast(refBins), Seq("feature", "bin"), "left")
+      .select(col("window.start").as("window_start"), col("feature"),
+        col("bin"), col("c_cand"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        col("k_ref"), col("n_ref"))
   }
 
   /** Static corpus band index (band, band_sig) for the stream-static

@@ -1329,6 +1329,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("increment novelty: fixture — shared shingle known, fresh tail novel") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq((0L, "a b c x y"), (7L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Curation.incrementNoveltyFrom(batch, corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((3L, 2L, math.floor(2.0 / 3.0 * 1e6) / 1e6)))
+    assert(out(7L) == ((2L, 0L, 0.0)))
+  }
+
+  test("increment novelty: declared — batch-only docs, novelty bounded") {
+    val out = Curation.incrementNovelty(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 7 == 0, s"non-increment doc: $r")
+      assert(r.getLong(2) <= r.getLong(1), s"more novel than grams: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("drift PSI: fixture — disjoint langs give the closed-form PSI, identical bins give 0") {
     import spark.implicits._
     val ref = Seq((0L, "a b", "en", 10L), (2L, "c d", "en", 10L))

@@ -577,6 +577,66 @@ class SimilaritySpec extends SparkSpec {
     assert(s.exceptAll(a).count() > 0, "stale codebook identical to fresh")
   }
 
+  test("label centroid sim: fixture — identical centroids at 1, orthogonal at 0") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat)
+    val emb = Seq(
+      (0L, vec(1.0), 0), (1L, vec(1.0), 0),      // label 0 centroid = e1
+      (2L, vec(0.0, 1.0), 1),                    // label 1 centroid = e2
+      (3L, vec(1.0), 2))                         // label 2 centroid = e1
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidSimFrom(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 1L)) == 0.0)
+    assert(out((0L, 2L)) == 1.0)
+    assert(out((1L, 2L)) == 0.0)
+  }
+
+  test("label centroid sim: declared — full label-pair matrix, bounded cosines") {
+    val out = Similarity.labelCentroidSim(spark, sfDir).collect()
+    val nLabels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().count()
+    assert(out.length == nLabels * (nLabels - 1) / 2)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(math.abs(r.getDouble(2)) <= 1.000001, s"cosine range: $r")
+    }
+  }
+
+  test("rank quality: one-bucket fixture degenerates to perfect ranking") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat)
+    // all vectors share sign bucket 1111 → the ANN list IS the exact list
+    val emb = Seq(
+      (0L, vec(1.0, 0.5, 0.5, 0.5)),
+      (1L, vec(0.9, 0.6, 0.5, 0.5)),
+      (2L, vec(0.5, 1.0, 0.5, 0.5)),
+      (3L, vec(0.4, 0.9, 0.6, 0.5)),
+      (4L, vec(0.5, 0.5, 1.0, 0.5)))
+      .toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") === 0L)
+    val out = Similarity.rankQualityFrom(emb, probes).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 4L, s"hits: $r")
+    assert(r.getDouble(2) == 0.4 && r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0,
+      s"metrics: $r")
+  }
+
+  test("rank quality: declared — metrics bounded, consistent with hit counts") {
+    val out = Similarity.rankQuality(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (hits, recall, mrr, ndcg) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(recall == math.floor(hits / 10.0 * 1e6) / 1e6, s"recall: $r")
+      assert((hits == 0L) == (mrr == 0.0), s"mrr vs hits: $r")
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"$r")
+    }
+  }
+
   test("dimension stats: fixture — exact moments on a two-vector column") {
     import spark.implicits._
     def vec(xs: Double*): Seq[Float] =

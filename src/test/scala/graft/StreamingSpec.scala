@@ -972,6 +972,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor reproduces batch q139 candidate bin counts per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    import graft.streaming.StreamOps.DocMeta
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val rows = odd.select("doc_id", "text", "lang", "n_chars").collect()
+      .map(r => DocMeta(r.getLong(0), ts(5), r.getString(1),
+        r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val refBins = StreamOps.corpusDriftRef(spark, sfDir)
+    val input = MemoryStream[DocMeta]
+    val q = StreamOps.driftBinsStream(input.toDF(), refBins)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      // sentinel far in the future finalizes the first window
+      input.addData(DocMeta(-1L, ts(500), "x", "en", 1L))
+      q.processAllAvailable()
+      val got = spark.table("drift_out")
+        .filter(col("window_start") === ts(0))
+        .collect()
+        .map(r => (r.getString(1), r.getString(2)) ->
+          (r.getLong(3), r.getLong(4))).toMap
+      val want = Curation.driftBinned(odd)
+        .groupBy(col("feature"), col("bin"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got.keySet == want.keySet,
+        s"bins diverged: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+      want.foreach { case (k, c) =>
+        assert(got(k)._1 == c, s"count for $k: ${got(k)._1} vs $c")
+      }
+      // reference counts attached from the shared snapshot
+      val ref = refBins.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      got.foreach { case (k, (_, cRef)) =>
+        assert(cRef == ref.getOrElse(k, 0L), s"ref count for $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming semantic-decontam gate reproduces batch q136 flags row for row, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
