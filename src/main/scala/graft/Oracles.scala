@@ -2905,6 +2905,37 @@ object Oracles {
          |   / count(*) * 1e6) / 1e6 AS novelty
          |FROM bg LEFT JOIN cv USING (gram)
          |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+
+    // q150: q66's gate chain + q34's fingerprint window summarized to
+    // source grain — every stage definition mirrored from its own
+    // oracle so the scorecard cannot disagree with the stages.
+    "q150_source_scorecard" ->
+      s"""WITH $toksCte,
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | cnt AS (SELECT doc_id, token, count(*) AS c FROM tok
+         |   GROUP BY doc_id, token),
+         | st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |   CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS max_tok
+         |  FROM cnt GROUP BY doc_id),
+         | g AS (SELECT doc_id, n_tokens,
+         |   (n_tokens >= 30
+         |     AND floor(n_distinct * 1.0 / n_tokens * 1e6) / 1e6 >= 0.45
+         |     AND floor(max_tok * 1.0 / n_tokens * 1e6) / 1e6 <= 0.15) AS keep
+         |  FROM st),
+         | f AS (SELECT doc_id, source, n_chars,
+         |   doc_id <> min(doc_id) OVER (PARTITION BY
+         |     sha256(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))))
+         |     AS exact_drop
+         |  FROM documents)
+         |SELECT f.source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(coalesce(sum(g.n_tokens), 0) AS BIGINT) AS n_tokens,
+         | floor(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) * 1.0
+         |   / count(*) * 1e6) / 1e6 AS pass_rate,
+         | floor(sum(CASE WHEN f.exact_drop THEN 1 ELSE 0 END) * 1.0
+         |   / count(*) * 1e6) / 1e6 AS dup_rate,
+         | floor(sum(f.n_chars) * 1.0 / count(*) * 1e6) / 1e6 AS mean_chars
+         |FROM f LEFT JOIN g USING (doc_id)
+         |GROUP BY f.source ORDER BY f.source""".stripMargin,
   )
 
   /** q127: one residual-PQ codebook variant's CTE chain (train → encode

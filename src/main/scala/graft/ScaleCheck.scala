@@ -236,6 +236,9 @@ object ScaleCheck {
       ("increment_novelty", () =>
         Curation.incrementNovelty(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      ("source_scorecard", () =>
+        Curation.sourceScorecard(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       ("dup_pagerank", () =>
         Curation.dupPageRank(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),

@@ -2607,6 +2607,42 @@ object Curation {
       .orderBy(col("width"))
   }
 
+  /** q150: per-source quality scorecard — the acquisition dashboard
+    * table: per source, its volume (docs, tokens, mean chars), the
+    * fraction passing q66's heuristic gate, and the fraction that
+    * exact-dedup would drop. Every stage definition is the SHARED one
+    * (gate = [[qualityGateFrom]]'s keep, dup = q34's
+    * keep-smallest-id window), so the scorecard can never disagree
+    * with the stages it summarizes — this is the table a data-buying
+    * decision reads before q76's mixture reweighting acts on it.
+    *
+    * Scale shape: one fingerprint window (q34's shape), the gate's
+    * token-explode feature build, one co-partitioned doc_id join, one
+    * source-grain agg with map-side partials. */
+  def sourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wFp = Window.partitionBy(col("fp"))
+    val gate = qualityGateFrom(tokenTable(docs))
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    docs
+      .withColumn("fp", Dedup.textFp)
+      .withColumn("exact_drop", col("doc_id") =!= min(col("doc_id")).over(wFp))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("exact_drop"))
+      .join(gate, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        count(when(col("keep"), lit(1))).as("n_pass"),
+        count(when(col("exact_drop"), lit(1))).as("n_exact_dup"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        trunc6(col("n_pass") * 1.0 / col("n_docs")).as("pass_rate"),
+        trunc6(col("n_exact_dup") * 1.0 / col("n_docs")).as("dup_rate"),
+        trunc6(col("sum_chars") * 1.0 / col("n_docs")).as("mean_chars"))
+      .orderBy(col("source"))
+  }
+
   /** q149: increment novelty scoring — q94's daily-increment convention
     * (doc_id % 7 == 0 is the arriving batch) scored at shingle grain:
     * per batch document, its distinct 3-token shingles, how many are

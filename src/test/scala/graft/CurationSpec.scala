@@ -1350,6 +1350,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("source scorecard: rates reconcile with the standalone stages") {
+    val out = Curation.sourceScorecard(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.agg(sum(col("n_docs"))).head().getLong(0) == docs.count())
+    out.collect().foreach { r =>
+      Seq(3, 4).foreach(i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"rate: $r"))
+    }
+    // total pass count = q66's keepers; total dup count = q34's drops
+    val passTotal = out.collect()
+      .map(r => math.round(r.getDouble(3) * r.getLong(1))).sum
+    val gateKeep = Curation.qualityGate(spark, sfDir)
+      .filter(col("keep")).count()
+    assert(math.abs(passTotal - gateKeep) <= out.count(),
+      s"pass totals drifted: $passTotal vs $gateKeep") // 1e-6 floor per source
+    val dupTotal = out.collect()
+      .map(r => math.round(r.getDouble(4) * r.getLong(1))).sum
+    val exactDrops = docs.count() - Dedup.dedupExact(spark, sfDir).count()
+    assert(math.abs(dupTotal - exactDrops) <= out.count())
+    out.unpersist()
+    ()
+  }
+
   test("drift PSI: fixture — disjoint langs give the closed-form PSI, identical bins give 0") {
     import spark.implicits._
     val ref = Seq((0L, "a b", "en", 10L), (2L, "c d", "en", 10L))
