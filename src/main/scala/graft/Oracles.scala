@@ -1443,7 +1443,7 @@ object Oracles {
          |  WHERE len(t.toks) >= 8),
          | s AS (SELECT source, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM ds),
          | sp AS (SELECT DISTINCT source,
-         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s)
+         |   array_to_string(toks[i+1:i+8], ' ') AS hh FROM s)
          |SELECT a.source AS source_a, b.source AS source_b,
          | CAST(count(*) AS BIGINT) AS n_shared_spans
          |FROM sp a JOIN sp b ON a.hh = b.hh AND a.source < b.source
@@ -1493,7 +1493,9 @@ object Oracles {
         |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
         |ORDER BY b.doc_id""".stripMargin,
 
-    // q95: spans are full sha256 strings on both sides (no 32-bit
+    // q95: span identity on the DuckDB side is the raw span STRING (the
+    // engine's 64-bit fingerprint never needs mirroring — only its
+    // equality classes, which match the string's; no 32-bit
     // truncation → no collision asymmetry); keep_ratio floors at 6 dp.
     "q95_span_dedup" ->
       s"""WITH $toksCte,
@@ -1501,7 +1503,7 @@ object Oracles {
          |  FROM t WHERE len(toks) >= 8),
          | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM d),
          | h AS (SELECT doc_id, n, i,
-         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         |   array_to_string(toks[i+1:i+8], ' ') AS hh FROM s),
          | o AS (SELECT doc_id, n, i, count(*) OVER (PARTITION BY hh) AS occ FROM h),
          | hits AS (SELECT doc_id, i FROM o WHERE occ >= 2),
          | cov AS (SELECT doc_id,
@@ -1523,7 +1525,7 @@ object Oracles {
          |  FROM t WHERE len(toks) >= 8),
          | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM d),
          | h AS (SELECT doc_id, n, i,
-         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         |   array_to_string(toks[i+1:i+8], ' ') AS hh FROM s),
          | o AS (SELECT doc_id, i, count(*) OVER (PARTITION BY hh) AS occ FROM h),
          | hits AS (SELECT doc_id, i FROM o WHERE occ >= 2),
          | cut AS (SELECT doc_id, array_agg(DISTINCT pos) AS cut
@@ -2017,7 +2019,7 @@ object Oracles {
          | d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
          |  FROM t WHERE len(toks) >= 8),
          | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM d),
-         | h AS (SELECT doc_id, i, sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         | h AS (SELECT doc_id, i, array_to_string(toks[i+1:i+8], ' ') AS hh FROM s),
          | o AS (SELECT doc_id, i, count(*) OVER (PARTITION BY hh) AS occ FROM h),
          | hits AS (SELECT doc_id, i FROM o WHERE occ >= 2),
          | g AS (SELECT doc_id, i,
@@ -2106,7 +2108,7 @@ object Oracles {
          |  FROM t WHERE len(toks) >= 8),
          | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i, toks FROM d),
          | h AS (SELECT doc_id, n, i,
-         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         |   array_to_string(toks[i+1:i+8], ' ') AS hh FROM s),
          | o AS (SELECT doc_id, i,
          |   count(*) OVER (PARTITION BY doc_id, hh) AS occ FROM h),
          | hits AS (SELECT doc_id, i FROM o WHERE occ >= 2),
@@ -2761,7 +2763,7 @@ object Oracles {
          |FROM f ORDER BY doc_id, n""".stripMargin,
 
     // q144: q95's span-hash chain; eval set = the capped probe grid on
-    // doc_id (q73's convention), spans full sha256 (no truncation).
+    // doc_id (q73's convention), span identity by raw span string.
     "q144_eval_span_overlap" ->
       s"""WITH $toksCte,
          | d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
@@ -2769,7 +2771,7 @@ object Oracles {
          | s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT) - 7)) AS i,
          |   toks FROM d),
          | h AS (SELECT doc_id, n, i,
-         |   sha256(array_to_string(toks[i+1:i+8], ' ')) AS hh FROM s),
+         |   array_to_string(toks[i+1:i+8], ' ') AS hh FROM s),
          | ev AS (SELECT DISTINCT hh FROM h
          |   WHERE doc_id % 7 = 0 AND doc_id < 2048),
          | c AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_eval_spans

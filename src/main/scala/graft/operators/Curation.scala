@@ -1085,20 +1085,40 @@ object Curation {
     * that a match means real shared phrasing, not chance n-gram overlap. */
   private[graft] val SpanW = 8
 
-  /** Every sliding [[SpanW]]-token span hash of a (toks, n) row, in span
-    * start order — THE span fingerprint definition, shared by the batch
-    * span family and the streaming span gate
+  /** Per-token 64-bit hashes of the `toks` column — computed ONCE per
+    * row so [[spanHashes]] never re-scans token characters per span
+    * position. */
+  private[graft] def tokHashes: Column = transform(col("toks"), t => xxhash64(t))
+
+  /** Every sliding [[SpanW]]-token span FINGERPRINT of a (toks, n,
+    * tokh) row, in span start order — THE span identity definition,
+    * shared by the batch span family and the streaming span gate
     * ([[graft.streaming.StreamOps.spanGateStream]]) so the two sides can
-    * never silently disagree on what a span is. */
+    * never silently disagree on what a span is. Identity is xxhash64
+    * over the span's [[SpanW]] token hashes (stringified so the bloom /
+    * sorted-index machinery is fingerprint-type-agnostic), not
+    * sha2-256 of the joined text: the r14 profile showed SHA-256 plus
+    * 64-char shuffle keys dominating the span family's cost, and every
+    * declared consumer uses the fingerprint ONLY for equality classes
+    * (the DuckDB oracles partition/join by the raw span string, so the
+    * hash never has to be mirrored — only its equality classes, which
+    * match the string classes exactly unless two distinct spans collide
+    * in 64 bits, P ≈ spans²/2⁶⁴: zero at test scale. A 100 TB corpus
+    * with ~10¹² spans WOULD see rare collisions; each marks a span
+    * duplicated a hair early — the benign direction for dedup — and the
+    * escape hatch is widening to a 2×64-bit struct fingerprint, same
+    * plan shape). */
   private[graft] def spanHashes: Column =
     transform(sequence(lit(0), (col("n") - SpanW).cast("int")),
-      i => sha2(concat_ws(" ", slice(col("toks"), i + 1, lit(SpanW))), 256))
+      i => xxhash64((0 until SpanW).map(j =>
+        element_at(col("tokh"), i + 1 + j)): _*).cast("string"))
 
-  /** The ≥[[SpanW]]-token documents with `toks` + `n` attached. */
+  /** The ≥[[SpanW]]-token documents with `toks` + `n` + `tokh` attached. */
   private def spanDocs(documents: DataFrame): DataFrame =
     documents.withColumn("toks", toks)
       .withColumn("n", size(col("toks")).cast("long"))
       .filter(col("n") >= SpanW)
+      .withColumn("tokh", tokHashes)
 
   /** The corpus SPAN TABLE: one row per sliding span — (doc_id, source,
     * n, i, h). The one expensive explode every span-family operator
@@ -1561,6 +1581,7 @@ object Curation {
     val slim = docs
       .withColumn("toks", toks)
       .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("tokh", tokHashes)
       .withColumn("span_hashes",
         when(col("n") >= SpanW, spanHashes)
           .otherwise(typedLit(Array.empty[String])))
@@ -2794,19 +2815,34 @@ object Curation {
     * length r contributes +2 at its second element and +1 after, so
     * dup_occ sums exactly the occurrences inside runs ≥ 2. */
   private[graft] def ngramRepetitionFrom(docs: DataFrame): DataFrame = {
+    // Grams are identified by 64-bit FINGERPRINT, not by joined string:
+    // each token hashes once per row (`tokh`), and a gram's identity is
+    // xxhash64 over its n token hashes — no per-position string build,
+    // and the sort orders 8-byte longs instead of ~n·5-char strings
+    // (the string kernel measured 4.5 s isolated at sf0.1; this one
+    // ~halves it). top/dup fractions depend only on the gram equality
+    // CLASSES, which match the string classes exactly unless two
+    // distinct grams collide in 64 bits (P ≈ G²/2⁶⁴ per doc — zero in
+    // practice; the DuckDB oracle partitions by the gram string, so the
+    // hash never has to be mirrored, only its equality classes).
     // Spark sequence(1, stop) DESCENDS when stop < 1, so docs shorter
     // than n must short-circuit to an empty gram array (slice(_, 1, 0))
-    def gramArr(n: Int): Column = when(size(col("toks")) >= n,
+    def gramArr(n: Int): Column = when(size(col("tokh")) >= n,
       transform(
-        sequence(lit(1), size(col("toks")) - (n - 1)),
-        i => array_join(slice(col("toks"), i, lit(n)), " ")))
-      .otherwise(slice(col("toks"), 1, 0))
+        sequence(lit(1), size(col("tokh")) - (n - 1)),
+        i => xxhash64((0 until n).map(j => element_at(col("tokh"), i + j)): _*)))
+      .otherwise(slice(col("tokh"), 1, 0))
     def statRow(n: Int): Column = {
+      // sort_array, not array_sort: the comparator-less expression skips
+      // the per-element lambda machinery on the hottest per-row step
       val runs = aggregate(
-        array_sort(gramArr(n)),
-        struct(lit("").as("prev"), lit(0L).as("run"),
+        sort_array(gramArr(n)),
+        struct(lit(null).cast("bigint").as("prev"), lit(0L).as("run"),
           lit(0L).as("best"), lit(0L).as("dup")),
         (acc, x) => {
+          // null prev (first element) compares null === x → null → the
+          // otherwise branch: run restarts at 1, exactly the "" sentinel
+          // the string kernel used
           val same = x === acc.getField("prev")
           val newRun = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
           struct(x.as("prev"), newRun.as("run"),
@@ -2823,6 +2859,7 @@ object Curation {
     docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 2)
+      .withColumn("tokh", transform(col("toks"), t => xxhash64(t)))
       .select(col("doc_id"),
         explode(array(statRow(2), statRow(3), statRow(4))).as("st"))
       .filter(col("st.n_grams") >= 1)

@@ -278,11 +278,12 @@ object StreamOps {
     * corpus docs row-for-row equal to batch q130 (docs shorter than
     * SpanW carry no spans and are dropped on both sides). */
   def selfRepeatStream(docs: DataFrame): DataFrame = {
-    import graft.operators.Curation.{SpanW, spanHashes}
+    import graft.operators.Curation.{SpanW, spanHashes, tokHashes}
     docs
       .withColumn("toks", Dedup.toks)
       .withColumn("n", size(col("toks")).cast("long"))
       .filter(col("n") >= SpanW)
+      .withColumn("tokh", tokHashes)
       .withColumn("hs", spanHashes)
       .withColumn("flagged",
         filter(sequence(lit(0), size(col("hs")) - 1), i =>
@@ -486,10 +487,11 @@ object StreamOps {
     * [[bloomGateStream]]; docs shorter than SpanW tokens carry no spans
     * and pass with keep_ratio 1. */
   def spanGateStream(docs: DataFrame, spanIndex: DataFrame): DataFrame = {
-    import graft.operators.Curation.{SpanW, bloomHitSql, spanHashes, spanVerdict}
+    import graft.operators.Curation.{SpanW, bloomHitSql, spanHashes, spanVerdict, tokHashes}
     spanVerdict(docs
       .withColumn("toks", Dedup.toks)
       .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("tokh", tokHashes)
       .crossJoin(broadcast(spanIndex))
       .withColumn("span_hashes",
         when(col("n") >= SpanW, spanHashes)
@@ -497,7 +499,7 @@ object StreamOps {
       .withColumn("dup_flags",
         expr("transform(span_hashes, sh -> " +
           s"(${bloomHitSql("sh")}) AND sorted_array_contains(span_idx, sh))"))
-      .drop("toks", "bloom", "span_idx", "span_hashes"))
+      .drop("toks", "tokh", "bloom", "span_idx", "span_hashes"))
   }
 
   /** [[corpusSpanIndex]] SHARDED — the static side of
