@@ -906,6 +906,83 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** BOTH codebooks' [[ivfPqScoreRouted]] rankings in ONE pass — q127's
+    * fused engine. A score chain's corpus/candidate-scale stages are the
+    * encode scan, the candidate regroup, and the ranking window; the
+    * drift audit's two chains differ ONLY in broadcast-sized artifacts
+    * (the per-code sub-vectors and the ADC LUT), so running them
+    * separately scans the corpus twice to produce rows the audit
+    * immediately re-aligns by (probe, vec). Here one scan computes both
+    * codebooks' argmin codes (2m struct-mins in the one groupBy), one
+    * candidate regroup sums both ADCs, and one window partition carries
+    * both rank orders. Value-identical to two [[ivfPqScoreRouted]] runs
+    * by construction — each codebook's distances, decimal sums, and
+    * (adc, vec_id) tie-breaks never see the other codebook's columns —
+    * and spec-pinned row-for-row against the unfused engine
+    * (SimilaritySpec) so the fusion can never drift from the engine it
+    * audits.
+    *
+    * The full-outer code join keeps a code surviving in only one
+    * codebook: `element_at` on the missing side's null map → null → the
+    * +∞ sentinel, exactly [[pqCodesSeg]]'s dropped-survivor semantics.
+    *
+    * Output: one row per scored candidate — (probe_id, vec_id, rank_a,
+    * rank_b); consumers filter rank ≤ k per side. */
+  private[graft] def ivfPqScoreRoutedPair(pcells: DataFrame, cand: DataFrame,
+      resid: DataFrame, tcbA: DataFrame, tcbB: DataFrame,
+      m: Int, dsub: Int): DataFrame = {
+    def wideOf(tcb: DataFrame, as: String) = tcb.groupBy(col("code"))
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("scvec"))))
+        .as(as))
+    val wide2 = wideOf(tcbA, "svma").join(wideOf(tcbB, "svmb"),
+      Seq("code"), "full_outer")
+    def dCols(svm: String, p: String) = (0 until m).map(s =>
+      coalesce(subL2Seg(col("resid"), element_at(col(svm), lit(s)), s, dsub),
+        lit(Double.MaxValue)).as(s"$p$s"))
+    def minsOf(p: String) = (0 until m).map(s =>
+      min(struct(col(s"$p$s"), col("code"))).as(s"b$p$s"))
+    val ms = minsOf("da") ++ minsOf("db")
+    val codes2 = resid.select(col("vec_id"), col("resid"))
+      .crossJoin(broadcast(wide2))
+      .select((col("vec_id") +: col("code") +:
+        (dCols("svma", "da") ++ dCols("svmb", "db"))): _*)
+      .groupBy(col("vec_id"))
+      .agg(ms.head, ms.tail: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          struct(col(s"bda$s.code").as("ca"), col(s"bdb$s.code").as("cb"))): _*))
+          .as(Seq("sub", "c")))
+      .select(col("vec_id"), col("sub"),
+        col("c.ca").as("code_a"), col("c.cb").as("code_b"))
+    def lutOf(tcb: DataFrame, p: String) = pcells
+      .crossJoin(broadcast(tcb))
+      .withColumn(s"ld$p",
+        pqDistSeg(col("p_resid"), col("scvec"), col("sub"), m, dsub))
+      .select(col("probe_id").as(s"${p}_probe"), col("cell").as(s"${p}_cell"),
+        col("sub").as(s"${p}_sub"), col("code").as(s"${p}_code"), col(s"ld$p"))
+    val scored = cand
+      .join(codes2, Seq("vec_id"))
+      .join(broadcast(lutOf(tcbA, "a")),
+        col("probe_id") === col("a_probe") && col("cell") === col("a_cell") &&
+          col("sub") === col("a_sub") && col("code_a") === col("a_code"))
+      .join(broadcast(lutOf(tcbB, "b")),
+        col("probe_id") === col("b_probe") && col("cell") === col("b_cell") &&
+          col("sub") === col("b_sub") && col("code_b") === col("b_code"))
+      .groupBy(col("probe_id"), col("vec_id"), col("cell"))
+      .agg((sum(floor(col("lda") * 1e9).cast("decimal(28,9)"))
+          .cast("double") / 1e9).as("adc_a"),
+        (sum(floor(col("ldb") * 1e9).cast("decimal(28,9)"))
+          .cast("double") / 1e9).as("adc_b"))
+    val wa = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_a").asc, col("vec_id"))
+    val wb = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_b").asc, col("vec_id"))
+    scored
+      .withColumn("rank_a", row_number().over(wa))
+      .withColumn("rank_b", row_number().over(wb))
+      .select(col("probe_id"), col("vec_id"), col("rank_a"), col("rank_b"))
+  }
+
   /** q115: IVF-PQ with exact re-rank (FAISS's IndexRefineFlat pattern) —
     * the compressed index produces an ADC shortlist (kShort per probe),
     * then ONLY that sliver touches full-precision vectors for an exact
@@ -958,14 +1035,18 @@ object Similarity {
     * residual table are fixed (q108's seeded cells — the audit isolates
     * the PQ half), the stale codebook trains on the `vec_id % 2 = 0`
     * half (yesterday's corpus), the fresh one on the full corpus, and
-    * BOTH feed the identical [[ivfPqScoreWith]] engine. Output per
+    * BOTH rankings come from [[ivfPqScoreRoutedPair]] — the fused
+    * formulation of the deployed [[ivfPqScoreWith]] engine, spec-pinned
+    * row-identical to running it twice, so the audited ranking is
+    * exactly the deployed one at half the corpus-scan cost. Output per
     * probe: exact-top-5 hits under each codebook and the drift
     * (fresh − stale recall) — aggregate drift above a threshold is the
     * "schedule a retrain" trigger.
     *
     * Scale shape: q112's exactly — two extra training scans (the stale
     * E/M-step over half the residual table) and a second broadcast
-    * codebook; the audit join inputs are |probes|·k rows per side. */
+    * codebook; the shared encode/regroup/window pass costs one chain,
+    * not two; the audit join inputs are |probes|·k rows per side. */
   def pqDriftAudit(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     pqDriftAuditFrom(emb, gridProbes(emb), nlist = 16, nprobe = 4,
@@ -999,15 +1080,21 @@ object Similarity {
     val pcells = Materialize.stage(pqProbeRouting(probes, cent, nprobe))
     val cand = Materialize.stage(pqCellCandidates(pcells, resid,
       excludeSelf = true))
-    def hitsWith(tcb: DataFrame, as: String): DataFrame =
+    // ... and the two chains themselves run FUSED: one encode scan, one
+    // candidate regroup, one window pass carrying both codebooks' ranks
+    // (spec-pinned value-identical to two ivfPqScoreRouted runs). Staged
+    // because both hit counts filter the same ranked table.
+    val ranked = Materialize.stage(ivfPqScoreRoutedPair(pcells, cand,
+      resid, tcbFresh, tcbStale, m, dsub))
+    def hitsWith(rankCol: String, as: String): DataFrame =
       exact5.join(
-          ivfPqScoreRouted(pcells, cand, resid, tcb, m, dsub, k = 5)
-            .select(col("probe_id"), col("cand_id")),
+          ranked.filter(col(rankCol) <= 5)
+            .select(col("probe_id"), col("vec_id").as("cand_id")),
           Seq("probe_id", "cand_id"))
         .groupBy(col("probe_id")).agg(count(lit(1)).as(as))
     probes.select(col("vec_id").as("probe_id")).distinct()
-      .join(hitsWith(tcbFresh, "nf"), Seq("probe_id"), "left")
-      .join(hitsWith(tcbStale, "ns"), Seq("probe_id"), "left")
+      .join(hitsWith("rank_a", "nf"), Seq("probe_id"), "left")
+      .join(hitsWith("rank_b", "ns"), Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("nf"), lit(0L)).as("n_hits_fresh"),
         coalesce(col("ns"), lit(0L)).as("n_hits_stale"),

@@ -544,6 +544,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fused pair scorer is row-identical to two ivfPqScoreRouted runs") {
+    // the q127 fusion contract: one encode/regroup/window pass carrying
+    // both codebooks must reproduce EXACTLY the per-codebook engine's
+    // top-k sets — the audit audits the deployed ranking, so any drift
+    // between fused and unfused is a correctness bug, not a perf detail
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val en = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+    val cent = en.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val resid = Similarity.residualsWith(emb, cent)
+    val tcbF = Similarity.trainedSubCodebook(resid, 8, 8, 16)
+    val tcbS = Similarity.trainedSubCodebook(
+      resid.filter(col("vec_id") % 2 === 0), 8, 8, 16)
+    val pcells = Similarity.pqProbeRouting(probes, cent, nprobe = 4)
+    val cand = Similarity.pqCellCandidates(pcells, resid, excludeSelf = true)
+    val fused = Similarity.ivfPqScoreRoutedPair(pcells, cand, resid,
+      tcbF, tcbS, m = 8, dsub = 8)
+    for ((tcb, rankCol) <- Seq((tcbF, "rank_a"), (tcbS, "rank_b"))) {
+      val unfused = Similarity.ivfPqScoreRouted(pcells, cand, resid,
+          tcb, m = 8, dsub = 8, k = 5)
+        .select(col("probe_id"), col("cand_id"))
+      val viaFused = fused.filter(col(rankCol) <= 5)
+        .select(col("probe_id"), col("vec_id").as("cand_id"))
+      assert(viaFused.exceptAll(unfused).isEmpty &&
+        unfused.exceptAll(viaFused).isEmpty,
+        s"fused $rankCol top-5 differs from the unfused engine")
+    }
+  }
+
   test("trainedSubCodebook seeds exactly nCodes codes from any training slice") {
     // Seeds are the first nCodes ids PRESENT in the training table, so
     // a sliced training set with id gaps (q127's stale even-id half)
