@@ -40,6 +40,29 @@ class CurationSpec extends SparkSpec {
     ()
   }
 
+  test("span fingerprints partition spans exactly like the raw span strings") {
+    // the r15 kernel contract: spanHashes is xxhash64 over per-token
+    // hashes, used ONLY for equality classes — the DuckDB oracles
+    // partition by the raw span STRING, so the two partitions must
+    // coincide on real data (a 64-bit collision would silently merge
+    // two distinct spans; this pins its absence at fixture scale, in
+    // both directions)
+    val spans = Tables.documents(spark, sfDir)
+      .withColumn("toks", Dedup.toks)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= Curation.SpanW)
+      .withColumn("tokh", Curation.tokHashes)
+      .select(col("toks"), posexplode(Curation.spanHashes).as(Seq("i", "h")))
+      .withColumn("s",
+        array_join(slice(col("toks"), col("i") + 1, lit(Curation.SpanW)), " "))
+      .select(col("h"), col("s"))
+    assert(spans.count() > 0)
+    assert(spans.groupBy(col("h")).agg(countDistinct(col("s")).as("k"))
+      .filter(col("k") =!= 1).count() == 0, "fingerprint collision")
+    assert(spans.groupBy(col("s")).agg(countDistinct(col("h")).as("k"))
+      .filter(col("k") =!= 1).count() == 0, "non-deterministic fingerprint")
+  }
+
   test("quality gate: ratios bounded, keep splits the corpus, rules consistent") {
     val out = Curation.qualityGate(spark, sfDir).collect()
     assert(out.nonEmpty)
