@@ -20,6 +20,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - 3 trials per gate after one warmup, median reported, rows/s =
   *    input rows / median seconds. Input rows (not output rows): a gate
   *    that filters or explodes still ADMITS the input rate.
+  *  - each timed drain INCLUDES the streaming query's start/stop
+  *    (planning + source file listing + one microbatch), because every
+  *    trial builds a fresh query — so the published rows/s UNDERSTATES
+  *    steady-state throughput by a per-query constant, the conservative
+  *    direction for the "ingest rate" claim. The sf0.1 → sf1 pair
+  *    exposes the split: rates that RISE at 10× rows (bloom 10k → 48k,
+  *    frame 12k → 70k) are amortizing exactly that constant; a
+  *    continuous deployment pays it once per day, not once per batch.
   *
   * `runMain graft.StreamBench` against `SPARK_GRAFT_SF_DIR`; compare two
   * SF dirs by running twice (the sf0.1 → sf1 pair's interesting axis is

@@ -1971,6 +1971,11 @@ object Curation {
     * executor; the corpus-wide shuffle is just the assignment join (one
     * broadcast of k centroids). */
   def semDedup(spark: SparkSession, dir: String): DataFrame =
+    // NOTE: k shapes the PLAN (k centroid seeds), so the count() below
+    // runs at DataFrame-CONSTRUCTION time — one parquet-metadata job,
+    // no data scan, but a job nonetheless (the dupPageRankFrom
+    // eager-checkpoint caveat, ADVICE r14, applies; callers that must
+    // build without executing pass their own k to [[semDedupK]]).
     semDedupK(spark, dir,
       semDedupClusterCount(Tables.embeddings(spark, dir).count()))
 

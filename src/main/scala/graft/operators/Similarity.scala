@@ -1321,7 +1321,7 @@ object Similarity {
     * norms is accumulation-order-dependent and can round differently in
     * each engine when a group mean lands on a 1e-6 boundary. */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
-    val t6 = (c: Column) => floor(c * 1e6) / 1e6
+    val t6 = trunc6 _
     val decSum = (c: Column) => sum(floor(c * 1e9).cast("decimal(28,9)"))
     Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
@@ -1429,6 +1429,10 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** THE 1e-6 output-truncation grid — a cross-engine determinism
+    * contract (every oracle floors computed ratios to 6 dp), so it has
+    * exactly one definition per file: change it here and nowhere else.
+    * (Curation has its own shared copy for the text families.) */
   private def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
 
   /** q140: per-DIMENSION embedding health audit — mean, variance and
@@ -1452,7 +1456,7 @@ object Similarity {
   /** [[dimensionStats]] over any (embedding) frame — the deployment /
     * fixture entry point. */
   private[graft] def dimensionStatsFrom(emb: DataFrame): DataFrame = {
-    val t6 = (c: Column) => floor(c * 1e6) / 1e6
+    val t6 = trunc6 _
     val decSum = (c: Column) => sum(floor(c * 1e9).cast("decimal(28,9)"))
     val s1 = col("s1").cast("double") / 1e9 / col("n")
     val s2 = col("s2").cast("double") / 1e9 / col("n")

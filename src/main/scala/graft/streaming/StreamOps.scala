@@ -809,28 +809,46 @@ object StreamOps {
     * to per-window (feature, bin) counts, each joined (broadcast,
     * stateless per row) with the reference snapshot's count for that
     * bin. The emitted (window_start, feature, bin, c_cand, c_ref,
-    * k_ref, n_ref) rows are the PSI's raw terms; the finalize —
-    * summing (p−q)·ln(p/q) over a window's bins, plus bins the window
-    * never saw — is one bins-sized batch projection over the sink,
-    * because PSI is only defined once a window closes. Replayed corpus
-    * odd-half rows through one window reproduce batch q139's candidate
-    * bin counts row for row (StreamingSpec pin).
+    * k_ref, n_ref) rows are the PSI's raw terms — k_ref/n_ref arrive
+    * per FEATURE, so they are present even on candidate-only bins (the
+    * drifting case). The finalize — summing (p−q)·ln(p/q) over the
+    * UNION bin universe (batch q139's convention: k_union = k_ref +
+    * this window's candidate-only bins; ref-only bins ride in with
+    * c_cand = 0 from the same broadcast snapshot) — is one bins-sized
+    * batch projection over the sink, because PSI is only defined once
+    * a window closes. Replayed corpus odd-half rows through one window
+    * reproduce batch q139's candidate bin counts row for row
+    * (StreamingSpec pin, including a reference-absent bin's
+    * non-null k_ref/n_ref).
     *
     * State is the windowed count aggregation only — O(windows ×
     * bins ≤ 30), watermark-evicted; the monitoring family's dual next
     * to the 11 admission gates. */
   def driftBinsStream(docs: DataFrame, refBins: DataFrame): DataFrame = {
     import graft.operators.Curation
+    // k_ref/n_ref are per-FEATURE constants, so they join by feature —
+    // NOT by (feature, bin): a candidate-only bin (a value the reference
+    // never saw — exactly the drifting case the monitor exists to catch)
+    // has no (feature, bin) row in the snapshot, and the original
+    // one-join formulation left its k_ref/n_ref NULL, breaking the
+    // documented finalize precisely when drift was happening (review
+    // finding r15). c_ref coalesces to 0 for such bins; k_ref/n_ref
+    // coalesce only against an EMPTY reference snapshot.
+    val perFeature = refBins
+      .select(col("feature"), col("k_ref"), col("n_ref")).distinct()
     Curation.driftBinned(docs.select(col("ts"), col("text"),
         col("n_chars"), col("lang")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("feature"), col("bin"))
       .agg(count(lit(1)).as("c_cand"))
-      .join(broadcast(refBins), Seq("feature", "bin"), "left")
+      .join(broadcast(refBins.select(col("feature"), col("bin"), col("c_ref"))),
+        Seq("feature", "bin"), "left")
+      .join(broadcast(perFeature), Seq("feature"), "left")
       .select(col("window.start").as("window_start"), col("feature"),
         col("bin"), col("c_cand"),
         coalesce(col("c_ref"), lit(0L)).as("c_ref"),
-        col("k_ref"), col("n_ref"))
+        coalesce(col("k_ref"), lit(0L)).as("k_ref"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
   }
 
   /** Static corpus band index (band, band_sig) for the stream-static

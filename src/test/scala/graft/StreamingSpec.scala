@@ -980,9 +980,13 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamOps.DocMeta
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val odd = docs.filter(col("doc_id") % 2 === 1)
+    // a language the even-half reference never saw: its lang bin is
+    // candidate-only — the drifting case whose k_ref/n_ref the one-join
+    // formulation left NULL (review finding r15)
+    val novel = DocMeta(-2L, ts(5), "novel tongue words entirely", "zz", 27L)
     val rows = odd.select("doc_id", "text", "lang", "n_chars").collect()
       .map(r => DocMeta(r.getLong(0), ts(5), r.getString(1),
-        r.getString(2), r.getLong(3)))
+        r.getString(2), r.getLong(3))) :+ novel
     assert(rows.nonEmpty)
     val refBins = StreamOps.corpusDriftRef(spark, sfDir)
     val input = MemoryStream[DocMeta]
@@ -999,8 +1003,11 @@ class StreamingSpec extends SparkSpec {
         .filter(col("window_start") === ts(0))
         .collect()
         .map(r => (r.getString(1), r.getString(2)) ->
-          (r.getLong(3), r.getLong(4))).toMap
-      val want = Curation.driftBinned(odd)
+          ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      val candBatch = odd.select("doc_id", "text", "lang", "n_chars")
+        .unionByName(Seq((novel.doc_id, novel.text, novel.lang,
+          novel.n_chars)).toDF("doc_id", "text", "lang", "n_chars"))
+      val want = Curation.driftBinned(candBatch)
         .groupBy(col("feature"), col("bin"))
         .agg(count(lit(1)).as("c")).collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -1009,12 +1016,21 @@ class StreamingSpec extends SparkSpec {
       want.foreach { case (k, c) =>
         assert(got(k)._1 == c, s"count for $k: ${got(k)._1} vs $c")
       }
-      // reference counts attached from the shared snapshot
+      // reference counts attached from the shared snapshot; k_ref/n_ref
+      // are per-feature constants and must be present on EVERY bin,
+      // including candidate-only ones
       val ref = refBins.collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-      got.foreach { case (k, (_, cRef)) =>
+      val perFeature = refBins.select(col("feature"), col("k_ref"),
+          col("n_ref")).distinct().collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got.foreach { case (k, (_, cRef, kRef, nRef)) =>
         assert(cRef == ref.getOrElse(k, 0L), s"ref count for $k")
+        assert((kRef, nRef) == perFeature(k._1), s"feature constants for $k")
       }
+      val zz = got(("lang", "zz"))
+      assert(zz._2 == 0L && zz._3 > 0L && zz._4 > 0L,
+        s"candidate-only bin must carry the feature's reference constants: $zz")
     } finally q.stop()
   }
 
