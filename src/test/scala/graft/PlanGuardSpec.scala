@@ -279,12 +279,12 @@ class PlanGuardSpec extends SparkSpec {
       // B-bounded broadcasts and the fixed-k selection plans
       // TakeOrderedAndProject (per-partition top-k, no sort exchange)
       "q128_dsir_select" -> 11,
-      // drift audit: two full q112-style chains (codebook train E/M +
-      // encode + ADC regroup + top-5 window, all over SHARED staged
-      // residuals) + the exact top-5 window + two audit hit-aggs +
-      // output sort; every joined side beyond the encode/assign aggs is
-      // probe- or code-table-sized
-      "q127_pq_drift" -> 20)
+      // drift audit, FUSED (r15): the two codebook chains run as ONE
+      // encode/regroup/window pass behind the stage barriers, so the
+      // final assembly is just the probe spine distinct + two audit
+      // hit-aggs + their join sides + output sort — the pre-fusion
+      // budget was 20; a count above 8 means the fusion regressed
+      "q127_pq_drift" -> 8)
     val over = budgets.toSeq.sorted.flatMap { case (q, budget) =>
       val n = shuffles(q)
       if (n > budget) Some(s"$q: $n shuffle exchanges > budget $budget") else None
