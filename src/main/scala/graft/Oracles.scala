@@ -493,7 +493,9 @@ object Oracles {
 
     // q138: tokenizer fertility — ratios floor-truncated on the
     // integer-first form (n * 1e6 / d), one IEEE rounding, identical
-    // both engines.
+    // both engines. LEFT join from the per-doc census with coalesced
+    // zero token counts + null ratios (ADVICE r15: a zero-token
+    // language must keep its document volumes).
     "q138_token_fertility" ->
       s"""WITH $toksCte,
          | pd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -503,11 +505,16 @@ object Oracles {
          |         CAST(count(DISTINCT token) AS BIGINT) AS n_vocab,
          |         CAST(sum(len(token)) AS BIGINT) AS sum_tok_len
          |        FROM tk GROUP BY lang)
-         |SELECT pd.lang, n_docs, n_chars, n_tokens, n_vocab,
-         | floor(n_chars * 1e6 / n_tokens) / 1e6 AS chars_per_token,
-         | floor(sum_tok_len * 1e6 / n_tokens) / 1e6 AS mean_tok_len,
-         | floor(n_vocab * 1e6 / n_tokens) / 1e6 AS ttr
-         |FROM pd JOIN pt ON pd.lang = pt.lang ORDER BY pd.lang""".stripMargin,
+         |SELECT pd.lang, n_docs, n_chars,
+         | coalesce(n_tokens, 0) AS n_tokens,
+         | coalesce(n_vocab, 0) AS n_vocab,
+         | CASE WHEN n_tokens > 0
+         |   THEN floor(n_chars * 1e6 / n_tokens) / 1e6 END AS chars_per_token,
+         | CASE WHEN n_tokens > 0
+         |   THEN floor(sum_tok_len * 1e6 / n_tokens) / 1e6 END AS mean_tok_len,
+         | CASE WHEN n_tokens > 0
+         |   THEN floor(n_vocab * 1e6 / n_tokens) / 1e6 END AS ttr
+         |FROM pd LEFT JOIN pt ON pd.lang = pt.lang ORDER BY pd.lang""".stripMargin,
   )
 
   private val sigSelect: String = {
@@ -638,7 +645,7 @@ object Oracles {
 
     "q39_simhash_pairs" ->
       s"""WITH $simhashBits,
-         | sub AS (SELECT * FROM sim WHERE doc_id < 300)
+         | sub AS (SELECT * FROM sim WHERE doc_id < ${graft.operators.Dedup.PairProbeBound})
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sub a JOIN sub b ON a.doc_id < b.doc_id
@@ -652,12 +659,12 @@ object Oracles {
     "q132_crossmodal_agreement" ->
       s"""WITH $lshPairCtes,
          | $embCte,
-         | ee AS (SELECT * FROM e WHERE vec_id < 300),
+         | ee AS (SELECT * FROM e WHERE vec_id < ${graft.operators.Dedup.PairProbeBound}),
          | ep AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
          |   round((${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6) AS cosine
          |  FROM ee a JOIN ee b ON a.vec_id < b.vec_id
          |  WHERE round((${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6) >= 0.35),
-         | lx AS (SELECT d1 AS a, d2 AS b FROM pairs WHERE d1 < 300 AND d2 < 300),
+         | lx AS (SELECT d1 AS a, d2 AS b FROM pairs WHERE d1 < ${graft.operators.Dedup.PairProbeBound} AND d2 < ${graft.operators.Dedup.PairProbeBound}),
          | j AS (SELECT coalesce(lx.a, ep.v1) AS a, coalesce(lx.b, ep.v2) AS b,
          |   lx.a IS NOT NULL AS in_lex, ep.cosine AS cosine
          |  FROM lx FULL JOIN ep ON lx.a = ep.v1 AND lx.b = ep.v2),
@@ -1132,9 +1139,13 @@ object Oracles {
          |      ELSE 'audio' END AS media_class
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // q44 frames mirror q131's sizedDocs ceil framing (one "frames of a
+    // payload" definition per file — VERDICT r15 #3).
     "q44_frame_sample" ->
       s"""WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
-         | f AS (SELECT doc_id, unnest(range(0, n_bytes // 256 + 1)) AS frame_id FROM d)
+         | s AS (SELECT doc_id,
+         |   greatest(CAST(ceil(n_bytes / 256.0) AS BIGINT), 1) AS n_frames FROM d),
+         | f AS (SELECT doc_id, unnest(range(0, CAST(n_frames AS INT))) AS frame_id FROM s)
          |SELECT doc_id, frame_id,
          | (${dHash("CAST(doc_id AS VARCHAR)")} + frame_id * 2654435761) % 2147483647 AS phash
          |FROM f ORDER BY doc_id, frame_id""".stripMargin,
@@ -1178,7 +1189,7 @@ object Oracles {
   val dedup2: Map[String, String] = Map(
     "q61_embedding_neardup" ->
       s"""WITH $embCte,
-         | p AS (SELECT * FROM e WHERE vec_id < 300)
+         | p AS (SELECT * FROM e WHERE vec_id < ${graft.operators.Dedup.PairProbeBound})
          |SELECT a.vec_id AS v1, b.vec_id AS v2,
          | round((${dotSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6) AS cosine
          |FROM p a JOIN p b ON a.vec_id < b.vec_id
@@ -2658,9 +2669,12 @@ object Oracles {
         |   ((c_ref + 0.5) / (n_ref + 0.5 * k) - (c_cand + 0.5) / (n_cand + 0.5 * k))
         |    * ln(((c_ref + 0.5) / (n_ref + 0.5 * k))
         |         / ((c_cand + 0.5) / (n_cand + 0.5 * k))) AS term
-        |  FROM w)
-        |SELECT feature, CAST(k AS BIGINT) AS n_bins, round(sum(term), 6) AS psi
-        |FROM terms GROUP BY feature, k ORDER BY feature""".stripMargin,
+        |  FROM w),
+        | tu AS (SELECT feature, k,
+        |   CAST(floor(term * 1e9) AS DECIMAL(28,9)) AS tu FROM terms)
+        |SELECT feature, CAST(k AS BIGINT) AS n_bins,
+        | floor((sum(tu) + 500) / 1000) / 1e6 AS psi
+        |FROM tu GROUP BY feature, k ORDER BY feature""".stripMargin,
 
     // q140: per-dimension moments via the decimal-exact-sum rule
     // (floor to 1e-9 → DECIMAL sum → truncate), q75's idiom; variance
@@ -2773,10 +2787,10 @@ object Oracles {
          | h AS (SELECT doc_id, n, i,
          |   array_to_string(toks[i+1:i+8], ' ') AS hh FROM s),
          | ev AS (SELECT DISTINCT hh FROM h
-         |   WHERE doc_id % 7 = 0 AND doc_id < 2048),
+         |   WHERE doc_id % 7 = 0 AND doc_id < ${graft.operators.Similarity.ProbeCap}),
          | c AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_eval_spans
          |  FROM h JOIN ev USING (hh)
-         |  WHERE NOT (doc_id % 7 = 0 AND doc_id < 2048)
+         |  WHERE NOT (doc_id % 7 = 0 AND doc_id < ${graft.operators.Similarity.ProbeCap})
          |  GROUP BY doc_id, n)
          |SELECT doc_id, n AS n_tokens, n - 7 AS n_spans, n_eval_spans,
          | floor(n_eval_spans * 1.0 / (n - 7) * 1e6) / 1e6 AS contamination

@@ -2539,11 +2539,12 @@ object Curation {
       spanRows(docs.filter(evalGrid(col("doc_id")))))
   }
 
-  /** q144's declared eval-doc grid: every 7th id, capped — a fixed
-    * eval-suite-sized budget at any corpus size (the probe-cap
-    * philosophy; mirrored in the q144 oracle predicate). */
+  /** q144's declared eval-doc grid: every 7th id, capped at THE shared
+    * [[Similarity.ProbeCap]] — a fixed eval-suite-sized budget at any
+    * corpus size (the probe-cap philosophy; mirrored as the literal in
+    * the q144 oracle predicate, which Oracles keys off ProbeCap). */
   private[graft] def evalGrid(id: Column): Column =
-    id % 7 === 0 && id < 2048
+    id % 7 === 0 && id < Similarity.ProbeCap
 
   /** [[evalSpanOverlap]] over explicit corpus/eval span tables (the
     * [[spanTable]] deployment shape — pass real eval-suite spans). */
@@ -2929,10 +2930,18 @@ object Curation {
     val nBins = count(lit(1)).over(wF)
     val pRef = (col("c_ref") + 0.5) / (sum(col("c_ref")).over(wF) + nBins * 0.5)
     val pCand = (col("c_cand") + 0.5) / (sum(col("c_cand")).over(wF) + nBins * 0.5)
+    // ADVICE r15: per-bin terms are bit-identical across engines but a
+    // plain double sum() is accumulation-order-dependent — floor each
+    // term to integer 1e-9 units and sum as DECIMAL (q75's exact-sum
+    // idiom), then round half-up ON THE INTEGER GRID (PSI terms are
+    // ≥ 0), so the 6dp boundary can never flip between engines.
     grid
-      .withColumn("term", (pRef - pCand) * log(pRef / pCand))
+      .withColumn("term_u",
+        floor(((pRef - pCand) * log(pRef / pCand)) * 1e9).cast("decimal(28,9)"))
       .groupBy(col("feature"))
-      .agg(count(lit(1)).as("n_bins"), round(sum(col("term")), 6).as("psi"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("term_u")).as("s"))
+      .select(col("feature"), col("n_bins"),
+        (floor((col("s") + 500) / 1000).cast("double") / 1e6).as("psi"))
       .orderBy(col("feature"))
   }
 }

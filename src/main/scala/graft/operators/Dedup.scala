@@ -38,6 +38,32 @@ object Dedup {
       sequence(lit(1), size(col("toks")) - 2),
       i => array_join(slice(col("toks"), i, lit(3)), " "))
 
+  /** 3-token shingle FINGERPRINTS of a (toks, tokh) row — the span-family
+    * identity move ([[Curation.spanHashes]]) applied to the shingle
+    * family: identity is xxhash64 over the shingle's 3 token hashes, not
+    * the joined shingle string. Consumers use it ONLY for equality
+    * classes (distinct / df-window / equality self-join); the DuckDB
+    * oracle keeps partitioning and joining by the raw shingle string, so
+    * the hash is never mirrored — only its equality classes, which match
+    * the string classes exactly unless two distinct shingles collide in
+    * 64 bits (P ≈ shingles²/2⁶⁴: zero at test scale; at 10¹² shingles a
+    * rare collision marks a pair a hair more similar — the benign
+    * direction for dedup, same trade as the span family, escape hatch a
+    * 2×64-bit struct). vs the string form this removes the per-shingle
+    * string construction AND shrinks every downstream shuffle key from a
+    * ~3-token string to 8 bytes. NOT used where the hash VALUE must be
+    * cross-engine reproducible (MinHash banding — [[hashedDocTable]]
+    * keeps the sha256-derived [[Hashing.h32p]] there, because band
+    * collisions depend on the permuted hash values themselves, which the
+    * oracle must recompute bit-identically). */
+  private[graft] def shingleFps: Column =
+    transform(
+      sequence(lit(0), (size(col("toks")) - 3).cast("int")),
+      i => xxhash64(
+        element_at(col("tokh"), i + 1),
+        element_at(col("tokh"), i + 2),
+        element_at(col("tokh"), i + 3)))
+
   /** Canonical exact-dedup fingerprint: normalize (lower, collapse
     * whitespace, trim) → SHA-256 — shared by batch dedup, the curation
     * funnel, incremental dedup, and the streaming dedup stage. */
@@ -102,10 +128,14 @@ object Dedup {
     // runs) — the distinct's map-side partial aggregate dedups repeated
     // in-document shingles before its shuffle, and a raw repartition
     // ships the full exploded volume instead.
+    // Shingle identity is the [[shingleFps]] fingerprint (8-byte shuffle
+    // keys, no per-shingle string construction); the oracle keeps the raw
+    // string — equality-classes-only, see the shingleFps scaladoc.
     val ds0 = docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .withColumn("tokh", Curation.tokHashes)
+      .select(col("doc_id"), explode(shingleFps).as("s"))
       .distinct()
     // Materialized once: feeds three branches (sizes ×2 via join, self-join).
     // Strategy is the graft.materialize setting (Materialize.stage):
@@ -346,6 +376,16 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Bounded probe range for the exact PAIRWISE detectors (q39 simhash
+    * pairs, q61 embedding cosine pairs) and therefore for the q132
+    * cross-modal audit population that joins them — the all-pairs exact
+    * check is the correctness baseline, so its population is a fixed
+    * declared budget, not corpus-sized (the [[Similarity.ProbeCap]]
+    * philosophy at pair grain). ONE named constant (ADVICE r15):
+    * interpolated into the q39/q61/q132 oracles so the operator and the
+    * oracle can never drift apart. */
+  val PairProbeBound = 300L
+
   /** Embedding-cosine near-dup pairs (the vector-space dedup method):
     * all pairs within a bounded probe range above a cosine threshold. At
     * scale the pair space is pruned by the ANN bucket join first
@@ -353,7 +393,7 @@ object Dedup {
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     // Feeds both join sides; strategy via graft.materialize (Materialize.stage).
     val emb = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < 300)
+      .filter(col("vec_id") < PairProbeBound)
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .staged
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -386,7 +426,7 @@ object Dedup {
     * subset (the full-scale variant bands simhash bits exactly like
     * MinHash-LSH). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir).filter(col("doc_id") < 300)
+    val sh = simhash(spark, dir).filter(col("doc_id") < PairProbeBound)
     sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -425,7 +465,8 @@ object Dedup {
     * measures it). */
   def crossModalAgreement(spark: SparkSession, dir: String): DataFrame =
     crossModalAgreementFrom(
-      lshNearDup(spark, dir).filter(col("d1") < 300 && col("d2") < 300),
+      lshNearDup(spark, dir)
+        .filter(col("d1") < PairProbeBound && col("d2") < PairProbeBound),
       embeddingNearDup(spark, dir))
 
   /** [[crossModalAgreement]] over explicit pair tables: `lexPairs`

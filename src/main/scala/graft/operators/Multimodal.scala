@@ -48,15 +48,15 @@ object Multimodal {
           .otherwise(lit("audio")).as("media_class"))
       .orderBy(col("doc_id"))
 
-  /** Frame sampling: one row per simulated frame (1 frame per 256 payload
-    * bytes), each with a deterministic perceptual-hash stand-in. The
-    * explode is the real plan shape a video pipeline uses; only the hash
-    * is fake. */
+  /** Frame sampling: one row per simulated frame (256-byte frames via
+    * [[sizedDocs]] — ONE framing definition per file, shared with q131's
+    * [[frameDedup]]; VERDICT r15 #3 unified the former floor+1 variant
+    * onto the ceil framing), each with a deterministic perceptual-hash
+    * stand-in. The explode is the real plan shape a video pipeline uses;
+    * only the hash is fake. */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
-      .withColumn("n_frames", floor(col("n_bytes") / 256) + 1)
-      .select(col("doc_id"), col("n_bytes"),
+    sizedDocs(Tables.documents(spark, dir))
+      .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
       .withColumn("phash",
         (Hashing.h32(col("doc_id").cast("string")) + col("frame_id") * lit(2654435761L)) % lit(2147483647L))

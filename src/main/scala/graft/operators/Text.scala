@@ -229,8 +229,12 @@ object Text {
     * the tiny per-lang tables broadcast-join. The countDistinct is per
     * lang over the token vocabulary (≪ token stream); at 100 TB it is
     * the one shuffle and is bounded by vocabulary, not corpus. */
-  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenFertilityFrom(Tables.documents(spark, dir))
+
+  /** [[tokenFertility]] over any (lang, text, n_chars) frame — the
+    * injectable shape TextSpec's zero-token-language fixture runs on. */
+  private[graft] def tokenFertilityFrom(docs: DataFrame): DataFrame = {
     val perDoc = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
     val tok = docs.select(col("lang"), explode(toks).as("token"))
@@ -239,13 +243,22 @@ object Text {
         count(lit(1)).as("n_tokens"),
         countDistinct(col("token")).as("n_vocab"),
         sum(length(col("token"))).cast("long").as("sum_tok_len"))
-    perDoc.join(broadcast(perTok), "lang")
+    // LEFT join from the per-doc census (ADVICE r15): a language whose
+    // documents all tokenize to zero tokens must still report its
+    // n_docs/n_chars volume — the inner join silently dropped it. Token
+    // counts coalesce to 0 and the per-token ratios go null-safe (null,
+    // not a division blow-up, when a language has no tokens).
+    perDoc.join(broadcast(perTok), Seq("lang"), "left")
       .select(
-        col("lang"), col("n_docs"), col("n_chars"), col("n_tokens"),
-        col("n_vocab"),
-        (floor(col("n_chars") * 1e6 / col("n_tokens")) / 1e6).as("chars_per_token"),
-        (floor(col("sum_tok_len") * 1e6 / col("n_tokens")) / 1e6).as("mean_tok_len"),
-        (floor(col("n_vocab") * 1e6 / col("n_tokens")) / 1e6).as("ttr"))
+        col("lang"), col("n_docs"), col("n_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_vocab"), lit(0L)).as("n_vocab"),
+        when(col("n_tokens") > 0,
+          floor(col("n_chars") * 1e6 / col("n_tokens")) / 1e6).as("chars_per_token"),
+        when(col("n_tokens") > 0,
+          floor(col("sum_tok_len") * 1e6 / col("n_tokens")) / 1e6).as("mean_tok_len"),
+        when(col("n_tokens") > 0,
+          floor(col("n_vocab") * 1e6 / col("n_tokens")) / 1e6).as("ttr"))
       .orderBy(col("lang"))
   }
 }

@@ -1408,10 +1408,12 @@ class CurationSpec extends SparkSpec {
     assert(out("len") == ((1L, 0.0)), s"len: ${out("len")}")
     assert(out("tok") == ((1L, 0.0)), s"tok: ${out("tok")}")
     // lang: bins {en, de}, counts (2,0) vs (0,2), smoothed ±0.5 over
-    // K=2 → p = 2.5/3 vs 0.5/3 both directions
+    // K=2 → p = 2.5/3 vs 0.5/3 both directions; expected mirrors the
+    // decimal-exact rule (terms floored to 1e-9 units, half-up round on
+    // the integer grid — ADVICE r15)
     val p = 2.5 / 3.0; val q = 0.5 / 3.0
-    val expected = BigDecimal(2 * (p - q) * math.log(p / q))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val termU = math.floor((p - q) * math.log(p / q) * 1e9).toLong
+    val expected = math.floor((2 * termU + 500) / 1000.0) / 1e6
     assert(out("lang")._1 == 2L)
     assert(math.abs(out("lang")._2 - expected) < 1e-9,
       s"lang psi ${out("lang")._2} vs $expected")

@@ -265,11 +265,12 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("frame sample: 1 + floor(bytes/256) frames per doc") {
+  test("frame sample: ceil(bytes/256) frames per doc (q131's sizedDocs framing)") {
     val frames = Multimodal.frameSample(spark, sfDir)
       .groupBy("doc_id").count()
     val expected = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), (floor(octet_length(col("text")) / 256) + 1).as("exp"))
+      .select(col("doc_id"),
+        greatest(ceil(octet_length(col("text")) / 256.0), lit(1L)).as("exp"))
     val joined = frames.join(expected, "doc_id")
       .filter(col("count") =!= col("exp")).count()
     assert(joined == 0L)

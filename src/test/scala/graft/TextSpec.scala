@@ -30,4 +30,22 @@ class TextSpec extends SparkSpec {
     docs.unpersist()
     ()
   }
+
+  test("token fertility: a zero-token language keeps its doc volumes (left join)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c", "en", 5L),
+      (1L, "   ", "xx", 3L), // whitespace-only: zero tokens
+      (2L, "", "xx", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = Text.tokenFertilityFrom(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("en", "xx"))
+    val xx = out("xx")
+    assert(xx.getLong(1) == 2L && xx.getLong(2) == 3L) // n_docs, n_chars kept
+    assert(xx.getLong(3) == 0L && xx.getLong(4) == 0L) // tokens coalesced to 0
+    assert(xx.isNullAt(5) && xx.isNullAt(6) && xx.isNullAt(7)) // null-safe ratios
+    val en = out("en")
+    assert(en.getLong(3) == 3L && en.getDouble(7) == 1.0)
+  }
 }
