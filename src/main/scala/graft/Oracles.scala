@@ -416,6 +416,43 @@ object Oracles {
   private val shCte =
     "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t WHERE len(toks) >= 3)"
 
+  /** Shared BPE CTE chain (q32/q138): mirrors Text.bpeMergeTable /
+    * bpeDocCounts — BpeRounds rounds of adjacent-pair counting over the
+    * current vocabulary segmentation, each applying that round's top
+    * BpeMergesPerRound merges through the same space-bounded literal
+    * replaces (JVM and DuckDB replace() share the left-to-right
+    * non-overlapping scan — verified on symbol runs). Rank lookups are
+    * scalar subqueries; ranks past the pair population coalesce to a
+    * \x01 sentinel that cannot occur in a segmentation. MATERIALIZED
+    * keeps DuckDB from re-inlining each round's CTEs into the 32 scalar
+    * subqueries of the next round (exponential re-evaluation otherwise).
+    * Ends with per-doc BPE token counts in `bpedoc`. */
+  private val bpeCtes: String = {
+    val R = graft.operators.Text.BpeRounds
+    val M = graft.operators.Text.BpeMergesPerRound
+    def nest(r: Int): String = (1 to M).foldLeft("seg") { (acc, k) =>
+      s"replace($acc, ' ' || coalesce((SELECT p FROM r$r WHERE rn = $k), chr(1)) || ' ', " +
+        s"' ' || coalesce((SELECT replace(p, ' ', '') FROM r$r WHERE rn = $k), chr(1)) || ' ')"
+    }
+    val rounds = (0 until R).map { r =>
+      s""" p$r AS MATERIALIZED (SELECT p, sum(wcount) AS w FROM (
+         |   SELECT wcount, unnest(list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])) AS p
+         |   FROM (SELECT wcount, string_split(trim(seg), ' ') AS sy FROM vocab$r) s$r) g$r
+         |  GROUP BY p),
+         | r$r AS MATERIALIZED (SELECT p, row_number() OVER (ORDER BY w DESC, p) AS rn FROM p$r),
+         | vocab${r + 1} AS MATERIALIZED (SELECT tok, wcount, ${nest(r)} AS seg FROM vocab$r),""".stripMargin
+    }.mkString("\n")
+    val segInitSql = "' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')"
+    s"""tokens AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS tok FROM documents),
+       | vocab0 AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS wcount,
+       |   $segInitSql AS seg
+       |  FROM tokens GROUP BY tok),
+       |$rounds
+       | bpev AS (SELECT tok, CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_sym FROM vocab$R),
+       | bpedoc AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe
+       |  FROM tokens JOIN bpev USING (tok) GROUP BY doc_id)""".stripMargin
+  }
+
   private val stopList = graft.operators.Text.stopwords.mkString("['", "', '", "']")
   private val lexValues = graft.operators.Text.lexicon
     .map { case (m, l) => s"('$m', '$l')" }.mkString(", ")
@@ -458,13 +495,18 @@ object Oracles {
          |GROUP BY lang, pred_lang
          |ORDER BY lang, pred_lang""".stripMargin,
 
+    // q32: the corpus-learned BPE (bpeCtes) — n_bpe_tokens is the real
+    // merge-table tokenizer's output, chars_per_token its fertility
+    // (integer-first floor-truncation).
     "q32_token_bpe" ->
-      """SELECT doc_id,
-        | CAST(len(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS BIGINT) AS n_ws_tokens,
-        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
-        | round(CAST(n_chars AS DOUBLE) /
-        |   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 6) AS chars_per_token
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH $bpeCtes
+         |SELECT d.doc_id,
+         | CAST(len(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS BIGINT) AS n_ws_tokens,
+         | CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+         | CASE WHEN n_bpe > 0
+         |   THEN floor(n_chars * 1e6 / n_bpe) / 1e6 END AS chars_per_token
+         |FROM documents d LEFT JOIN bpedoc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q65_tfidf" ->
       """WITH tok AS (SELECT doc_id,
@@ -498,13 +540,16 @@ object Oracles {
     // language must keep its document volumes).
     "q138_token_fertility" ->
       s"""WITH $toksCte,
+         | $bpeCtes,
          | pd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |         CAST(sum(n_chars) AS BIGINT) AS n_chars FROM t GROUP BY lang),
          | tk AS (SELECT lang, unnest(toks) AS token FROM t),
          | pt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
          |         CAST(count(DISTINCT token) AS BIGINT) AS n_vocab,
          |         CAST(sum(len(token)) AS BIGINT) AS sum_tok_len
-         |        FROM tk GROUP BY lang)
+         |        FROM tk GROUP BY lang),
+         | pb AS (SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS bpe_toks
+         |        FROM documents LEFT JOIN bpedoc USING (doc_id) GROUP BY lang)
          |SELECT pd.lang, n_docs, n_chars,
          | coalesce(n_tokens, 0) AS n_tokens,
          | coalesce(n_vocab, 0) AS n_vocab,
@@ -513,8 +558,12 @@ object Oracles {
          | CASE WHEN n_tokens > 0
          |   THEN floor(sum_tok_len * 1e6 / n_tokens) / 1e6 END AS mean_tok_len,
          | CASE WHEN n_tokens > 0
-         |   THEN floor(n_vocab * 1e6 / n_tokens) / 1e6 END AS ttr
-         |FROM pd LEFT JOIN pt ON pd.lang = pt.lang ORDER BY pd.lang""".stripMargin,
+         |   THEN floor(n_vocab * 1e6 / n_tokens) / 1e6 END AS ttr,
+         | coalesce(bpe_toks, 0) AS bpe_tokens,
+         | CASE WHEN bpe_toks > 0
+         |   THEN floor(n_chars * 1e6 / bpe_toks) / 1e6 END AS chars_per_bpe_token
+         |FROM pd LEFT JOIN pt ON pd.lang = pt.lang
+         | LEFT JOIN pb ON pd.lang = pb.lang ORDER BY pd.lang""".stripMargin,
   )
 
   private val sigSelect: String = {

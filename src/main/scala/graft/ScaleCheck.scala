@@ -195,6 +195,13 @@ object ScaleCheck {
       ("token_fertility", () =>
         graft.operators.Text.tokenFertility(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),
+      // r16: the corpus-learned BPE (q32) — learning is vocabulary-bound
+      // (word types, Zipf ≪ corpus), application is one broadcast join +
+      // doc-grain agg; the claim is the whole pipeline rides the token
+      // explode's linear band
+      ("token_bpe", () =>
+        graft.operators.Text.tokenCountBpe(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()),
       ("drift_psi", () =>
         Curation.driftPsi(spark, sfDir)
           .write.format("noop").mode("overwrite").save()),

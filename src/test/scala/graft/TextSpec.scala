@@ -45,7 +45,11 @@ class TextSpec extends SparkSpec {
     assert(xx.getLong(1) == 2L && xx.getLong(2) == 3L) // n_docs, n_chars kept
     assert(xx.getLong(3) == 0L && xx.getLong(4) == 0L) // tokens coalesced to 0
     assert(xx.isNullAt(5) && xx.isNullAt(6) && xx.isNullAt(7)) // null-safe ratios
+    assert(xx.getLong(8) == 0L && xx.isNullAt(9)) // BPE columns null-safe too
     val en = out("en")
     assert(en.getLong(3) == 3L && en.getDouble(7) == 1.0)
+    // 1-char words have no pairs: merge table is empty, 1 symbol per word
+    assert(en.getLong(8) == 3L)
+    assert(en.getDouble(9) == math.floor(5L * 1e6 / 3) / 1e6)
   }
 }
