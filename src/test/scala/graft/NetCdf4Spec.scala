@@ -339,6 +339,73 @@ class NetCdf4Spec extends SparkSpec {
     }
   }
 
+  test("v4 chunk indexes: single/implicit/fixed-array round-trip by type (VERDICT r15 #5)") {
+    val shape = Seq(2L, 3L, 4L)
+    val vals = Array.tabulate(24)(i => i * 1.25 - 5.0)
+    def fixture(chunk: Seq[Int], filters: Seq[Int], idx4: Option[Int] = None) =
+      NetCdf4.write(Seq(
+        NetCdf4.WriteDs("temp", shape, vals,
+          chunk = Some(chunk), filters = filters, idx4 = idx4)), latest = true)
+    // (chunk dims, filters, forced index, expected idxType, filtered-single?)
+    val cases = Seq(
+      (Seq(2, 3, 4), Seq.empty[Int], None, 1, false),        // single, unfiltered
+      (Seq(2, 3, 4), Seq(2, 1), None, 1, true),              // single, filtered
+      (Seq(2, 2, 3), Seq.empty[Int], None, 2, false),        // implicit
+      (Seq(2, 2, 3), Seq(2, 1), None, 3, false),             // fixed array, client 1
+      (Seq(2, 2, 3), Seq.empty[Int], Some(3), 3, false),     // fixed array, client 0
+      (Seq(1, 2, 3), Seq(3, 2, 1), None, 3, false))          // fixed array, full pipeline
+    cases.foreach { case (chunk, filters, idx4, expectType, filteredSingle) =>
+      val f = NetCdf4.parse(fixture(chunk, filters, idx4))
+      val ds = f.dataset("temp").get
+      assert(ds.chunk.isEmpty && ds.chunk4.nonEmpty, s"case $chunk/$filters")
+      assert(ds.chunk4.get.idxType == expectType, s"case $chunk/$filters")
+      assert(ds.chunk4.get.singleFiltered.nonEmpty == filteredSingle)
+      assert(NetCdf4.readValues(f, ds).toSeq == vals.toSeq,
+        s"chunk=$chunk filters=$filters idx4=$idx4")
+    }
+  }
+
+  test("v4 index out-of-subset layouts reject by name; fixed-array corruption by checksum") {
+    val good = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("temp", Seq(2L, 3L, 4L), Array.tabulate(24)(_.toDouble),
+        chunk = Some(Seq(2, 2, 3)), filters = Seq(2, 1))), latest = true)
+    // retag the index type byte (3 = fixed array) to 4/5 — must name it.
+    // The layout body starts '04 02 00 <ndims=4> 08' then 4x8 dims, then
+    // the index type byte — locate that exact pattern.
+    val pat = Array[Byte](0x04, 0x02, 0x00, 0x04, 0x08)
+    val at = good.indices.find(i =>
+      i + pat.length <= good.length && pat.indices.forall(j => good(i + j) == pat(j))).get
+    val idxAt = at + 5 + 4 * 8
+    assert(good(idxAt) == 3, "expected a fixed-array index byte")
+    // the layout rides inside a checksummed OHDR — recompute the header
+    // checksum after the retag so the INDEX rejection (not the checksum
+    // guard, which fires first) is what's exercised
+    val ohdrAt = (at to 0 by -1).find(i =>
+      good(i) == 'O' && good(i + 1) == 'H' && good(i + 2) == 'D' && good(i + 3) == 'R').get
+    def fixOhdr(bytes: Array[Byte]): Unit = {
+      val size = java.nio.ByteBuffer.wrap(bytes, ohdrAt + 6, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val cs = NetCdf4.lookup3(bytes, ohdrAt, 10 + size)
+      java.nio.ByteBuffer.wrap(bytes, ohdrAt + 10 + size, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(cs)
+      ()
+    }
+    for ((t, name) <- Seq(4 -> "extensible array", 5 -> "version-2 B-tree")) {
+      val re = good.clone(); re(idxAt) = t.toByte; fixOhdr(re)
+      assert(NetCdf4.probe(re).left.exists(_.contains(name)), s"type $t")
+    }
+    // flip a byte inside the FAHD header (entry-size field) — the named
+    // checksum rejection must fire before any element is trusted
+    val fahd = good.indices.find(i =>
+      i + 4 <= good.length && good(i) == 'F' && good(i + 1) == 'A' &&
+        good(i + 2) == 'H' && good(i + 3) == 'D').get
+    val corrupt = good.clone()
+    corrupt(fahd + 6) = (corrupt(fahd + 6) ^ 0x01).toByte
+    val f = NetCdf4.parse(corrupt)
+    val e = intercept[IllegalArgumentException](NetCdf4.readValues(f, f.datasets.head))
+    assert(e.getMessage.contains("fixed-array header checksum mismatch"), e.getMessage)
+  }
+
   test("v2 metadata corruption is rejected by checksum, by name") {
     val bytes = NetCdf4.encodeCube(cubeDf(), "p", latest = true)
     // flip a bit inside the superblock's root address field
@@ -439,6 +506,34 @@ class NetCdf4Spec extends SparkSpec {
     assert(Fetch.containerGuard(chunked).isEmpty) // in-subset now
     val fixture = tmp.resolve("cube.nc4")
     java.nio.file.Files.write(fixture, chunked)
+    val cfg = IngestConfig(bbox = (10.0, 54.0, 14.0, 57.0),
+      parameters = Seq("wind-speed"))
+    val (mf, o) = Fetch.fetchAndIngest(spark, cfg,
+      Seq("wind-speed" -> fixture.toUri.toString), out)
+    assert(o.forall(_.ok), o.mkString(";"))
+    assert(mf.nonEmpty)
+    assert(spark.read.parquet(out).count() == 12)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("fetch boundary: latest-format fixed-array cube passes the guard and ingests (R17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc4fa")
+    val out = tmp.resolve("out").toString
+    // a libver='latest' cube: superblock v3, OHDR v2, and a deflate-
+    // compressed data variable behind a FIXED-ARRAY chunk index
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("time", Seq(2L), Array(0.0, 3600.0),
+        attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00")),
+      NetCdf4.WriteDs("y", Seq(2L), Array(55.0, 56.0)),
+      NetCdf4.WriteDs("x", Seq(3L), Array(11.0, 12.0, 13.0)),
+      NetCdf4.WriteDs("wind-speed", Seq(2L, 2L, 3L),
+        Array.tabulate(12)(_.toDouble),
+        chunk = Some(Seq(1, 2, 3)), filters = Seq(2, 1))), latest = true)
+    assert(NetCdf4.parse(bytes).dataset("wind-speed")
+      .exists(_.chunk4.exists(_.idxType == 3)), "fixture must use a fixed array")
+    assert(Fetch.containerGuard(bytes).isEmpty) // in-subset since r16
+    val fixture = tmp.resolve("cube.nc4")
+    java.nio.file.Files.write(fixture, bytes)
     val cfg = IngestConfig(bbox = (10.0, 54.0, 14.0, 57.0),
       parameters = Seq("wind-speed"))
     val (mf, o) = Fetch.fetchAndIngest(spark, cfg,
