@@ -2926,22 +2926,31 @@ object Curation {
       .agg(
         coalesce(sum(when(col("half") === "ref", col("c"))), lit(0L)).as("c_ref"),
         coalesce(sum(when(col("half") === "cand", col("c"))), lit(0L)).as("c_cand"))
-    val wF = Window.partitionBy(col("feature"))
+    psiFromGrid(grid, Seq("feature"))
+  }
+
+  /** PSI finalize over a (keys…, c_ref, c_cand) bin grid — the
+    * Laplace-smoothed, decimal-exact tail shared by batch q139
+    * ([[driftPsiFrom]], keys = feature) and the streaming monitor's
+    * per-window finalize ([[graft.streaming.StreamOps.driftPsiFinalize]],
+    * keys = window_start + feature) so the alarm value can never drift
+    * between the two sides. ADVICE r15: per-bin terms are bit-identical
+    * across engines but a plain double sum() is accumulation-order-
+    * dependent — floor each term to integer 1e-9 units and sum as
+    * DECIMAL (q75's exact-sum idiom), then round half-up ON THE INTEGER
+    * GRID (PSI terms are ≥ 0), so the 6dp boundary can never flip. */
+  private[graft] def psiFromGrid(grid: DataFrame, keys: Seq[String]): DataFrame = {
+    val wF = Window.partitionBy(keys.map(col): _*)
     val nBins = count(lit(1)).over(wF)
     val pRef = (col("c_ref") + 0.5) / (sum(col("c_ref")).over(wF) + nBins * 0.5)
     val pCand = (col("c_cand") + 0.5) / (sum(col("c_cand")).over(wF) + nBins * 0.5)
-    // ADVICE r15: per-bin terms are bit-identical across engines but a
-    // plain double sum() is accumulation-order-dependent — floor each
-    // term to integer 1e-9 units and sum as DECIMAL (q75's exact-sum
-    // idiom), then round half-up ON THE INTEGER GRID (PSI terms are
-    // ≥ 0), so the 6dp boundary can never flip between engines.
     grid
       .withColumn("term_u",
         floor(((pRef - pCand) * log(pRef / pCand)) * 1e9).cast("decimal(28,9)"))
-      .groupBy(col("feature"))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_bins"), sum(col("term_u")).as("s"))
-      .select(col("feature"), col("n_bins"),
-        (floor((col("s") + 500) / 1000).cast("double") / 1e6).as("psi"))
-      .orderBy(col("feature"))
+      .select(keys.map(col) ++ Seq(col("n_bins"),
+        (floor((col("s") + 500) / 1000).cast("double") / 1e6).as("psi")): _*)
+      .orderBy(keys.map(col): _*)
   }
 }

@@ -812,14 +812,13 @@ object StreamOps {
     * k_ref, n_ref) rows are the PSI's raw terms — k_ref/n_ref arrive
     * per FEATURE, so they are present even on candidate-only bins (the
     * drifting case). The finalize — summing (p−q)·ln(p/q) over the
-    * UNION bin universe (batch q139's convention: k_union = k_ref +
-    * this window's candidate-only bins; ref-only bins ride in with
-    * c_cand = 0 from the same broadcast snapshot) — is one bins-sized
-    * batch projection over the sink, because PSI is only defined once
-    * a window closes. Replayed corpus odd-half rows through one window
-    * reproduce batch q139's candidate bin counts row for row
-    * (StreamingSpec pin, including a reference-absent bin's
-    * non-null k_ref/n_ref).
+    * UNION bin universe (batch q139's convention) — is
+    * [[driftPsiFinalize]], one bins-sized batch projection over the
+    * sink, because PSI is only defined once a window closes. Replayed
+    * corpus odd-half rows through one window reproduce batch q139's
+    * candidate bin counts row for row AND its finalized psi values to
+    * the last decimal (StreamingSpec pins, including a
+    * reference-absent bin's non-null k_ref/n_ref).
     *
     * State is the windowed count aggregation only — O(windows ×
     * bins ≤ 30), watermark-evicted; the monitoring family's dual next
@@ -849,6 +848,33 @@ object StreamOps {
         coalesce(col("c_ref"), lit(0L)).as("c_ref"),
         coalesce(col("k_ref"), lit(0L)).as("k_ref"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+  }
+
+  /** The monitor's ALARM value: finalize [[driftBinsStream]]'s emitted
+    * per-window bin terms into per-(window, feature) PSI — run as a
+    * bins-sized batch projection over the sink (foreachBatch or the
+    * sink table), because PSI is only defined once a window closes
+    * (VERDICT r15 #7: the harness previously saw only the raw terms).
+    * The bin universe is the UNION of the window's candidate bins and
+    * the reference snapshot's (ref-only bins join back in with
+    * c_cand = 0), and the smoothing + decimal-exact summation is THE
+    * shared [[graft.operators.Curation.psiFromGrid]] tail, so a
+    * one-window replay of batch q139's candidate half reproduces its
+    * psi values to the last decimal (StreamingSpec pin). */
+  def driftPsiFinalize(binRows: DataFrame, refBins: DataFrame): DataFrame = {
+    import graft.operators.Curation
+    val wins = binRows.select(col("window_start")).distinct()
+    val refGrid = wins.crossJoin(
+        broadcast(refBins.select(col("feature"), col("bin"), col("c_ref"))))
+      .withColumn("c_cand", lit(0L))
+    val grid = binRows
+      .select(col("window_start"), col("feature"), col("bin"),
+        col("c_cand"), col("c_ref"))
+      .unionByName(refGrid.select(col("window_start"), col("feature"),
+        col("bin"), col("c_cand"), col("c_ref")))
+      .groupBy(col("window_start"), col("feature"), col("bin"))
+      .agg(sum(col("c_cand")).as("c_cand"), max(col("c_ref")).as("c_ref"))
+    Curation.psiFromGrid(grid, Seq("window_start", "feature"))
   }
 
   /** Static corpus band index (band, band_sig) for the stream-static

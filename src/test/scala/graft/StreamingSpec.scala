@@ -1031,6 +1031,19 @@ class StreamingSpec extends SparkSpec {
       val zz = got(("lang", "zz"))
       assert(zz._2 == 0L && zz._3 > 0L && zz._4 > 0L,
         s"candidate-only bin must carry the feature's reference constants: $zz")
+      // the ALARM value (VERDICT r15 #7): finalizing the closed window's
+      // sink rows must reproduce batch q139's psi to the last decimal —
+      // same union bin universe, same smoothing, same decimal-exact sum
+      val sink = spark.table("drift_out").filter(col("window_start") === ts(0))
+      val psiGot = StreamOps.driftPsiFinalize(sink, refBins).collect()
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val psiWant = Curation.driftPsiFrom(
+          docs.filter(col("doc_id") % 2 === 0)
+            .select("doc_id", "text", "lang", "n_chars"), candBatch).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(psiGot == psiWant,
+        s"streamed psi diverged from batch q139: $psiGot vs $psiWant")
+      assert(psiGot.keySet == Set("lang", "len", "tok"))
     } finally q.stop()
   }
 
