@@ -129,6 +129,45 @@ object Bench {
     }
     val loadStart = loadavg()
 
+    // Fixed-work CPU probe: single-thread SHA-256 over a deterministic
+    // 8 MiB buffer × 24 passes — the identical instruction stream every
+    // round, so probe seconds measure HOST THROUGHPUT and nothing else.
+    // Sampled at bench start and end, OUTSIDE every per-query timer, and
+    // published on both artifact lines. Motivation (r15/r16): the r15
+    // driver run recorded 151 s where four same-head builder runs
+    // measured 131-141 s, and in r16 the same host ran the full test
+    // suite 2.0× slower than the r15 judge's fresh run (1006 s vs 514 s
+    // at near-identical test surface) — host speed swings of that size
+    // dwarf any per-query regression, and loadavg alone cannot prove
+    // them because a co-tenant VM's load is invisible to this guest.
+    // BASELINE.md §cpu-probe records the committed calibration value; a
+    // round whose total moved with the probe is host weather, a round
+    // whose total moved against it is a real regression.
+    def shaPasses(passes: Int): Unit = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val buf = new Array[Byte](8 << 20)
+      java.util.Arrays.fill(buf, 0x5a.toByte)
+      var i = 0
+      while (i < passes) { md.update(buf); i += 1 }
+      md.digest()
+    }
+    // (single-thread sec, all-cores sec): the single-thread figure moves
+    // with clock/steal throttling; the all-cores figure (one 48-pass
+    // worker per CPU, wall time) additionally moves with co-tenant core
+    // contention — the mode that slows a 32-thread Spark suite while a
+    // 1-thread probe stays flat.
+    def cpuProbe(): (Double, Double) = {
+      val t0 = System.nanoTime()
+      shaPasses(96)
+      val st = (System.nanoTime() - t0) / 1e9
+      val threads = (0 until cpus.toInt).map(_ => new Thread(() => shaPasses(48)))
+      val t1 = System.nanoTime()
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val mt = (System.nanoTime() - t1) / 1e9
+      (math.rint(st * 1000) / 1000, math.rint(mt * 1000) / 1000)
+    }
+    val probeStart = { shaPasses(24); cpuProbe() } // first call pays JIT
+
     // warmup: touch every table (schema-declared, timestamp-unit-aware
     // readers — see Tables.tsReadPlan), exercise codegen once
     import graft.sources.Tables
@@ -384,6 +423,7 @@ object Bench {
     val total = math.rint(finalResults.collect { case (_, Right(vs)) => median(vs) }.sum * 1000) / 1000
     val nErr = finalResults.count(_._2.isLeft)
     val loadEnd = loadavg()
+    val probeEnd = cpuProbe()
     // retried/gate fields only in the committed full artifact — the
     // stdout short line must stay inside the driver's bounded tail
     def line(short: Boolean) = {
@@ -406,7 +446,7 @@ object Bench {
       // happens before any timed query, so `value` never includes it —
       // publishing it in the driver-captured short line makes that
       // exclusion auditable from BENCH_r{N}.json alone
-      s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"gate_wait_sec":$gateWaitSec,$adjud$guard"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":${entries(short)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"gate_wait_sec":$gateWaitSec,$adjud$guard"cpu_probe":[[${probeStart._1},${probeStart._2}],[${probeEnd._1},${probeEnd._2}]],"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":${entries(short)},"sf":"$sfDir"}"""
     }
     // Full query names → BENCH_LOCAL.json (committed per round); the stdout
     // line uses the qNN short keys and 3-decimal times so the whole line
