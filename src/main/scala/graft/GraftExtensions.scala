@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{MinhashSigExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedArrayContainsExpr, SortedIntersectCountExpr, VecDotExpr}
+import graft.functions.expressions.{MinhashSigExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedArrayContainsExpr, SortedIntersectCountExpr, SubL2Expr, VecDotExpr}
 
 /** Session extensions: registers the engine's native expressions.
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
       arity("vec_dot", 2)(c => VecDotExpr(c.head, c(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("sub_l2"),
+      new ExpressionInfo(classOf[SubL2Expr].getName, "sub_l2"),
+      arity("sub_l2", 5)(c => SubL2Expr(c))))
     ext.injectFunction((
       new FunctionIdentifier("rp_signature64"),
       new ExpressionInfo(classOf[RpSignatureExpr].getName, "rp_signature64"),

@@ -517,22 +517,40 @@ object Similarity {
   }
 
   /** Squared L2 between subspace `s` (dims s·dsub+1 … (s+1)·dsub) of two
-    * float vectors, deterministic left-assoc double accumulation — the
-    * oracle emits the identical term chain. */
+    * float vectors — the native `sub_l2` kernel's left-assoc double
+    * accumulation, bit-identical to the unrolled
+    * `(a₁-b₁)² + (a₂-b₂)² + …` Column chain it replaced (ExpressionSpec
+    * pins the equivalence) and to the oracle's identical term chain. */
   private def subL2(a: Column, b: Column, s: Int, dsub: Int): Column =
+    call_function("sub_l2", a, b, lit(s * dsub), lit(s * dsub), lit(dsub))
+
+  /** Subspace-dispatched [[subL2]]: the runtime offset `sub·dsub`
+    * replaces the former m-branch CASE (one unrolled chain per branch) —
+    * same values including the CASE's null-on-out-of-range `sub`, via
+    * the kernel's null-on-out-of-window rule. */
+  private def pqDist(a: Column, b: Column, sub: Column, m: Int, dsub: Int): Column =
+    call_function("sub_l2", a, b,
+      (sub * dsub).cast("int"), (sub * dsub).cast("int"), lit(dsub))
+
+  /** The pre-kernel unrolled formulations, kept ONLY as ExpressionSpec's
+    * bit-identity references for `sub_l2` (the [[dotComposed]]
+    * convention): the deterministic left-assoc term chain the oracle SQL
+    * also emits. aOffTerms ≠ 0 with bOff = 0 reproduces [[subL2Seg]];
+    * equal offsets reproduce [[subL2]]. */
+  private[graft] def subL2Composed(a: Column, b: Column, s: Int, dsub: Int,
+      segB: Boolean): Column =
     (0 until dsub).map { i =>
       val d = element_at(a, s * dsub + i + 1).cast("double") -
-        element_at(b, s * dsub + i + 1).cast("double")
+        element_at(b, (if (segB) 0 else s * dsub) + i + 1).cast("double")
       d * d
     }.reduce(_ + _)
 
-  /** Subspace-dispatched [[subL2]]: one CASE branch per subspace, so a
-    * (vector, sub) row joined against the full codebook computes exactly
-    * its own subspace's distance — all branches codegen into the one
-    * whole-stage pass. */
-  private def pqDist(a: Column, b: Column, sub: Column, m: Int, dsub: Int): Column =
-    (1 until m).foldLeft(when(sub === 0, subL2(a, b, 0, dsub))) {
-      (acc, s) => acc.when(sub === s, subL2(a, b, s, dsub))
+  /** [[subL2Composed]]'s CASE-dispatched form — [[pqDist]]/[[pqDistSeg]]'s
+    * bit-identity reference. */
+  private[graft] def pqDistComposed(a: Column, b: Column, sub: Column, m: Int,
+      dsub: Int, segB: Boolean): Column =
+    (1 until m).foldLeft(when(sub === 0, subL2Composed(a, b, 0, dsub, segB))) {
+      (acc, s) => acc.when(sub === s, subL2Composed(a, b, s, dsub, segB))
     }
 
   /** q106: product-quantization ANN (IVF-PQ's compression half) — m=8
@@ -747,20 +765,15 @@ object Similarity {
   }
 
   /** [[subL2]] against a dsub-dim SUB-codebook entry (`b` holds only its
-    * own subspace's dims) — same deterministic left-assoc chain. */
+    * own subspace's dims, so its window starts at 0) — same kernel, same
+    * left-assoc accumulation. */
   private def subL2Seg(a: Column, b: Column, s: Int, dsub: Int): Column =
-    (0 until dsub).map { i =>
-      val d = element_at(a, s * dsub + i + 1).cast("double") -
-        element_at(b, i + 1).cast("double")
-      d * d
-    }.reduce(_ + _)
+    call_function("sub_l2", a, b, lit(s * dsub), lit(0), lit(dsub))
 
   /** Subspace-dispatched [[subL2Seg]] — [[pqDist]]'s trained-codebook
-    * counterpart. */
+    * counterpart (runtime `sub·dsub` window on `a`, window 0 on `b`). */
   private def pqDistSeg(a: Column, b: Column, sub: Column, m: Int, dsub: Int): Column =
-    (1 until m).foldLeft(when(sub === 0, subL2Seg(a, b, 0, dsub))) {
-      (acc, s) => acc.when(sub === s, subL2Seg(a, b, s, dsub))
-    }
+    call_function("sub_l2", a, b, (sub * dsub).cast("int"), lit(0), lit(dsub))
 
   /** Encode against a per-subspace codebook (sub, code, scvec): argmin
     * code per (vector, subspace), partial-agg struct-min like

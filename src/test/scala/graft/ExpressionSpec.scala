@@ -170,6 +170,56 @@ class ExpressionSpec extends SparkSpec {
     assert(pairs.filter(col("fast") =!= col("slow")).count() == 0L)
   }
 
+  test("sub_l2 is bit-identical to the unrolled element_at term chain") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val p = e.filter(col("vec_id") < 24)
+    // every (vector, codebook-entry, subspace) cell of an m=8, dsub=8 PQ
+    // grid, in both window layouts (full-vector b and seg b) plus the
+    // runtime-offset dispatch vs the m-branch CASE it replaced
+    val pairs = p.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      .join(p.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+        col("v1") < col("v2"))
+      .crossJoin(spark.range(8).select(col("id").cast("int").as("sub")))
+    val cells = (0 until 8).flatMap { s =>
+      Seq(
+        (expr(s"sub_l2(e1, e2, ${s * 8}, ${s * 8}, 8)"),
+          Similarity.subL2Composed(col("e1"), col("e2"), s, 8, segB = false)),
+        (expr(s"sub_l2(e1, slice(e2, ${s * 8 + 1}, 8), ${s * 8}, 0, 8)"),
+          Similarity.subL2Composed(col("e1"), slice(col("e2"), s * 8 + 1, 8),
+            s, 8, segB = true)))
+    } ++ Seq(
+      (expr("sub_l2(e1, e2, CAST(sub * 8 AS INT), CAST(sub * 8 AS INT), 8)"),
+        Similarity.pqDistComposed(col("e1"), col("e2"), col("sub"), 8, 8,
+          segB = false)))
+    cells.zipWithIndex.foreach { case ((fast, slow), i) =>
+      assert(pairs.filter(fast =!= slow).count() == 0L, s"cell $i diverged")
+      assert(pairs.filter(fast.isNull =!= slow.isNull).count() == 0L,
+        s"cell $i null-mask diverged")
+    }
+  }
+
+  test("sub_l2 codegen + edge cases: null array, null slot, out-of-window") {
+    import spark.implicits._
+    val plan = Tables.embeddings(spark, sfDir)
+      .select(expr("sub_l2(embedding, embedding, 0, 0, 8)").as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    val r = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f), Some(5.0f)))),
+      (None, Some(Seq(Some(1.0f), Some(2.0f)))), // null array
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))), // null slot
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(1.0f), Some(2.0f)))))
+      .toDF("a", "b")
+      .select(expr("sub_l2(a, b, 0, 0, 2)").as("d"),
+        expr("sub_l2(a, b, 1, 0, 2)").as("oow"), // window past a's end
+        expr("sub_l2(a, b, CAST(NULL AS INT), 0, 2)").as("noff"))
+      .collect()
+    assert(r(0).getDouble(0) == 13.0) // (1-3)² + (2-5)² left-assoc
+    assert(r(1).isNullAt(0) && r(2).isNullAt(0) && r(3).getDouble(0) == 0.0)
+    assert(r.forall(_.isNullAt(1)) && r.forall(_.isNullAt(2)))
+  }
+
   test("vec_dot participates in whole-stage codegen; null yields null") {
     import graft.operators.Similarity
     val plan = Tables.embeddings(spark, sfDir)
