@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{MinhashSigExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedArrayContainsExpr, SortedIntersectCountExpr, SubL2Expr, VecDotExpr}
+import graft.functions.expressions.{MinhashSigExpr, RpMarginExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedArrayContainsExpr, SortedIntersectCountExpr, SubL2Expr, VecDotExpr}
 
 /** Session extensions: registers the engine's native expressions.
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rp_signature64"),
       new ExpressionInfo(classOf[RpSignatureExpr].getName, "rp_signature64"),
       arity("rp_signature64", 1)(c => RpSignatureExpr(c.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("rp_margin64"),
+      new ExpressionInfo(classOf[RpMarginExpr].getName, "rp_margin64"),
+      arity("rp_margin64", 2)(c => RpMarginExpr(c.head, c(1)))))
   }
 }

@@ -54,6 +54,67 @@ object RpSignature {
   }
 }
 
+/** The j-th hyperplane's raw projection v · h_j (the MARGIN whose sign is
+  * [[RpSignature.sign]]'s bit j) — same planes, same left-to-right double
+  * fold, so `rp_margin64(v, j) > 0` reproduces signature bit j exactly and
+  * the margin doubles replay bit-identically in the oracle's unrolled sum
+  * chain. Split from the signature kernel because multi-probe LSH (q119)
+  * ranks bits by |margin|: the composed Column form was 8 planes × 64
+  * element_at terms per probe row — the exact tree-bloat the signature
+  * kernel was introduced to remove, reintroduced via its own audit column.
+  *
+  * Null semantics mirror the composed chain (NOT [[RpSignature.sign]]'s
+  * all-bits-clear fold): a null slot nulls the product term, which nulls
+  * the whole margin → NULL. A vector shorter than 64 dims also yields
+  * NULL (the composed chain's element_at would raise under ANSI;
+  * unreachable — the engine only signs 64-dim embeddings). */
+object RpMargin {
+  def margin(v: ArrayData, j: Int): java.lang.Double = {
+    if (j < 0 || j >= RpSignature.planes.length || v.numElements() < 64)
+      return null
+    val h = RpSignature.planes(j)
+    var i = 0
+    while (i < 64) { if (v.isNullAt(i)) return null; i += 1 }
+    var acc = 0.0
+    i = 0
+    while (i < 64) { acc += v.getFloat(i).toDouble * h(i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+case class RpMarginExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"rp_margin64 requires (array<float>, int plane), got $l, $r")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "rp_margin64"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any, j: Any): Any =
+    RpMargin.margin(v.asInstanceOf[ArrayData], j.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, j) => {
+      val boxed = ctx.freshName("rpMargin")
+      s"""
+         |java.lang.Double $boxed = graft.functions.expressions.RpMargin.margin($v, $j);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RpMarginExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class RpSignatureExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

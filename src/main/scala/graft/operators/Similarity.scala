@@ -330,14 +330,12 @@ object Similarity {
       .withColumn("sig", rpSignature(col("embedding")))
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"), col("sig").as("c_sig"))
-    // per-hyperplane margins, probe sliver only: the same left-assoc
-    // literal chain as the signature kernel and its oracle, so the
-    // margin doubles replay bit-identically in DuckDB
-    val dots = hyperplanes.zipWithIndex.map { case (h, j) =>
-      (0 until 64).map(i =>
-        element_at(col("embedding"), i + 1).cast("double") * lit(h(i)))
-        .reduce(_ + _).as(s"d$j")
-    }
+    // per-hyperplane margins, probe sliver only: the native rp_margin64
+    // kernel — same planes and left-assoc fold as the signature kernel
+    // and the oracle's literal sum chain (bit-identity pinned in
+    // ExpressionSpec against the unrolled form it replaced)
+    val dots = (0 until 8).map(j =>
+      call_function("rp_margin64", col("embedding"), lit(j)).as(s"d$j"))
     // sort the 8 (|margin|, bit index) pairs — struct array_sort orders
     // by field position: margin asc, then bit index asc on ties, the
     // same (a, j) order the oracle's row_number uses

@@ -220,6 +220,33 @@ class ExpressionSpec extends SparkSpec {
     assert(r.forall(_.isNullAt(1)) && r.forall(_.isNullAt(2)))
   }
 
+  test("rp_margin64 is bit-identical to the unrolled literal chain; sign matches the signature bit") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
+    (0 until 8).foreach { j =>
+      val chain = (0 until 64).map(i =>
+        element_at(col("embedding"), i + 1).cast("double") *
+          lit(Similarity.hyperplanes(j)(i))).reduce(_ + _)
+      val d = e.select(
+        expr(s"rp_margin64(embedding, $j)").as("fast"), chain.as("slow"),
+        expr(s"rp_signature64(embedding)").as("sig"))
+      assert(d.filter(col("fast") =!= col("slow")).count() == 0L, s"plane $j")
+      // margin sign reproduces signature bit j (NaN-free fixture)
+      assert(d.filter((col("fast") > 0.0) =!=
+        (shiftright(col("sig"), j).bitwiseAND(1) === 1)).count() == 0L)
+    }
+    import spark.implicits._
+    val r = Seq(Some(Seq.fill(64)(Some(1.0f))), None,
+      Some(Seq.fill(63)(Some(1.0f)) :+ None), Some(Seq(Some(1.0f))))
+      .toDF("embedding")
+      .select(expr("rp_margin64(embedding, 0)").as("m"),
+        expr("rp_margin64(embedding, CAST(NULL AS INT))").as("nj"))
+      .collect()
+    assert(!r(0).isNullAt(0)) // full vector → a real margin
+    assert(r(1).isNullAt(0) && r(2).isNullAt(0) && r(3).isNullAt(0))
+    assert(r.forall(_.isNullAt(1)))
+  }
+
   test("vec_dot participates in whole-stage codegen; null yields null") {
     import graft.operators.Similarity
     val plan = Tables.embeddings(spark, sfDir)
