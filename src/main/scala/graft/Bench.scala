@@ -54,6 +54,15 @@ object Bench {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.sql.adaptive.enabled", "true")
+        // Static conf, default 100: the suite compiles thousands of
+        // distinct codegen units (a single trained-IVF-PQ query's ~55
+        // stages alone approach the default), so trials 2-3 and every
+        // recurring subplan were paying full Janino recompiles after
+        // cache eviction. Sized for the whole 150-query mix — the same
+        // knob a long-lived production driver running a repeated query
+        // mix would raise. Applies to the process-wide cache at first
+        // session creation; mid-bench fresh sessions inherit it.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       // ERROR, not WARN: unpersisting locally-checkpointed RDDs between
