@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 150-query bench JIT-compiles thousands of distinct generated
+  // classes (whole-stage codegen; retained by the sized-up
+  // spark.sql.codegen.cache — see Bench.scala). The JDK-17 default
+  // 240 MB code cache fills mid-suite, silently disabling the JIT for
+  // every later query (measured: q116 4.5 s vs 1.9 s, q147 1.6 s vs
+  // 0.4 s, same code, same host). 1 GiB is address-space reservation,
+  // not allocation — it costs nothing until used.
+  "-XX:ReservedCodeCacheSize=1g",
 )
