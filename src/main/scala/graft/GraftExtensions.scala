@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{MinhashSigExpr, RpMarginExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedArrayContainsExpr, SortedIntersectCountExpr, SubL2Expr, VecDotExpr}
+import graft.functions.expressions.{MinhashSigExpr, RpMarginExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedArrayContainsExpr, SortedIntersectCountExpr, Sq8CodesExpr, Sq8L2Expr, SubL2Expr, VecDotExpr, VecRangeAgg}
 
 /** Session extensions: registers the engine's native expressions.
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -47,6 +47,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sub_l2"),
       new ExpressionInfo(classOf[SubL2Expr].getName, "sub_l2"),
       arity("sub_l2", 5)(c => SubL2Expr(c))))
+    ext.injectFunction((
+      new FunctionIdentifier("sq8_codes"),
+      new ExpressionInfo(classOf[Sq8CodesExpr].getName, "sq8_codes"),
+      arity("sq8_codes", 3)(c => Sq8CodesExpr(c))))
+    ext.injectFunction((
+      new FunctionIdentifier("sq8_l2"),
+      new ExpressionInfo(classOf[Sq8L2Expr].getName, "sq8_l2"),
+      arity("sq8_l2", 4)(c => Sq8L2Expr(c))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_range"),
+      new ExpressionInfo(classOf[VecRangeAgg].getName, "vec_range"),
+      arity("vec_range", 2)(c => VecRangeAgg(c))))
     ext.injectFunction((
       new FunctionIdentifier("rp_signature64"),
       new ExpressionInfo(classOf[RpSignatureExpr].getName, "rp_signature64"),

@@ -42,8 +42,11 @@ object SubL2 {
     * convention); JIT-scalarized in the hot loop. */
   def l2OrNull(a: ArrayData, b: ArrayData, aOff: Int, bOff: Int,
       len: Int): java.lang.Double = {
+    // Long-widened bounds: sub_l2 is registered session-wide, so hostile
+    // SQL offsets near Int.MaxValue must not wrap the sum negative and
+    // slip past the guard into unchecked UnsafeArrayData reads.
     if (aOff < 0 || bOff < 0 || len < 0 ||
-      aOff + len > a.numElements() || bOff + len > b.numElements()) return null
+      aOff.toLong + len > a.numElements() || bOff.toLong + len > b.numElements()) return null
     var i = 0; var acc = 0.0
     while (i < len) {
       if (a.isNullAt(aOff + i) || b.isNullAt(bOff + i)) return null

@@ -1167,52 +1167,73 @@ object Similarity {
     sq8AnnFrom(emb, gridProbes(emb), k = 5)
   }
 
-  /** Per-dimension corpus range, one row of 64 mins + 64 maxes (floats —
-    * exact in both engines): the SQ8 "trained" quantizer. */
-  private[graft] def sq8Rng(emb: DataFrame): DataFrame = {
-    val aggs = (0 until 64).map(i =>
-      min(element_at(col("embedding"), i + 1)).as(s"mn$i")) ++
-      (0 until 64).map(i =>
-        max(element_at(col("embedding"), i + 1)).as(s"mx$i"))
-    emb.agg(aggs.head, aggs.tail: _*)
-  }
+  /** Per-dimension corpus range as ONE row of two 64-float arrays
+    * (`mns`, `mxs` — floats, exact in both engines): the SQ8 "trained"
+    * quantizer, in the shape the `sq8_codes`/`sq8_l2` kernels consume.
+    * One native `vec_range` aggregate — the former 128 independent
+    * min/max aggregates pushed the generated `doAggregateWithoutKey`
+    * past Janino's 64KB method limit, silently dropping every
+    * q120/q122/stream-index run to interpreted evaluation
+    * ([[graft.functions.expressions.VecRangeAgg]]). */
+  private[graft] def sq8Rng(emb: DataFrame): DataFrame =
+    emb.agg(call_function("vec_range", col("embedding"), lit(64)).as("r"))
+      .select(col("r.mns").as("mns"), col("r.mxs").as("mxs"))
 
-  private def sq8Delta(i: Int): Column =
-    col(s"mx$i").cast("double") - col(s"mn$i").cast("double")
-
-  /** The SQ8 code columns c0..c63 — code_i = floor((v_i − mn_i)/Δ_i ·
-    * 255), Δ_i = mx_i − mn_i (degenerate Δ_i = 0 → code 0); doubles
-    * throughout, same shapes as the oracle so codes are
-    * integer-identical. Shared column defs: the batch encode
-    * ([[sq8Codes]]) and the streaming scorer
+  /** The SQ8 code vector — code_i = floor((v_i − mn_i)/Δ_i · 255),
+    * Δ_i = mx_i − mn_i (degenerate Δ_i = 0 → code 0); the native
+    * `sq8_codes` kernel, bit-identical to the unrolled per-dimension
+    * chain it replaced ([[sq8CodeColsComposed]], ExpressionSpec-pinned)
+    * and to the oracle, so codes are integer-identical. Shared node:
+    * the batch encode ([[sq8Codes]]) and the streaming scorer
     * ([[graft.streaming.StreamOps.sq8ScoreStream]]) both apply exactly
-    * these expressions, so the two paths cannot drift. Requires
-    * `embedding` + the range row's mn/mx columns in scope. */
-  private[graft] def sq8CodeCols: Seq[Column] =
-    (0 until 64).map { i =>
-      val v = element_at(col("embedding"), i + 1).cast("double")
-      when(sq8Delta(i) === 0.0, lit(0L))
-        .otherwise(floor((v - col(s"mn$i").cast("double")) / sq8Delta(i) * 255.0)
-          .cast("long")).as(s"c$i")
-    }
+    * this expression, so the two paths cannot drift. Requires
+    * `embedding` + the range row's `mns`/`mxs` arrays in scope. */
+  private[graft] def sq8Code: Column =
+    call_function("sq8_codes", col("embedding"), col("mns"), col("mxs"))
 
   /** SQ8 encode: one map-only corpus pass against the broadcast range
-    * row, emitting (cand_id, c0..c63). */
+    * row, emitting (cand_id, codes) — 64 small ints per vector, the 4×
+    * storage cut; the range arrays stay OUT of the code table (they
+    * re-broadcast at score time) so the compression survives. */
   private[graft] def sq8Codes(emb: DataFrame, rng: DataFrame): DataFrame =
     emb.crossJoin(broadcast(rng))
-      .select((col("vec_id").as("cand_id") +: sq8CodeCols): _*)
+      .select(col("vec_id").as("cand_id"), sq8Code.as("codes"))
 
   /** Asymmetric SQ8 distance: full-precision probe (`p_emb`) vs the
-    * reconstruction v̂_i = mn_i + (c_i+0.5)·Δ_i/256 — the same
-    * left-assoc 64-term chain as the oracle. Shared with the streaming
-    * scorer like [[sq8CodeCols]]. */
+    * reconstruction v̂_i = mn_i + (c_i+0.5)·Δ_i/256 — the native
+    * `sq8_l2` kernel's left-assoc double accumulation, bit-identical to
+    * the unrolled 64-term chain it replaced ([[sq8DistComposed]]) and
+    * to the oracle. Shared with the streaming scorer like [[sq8Code]].
+    * Requires `p_emb`, `codes`, and the range arrays in scope. */
   private[graft] def sq8Dist: Column =
+    call_function("sq8_l2", col("p_emb"), col("codes"), col("mns"), col("mxs"))
+
+  /** The pre-kernel unrolled formulations, kept ONLY as ExpressionSpec's
+    * bit-identity references for `sq8_codes`/`sq8_l2` (the
+    * [[subL2Composed]] convention): the deterministic per-dimension
+    * CASE/floor chain and left-assoc reconstruction term chain the
+    * oracle SQL also emits. Read mn/mx from the packed range arrays so
+    * reference and kernel run against the same inputs. */
+  private[graft] def sq8CodeColsComposed: Column = {
+    def mn(i: Int) = element_at(col("mns"), i + 1).cast("double")
+    def delta(i: Int) = element_at(col("mxs"), i + 1).cast("double") - mn(i)
+    array((0 until 64).map { i =>
+      val v = element_at(col("embedding"), i + 1).cast("double")
+      when(delta(i) === 0.0, lit(0L))
+        .otherwise(floor((v - mn(i)) / delta(i) * 255.0).cast("long"))
+    }: _*)
+  }
+
+  /** [[sq8Dist]]'s unrolled reference (expects `codes` in scope). */
+  private[graft] def sq8DistComposed: Column = {
+    def mn(i: Int) = element_at(col("mns"), i + 1).cast("double")
+    def delta(i: Int) = element_at(col("mxs"), i + 1).cast("double") - mn(i)
     (0 until 64).map { i =>
-      val rec = col(s"mn$i").cast("double") +
-        (col(s"c$i") + 0.5) * sq8Delta(i) / 256.0
+      val rec = mn(i) + (element_at(col("codes"), i + 1) + 0.5) * delta(i) / 256.0
       val d = element_at(col("p_emb"), i + 1).cast("double") - rec
       d * d
     }.reduce(_ + _)
+  }
 
   /** [[sq8Ann]] over explicit probes. */
   def sq8AnnFrom(emb: DataFrame, probes: DataFrame, k: Int,

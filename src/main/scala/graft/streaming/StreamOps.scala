@@ -588,7 +588,7 @@ object StreamOps {
   }
 
   /** The SQ8 ANN scorer's static side as ONE broadcastable row: the
-    * 128-column per-dimension range (the "trained" scalar quantizer,
+    * per-dimension range arrays (the "trained" scalar quantizer,
     * [[graft.operators.Similarity.sq8Rng]]) plus the standing probe set
     * as a sorted array of (probe_id, p_emb) structs — refreshed by a
     * scheduled batch job exactly like [[corpusBloom]]/[[corpusIvfIndex]].
@@ -608,12 +608,12 @@ object StreamOps {
   /** Streaming SQ8 ANN scoring — the compressed-storage tier's streaming
     * dual (q120's gate shape), completing the stream family next to the
     * bloom/span/IVF-routing/BM25 gates: each arriving vector is SQ8-
-    * ENCODED against the broadcast range row with the SAME shared code
-    * columns the batch encode uses
-    * ([[graft.operators.Similarity.sq8CodeCols]]), then scored against
-    * every standing probe by the SAME asymmetric reconstruction chain
+    * ENCODED against the broadcast range row with the SAME native
+    * `sq8_codes` kernel the batch encode uses
+    * ([[graft.operators.Similarity.sq8Code]]), then scored against
+    * every standing probe by the SAME `sq8_l2` reconstruction kernel
     * ([[graft.operators.Similarity.sq8Dist]]) — identical float inputs
-    * through identical expression trees, so the stream's distances are
+    * through identical expression nodes, so the stream's distances are
     * bit-equal to the batch scorer's (StreamingSpec re-ranks replayed
     * corpus vectors and pins row-for-row equality with `sq8AnnFrom`).
     *
@@ -626,9 +626,8 @@ object StreamOps {
     import graft.operators.Similarity
     vecs.select(col("vec_id").as("cand_id"), col("embedding"))
       .crossJoin(broadcast(index))
-      .select(Seq(col("cand_id"), col("probes")) ++
-        (0 until 64).flatMap(i => Seq(col(s"mn$i"), col(s"mx$i"))) ++
-        Similarity.sq8CodeCols: _*)
+      .select(col("cand_id"), col("probes"), col("mns"), col("mxs"),
+        Similarity.sq8Code.as("codes"))
       .withColumn("p", explode(col("probes")))
       .withColumn("probe_id", col("p.probe_id"))
       .withColumn("p_emb", col("p.p_emb"))

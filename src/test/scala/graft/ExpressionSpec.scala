@@ -220,6 +220,143 @@ class ExpressionSpec extends SparkSpec {
     assert(r.forall(_.isNullAt(1)) && r.forall(_.isNullAt(2)))
   }
 
+  test("sub_l2 hostile offsets near Int.MaxValue yield null, not a wrapped bounds check") {
+    // sub_l2 is registered session-wide: aOff + len must be summed in
+    // Long or 2147483640 + 100 wraps negative, passes the guard, and
+    // drives unchecked UnsafeArrayData reads at huge ordinals
+    import spark.implicits._
+    val r = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 5.0f))).toDF("a", "b")
+      .select(
+        expr("sub_l2(a, b, 2147483640, 0, 100)").as("hostileA"),
+        expr("sub_l2(a, b, 0, 2147483640, 100)").as("hostileB"),
+        expr("sub_l2(a, b, 2147483647, 2147483647, 2147483647)").as("hostileAll"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("sq8_codes/sq8_l2 are bit-identical to the unrolled CASE + reconstruction chains") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val rng = Similarity.sq8Rng(emb)
+    val base = emb.crossJoin(broadcast(rng))
+    // The 64-dim composed REFERENCE chains exceed Janino's 64KB method
+    // limit inside a whole-stage-codegen'd join consume (expressions over
+    // join variables can't be split into sub-methods) — the very bloat
+    // the kernels exist to kill. Run the comparison with whole-stage off:
+    // row-mode projection codegen CAN split, and the kernels' doGenCode
+    // is still exercised (plus by the plan test below and every q120/q122
+    // production run).
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      // encode: every corpus vector through kernel vs composed chain
+      val enc = base.select(
+        Similarity.sq8Code.as("fast"), Similarity.sq8CodeColsComposed.as("slow"))
+      assert(enc.count() > 0)
+      assert(enc.filter(col("fast") =!= col("slow")).count() == 0L)
+      // distance: every (corpus vector, probe) pair of the q120 grid
+      val probes = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      val scored = base.withColumn("codes", Similarity.sq8Code)
+        .join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+        .select(Similarity.sq8Dist.as("fast"), Similarity.sq8DistComposed.as("slow"))
+      assert(scored.count() > 0)
+      assert(scored.filter(col("fast") =!= col("slow")).count() == 0L)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("vec_range matches the composed per-dimension min/max aggregates") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val fast = emb
+      .agg(call_function("vec_range", col("embedding"), lit(64)).as("r"))
+      .select(col("r.mns"), col("r.mxs")).collect()(0)
+    val mns = fast.getSeq[Float](0)
+    val mxs = fast.getSeq[Float](1)
+    assert(mns.size == 64 && mxs.size == 64)
+    // composed reference: the 128 independent aggs the kernel replaced
+    // (whole-stage off — at 128 agg states the generated
+    // doAggregateWithoutKey exceeds Janino's 64KB limit, the very
+    // fallback the kernel exists to kill)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val aggs = (0 until 64).map(i =>
+        min(element_at(col("embedding"), i + 1))) ++
+        (0 until 64).map(i => max(element_at(col("embedding"), i + 1)))
+      val slow = emb.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (0 until 64).foreach { i =>
+        assert(mns(i) == slow.getFloat(i), s"min dim $i")
+        assert(mxs(i) == slow.getFloat(64 + i), s"max dim $i")
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("vec_range edge cases: null vectors skipped, null slots ignored, short vectors, empty input") {
+    import spark.implicits._
+    val df = Seq(
+      Some(Seq(Some(3.0f), Some(-1.0f), None)),    // null slot at dim 2
+      Some(Seq(Some(1.0f))),                        // shorter than dim
+      None: Option[Seq[Option[Float]]]              // null vector
+    ).toDF("embedding")
+    val r = df.agg(call_function("vec_range", col("embedding"), lit(3)).as("r"))
+      .select(col("r.mns"), col("r.mxs")).collect()(0)
+    val mns = r.getSeq[Any](0); val mxs = r.getSeq[Any](1)
+    assert(mns == Seq(1.0f, -1.0f, null) && mxs == Seq(3.0f, -1.0f, null))
+    // empty input → one all-null row, like any untyped agg
+    val e = df.filter(lit(false))
+      .agg(call_function("vec_range", col("embedding"), lit(3)).as("r"))
+      .collect()(0)
+    assert(e.isNullAt(0))
+  }
+
+  test("sq8 kernels participate in whole-stage codegen") {
+    // join-free projection (AQE's pre-execution plan string hides the
+    // *(n) markers behind exchanges, so probe without one)
+    val mns = array((0 until 64).map(_ => lit(0.0f)): _*)
+    val mxs = array((0 until 64).map(_ => lit(4.0f)): _*)
+    val plan = Tables.embeddings(spark, sfDir)
+      .select(call_function("sq8_codes", col("embedding"), mns, mxs).as("codes"),
+        call_function("sq8_l2", col("embedding"),
+          call_function("sq8_codes", col("embedding"), mns, mxs), mns, mxs).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+  }
+
+  test("sq8 kernel edge cases: null array, null slot, degenerate delta, short vector") {
+    import spark.implicits._
+    // quantizer: dim0 degenerate (mn = mx = 1), dim1 range [0, 4]
+    val rows = Seq(
+      (0, Some(Seq(Some(0.5f), Some(2.0f)))), // regular
+      (1, None: Option[Seq[Option[Float]]]),  // null embedding → null
+      (2, Some(Seq(None, Some(2.0f)))),       // null slot at degenerate dim → code 0 (WHEN fires first)
+      (3, Some(Seq(Some(0.5f), None))),       // null slot at live dim → null code
+      (4, Some(Seq(Some(0.5f))))              // shorter than quantizer → null
+    ).toDF("i", "embedding")
+      .withColumn("mns", array(lit(1.0f), lit(0.0f)))
+      .withColumn("mxs", array(lit(1.0f), lit(4.0f)))
+      .select(col("i"), expr("sq8_codes(embedding, mns, mxs)").as("codes"))
+      .orderBy("i").collect()
+    // floor((2-0)/4·255) = floor(127.5) = 127; degenerate dim → 0
+    assert(rows(0).getSeq[Long](1) == Seq(0L, 127L))
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getSeq[Any](1) == Seq(0L, 127L))
+    val r3 = rows(3).getSeq[Any](1)
+    assert(r3(0) == 0L && r3(1) == null)
+    assert(rows(4).isNullAt(1))
+    // distance: rec0 = 1 (Δ=0), rec1 = (127+0.5)·4/256 = 1.9921875 →
+    // (1−1)² + (2−1.9921875)² = 2⁻¹⁴ exactly
+    val d = Seq((Seq(1.0f, 2.0f), Seq(0L, 127L)))
+      .toDF("p_emb", "codes")
+      .withColumn("mns", array(lit(1.0f), lit(0.0f)))
+      .withColumn("mxs", array(lit(1.0f), lit(4.0f)))
+      .select(
+        expr("sq8_l2(p_emb, codes, mns, mxs)").as("d"),
+        expr("sq8_l2(p_emb, array(CAST(0 AS BIGINT), CAST(NULL AS BIGINT)), mns, mxs)").as("nullSlot"),
+        expr("sq8_l2(p_emb, codes, mns, array(1.0F))").as("mismatch"),
+        expr("sq8_l2(array(1.0F), codes, mns, mxs)").as("shortP"))
+      .collect()(0)
+    assert(d.getDouble(0) == math.pow(2, -14))
+    assert(d.isNullAt(1) && d.isNullAt(2) && d.isNullAt(3))
+  }
+
   test("rp_margin64 is bit-identical to the unrolled literal chain; sign matches the signature bit") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)

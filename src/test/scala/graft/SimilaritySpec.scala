@@ -426,10 +426,10 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sfDir)
     val rng = Similarity.sq8Rng(emb)
     val r = rng.collect()(0)
-    val mins = (0 until 64).map(i => r.getFloat(i).toDouble)
-    val maxs = (0 until 64).map(i => r.getFloat(64 + i).toDouble)
+    val mins = r.getSeq[Float](0).map(_.toDouble)
+    val maxs = r.getSeq[Float](1).map(_.toDouble)
     val codes = Similarity.sq8Codes(emb, rng).collect()
-      .map(row => row.getLong(0) -> (1 to 64).map(row.getLong).toArray).toMap
+      .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
     emb.select("vec_id", "embedding").collect().foreach { row =>
       val v = row.getSeq[Float](1)
       val cs = codes(row.getLong(0))
