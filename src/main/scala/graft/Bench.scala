@@ -20,12 +20,19 @@ import org.apache.spark.sql.SparkSession
   *    separate noise (wide min-max spread) from regression (tight spread
   *    at a new level) without a judge re-run.
   *  - two contamination-adjudication layers guard the committed number:
-  *    a per-query in-place retry (median >2× the committed prior), and a
-  *    SUITE-level guard (total >8% over the committed prior's shared
-  *    surface) that reruns the top absolute regressors in a fresh
-  *    session — both keep the better set as headline and record the
-  *    replaced one, so a loaded host cannot silently inflate the
-  *    artifact and a real regression still shows (it repeats on rerun).
+  *    a per-query in-place retry (median >2× the committed pin), and a
+  *    SUITE-level guard (min-sum >8% over the pins' shared surface)
+  *    that reruns the top absolute regressors in a fresh session — both
+  *    keep the better set as headline and record the replaced one (a
+  *    kept-rerun whose suite median sat >2× its pin is flagged
+  *    "review"), so a loaded host cannot silently inflate the artifact
+  *    and a real regression still shows (it repeats on rerun);
+  *  - the regression pins live in BENCH_PINS.json: the per-query MIN
+  *    over committed history, min-merged after every run — a degraded
+  *    host can only tighten a pin, never inflate it (the r16 pins were
+  *    a degraded run's medians, ~25% high, and blunted every mechanism
+  *    keyed off them). A deliberate cost-raising query redefinition
+  *    re-pins by editing the file in the same commit.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -198,20 +205,62 @@ object Bench {
       .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
       .getOrElse(java.nio.file.Paths.get(sys.props("user.dir")))
 
-    // Prior-round per-query medians: the COMMITTED BENCH_LOCAL.json, read
-    // before this run overwrites it. Queries whose in-suite median moved
-    // >2× vs the prior round are FORCE-included in the isolated pass —
-    // r10's q92 moved 0.39→1.65 s at unchanged code but ranked ~11th on
-    // both cost and spread and missed the 8-slot rank-merge cut, leaving
-    // the elevation unadjudicated (VERDICT r10 "what's wrong" #1).
-    val priorSec: Map[String, Double] = try {
+    // Regression pins (VERDICT r16 "what's wrong" #3): the r15/r16 pins
+    // were the LAST committed run's medians — committed from a degraded
+    // host they ran ~25% high and blunted every mechanism keyed off them
+    // (>2× retry, force-isolation, suite guard). The pin is now the
+    // per-query MIN over committed history (BASELINE.md names `min` the
+    // contamination-resistant comparator), kept in BENCH_PINS.json and
+    // min-merged after every run — host weather can only TIGHTEN a pin,
+    // never inflate it. A deliberate query redefinition that legitimately
+    // raises cost re-pins by editing BENCH_PINS.json in the same commit
+    // (the entry is plain `name: seconds`). Queries whose in-suite median
+    // moves >2× the pin are retried in place and FORCE-included in the
+    // isolated pass — r10's q92 moved 0.39→1.65 s at unchanged code but
+    // missed the 8-slot rank-merge cut, leaving the elevation
+    // unadjudicated (VERDICT r10 "what's wrong" #1).
+    def parseNum(s: String): Option[Double] =
+      try Some(s.toDouble) catch { case _: Exception => None }
+    val pinsPath = repoRoot.resolve("BENCH_PINS.json")
+    val committedPins: Map[String, Double] = try {
+      if (java.nio.file.Files.exists(pinsPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(pinsPath), "UTF-8")
+        "\"(q[0-9]+[A-Za-z0-9_]*)\":([-0-9.Ee+]+)".r
+          .findAllMatchIn(txt)
+          .flatMap(m => parseNum(m.group(2)).map(m.group(1) -> _)).toMap
+      } else Map.empty
+    } catch { case _: Exception => Map.empty }
+    // bootstrap / second source: the committed BENCH_LOCAL.json profile's
+    // per-query min fields (incl. the isolated blocks — every "min" key
+    // inside the query's object is an achieved time)
+    val localMins: Map[String, Double] = try {
       val p = repoRoot.resolve("BENCH_LOCAL.json")
       if (java.nio.file.Files.exists(p)) {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        "\"(q[0-9]+[A-Za-z0-9_]*)\":\\{\"sec\":([-0-9.Ee+]+)".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        "\"(q[0-9]+[A-Za-z0-9_]*)\":\\{".r.findAllMatchIn(txt).flatMap { m =>
+          // scan to the matching close brace of this query's object
+          var depth = 0; var i = m.end - 1; var end = txt.length
+          while (i < txt.length && end == txt.length) {
+            txt.charAt(i) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) end = i
+              case _ =>
+            }
+            i += 1
+          }
+          val body = txt.substring(m.end - 1, math.min(end + 1, txt.length))
+          val mins = "\"(?:min|sec)\":([-0-9.Ee+]+)".r.findAllMatchIn(body)
+            .flatMap(mm => parseNum(mm.group(1))).toSeq
+          if (mins.isEmpty) None else Some(m.group(1) -> mins.min)
+        }.toMap
       } else Map.empty
     } catch { case _: Exception => Map.empty }
+    val priorSec: Map[String, Double] =
+      (committedPins.keySet ++ localMins.keySet).map { k =>
+        k -> math.min(
+          committedPins.getOrElse(k, Double.MaxValue),
+          localMins.getOrElse(k, Double.MaxValue))
+      }.toMap.filter(_._2 > 0)
 
     def median(vs: Seq[Double]): Double = {
       val s = vs.sorted
@@ -369,8 +418,12 @@ object Bench {
     val sharedNames = results.collect {
       case (k, Right(_)) if priorSec.contains(k) => k }
     val sharedPrior = sharedNames.map(priorSec).sum
+    // min-vs-min: the pins are historical MINs, so the comparable
+    // current-side figure is this run's per-query min, not its median —
+    // a median-vs-min-pin sum would trip the guard on every healthy run
+    // (medians naturally sit 10-20% above mins)
     val sharedCur = sharedNames.map(k => results.toMap.apply(k) match {
-      case Right(vs) => median(vs); case _ => 0.0 }).sum
+      case Right(vs) => vs.min; case _ => 0.0 }).sum
     val guardTriggered = guardFactor > 0 && sharedNames.nonEmpty &&
       sharedPrior > 0 && sharedCur > guardFactor * sharedPrior &&
       sharedCur - sharedPrior > 5.0
@@ -446,8 +499,15 @@ object Bench {
         else {
           val reruns = guardReruns.toSeq.sortBy(_._1).map { case (k, (suite, rerun)) =>
             val kept = if (median(rerun) < median(suite)) "rerun" else "suite"
+            // a kept-rerun whose SUITE median sat >2× the pin is the
+            // one-sided-adjudication case (ADVICE r16): a lucky-fast
+            // rerun may be suppressing a real regression — flag it for
+            // review instead of silently keeping the better number
+            val flag = if (kept == "rerun" &&
+                priorSec.get(k).exists(p => p > 0 && median(suite) / p > 2.0))
+              ",\"flag\":\"review\"" else ""
             "\"" + k + "\":{\"suite\":" + median(suite) + ",\"rerun\":" +
-              median(rerun) + ",\"kept\":\"" + kept + "\"}"
+              median(rerun) + ",\"kept\":\"" + kept + "\"" + flag + "}"
           }.mkString("{", ",", "}")
           s""""suite_guard":{"raw_total":$rawTotal,"shared_prior":${math.rint(sharedPrior * 1000) / 1000},"shared_raw":${math.rint(sharedCur * 1000) / 1000},"factor":$guardFactor,"reruns":$reruns},"""
         }
@@ -464,6 +524,24 @@ object Bench {
     java.nio.file.Files.write(
       repoRoot.resolve("BENCH_LOCAL.json"),
       (line(short = false) + "\n").getBytes("UTF-8"))
+    // Min-merge this run's achieved times into the committed pins:
+    // every source (suite trials, isolated pass, guard reruns) can only
+    // TIGHTEN a pin. Queries not run this time (SPARK_GRAFT_ONLY subsets)
+    // keep their existing pins.
+    val runMins: Map[String, Double] = finalResults.collect {
+      case (k, Right(vs)) =>
+        k -> (vs ++ isolated.get(k).map(_._1).getOrElse(Nil) ++
+          guardReruns.get(k).toSeq.flatMap(r => r._1 ++ r._2)).min
+    }.toMap
+    val newPins = (priorSec.keySet ++ runMins.keySet).map { k =>
+      k -> math.min(
+        priorSec.getOrElse(k, Double.MaxValue),
+        runMins.getOrElse(k, Double.MaxValue))
+    }.toSeq.sortBy(_._1)
+    java.nio.file.Files.write(pinsPath,
+      (newPins.map { case (k, v) =>
+        "\"" + k + "\":" + math.rint(v * 1e6) / 1e6
+      }.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
     println(line(short = true))
     spark.stop()
   }
