@@ -624,36 +624,42 @@ object Curation {
     * 100 TB — so the scoring join deliberately SHUFFLES on (prev, w),
     * where both sides are partial-agg-friendly. That is the honest
     * at-scale plan; a deployment with a pruned LM (min-count cutoff)
-    * flips it to a broadcast. */
+    * flips it to a broadcast. Word identity throughout is the xxhash64
+    * FINGERPRINT ([[tokHashes]]/[[graft.operators.Dedup.shingleFps]]
+    * move): no token string survives into the output, so the staged
+    * bigram table, both count shuffles, and the 16-byte-keyed scoring
+    * join never carry strings — the oracle keeps raw strings, equality
+    * classes match unless two vocabulary tokens collide in 64 bits. */
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     import Materialize.Stageable
     val docs = Tables.documents(spark, dir)
     val pairs = transform(
       sequence(lit(1), size(col("toks")) - 1),
-      i => struct(element_at(col("toks"), i).as("prev"),
-        element_at(col("toks"), i + 1).as("w")))
+      i => struct(xxhash64(element_at(col("toks"), i)).as("ph"),
+        xxhash64(element_at(col("toks"), i + 1)).as("wh")))
     val bg = docs.withColumn("toks", toks)
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+      .select(col("doc_id"), col("p.ph").as("ph"), col("p.wh").as("wh"))
       .staged
     val tok = tokenTable(docs)
-    val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val uni = tok.groupBy(xxhash64(col("token")).as("wh"))
+      .agg(count(lit(1)).as("c1"))
     val ntot = tok.agg(count(lit(1)).as("ntot"))
-    val c2 = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
-    val cp = bg.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    val c2 = bg.groupBy(col("ph"), col("wh")).agg(count(lit(1)).as("c2"))
+    val cp = bg.groupBy(col("ph")).agg(count(lit(1)).as("cp"))
     // cp is vocabulary-sized (one row per distinct context word) — a
     // broadcast build side, like the unigram table below; un-hinted the
     // optimizer shuffled the much larger (vocab²-row) c2 onto `prev` for
     // an SMJ here (VERDICT r14 #6)
-    val lm = c2.join(broadcast(cp), Seq("prev"))
-      .join(broadcast(uni.withColumnRenamed("token", "w")), Seq("w"))
+    val lm = c2.join(broadcast(cp), Seq("ph"))
+      .join(broadcast(uni), Seq("wh"))
       .crossJoin(broadcast(ntot))
-      .select(col("prev"), col("w"),
+      .select(col("ph"), col("wh"),
         (-log(lit(0.75) * (col("c2") * 1.0 / col("cp")) +
           lit(0.25) * (col("c1") * 1.0 / col("ntot")))).as("nll"))
     val cost = floor(col("nll") * 1e9).cast("decimal(28,9)")
-    bg.join(lm, Seq("prev", "w"))
+    bg.join(lm, Seq("ph", "wh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(cost).as("s"))
       .select(col("doc_id"), col("n_bigrams"),

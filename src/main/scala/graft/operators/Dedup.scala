@@ -47,9 +47,17 @@ object Dedup {
     * the hash is never mirrored — only its equality classes, which match
     * the string classes exactly unless two distinct shingles collide in
     * 64 bits (P ≈ shingles²/2⁶⁴: zero at test scale; at 10¹² shingles a
-    * rare collision marks a pair a hair more similar — the benign
-    * direction for dedup, same trade as the span family, escape hatch a
-    * 2×64-bit struct). vs the string form this removes the per-shingle
+    * rare collision merges two equality classes). NOTE the FIRST symptom
+    * of a collision is an engine-vs-oracle divergence in the correctness
+    * harness (the oracle's string classes stay split where the engine's
+    * hash classes merged) — a hash-mismatch on q35/q37/q80/q114-family
+    * queries at very large corpora should be triaged against this before
+    * anything else; the dedup-semantics effect itself is benign (a pair
+    * scored a hair more similar, same trade as the span family). Escape
+    * hatch before corpora where shingles²/2⁶⁴ becomes observable: switch
+    * the fingerprint to a 2×64-bit struct (two independent xxhash64
+    * seeds), which the same consumers accept as an equality key
+    * unchanged. vs the string form this removes the per-shingle
     * string construction AND shrinks every downstream shuffle key from a
     * ~3-token string to 8 bytes. NOT used where the hash VALUE must be
     * cross-engine reproducible (MinHash banding — [[hashedDocTable]]

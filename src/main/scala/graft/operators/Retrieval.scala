@@ -43,18 +43,32 @@ object Retrieval {
   private def gridDocProbes(docs: DataFrame): DataFrame =
     docs.filter(Similarity.probeFilter(col("doc_id")))
 
-  /** The BM25 "index": per-(doc, token) frequency with the doc length
-    * alongside — (doc_id, token, tf, dl). Built from ONE tokenize
-    * explode ([[Curation.tokenTable]], the shared definition) and ONE tf
-    * aggregation; doc length is Σtf re-aggregated from tf (never a
-    * second corpus pass). Staged ([[Materialize.stage]]) because three
-    * consumers read it — the df aggregation, the probe query-term
-    * sliver, and the scoring scan — which would otherwise each re-explode
-    * the corpus. */
+  /** The BM25 "index": per-(doc, term) frequency with the doc length
+    * alongside — (doc_id, tok_h, tf, dl). Term identity is the
+    * xxhash64 FINGERPRINT of the token, not the string — the
+    * [[Dedup.shingleFps]]/[[Curation.tokHashes]] identity move applied
+    * to the retrieval family: the corpus-scale tf aggregation, the df
+    * aggregation, and the scoring join all shuffle/probe 8-byte keys
+    * instead of token strings (the string never surfaces in q116/q117
+    * output; the probe-side query terms re-derive it from the probes'
+    * own bounded text, [[queryTerms]]). The DuckDB oracle keeps
+    * aggregating by the raw string, so the hash is never mirrored —
+    * only its equality classes, which match the string classes exactly
+    * unless two vocabulary tokens collide in 64 bits (P ≈ vocab²/2⁶⁴;
+    * the FIRST symptom would be an engine-vs-oracle divergence on
+    * q116/q117, the [[Dedup.shingleFps]] triage note).
+    *
+    * Built from ONE tokenize explode ([[Curation.tokenTable]], the
+    * shared definition) and ONE tf aggregation; doc length is Σtf
+    * re-aggregated from tf (never a second corpus pass). Staged
+    * ([[Materialize.stage]]) because three consumers read it — the df
+    * aggregation, the corpus-constants row, and the scoring scan —
+    * which would otherwise each re-explode the corpus. */
   private[graft] def bm25Index(docs: DataFrame): DataFrame = {
     import Materialize.Stageable
     val tf = Curation.tokenTable(docs)
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), xxhash64(col("token")).as("tok_h"))
+      .groupBy(col("doc_id"), col("tok_h")).agg(count(lit(1)).as("tf"))
       .staged
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     tf.join(dl, Seq("doc_id")).staged
@@ -92,26 +106,41 @@ object Retrieval {
       .select(col("n_docs"),
         (col("tot_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
 
-  /** Probe query terms (probe_id, token, df): q65's tfidf ranking — same
-    * scoring, same tie-break — restricted to probe docs, carrying df
-    * forward so the scoring join never touches the vocabulary table
-    * again. The probe sliver (probes×terms rows) broadcasts against the
-    * vocabulary-sized df aggregation. */
+  /** Probe query terms (probe_id, token, tok_h, df): q65's tfidf
+    * ranking — same scoring, same string tie-break — over probe docs,
+    * carrying df forward so the scoring join never touches the
+    * vocabulary table again. The probe tf is re-derived from the
+    * probes' OWN text with PER-ROW column math (the
+    * [[graft.streaming.StreamOps.bm25ScoreStream]] `size(filter(...))`
+    * formulation over the same [[Dedup.toks]] tokenizer, so it equals
+    * the index's tf row for the same doc, shuffle-free): the hash-keyed
+    * index no longer carries token strings, and the tie-break plus the
+    * streaming query index need them — probes are a bounded budget, so
+    * the per-row distinct×scan cost is cap-sized. The probe sliver
+    * broadcasts against the vocabulary-sized df aggregation (8-byte
+    * join keys). */
   private[graft] def queryTerms(idx: DataFrame, consts: DataFrame,
       probes: DataFrame, nTerms: Int): DataFrame = {
-    val dfT = idx.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfT = idx.groupBy(col("tok_h")).agg(count(lit(1)).as("df"))
+    val tfPairs = transform(
+      array_distinct(Dedup.toks),
+      t => struct(t.as("token"),
+        size(filter(Dedup.toks, x => x === t)).cast("long").as("tf")))
+    val probeTf = probes
+      .select(col("doc_id").as("probe_id"), explode(tfPairs).as("p"))
+      .select(col("probe_id"), col("p.token").as("token"),
+        xxhash64(col("p.token")).as("tok_h"), col("p.tf").as("tf"))
     val wq = Window.partitionBy(col("probe_id"))
       .orderBy(col("tfidf").desc, col("token"))
     dfT
-      .join(broadcast(idx.join(broadcast(probes.select(col("doc_id"))), Seq("doc_id"))
-        .select(col("doc_id").as("probe_id"), col("token"), col("tf"))), Seq("token"))
+      .join(broadcast(probeTf), Seq("tok_h"))
       .crossJoin(broadcast(consts.select(col("n_docs"))))
       .withColumn("tfidf",
         floor(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0) * 1e6) / 1e6)
-      .select(col("probe_id"), col("token"), col("df"), col("tfidf"))
+      .select(col("probe_id"), col("token"), col("tok_h"), col("df"), col("tfidf"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nTerms)
-      .select(col("probe_id"), col("token"), col("df"))
+      .select(col("probe_id"), col("token"), col("tok_h"), col("df"))
   }
 
   /** The query side as ONE broadcastable row — (qterms: sorted array of
@@ -139,7 +168,8 @@ object Retrieval {
     // index against the broadcast query terms — an inverted-index probe
     val term = idx
       .withColumnRenamed("doc_id", "cand_id")
-      .join(broadcast(qt), Seq("token"))
+      .join(broadcast(qt.select(col("probe_id"), col("tok_h"), col("df"))),
+        Seq("tok_h"))
       .filter(if (excludeSelf) col("probe_id") =!= col("cand_id") else lit(true))
       .crossJoin(broadcast(consts))
       .withColumn("term_score", termScore(col("tf"), col("df"), col("dl"),

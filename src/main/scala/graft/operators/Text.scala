@@ -271,11 +271,20 @@ object Text {
     val tok = docs.select(col("doc_id"), explode(toks).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("token"))
+    // the corpus-scale shuffle is the df aggregation (a distinct on
+    // (token, doc) then a count per token): key it by the token's
+    // xxhash64 fingerprint — 8-byte shuffle keys instead of strings,
+    // the [[graft.operators.Retrieval.bm25Index]] identity move; the
+    // oracle keeps the raw string, equality classes match unless two
+    // vocabulary tokens collide in 64 bits. The output token string
+    // rides the (probe-bounded: doc_id < 50 pushes to the scan) tf side.
+    val df = tok.select(xxhash64(col("token")).as("tok_h"), col("doc_id"))
+      .groupBy(col("tok_h"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(df, "token")
+      .withColumn("tok_h", xxhash64(col("token")))
+      .join(df, "tok_h")
       .crossJoin(broadcast(n)) // 1-row scalar subquery shape
       // floor-truncation, not round(): Spark rounds the decimal repr,
       // DuckDB the binary value — they diverge on bare-5 boundaries
