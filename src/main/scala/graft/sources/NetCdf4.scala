@@ -32,11 +32,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     shuffle is a byte de-interleave; fletcher32 checksums verify and
   *     strip) — the default libnetcdf output for cube-sized variables,
   *     which chunks and commonly deflate-compresses;
-  *   - data layout v4 — the `libver='latest'` CHUNK INDEXES for
-  *     fixed-maxdim datasets: single-chunk (filtered and not), implicit,
-  *     and FIXED ARRAY (FAHD/FADB, lookup3-checksummed, filtered and
-  *     unfiltered clients) — the layouts current libhdf5 emits for a
-  *     forecast cube under the latest file format (VERDICT r15 #5);
+  *   - data layout v4 — the `libver='latest'` CHUNK INDEXES:
+  *     single-chunk (filtered and not), implicit, and FIXED ARRAY
+  *     (FAHD/FADB, lookup3-checksummed, filtered and unfiltered
+  *     clients) for fixed-maxdim datasets — the layouts current libhdf5
+  *     emits for a forecast cube under the latest file format (VERDICT
+  *     r15 #5) — plus the EXTENSIBLE ARRAY (EAHD/EAIB/EASB/EADB), the
+  *     index libhdf5 picks for one UNLIMITED maxdim: a growing forecast
+  *     archive's appendable time axis (VERDICT r16 #4);
   *   - v1/v2/v3 attribute messages with string and numeric scalars/
   *     arrays — enough for the CF attributes a forecast cube uses
   *     (`units`, `scale_factor`, `add_offset`, `_FillValue`); vlen/
@@ -44,11 +47,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     SKIPPED and axis mapping falls back to coordinate names + shape
   *     matching, the same convention [[NetCdf.decodeCube]] applies.
   * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
-  * …), the unlimited-maxdim chunk indexes (extensible array, v2
-  * B-tree), paged fixed-array data blocks (> 2^pageBits chunks — past
-  * the edge-decode budget's cube sizes), dense (fractal-heap) link
-  * storage, and nested groups are rejected with a message naming the
-  * feature;
+  * …), the v2-B-tree chunk index (multiple unlimited maxdims), paged
+  * fixed-array/extensible-array data blocks (past the edge-decode
+  * budget's cube sizes), dense (fractal-heap) link storage, and nested
+  * groups are rejected with a message naming the feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
   * R17 skip-parameter semantics at the fetch boundary, so an
   * out-of-subset file skips cleanly instead of failing a job.
@@ -94,9 +96,9 @@ object NetCdf4 {
     * (filtered size, filter mask) when the layout's filtered-single-
     * chunk flag is set), 2 = implicit (unfiltered chunks contiguous at
     * addr in row-major grid order), 3 = fixed array (addr is the FAHD
-    * header). Extensible-array (4) and v2-B-tree (5) indexes stay
-    * named rejections — libhdf5 only emits them for UNLIMITED-maxdim
-    * datasets, which a staged forecast cube never is. */
+    * header), 4 = extensible array (addr is the EAHD header — the
+    * one-UNLIMITED-maxdim index of a growing time axis). v2-B-tree (5,
+    * multiple unlimited maxdims) stays a named rejection. */
   case class Chunk4(idxType: Int, addr: Long, dims: Seq[Int],
                     pageBits: Int = 0,
                     singleFiltered: Option[(Long, Long)] = None)
@@ -417,16 +419,21 @@ object NetCdf4 {
   }
 
   /** Version-4 ("latest format") chunk-index read — the libhdf5
-    * `libver='latest'` layouts for FIXED-maxdim chunked datasets:
-    * single-chunk, implicit, and fixed-array indexes (VERDICT r15 #5;
-    * extensible-array/v2-B-tree stay named rejections — libhdf5 picks
-    * those only for unlimited maxdims). The fixed array is the common
-    * case: a lookup3-checksummed FAHD header pointing at one FADB data
-    * block whose i-th element addresses grid cell i in row-major order
+    * `libver='latest'` layouts: single-chunk, implicit, and fixed-array
+    * indexes for FIXED-maxdim datasets (VERDICT r15 #5) plus the
+    * extensible array for ONE unlimited maxdim (VERDICT r16 #4;
+    * v2-B-tree — several unlimited maxdims — stays a named rejection).
+    * The fixed array is the fixed-shape common case: a
+    * lookup3-checksummed FAHD header pointing at one FADB data block
+    * whose i-th element addresses grid cell i in row-major order
     * (client 0 = address only; client 1 = address + chunk size + filter
-    * mask, the filtered-dataset form). A PAGED data block (more chunks
-    * than 2^pageBits, libhdf5 default 1024) is outside the edge-decode
-    * budget's cube sizes and rejects by name. */
+    * mask, the filtered-dataset form). The extensible array is what an
+    * APPENDABLE time axis gets: the same element encodes, reached
+    * through the EAHD header's index block — inline elements, then
+    * geometrically growing data blocks addressed directly or via super
+    * blocks ([[EaLayout]]). A PAGED data block (more chunks than
+    * 2^pageBits per block, libhdf5 default 1024) is outside the
+    * edge-decode budget's cube sizes and rejects by name in both. */
   private def readChunked4(
       f: H5File, ds: H5Dataset, c4: Chunk4, n: Int): Array[Double] = {
     val out = Array.fill(n)(Double.NaN)
@@ -525,8 +532,168 @@ object NetCdf4 {
           }
           i += 1
         }
+      case 4 => // extensible array — the UNLIMITED-maxdim chunk index
+        // (a growing forecast archive's time axis): EAHD header → EAIB
+        // index block (inline elements + direct data-block addresses +
+        // super-block addresses) → EASB super blocks → EADB data blocks.
+        // Geometry per the public HDF5 format spec / H5EA algorithm:
+        // element e (grid cell, row-major) past the inline prefix lands
+        // in super block ⌊log2(e/minElmts + 1)⌋; see [[EaLayout]].
+        val hAt = checkedAt(c4.addr, 72, b.bytes.length, "extensible-array header")
+        require(b.ascii(hAt, 4) == "EAHD", "bad extensible-array header signature")
+        require(b.u8(hAt + 4) == 0,
+          s"extensible-array version ${b.u8(hAt + 4)} unsupported")
+        val client = b.u8(hAt + 5)
+        require(client == 0 || client == 1,
+          s"extensible-array client $client unsupported (subset reads dataset chunks)")
+        require((client == 1) == ds.filters.nonEmpty,
+          s"extensible-array client $client disagrees with the dataset's filter pipeline")
+        val elmtSize = b.u8(hAt + 6)
+        if (client == 0) require(elmtSize == 8,
+          s"extensible-array element size $elmtSize != 8 for unfiltered chunks")
+        else require(elmtSize >= 13 && elmtSize <= 20,
+          s"extensible-array element size $elmtSize outside 13-20 for filtered chunks")
+        val maxBits = b.u8(hAt + 7)
+        val idxBlkElmts = b.u8(hAt + 8)
+        val minElmts = b.u8(hAt + 9)
+        val minPtrs = b.u8(hAt + 10)
+        val dblkPageBits = b.u8(hAt + 11)
+        require(maxBits >= 1 && maxBits <= 64,
+          s"extensible-array max-elements bits $maxBits out of range")
+        require(minElmts >= 1 && (minElmts & (minElmts - 1)) == 0,
+          s"extensible-array data-block min elements $minElmts not a power of two")
+        require(minPtrs >= 2 && (minPtrs & (minPtrs - 1)) == 0,
+          s"extensible-array super-block min pointers $minPtrs not a power of two")
+        // six stats Lengths skipped (informational); index block address
+        val ibAddr = b.u64(hAt + 60)
+        checkLookup3(b, hAt, 68, "extensible-array header")
+        if (ibAddr == Undef) return out
+        val ea = new EaLayout(maxBits, idxBlkElmts, minElmts, minPtrs)
+        val arrOffSize = (maxBits + 7) / 8
+        val ibSize = 14L + idxBlkElmts.toLong * elmtSize +
+          (ea.ndblkAddrs + ea.nsblkAddrs) * 8L + 4L
+        val ibAt = checkedAt(ibAddr, ibSize, b.bytes.length,
+          "extensible-array index block")
+        require(b.ascii(ibAt, 4) == "EAIB", "bad extensible-array index block signature")
+        require(b.u8(ibAt + 4) == 0 && b.u8(ibAt + 5) == client,
+          "extensible-array index block version/client mismatch")
+        require(b.u64(ibAt + 6) == c4.addr,
+          "extensible-array index block does not point back at its header")
+        checkLookup3(b, ibAt, (ibSize - 4).toInt, "extensible-array index block")
+        val ibElemsAt = ibAt + 14
+        val ibDblkAt = ibElemsAt + idxBlkElmts * elmtSize
+        val ibSblkAt = ibDblkAt + ea.ndblkAddrs * 8
+        // validated-block caches: each EASB/EADB is signature/pointer/
+        // checksum-verified once however many chunks it serves
+        val sblkAt = scala.collection.mutable.Map.empty[Int, Int]
+        val dblkAt = scala.collection.mutable.Map.empty[Long, Int]
+        def superBlock(u: Int): Int = sblkAt.getOrElseUpdate(u, {
+          val addr = b.u64(ibSblkAt + (u - ea.s0) * 8)
+          if (addr == Undef) -1
+          else {
+            val size = 14L + arrOffSize + ea.ndblks(u) * 8L + 4L
+            val at = checkedAt(addr, size, b.bytes.length, "extensible-array super block")
+            require(b.ascii(at, 4) == "EASB", "bad extensible-array super block signature")
+            require(b.u8(at + 4) == 0 && b.u8(at + 5) == client,
+              "extensible-array super block version/client mismatch")
+            require(b.u64(at + 6) == c4.addr,
+              "extensible-array super block does not point back at its header")
+            checkLookup3(b, at, (size - 4).toInt, "extensible-array super block")
+            at
+          }
+        })
+        def dataBlock(addr: Long, nelmts: Long): Int = dblkAt.getOrElseUpdate(addr, {
+          val size = 14L + arrOffSize + nelmts * elmtSize + 4L
+          val at = checkedAt(addr, size, b.bytes.length, "extensible-array data block")
+          require(b.ascii(at, 4) == "EADB", "bad extensible-array data block signature")
+          require(b.u8(at + 4) == 0 && b.u8(at + 5) == client,
+            "extensible-array data block version/client mismatch")
+          require(b.u64(at + 6) == c4.addr,
+            "extensible-array data block does not point back at its header")
+          checkLookup3(b, at, (size - 4).toInt, "extensible-array data block")
+          at
+        })
+        // byte position of element i, or -1 while its block is unallocated
+        def elementAt(i: Long): Long = {
+          if (i < idxBlkElmts) return ibElemsAt + i * elmtSize
+          val e = i - idxBlkElmts
+          val u = ea.sblkOf(e)
+          require(u < ea.nsblks,
+            s"extensible-array element $i beyond the declared 2^$maxBits capacity")
+          val nelmts = ea.dblkNelmts(u)
+          require(nelmts <= (1L << dblkPageBits),
+            s"paged extensible-array data block (${nelmts} elements > " +
+              s"2^$dblkPageBits per page) unsupported")
+          val rel = e - ea.startIdx(u)
+          val dblkIdx = rel / nelmts
+          val off = rel % nelmts
+          val addr =
+            if (u < ea.s0)
+              b.u64((ibDblkAt.toLong + (ea.startDblk(u) + dblkIdx) * 8).toInt)
+            else {
+              val sAt = superBlock(u)
+              if (sAt < 0) return -1L
+              b.u64((sAt.toLong + 14 + arrOffSize + dblkIdx * 8).toInt)
+            }
+          if (addr == Undef) -1L
+          else dataBlock(addr, nelmts) + 14L + arrOffSize + off * elmtSize
+        }
+        var i = 0L
+        while (i < nChunks) {
+          val eAt = elementAt(i).toInt
+          if (eAt >= 0) {
+            val addr = b.u64(eAt)
+            if (addr != Undef) {
+              if (client == 0)
+                g.scatter(gridOffs(i),
+                  rawChunk(addr, chunkBytes, "extensible-array chunk"))
+              else {
+                val szLen = elmtSize - 12 // address(8) + size(szLen) + mask(4)
+                val size = b.uvar(eAt + 8, szLen)
+                val mask = b.u32(eAt + 8 + szLen)
+                require(size > 0 && size <= Int.MaxValue,
+                  s"extensible-array chunk size $size out of range")
+                g.scatter(gridOffs(i),
+                  g.defilterChain(rawChunk(addr, size, "extensible-array chunk"), mask))
+              }
+            }
+          }
+          i += 1
+        }
     }
     out
+  }
+
+  /** Extensible-array geometry (public HDF5 format spec / the H5EA
+    * algorithm): past the `idxBlkElmts` elements stored inline in the
+    * index block, elements live in data blocks grouped into super
+    * blocks — super block `u` holds `2^(u/2)` data blocks of
+    * `2^((u+1)/2) · minElmts` elements each (so capacity doubles per
+    * super block), and the data blocks of the first `s0 = 2·log2(minPtrs)`
+    * super blocks are addressed DIRECTLY from the index block
+    * (`ndblkAddrs = 2·(minPtrs−1)` slots), later ones via their super
+    * block's address array. */
+  private final class EaLayout(maxBits: Int, val idxBlkElmts: Int,
+      minElmts: Int, minPtrs: Int) {
+    private def log2(x: Int): Int = 63 - java.lang.Long.numberOfLeadingZeros(x.toLong).toInt
+    val s0: Int = 2 * log2(minPtrs)
+    val nsblks: Int = 1 + (maxBits - log2(minElmts))
+    val ndblkAddrs: Int = 2 * (minPtrs - 1)
+    val nsblkAddrs: Int = math.max(0, nsblks - s0)
+    def ndblks(u: Int): Long = 1L << (u / 2)
+    def dblkNelmts(u: Int): Long = (1L << ((u + 1) / 2)) * minElmts
+    /** First post-inline element index served by super block u. */
+    def startIdx(u: Int): Long = ((1L << u) - 1L) * minElmts
+    /** Data blocks in super blocks before u (the index block's direct
+      * address slots are laid out in this order). */
+    def startDblk(u: Int): Long = {
+      var s = 0L; var v = 0
+      while (v < u) { s += ndblks(v); v += 1 }
+      s
+    }
+    /** Super block serving post-inline element e: ⌊log2(e/minElmts + 1)⌋. */
+    def sblkOf(e: Long): Int =
+      63 - java.lang.Long.numberOfLeadingZeros(e / minElmts + 1).toInt
   }
 
   /** HDF5's fletcher-32 checksum (public H5checksum algorithm): fold the
@@ -849,12 +1016,14 @@ object NetCdf4 {
           case 3 =>
             val pageBits = b.u8(q)
             LayoutChunked4(Chunk4(3, b.u64(q + 1), dims, pageBits = pageBits))
-          case 4 => throw new IllegalArgumentException(
-            "chunk index type 4 (extensible array) unsupported " +
-              "(subset reads single-chunk/implicit/fixed-array)")
+          case 4 => // extensible array: 5 creation-param bytes (max bits,
+            // index elements, min pointers, min elements, page bits) —
+            // the authoritative copies live in the EAHD header, which is
+            // where the reader takes them from — then the header address
+            LayoutChunked4(Chunk4(4, b.u64(q + 5), dims))
           case 5 => throw new IllegalArgumentException(
             "chunk index type 5 (version-2 B-tree) unsupported " +
-              "(subset reads single-chunk/implicit/fixed-array)")
+              "(subset reads single-chunk/implicit/fixed-array/extensible-array)")
           case t => throw new IllegalArgumentException(s"chunk index type $t unknown")
         }
       case c => throw new IllegalArgumentException(s"data layout class $c unsupported")
@@ -1150,7 +1319,9 @@ object NetCdf4 {
     * unfiltered, fixed array otherwise — libhdf5's fixed-maxdim
     * choices; `idx4` pins a specific index type instead, e.g. a
     * client-0 fixed array for an unfiltered dataset, which libhdf5
-    * emits under its default incremental allocation). `filters` is the
+    * emits under its default incremental allocation, or 4 = the
+    * extensible array libhdf5 picks for an UNLIMITED time maxdim).
+    * `filters` is the
     * write-order filter pipeline (1 = deflate, 2 = shuffle — e.g.
     * `Seq(2, 1)` is libnetcdf's shuffle-then-deflate default when both
     * are enabled). */
@@ -1250,7 +1421,6 @@ object NetCdf4 {
       if (latest) ohdrV2(ms)
       else ohdrBytes(ms.map { case (t, body) => msg(t, body) })
     }
-    def align8(x: Long): Long = (x + 7) / 8 * 8
     def chunkBtreeSize(d: WriteDs, nChunks: Int): Long = {
       val keySize = 8 + 8 * (d.shape.size + 1)
       24L + nChunks * (keySize + 8) + keySize
@@ -1258,7 +1428,7 @@ object NetCdf4 {
     // chunked datasets: pre-filter every chunk so its on-disk size is
     // known before addresses are assigned (the one-forward-pass rule)
     val plans: Seq[Option[Seq[(Seq[Long], Array[Byte])]]] =
-      sorted.map(d => d.chunk.map(_ => chunkBlobs(d)))
+      sorted.map(d => d.chunk.map(_ => chunkBlobs(d, latestCap = latest)))
     val ohdrSizes = sorted.zip(plans).map { case (d, pl) => dsOhdr(d, pl, 0L).length.toLong }
     val ohdrAts = ohdrSizes.scanLeft(snodAt + snodSize)(_ + _).init
     var dataAt = align8(snodAt + snodSize + ohdrSizes.sum)
@@ -1270,6 +1440,8 @@ object NetCdf4 {
             case 1 => dataAt += align8(blobs.head._2.length.toLong)
             case 2 => // implicit: chunks TIGHT (addr + i*chunkBytes)
               dataAt += align8(blobs.map(_._2.length.toLong).sum)
+            case 4 => dataAt += eaSize(faEntrySize(d), blobs.size) +
+              blobs.map(b => align8(b._2.length.toLong)).sum
             case _ => dataAt += align8(faSize(d, blobs.size)) +
               blobs.map(b => align8(b._2.length.toLong)).sum
           }
@@ -1345,6 +1517,17 @@ object NetCdf4 {
             case 2 => // implicit: unfiltered chunks tight, row-major
               out.position(dAt.toInt)
               blobs.foreach(bl => out.put(bl._2))
+            case 4 => // extensible array: EAHD + EAIB + EASB/EADBs, blobs after
+              var cAt = dAt + eaSize(faEntrySize(d), blobs.size)
+              val childAts = blobs.map { case (_, blob) =>
+                val a = cAt; cAt += align8(blob.length.toLong); a
+              }
+              out.position(dAt.toInt)
+              out.put(extensibleArrayIndex(dAt, faEntrySize(d),
+                if (d.filters.isEmpty) 0 else 1, blobs, childAts))
+              blobs.zip(childAts).foreach { case ((_, blob), a) =>
+                out.position(a.toInt); out.put(blob)
+              }
             case _ => // fixed array: FAHD + FADB, blobs after
               var cAt = dAt + align8(faSize(d, blobs.size))
               val childAts = blobs.map { case (_, blob) =>
@@ -1383,7 +1566,7 @@ object NetCdf4 {
     * coords, on-disk blob) in row-major grid order. Edge chunks are
     * full-size with zero padding past the dataset bounds (the reader
     * skips the overhang). */
-  private def chunkBlobs(d: WriteDs): Seq[(Seq[Long], Array[Byte])] = {
+  private def chunkBlobs(d: WriteDs, latestCap: Boolean = false): Seq[(Seq[Long], Array[Byte])] = {
     val cd = d.chunk.get
     require(cd.size == d.shape.size && cd.forall(_ > 0),
       s"chunk dims $cd invalid for shape ${d.shape}")
@@ -1395,9 +1578,11 @@ object NetCdf4 {
     while (k >= 0) { strides(k) = strides(k + 1) * shape(k + 1); k -= 1 }
     val grid = shape.zip(cd).map { case (s, c) => (s + c - 1) / c }
     // one v1 chunk-btree leaf (the group-btree single-node argument, with
-    // the istore default K=32 → 2K=64 entries)
-    require(grid.product <= 64,
-      s"writer subset emits one chunk-btree leaf (max 64 chunks), got ${grid.product}")
+    // the istore default K=32 → 2K=64 entries); latest-format indexes
+    // have no leaf bound — the extensible-array fixtures need enough
+    // chunks to reach the super-block tier — so they get a sanity cap
+    require(grid.product <= (if (latestCap) 4096 else 64),
+      s"writer subset caps chunk count, got ${grid.product}")
     combos(grid).map { gc =>
       val offs = gc.zip(cd).map { case (gi, c) => gi.toLong * c }
       val bb = ByteBuffer.allocate(cd.product * elem).order(ByteOrder.LITTLE_ENDIAN)
@@ -1470,12 +1655,14 @@ object NetCdf4 {
   /** Data layout v4 class 2 (the "latest format" chunked layout):
     * flags, rank+1 chunk dims at a fixed 8-byte encoding, index type +
     * its info fields (single-chunk filtered size/mask, fixed-array page
-    * bits), then the index address — [[parseLayout]]'s v4 dual. */
+    * bits, the extensible array's five creation parameters), then the
+    * index address — [[parseLayout]]'s v4 dual. */
   private def chunkedLayoutBodyV4(idxType: Int, addr: Long, cd: Seq[Int],
       elem: Int, single: Option[(Long, Long)]): Array[Byte] = {
     val ndims = cd.size + 1
     val flags = if (single.isDefined) 0x2 else 0x0
-    val extra = (if (idxType == 3) 1 else 0) + (if (single.isDefined) 12 else 0)
+    val extra = (if (idxType == 3) 1 else 0) + (if (idxType == 4) 5 else 0) +
+      (if (single.isDefined) 12 else 0)
     val o = ByteBuffer.allocate(5 + ndims * 8 + 1 + extra + 8)
       .order(ByteOrder.LITTLE_ENDIAN)
     o.put(4.toByte).put(2.toByte).put(flags.toByte).put(ndims.toByte).put(8.toByte)
@@ -1484,6 +1671,13 @@ object NetCdf4 {
     o.put(idxType.toByte)
     single.foreach { case (sz, mask) => o.putLong(sz).putInt(mask.toInt) }
     if (idxType == 3) o.put(10.toByte) // page bits: libhdf5's farray default
+    if (idxType == 4) {
+      // creation params, libhdf5's earray defaults: max nelmts bits,
+      // index block elements, super-block min data pointers, data-block
+      // min elements, max data-block page bits (the EAHD carries the
+      // authoritative copies the reader consumes)
+      o.put(32.toByte).put(4.toByte).put(4.toByte).put(16.toByte).put(10.toByte)
+    }
     o.putLong(addr)
     o.array()
   }
@@ -1509,6 +1703,132 @@ object NetCdf4 {
       if (client == 1) { o.putLong(blob.length.toLong); o.putInt(0) } // size, mask
     }
     o.putInt(lookup3(o.array(), 28, dbSize - 4))
+    o.array()
+  }
+
+  private def align8(x: Long): Long = (x + 7) / 8 * 8
+
+  /** libhdf5's extensible-array creation defaults: max nelmts bits 32,
+    * 4 index-block elements, data blocks of ≥16 elements, super blocks
+    * of ≥4 data pointers (page bits 10 ride the header separately). */
+  private def eaDefaults = new EaLayout(32, 4, 16, 4)
+
+  /** The (super block, data block) pairs a dense n-chunk extensible
+    * array allocates, in on-disk order, plus which of those super
+    * blocks need an EASB block (u ≥ s0 — earlier ones are addressed
+    * directly from the index block). */
+  private def eaBlocks(n: Int): (Seq[(Int, Long)], Seq[Int]) = {
+    val ea = eaDefaults
+    val post = math.max(0, n - ea.idxBlkElmts).toLong
+    val dblks =
+      if (post == 0) Seq.empty[(Int, Long)]
+      else (0 to ea.sblkOf(post - 1)).flatMap { u =>
+        if (ea.startIdx(u) >= post) Nil
+        else {
+          val last = math.min(post - 1 - ea.startIdx(u),
+            ea.ndblks(u) * ea.dblkNelmts(u) - 1)
+          (0L to last / ea.dblkNelmts(u)).map(j => (u, j))
+        }
+      }
+    (dblks, dblks.map(_._1).distinct.filter(_ >= ea.s0))
+  }
+
+  private def eaSblkSize(u: Int): Long =
+    14L + 4 + eaDefaults.ndblks(u) * 8L + 4L
+  private def eaDblkSize(u: Int, entrySize: Int): Long =
+    14L + 4 + eaDefaults.dblkNelmts(u) * entrySize + 4L
+
+  /** Total on-disk size of a dense n-chunk extensible-array index
+    * (header + index block + super/data blocks, each 8-aligned). */
+  private def eaSize(entrySize: Int, n: Int): Long = {
+    val ea = eaDefaults
+    val ib = 14L + ea.idxBlkElmts.toLong * entrySize +
+      (ea.ndblkAddrs + ea.nsblkAddrs) * 8L + 4L
+    val (dblks, sblks) = eaBlocks(n)
+    72L + align8(ib) + sblks.map(u => align8(eaSblkSize(u))).sum +
+      dblks.map { case (u, _) => align8(eaDblkSize(u, entrySize)) }.sum
+  }
+
+  /** Extensible-array chunk index: EAHD header, EAIB index block
+    * (inline elements, direct data-block addresses, super-block
+    * addresses), and the EASB/EADB blocks a dense chunk range needs,
+    * laid out contiguously and lookup3-checksummed like every
+    * latest-format structure; client 1 elements carry (address, size,
+    * mask) — the fixed-array encode. Unused slots hold the undefined
+    * address. The writer dual of [[readChunked4]]'s case 4, which is
+    * what pins that decode path offline (libhdf5 emits this index for
+    * an UNLIMITED-maxdim dataset — a growing forecast archive's time
+    * axis). */
+  private def extensibleArrayIndex(headerAt: Long, entrySize: Int, client: Int,
+      blobs: Seq[(Seq[Long], Array[Byte])], childAts: Seq[Long]): Array[Byte] = {
+    val ea = eaDefaults
+    val n = blobs.size
+    val ibSize = (14L + ea.idxBlkElmts.toLong * entrySize +
+      (ea.ndblkAddrs + ea.nsblkAddrs) * 8L + 4L).toInt
+    val (dblks, sblks) = eaBlocks(n)
+    val ibAt = headerAt + 72
+    var at = ibAt + align8(ibSize)
+    val sblkAts = sblks.map { u =>
+      val a = at; at += align8(eaSblkSize(u)); u -> a
+    }.toMap
+    val dblkAts = dblks.map { case (u, j) =>
+      val a = at; at += align8(eaDblkSize(u, entrySize)); (u, j) -> a
+    }.toMap
+    val o = ByteBuffer.allocate((at - headerAt).toInt).order(ByteOrder.LITTLE_ENDIAN)
+    // EAHD: creation params, stats, index block address
+    o.put("EAHD".getBytes(US_ASCII)).put(0.toByte).put(client.toByte)
+      .put(entrySize.toByte).put(32.toByte).put(4.toByte).put(16.toByte)
+      .put(4.toByte).put(10.toByte)
+    o.putLong(sblks.size.toLong)
+    o.putLong(sblks.map(eaSblkSize).sum)
+    o.putLong(dblks.size.toLong)
+    o.putLong(dblks.map { case (u, _) => eaDblkSize(u, entrySize) }.sum)
+    o.putLong(n.toLong) // max index set
+    o.putLong(n.toLong) // nelements
+    o.putLong(ibAt)
+    o.putInt(lookup3(o.array(), 0, 68))
+    def putElement(buf: ByteBuffer, i: Long): Unit =
+      if (i < n) {
+        buf.putLong(childAts(i.toInt))
+        if (client == 1) { buf.putLong(blobs(i.toInt)._2.length.toLong); buf.putInt(0) }
+      } else {
+        buf.putLong(Undef)
+        if (client == 1) { buf.putLong(0L); buf.putInt(0) }
+      }
+    // EAIB
+    val ib = ByteBuffer.allocate(ibSize).order(ByteOrder.LITTLE_ENDIAN)
+    ib.put("EAIB".getBytes(US_ASCII)).put(0.toByte).put(client.toByte)
+    ib.putLong(headerAt)
+    (0L until ea.idxBlkElmts.toLong).foreach(putElement(ib, _))
+    (0 until ea.s0).foreach { u =>
+      (0L until ea.ndblks(u)).foreach(j => ib.putLong(dblkAts.getOrElse((u, j), Undef)))
+    }
+    (ea.s0 until ea.nsblks).foreach(u => ib.putLong(sblkAts.getOrElse(u, Undef)))
+    ib.putInt(lookup3(ib.array(), 0, ibSize - 4))
+    o.position((ibAt - headerAt).toInt); o.put(ib.array())
+    // EASBs (block offset = first element index the super block serves)
+    sblks.foreach { u =>
+      val sz = eaSblkSize(u).toInt
+      val sb = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+      sb.put("EASB".getBytes(US_ASCII)).put(0.toByte).put(client.toByte)
+      sb.putLong(headerAt)
+      sb.putInt((ea.idxBlkElmts + ea.startIdx(u)).toInt)
+      (0L until ea.ndblks(u)).foreach(j => sb.putLong(dblkAts.getOrElse((u, j), Undef)))
+      sb.putInt(lookup3(sb.array(), 0, sz - 4))
+      o.position((sblkAts(u) - headerAt).toInt); o.put(sb.array())
+    }
+    // EADBs
+    dblks.foreach { case (u, j) =>
+      val sz = eaDblkSize(u, entrySize).toInt
+      val db = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+      db.put("EADB".getBytes(US_ASCII)).put(0.toByte).put(client.toByte)
+      db.putLong(headerAt)
+      val start = ea.idxBlkElmts + ea.startIdx(u) + j * ea.dblkNelmts(u)
+      db.putInt(start.toInt)
+      (0L until ea.dblkNelmts(u)).foreach(k => putElement(db, start + k))
+      db.putInt(lookup3(db.array(), 0, sz - 4))
+      o.position((dblkAts((u, j)) - headerAt).toInt); o.put(db.array())
+    }
     o.array()
   }
 

@@ -365,6 +365,62 @@ class NetCdf4Spec extends SparkSpec {
     }
   }
 
+  test("v4 extensible-array index round-trips through every tier (VERDICT r16 #4)") {
+    // chunk (1, 2, 2) over shape (nT, 2, 2) gives one chunk per time
+    // step — the unlimited-time-append shape. Tiers: <=4 chunks live
+    // inline in the index block; 5..244 in data blocks addressed
+    // directly from it; past 244 (libhdf5 defaults: 4 inline +
+    // 16+32+64+128 direct) the super-block blocks engage.
+    for {
+      nT <- Seq(3, 20, 300) // inline-only / direct data blocks / super-block tier
+      filters <- Seq(Seq.empty[Int], Seq(2, 1)) // client 0 / client 1
+    } {
+      val n = nT * 4
+      val vals = Array.tabulate(n)(i => i * 0.5 - 7.0)
+      val bytes = NetCdf4.write(Seq(
+        NetCdf4.WriteDs("temp", Seq(nT.toLong, 2L, 2L), vals,
+          chunk = Some(Seq(1, 2, 2)), filters = filters, idx4 = Some(4))),
+        latest = true)
+      val f = NetCdf4.parse(bytes)
+      val ds = f.dataset("temp").get
+      assert(ds.chunk4.exists(_.idxType == 4), s"nT=$nT filters=$filters")
+      assert(NetCdf4.readValues(f, ds).toSeq == vals.toSeq,
+        s"nT=$nT filters=$filters")
+    }
+  }
+
+  test("v4 extensible-array cube decodes end-to-end; corruption rejects by checksum") {
+    val ts = NetCdf.cfTimeToEpochSeconds("hours since 2024-01-01 00:00:00")
+    val vals = Array.tabulate(300 * 4)(i => (i % 97) * 1.5)
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("time", Seq(300L), Array.tabulate(300)(_.toDouble),
+        attrs = Seq("units" -> "hours since 2024-01-01 00:00:00")),
+      NetCdf4.WriteDs("y", Seq(2L), Array(55.0, 56.0)),
+      NetCdf4.WriteDs("x", Seq(2L), Array(11.0, 12.0)),
+      NetCdf4.WriteDs("temp", Seq(300L, 2L, 2L), vals,
+        chunk = Some(Seq(1, 2, 2)), filters = Seq(2, 1), idx4 = Some(4))),
+      latest = true)
+    val back = NetCdf4.decodeCube(spark, "archive", "temp", bytes)
+    assert(back.count() == 1200)
+    val got = back.collect().map(r =>
+      (r.getTimestamp(2).getTime, r.getDouble(3), r.getDouble(4)) -> r.getDouble(5)).toMap
+    // row-major (time, y, x): element (t=250, y=1, x=0) is index 250*4+2*1+0
+    val idx = 250 * 4 + 2
+    assert(got((math.round(ts(250.0) * 1000), 11.0, 56.0)) == (idx % 97) * 1.5)
+    // flip a byte inside an EADB element region — the block's named
+    // checksum rejection must fire before any chunk address is trusted
+    val db = bytes.indices.find(i =>
+      i + 4 <= bytes.length && bytes(i) == 'E' && bytes(i + 1) == 'A' &&
+        bytes(i + 2) == 'D' && bytes(i + 3) == 'B').get
+    val corrupt = bytes.clone()
+    corrupt(db + 20) = (corrupt(db + 20) ^ 0x01).toByte
+    val f = NetCdf4.parse(corrupt)
+    val e = intercept[IllegalArgumentException](
+      NetCdf4.readValues(f, f.dataset("temp").get))
+    assert(e.getMessage.contains("extensible-array data block checksum mismatch"),
+      e.getMessage)
+  }
+
   test("v4 index out-of-subset layouts reject by name; fixed-array corruption by checksum") {
     val good = NetCdf4.write(Seq(
       NetCdf4.WriteDs("temp", Seq(2L, 3L, 4L), Array.tabulate(24)(_.toDouble),
@@ -390,9 +446,19 @@ class NetCdf4Spec extends SparkSpec {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(cs)
       ()
     }
-    for ((t, name) <- Seq(4 -> "extensible array", 5 -> "version-2 B-tree")) {
-      val re = good.clone(); re(idxAt) = t.toByte; fixOhdr(re)
-      assert(NetCdf4.probe(re).left.exists(_.contains(name)), s"type $t")
+    locally {
+      val re = good.clone(); re(idxAt) = 5.toByte; fixOhdr(re)
+      assert(NetCdf4.probe(re).left.exists(_.contains("version-2 B-tree")))
+    }
+    // retag 3 -> 4 misparses the fixed-array info bytes as the extensible
+    // array's creation params, leaving a garbage header address: the
+    // parse-time index range check (or, were the address in range, the
+    // EAHD signature/checksum) rejects — never a misread
+    locally {
+      val re = good.clone(); re(idxAt) = 4.toByte; fixOhdr(re)
+      assert(NetCdf4.probe(re).left.exists(m =>
+        m.contains("chunk index") || m.contains("extensible-array")),
+        NetCdf4.probe(re))
     }
     // flip a byte inside the FAHD header (entry-size field) — the named
     // checksum rejection must fire before any element is trusted
@@ -541,6 +607,36 @@ class NetCdf4Spec extends SparkSpec {
     assert(o.forall(_.ok), o.mkString(";"))
     assert(mf.nonEmpty)
     assert(spark.read.parquet(out).count() == 12)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("fetch boundary: extensible-array (unlimited-time) cube passes the guard and ingests (R17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc4ea")
+    val out = tmp.resolve("out").toString
+    // a growing-archive shape: one chunk per time step behind an
+    // EXTENSIBLE-ARRAY index (what libhdf5 emits for an UNLIMITED time
+    // maxdim), deep enough (300 steps) to engage the super-block tier
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("time", Seq(300L), Array.tabulate(300)(_ * 3600.0),
+        attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00")),
+      NetCdf4.WriteDs("y", Seq(2L), Array(55.0, 56.0)),
+      NetCdf4.WriteDs("x", Seq(2L), Array(11.0, 12.0)),
+      NetCdf4.WriteDs("wind-speed", Seq(300L, 2L, 2L),
+        Array.tabulate(1200)(i => (i % 31).toDouble),
+        chunk = Some(Seq(1, 2, 2)), filters = Seq(2, 1), idx4 = Some(4))),
+      latest = true)
+    assert(NetCdf4.parse(bytes).dataset("wind-speed")
+      .exists(_.chunk4.exists(_.idxType == 4)), "fixture must use an extensible array")
+    assert(Fetch.containerGuard(bytes).isEmpty) // in-subset since r17
+    val fixture = tmp.resolve("cube.nc4")
+    java.nio.file.Files.write(fixture, bytes)
+    val cfg = IngestConfig(bbox = (10.0, 54.0, 14.0, 57.0),
+      parameters = Seq("wind-speed"))
+    val (mf, o) = Fetch.fetchAndIngest(spark, cfg,
+      Seq("wind-speed" -> fixture.toUri.toString), out)
+    assert(o.forall(_.ok), o.mkString(";"))
+    assert(mf.nonEmpty)
+    assert(spark.read.parquet(out).count() == 1200)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 }
