@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{MinhashSigExpr, RpMarginExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedArrayContainsExpr, SortedIntersectCountExpr, Sq8CodesExpr, Sq8L2Expr, SubL2Expr, VecDotExpr, VecRangeAgg}
+import graft.functions.expressions.{MinhashSigExpr, NgramRepExpr, RpMarginExpr, RpSignatureExpr, Sha256Prefix32Expr, SortedArrayContainsExpr, SortedIntersectCountExpr, Sq8CodesExpr, Sq8L2Expr, SubL2Expr, VecDotExpr, VecRangeAgg}
 
 /** Session extensions: registers the engine's native expressions.
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sq8_l2"),
       new ExpressionInfo(classOf[Sq8L2Expr].getName, "sq8_l2"),
       arity("sq8_l2", 4)(c => Sq8L2Expr(c))))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_rep"),
+      new ExpressionInfo(classOf[NgramRepExpr].getName, "ngram_rep"),
+      arity("ngram_rep", 2)(c => NgramRepExpr(c))))
     ext.injectFunction((
       new FunctionIdentifier("vec_range"),
       new ExpressionInfo(classOf[VecRangeAgg].getName, "vec_range"),

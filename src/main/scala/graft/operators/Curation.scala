@@ -2817,68 +2817,64 @@ object Curation {
 
   /** [[ngramRepetition]] over any (doc_id, text) frame — fixture hook.
     *
-    * The per-row kernel is sort + ONE linear run-length fold, not the
-    * naive per-distinct-gram rescan: a D-distinct, G-gram document
-    * costs O(G log G) here vs O(D·G) string scans (the rescan version
-    * measured 162 s at sf0.1 and is quadratic in document length — a
-    * real 10k-token page would pay 10⁸ compares per row). The fold
-    * tracks (previous gram, current run, best run, duplicate
-    * occurrences) through one pass of the sorted array; a run of
+    * The per-row kernel is the native `ngram_rep` expression
+    * ([[graft.functions.expressions.NgramRep]]): gram fingerprints
+    * (chained XXH64 over the row's token hashes — the gram STRING is
+    * never built; fractions depend only on equality classes, which the
+    * DuckDB oracle reproduces from the raw strings), one primitive
+    * sort, one linear run-length pass — per (row, n), inside
+    * whole-stage codegen. It replaced a sort_array + higher-order
+    * `aggregate` fold rebuilding a 4-field struct per element
+    * ([[ngramRepStatsComposed]], kept as the spec's equality
+    * reference), which itself replaced a per-distinct-gram rescan that
+    * measured 162 s at sf0.1 (quadratic in document length). A run of
     * length r contributes +2 at its second element and +1 after, so
     * dup_occ sums exactly the occurrences inside runs ≥ 2. */
-  private[graft] def ngramRepetitionFrom(docs: DataFrame): DataFrame = {
-    // Grams are identified by 64-bit FINGERPRINT, not by joined string:
-    // each token hashes once per row (`tokh`), and a gram's identity is
-    // xxhash64 over its n token hashes — no per-position string build,
-    // and the sort orders 8-byte longs instead of ~n·5-char strings
-    // (the string kernel measured 4.5 s isolated at sf0.1; this one
-    // ~halves it). top/dup fractions depend only on the gram equality
-    // CLASSES, which match the string classes exactly unless two
-    // distinct grams collide in 64 bits (P ≈ G²/2⁶⁴ per doc — zero in
-    // practice; the DuckDB oracle partitions by the gram string, so the
-    // hash never has to be mirrored, only its equality classes).
-    // Spark sequence(1, stop) DESCENDS when stop < 1, so docs shorter
-    // than n must short-circuit to an empty gram array (slice(_, 1, 0))
-    def gramArr(n: Int): Column = when(size(col("tokh")) >= n,
-      transform(
-        sequence(lit(1), size(col("tokh")) - (n - 1)),
-        i => xxhash64((0 until n).map(j => element_at(col("tokh"), i + j)): _*)))
-      .otherwise(slice(col("tokh"), 1, 0))
-    def statRow(n: Int): Column = {
-      // sort_array, not array_sort: the comparator-less expression skips
-      // the per-element lambda machinery on the hottest per-row step
-      val runs = aggregate(
-        sort_array(gramArr(n)),
-        struct(lit(null).cast("bigint").as("prev"), lit(0L).as("run"),
-          lit(0L).as("best"), lit(0L).as("dup")),
-        (acc, x) => {
-          // null prev (first element) compares null === x → null → the
-          // otherwise branch: run restarts at 1, exactly the "" sentinel
-          // the string kernel used
-          val same = x === acc.getField("prev")
-          val newRun = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
-          struct(x.as("prev"), newRun.as("run"),
-            greatest(acc.getField("best"), newRun).as("best"),
-            (acc.getField("dup") + when(same,
-              when(acc.getField("run") === 1L, lit(2L)).otherwise(lit(1L)))
-              .otherwise(lit(0L))).as("dup"))
-        })
-      struct(lit(n.toLong).as("n"),
-        greatest(size(col("toks")) - (n - 1), lit(0)).cast("long").as("n_grams"),
-        runs.getField("best").as("top_occ"),
-        runs.getField("dup").as("dup_occ"))
-    }
+  private[graft] def ngramRepetitionFrom(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 2)
       .withColumn("tokh", transform(col("toks"), t => xxhash64(t)))
-      .select(col("doc_id"),
-        explode(array(statRow(2), statRow(3), statRow(4))).as("st"))
+      .select(col("doc_id"), posexplode(array((2 to 4).map(n =>
+        call_function("ngram_rep", col("tokh"), lit(n))): _*)).as(Seq("pos", "st")))
       .filter(col("st.n_grams") >= 1)
-      .select(col("doc_id"), col("st.n").as("n"), col("st.n_grams").as("n_grams"),
+      .select(col("doc_id"), (col("pos") + 2).cast("long").as("n"),
+        col("st.n_grams").as("n_grams"),
         trunc6(col("st.top_occ") * 1.0 / col("st.n_grams")).as("top_frac"),
         trunc6(col("st.dup_occ") * 1.0 / col("st.n_grams")).as("dup_frac"))
       .orderBy(col("doc_id"), col("n"))
+
+  /** The pre-kernel composed formulation, kept ONLY as the spec's
+    * equality reference for `ngram_rep` (the subL2Composed convention):
+    * gram fingerprints via the Column xxhash64, sort_array, and a
+    * higher-order run-length fold. Expects `toks`/`tokh` in scope;
+    * returns the same (n, n_grams, top_occ, dup_occ) struct. Spark
+    * sequence(1, stop) DESCENDS when stop < 1, so docs shorter than n
+    * short-circuit to an empty gram array (slice(_, 1, 0)); the null
+    * `prev` sentinel makes the first element restart the run at 1. */
+  private[graft] def ngramRepStatsComposed(n: Int): Column = {
+    val gramArr: Column = when(size(col("tokh")) >= n,
+      transform(
+        sequence(lit(1), size(col("tokh")) - (n - 1)),
+        i => xxhash64((0 until n).map(j => element_at(col("tokh"), i + j)): _*)))
+      .otherwise(slice(col("tokh"), 1, 0))
+    val runs = aggregate(
+      sort_array(gramArr),
+      struct(lit(null).cast("bigint").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("dup")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        val newRun = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"),
+          (acc.getField("dup") + when(same,
+            when(acc.getField("run") === 1L, lit(2L)).otherwise(lit(1L)))
+            .otherwise(lit(0L))).as("dup"))
+      })
+    struct(lit(n.toLong).as("n"),
+      greatest(size(col("toks")) - (n - 1), lit(0)).cast("long").as("n_grams"),
+      runs.getField("best").as("top_occ"),
+      runs.getField("dup").as("dup_occ"))
   }
 
   /** q139: corpus drift audit — the population stability index (PSI) of

@@ -357,6 +357,41 @@ class ExpressionSpec extends SparkSpec {
     assert(d.isNullAt(1) && d.isNullAt(2) && d.isNullAt(3))
   }
 
+  test("ngram_rep matches the composed sort+fold formulation over the corpus") {
+    import graft.operators.{Curation, Dedup}
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("toks", Dedup.toks)
+      .filter(size(col("toks")) >= 2)
+      .withColumn("tokh", transform(col("toks"), t => xxhash64(t)))
+    (2 to 4).foreach { n =>
+      val cmp = base.select(
+        call_function("ngram_rep", col("tokh"), lit(n)).as("fast"),
+        Curation.ngramRepStatsComposed(n).as("slow"))
+      assert(cmp.count() > 0)
+      assert(cmp.filter(
+        col("fast.n_grams") =!= col("slow.n_grams") ||
+          col("fast.top_occ") =!= col("slow.top_occ") ||
+          col("fast.dup_occ") =!= col("slow.dup_occ")).count() == 0L, s"n=$n")
+    }
+  }
+
+  test("ngram_rep edge cases: all-same grams, short doc, null array, null n") {
+    import spark.implicits._
+    val r = Seq((Seq(7L, 7L, 7L, 7L), 1)).toDF("tokh", "i")
+      .select(
+        expr("ngram_rep(tokh, 2)").as("same"),   // 3 identical bigrams
+        expr("ngram_rep(tokh, 5)").as("short"),  // n beyond length
+        expr("ngram_rep(CAST(NULL AS ARRAY<BIGINT>), 2)").as("nullArr"),
+        expr("ngram_rep(tokh, CAST(NULL AS INT))").as("nullN"),
+        expr("ngram_rep(tokh, 0)").as("zeroN"))
+      .collect()(0)
+    val same = r.getStruct(0)
+    assert(same.getLong(0) == 3L && same.getLong(1) == 3L && same.getLong(2) == 3L)
+    val short = r.getStruct(1)
+    assert(short.getLong(0) == 0L && short.getLong(1) == 0L && short.getLong(2) == 0L)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("rp_margin64 is bit-identical to the unrolled literal chain; sign matches the signature bit") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
