@@ -48,8 +48,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     matching, the same convention [[NetCdf.decodeCube]] applies.
   * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
   * …), the v2-B-tree chunk index (multiple unlimited maxdims), paged
-  * fixed-array/extensible-array data blocks (past the edge-decode
-  * budget's cube sizes), dense (fractal-heap) link storage, and nested
+  * EXTENSIBLE-array data blocks (past ~65k chunks at libhdf5's default
+  * creation parameters — paged FIXED-array blocks, the >1024-chunk
+  * shape, ARE read), dense (fractal-heap) link storage, and nested
   * groups are rejected with a message naming the feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
   * R17 skip-parameter semantics at the fetch boundary, so an
@@ -431,9 +432,11 @@ object NetCdf4 {
     * APPENDABLE time axis gets: the same element encodes, reached
     * through the EAHD header's index block — inline elements, then
     * geometrically growing data blocks addressed directly or via super
-    * blocks ([[EaLayout]]). A PAGED data block (more chunks than
-    * 2^pageBits per block, libhdf5 default 1024) is outside the
-    * edge-decode budget's cube sizes and rejects by name in both. */
+    * blocks ([[EaLayout]]). A fixed array past 2^pageBits entries
+    * (libhdf5 default 1024) goes PAGED — bitmap in the FADB,
+    * per-checksummed element pages after it — and is read; a paged
+    * EXTENSIBLE-array data block (reached only past ~65k chunks at the
+    * default creation parameters) rejects by name. */
   private def readChunked4(
       f: H5File, ds: H5Dataset, c4: Chunk4, n: Int): Array[Double] = {
     val out = Array.fill(n)(Double.NaN)
@@ -497,15 +500,24 @@ object NetCdf4 {
         checkLookup3(b, hAt, 24, "fixed-array header")
         require(maxEnt == nChunks,
           s"fixed array holds $maxEnt entries for a $nChunks-cell chunk grid")
-        require(pageBits >= 1 && pageBits <= 62 && maxEnt <= (1L << pageBits),
-          s"fixed-array data block paged ($maxEnt entries > 2^$pageBits per page) " +
-            "unsupported (edge-decoded cubes stay single-page)")
+        require(pageBits >= 1 && pageBits <= 62,
+          s"fixed-array page bits $pageBits out of range")
         if (dbAddr == Undef) return out
         if (client == 0) require(entrySize == 8,
           s"fixed-array entry size $entrySize != 8 for unfiltered chunks")
         else require(entrySize >= 13 && entrySize <= 20,
           s"fixed-array entry size $entrySize outside 13-20 for filtered chunks")
-        val dbSize = 14L + maxEnt * entrySize + 4
+        // PAGED data block (more entries than 2^pageBits — the >1024-
+        // chunk shape of a large archive cube): the FADB carries only a
+        // page-initialization bitmap, and the element pages follow it
+        // contiguously, each with its own lookup3 checksum.
+        val pageNelmts = 1L << pageBits
+        val paged = maxEnt > pageNelmts
+        val nPages = if (paged) (maxEnt + pageNelmts - 1) / pageNelmts else 0L
+        val bitmapBytes = if (paged) (nPages + 7) / 8 else 0L
+        val dbSize =
+          if (paged) 14L + bitmapBytes + 4
+          else 14L + maxEnt * entrySize + 4
         val dAt = checkedAt(dbAddr, dbSize, b.bytes.length, "fixed-array data block")
         require(b.ascii(dAt, 4) == "FADB", "bad fixed-array data block signature")
         require(b.u8(dAt + 4) == 0 && b.u8(dAt + 5) == client,
@@ -513,10 +525,33 @@ object NetCdf4 {
         require(b.u64(dAt + 6) == c4.addr,
           "fixed-array data block does not point back at its header")
         checkLookup3(b, dAt, (dbSize - 4).toInt, "fixed-array data block")
+        def pageNel(p: Long): Long =
+          if (p == nPages - 1) maxEnt - p * pageNelmts else pageNelmts
+        val pagesAt = dAt + dbSize // pages are laid out right after the FADB
+        val pageChecked = scala.collection.mutable.Set.empty[Long]
+        // byte position of element i, or -1 while its page is uninitialized
+        def faElementAt(i: Long): Long =
+          if (!paged) dAt + 14 + i * entrySize
+          else {
+            val p = i / pageNelmts
+            if ((b.u8((dAt + 14 + p / 8).toInt) & (1 << (p % 8).toInt)) == 0) -1L
+            else {
+              var pAt = pagesAt
+              var q = 0L
+              while (q < p) { pAt += pageNel(q) * entrySize + 4; q += 1 }
+              if (pageChecked.add(p)) {
+                val len = pageNel(p) * entrySize
+                checkedAt(pAt, len + 4, b.bytes.length, "fixed-array data block page")
+                checkLookup3(b, pAt.toInt, len.toInt, "fixed-array data block page")
+              }
+              pAt + (i % pageNelmts) * entrySize
+            }
+          }
         var i = 0L
         while (i < maxEnt) {
-          val eAt = dAt + 14 + (i * entrySize).toInt
-          val addr = b.u64(eAt)
+          val eAt0 = faElementAt(i)
+          val eAt = eAt0.toInt
+          val addr = if (eAt0 < 0) Undef else b.u64(eAt)
           if (addr != Undef) {
             if (client == 0)
               g.scatter(gridOffs(i), rawChunk(addr, chunkBytes, "fixed-array chunk"))
@@ -1387,7 +1422,7 @@ object NetCdf4 {
         if (nChunks == 1) 1 else if (d.filters.isEmpty) 2 else 3)
     def faEntrySize(d: WriteDs): Int = if (d.filters.isEmpty) 8 else 20
     def faSize(d: WriteDs, nChunks: Int): Long =
-      28L + 14L + nChunks.toLong * faEntrySize(d) + 4L
+      28L + faDbSize(faEntrySize(d), nChunks)
     // dataset object headers: size-stable w.r.t. the data/btree address,
     // so measure with a placeholder then re-emit with the real address
     def dsMsgs(d: WriteDs, plan: Option[Seq[(Seq[Long], Array[Byte])]],
@@ -1682,27 +1717,61 @@ object NetCdf4 {
     o.array()
   }
 
+  /** FADB footprint for n entries at libhdf5's 2^10 page geometry:
+    * non-paged = header + elements + checksum; paged (n > 1024) =
+    * header + page-init bitmap + checksum, then one page per 1024
+    * elements (last partial), each with its own checksum. */
+  private def faDbSize(entrySize: Int, n: Int): Long = {
+    val pageN = 1 << 10
+    if (n <= pageN) 14L + n.toLong * entrySize + 4L
+    else {
+      val nPages = (n.toLong + pageN - 1) / pageN
+      14L + (nPages + 7) / 8 + 4L + n.toLong * entrySize + nPages * 4L
+    }
+  }
+
   /** Fixed-array chunk index: FAHD header + its FADB data block laid out
-    * contiguously (non-paged — the writer caps at 64 chunks, far inside
-    * one 2^10-element page), lookup3-checksummed like every latest-
-    * format structure; client 1 elements carry (address, size, mask). */
+    * contiguously, lookup3-checksummed like every latest-format
+    * structure; client 1 elements carry (address, size, mask). Past
+    * 2^10 entries the data block goes PAGED — a page-initialization
+    * bitmap in the FADB (all-ones: the writer allocates densely) and
+    * per-checksummed 1024-element pages following it — the large-cube
+    * shape [[readChunked4]]'s paged path pins offline. */
   private def fixedArrayIndex(headerAt: Long, entrySize: Int, client: Int,
       blobs: Seq[(Seq[Long], Array[Byte])], childAts: Seq[Long]): Array[Byte] = {
     val n = blobs.size
     val dbAt = headerAt + 28
-    val dbSize = 14 + n * entrySize + 4
-    val o = ByteBuffer.allocate(28 + dbSize).order(ByteOrder.LITTLE_ENDIAN)
+    val pageN = 1 << 10
+    val o = ByteBuffer.allocate((28 + faDbSize(entrySize, n)).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
     o.put("FAHD".getBytes(US_ASCII)).put(0.toByte).put(client.toByte)
       .put(entrySize.toByte).put(10.toByte) // page bits
     o.putLong(n.toLong).putLong(dbAt)
     o.putInt(lookup3(o.array(), 0, 24))
     o.put("FADB".getBytes(US_ASCII)).put(0.toByte).put(client.toByte)
     o.putLong(headerAt)
-    blobs.zip(childAts).foreach { case ((_, blob), at) =>
-      o.putLong(at)
-      if (client == 1) { o.putLong(blob.length.toLong); o.putInt(0) } // size, mask
+    def putElement(i: Int): Unit = {
+      o.putLong(childAts(i))
+      if (client == 1) { o.putLong(blobs(i)._2.length.toLong); o.putInt(0) } // size, mask
     }
-    o.putInt(lookup3(o.array(), 28, dbSize - 4))
+    if (n <= pageN) {
+      (0 until n).foreach(putElement)
+      o.putInt(lookup3(o.array(), 28, (14 + n * entrySize + 4) - 4))
+    } else {
+      val nPages = (n + pageN - 1) / pageN
+      val bitmapBytes = (nPages + 7) / 8
+      val bitmap = new Array[Byte](bitmapBytes)
+      (0 until nPages).foreach(p => bitmap(p / 8) = (bitmap(p / 8) | (1 << (p % 8))).toByte)
+      o.put(bitmap)
+      o.putInt(lookup3(o.array(), 28, 14 + bitmapBytes))
+      var pAt = 28 + 14 + bitmapBytes + 4
+      (0 until nPages).foreach { p =>
+        val cnt = math.min(pageN, n - p * pageN)
+        (0 until cnt).foreach(k => putElement(p * pageN + k))
+        o.putInt(lookup3(o.array(), pAt, cnt * entrySize))
+        pAt += cnt * entrySize + 4
+      }
+    }
     o.array()
   }
 

@@ -365,6 +365,36 @@ class NetCdf4Spec extends SparkSpec {
     }
   }
 
+  test("v4 paged fixed-array index (>1024 chunks) round-trips; page corruption rejects by name") {
+    // 2000 one-element chunks force the FADB past one 2^10-element page
+    // (two pages, the second partial) — the chunk-heavy large-cube shape
+    for (filters <- Seq(Seq.empty[Int], Seq(2, 1))) {
+      val vals = Array.tabulate(2000)(i => i * 0.25 - 11.0)
+      val bytes = NetCdf4.write(Seq(
+        NetCdf4.WriteDs("temp", Seq(2000L, 1L, 1L), vals,
+          chunk = Some(Seq(1, 1, 1)), filters = filters, idx4 = Some(3))),
+        latest = true)
+      val f = NetCdf4.parse(bytes)
+      val ds = f.dataset("temp").get
+      assert(ds.chunk4.exists(_.idxType == 3), s"filters=$filters")
+      assert(NetCdf4.readValues(f, ds).toSeq == vals.toSeq, s"filters=$filters")
+      // flip a byte inside the SECOND page's element region — the page's
+      // own checksum must reject before any chunk address is trusted
+      val fadb = bytes.indices.find(i =>
+        i + 4 <= bytes.length && bytes(i) == 'F' && bytes(i + 1) == 'A' &&
+          bytes(i + 2) == 'D' && bytes(i + 3) == 'B').get
+      val entry = if (filters.isEmpty) 8 else 20
+      val page2 = fadb + 14 + 1 + 4 + 1024 * entry + 4 // hdr + bitmap + cksum + page1
+      val corrupt = bytes.clone()
+      corrupt(page2 + 3) = (corrupt(page2 + 3) ^ 0x01).toByte
+      val cf = NetCdf4.parse(corrupt)
+      val e = intercept[IllegalArgumentException](
+        NetCdf4.readValues(cf, cf.dataset("temp").get))
+      assert(e.getMessage.contains("fixed-array data block page checksum mismatch"),
+        e.getMessage)
+    }
+  }
+
   test("v4 extensible-array index round-trips through every tier (VERDICT r16 #4)") {
     // chunk (1, 2, 2) over shape (nT, 2, 2) gives one chunk per time
     // step — the unlimited-time-append shape. Tiers: <=4 chunks live
