@@ -39,7 +39,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     emits for a forecast cube under the latest file format (VERDICT
   *     r15 #5) — plus the EXTENSIBLE ARRAY (EAHD/EAIB/EASB/EADB), the
   *     index libhdf5 picks for one UNLIMITED maxdim: a growing forecast
-  *     archive's appendable time axis (VERDICT r16 #4);
+  *     archive's appendable time axis (VERDICT r16 #4) — and the
+  *     V2 B-TREE (BTHD/BTLF, several unlimited maxdims, e.g. appendable
+  *     time AND ensemble axes) in its single-leaf form;
   *   - v1/v2/v3 attribute messages with string and numeric scalars/
   *     arrays — enough for the CF attributes a forecast cube uses
   *     (`units`, `scale_factor`, `add_offset`, `_FillValue`); vlen/
@@ -47,11 +49,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     SKIPPED and axis mapping falls back to coordinate names + shape
   *     matching, the same convention [[NetCdf.decodeCube]] applies.
   * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
-  * …), the v2-B-tree chunk index (multiple unlimited maxdims), paged
-  * EXTENSIBLE-array data blocks (past ~65k chunks at libhdf5's default
-  * creation parameters — paged FIXED-array blocks, the >1024-chunk
-  * shape, ARE read), dense (fractal-heap) link storage, and nested
-  * groups are rejected with a message naming the feature;
+  * …), multi-level v2 B-trees (past ~80 chunks at the 2048-byte node
+  * default), paged EXTENSIBLE-array data blocks (past ~65k chunks at
+  * libhdf5's default creation parameters — paged FIXED-array blocks,
+  * the >1024-chunk shape, ARE read), dense (fractal-heap) link
+  * storage, and nested groups are rejected with a message naming the
+  * feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
   * R17 skip-parameter semantics at the fetch boundary, so an
   * out-of-subset file skips cleanly instead of failing a job.
@@ -98,8 +101,9 @@ object NetCdf4 {
     * chunk flag is set), 2 = implicit (unfiltered chunks contiguous at
     * addr in row-major grid order), 3 = fixed array (addr is the FAHD
     * header), 4 = extensible array (addr is the EAHD header — the
-    * one-UNLIMITED-maxdim index of a growing time axis). v2-B-tree (5,
-    * multiple unlimited maxdims) stays a named rejection. */
+    * one-UNLIMITED-maxdim index of a growing time axis), 5 = v2 B-tree
+    * (addr is the BTHD header — several unlimited maxdims; read in its
+    * single-leaf form, deeper trees reject by name). */
   case class Chunk4(idxType: Int, addr: Long, dims: Seq[Int],
                     pageBits: Int = 0,
                     singleFiltered: Option[(Long, Long)] = None)
@@ -695,6 +699,79 @@ object NetCdf4 {
           }
           i += 1
         }
+      case 5 => // version-2 B-tree — the several-unlimited-maxdims index
+        // (e.g. appendable time AND ensemble axes). Subset reads the
+        // SINGLE-LEAF form (depth 0: BTHD header → one BTLF leaf whose
+        // records each carry a chunk address + the chunk's scaled grid
+        // offsets); a deeper tree (past ~nodeSize/recordSize ≈ 80 chunks
+        // at libhdf5's 2048-byte default) rejects by name. Record types
+        // per the public spec: 10 = non-filtered (address + scaled
+        // offsets), 11 = filtered (+ variable-width chunk size + mask).
+        val hAt = checkedAt(c4.addr, 38, b.bytes.length, "v2-B-tree header")
+        require(b.ascii(hAt, 4) == "BTHD", "bad v2-B-tree header signature")
+        require(b.u8(hAt + 4) == 0,
+          s"v2-B-tree version ${b.u8(hAt + 4)} unsupported")
+        val recType = b.u8(hAt + 5)
+        require(recType == 10 || recType == 11,
+          s"v2-B-tree record type $recType unsupported (subset reads dataset chunks)")
+        require((recType == 11) == ds.filters.nonEmpty,
+          s"v2-B-tree record type $recType disagrees with the dataset's filter pipeline")
+        val recSize = b.u16(hAt + 10)
+        val depth = b.u16(hAt + 12)
+        val rootAddr = b.u64(hAt + 16)
+        val rootNrec = b.u16(hAt + 24)
+        val totNrec = b.u64(hAt + 26)
+        checkLookup3(b, hAt, 34, "v2-B-tree header")
+        require(depth == 0,
+          s"v2-B-tree depth $depth unsupported (subset reads the single-leaf form)")
+        require(totNrec == rootNrec,
+          s"v2-B-tree total records $totNrec != root records $rootNrec at depth 0")
+        require(totNrec <= nChunks,
+          s"v2-B-tree addresses $totNrec chunks for a $nChunks-cell grid")
+        val rank = g.rank
+        val szLen = recSize - (if (recType == 10) 8 + rank * 8 else 12 + rank * 8)
+        if (recType == 10) require(szLen == 0,
+          s"v2-B-tree record size $recSize != ${8 + rank * 8} for rank-$rank unfiltered chunks")
+        else require(szLen >= 1 && szLen <= 8,
+          s"v2-B-tree record size $recSize out of range for rank-$rank filtered chunks")
+        if (rootAddr == Undef || rootNrec == 0) return out
+        val lfSize = 6L + rootNrec.toLong * recSize + 4
+        val lAt = checkedAt(rootAddr, lfSize, b.bytes.length, "v2-B-tree leaf")
+        require(b.ascii(lAt, 4) == "BTLF", "bad v2-B-tree leaf signature")
+        require(b.u8(lAt + 4) == 0 && b.u8(lAt + 5) == recType,
+          "v2-B-tree leaf version/type mismatch")
+        checkLookup3(b, lAt, (lfSize - 4).toInt, "v2-B-tree leaf")
+        var r = 0
+        while (r < rootNrec) {
+          val rAt = lAt + 6 + r * recSize
+          val addr = b.u64(rAt)
+          val (size, mask, scaledAt) =
+            if (recType == 10) (chunkBytes, 0L, rAt + 8)
+            else {
+              val s = b.uvar(rAt + 8, szLen)
+              (s, b.u32(rAt + 8 + szLen), rAt + 12 + szLen)
+            }
+          val offs = new Array[Long](rank)
+          var k = 0
+          while (k < rank) {
+            val scaled = b.u64(scaledAt + k * 8)
+            require(scaled >= 0 && scaled < g.grid(k),
+              s"v2-B-tree record scaled offset $scaled outside the dim-$k grid")
+            offs(k) = scaled * g.chunkDims(k)
+            k += 1
+          }
+          if (addr != Undef) {
+            if (recType == 10)
+              g.scatter(offs, rawChunk(addr, size, "v2-B-tree chunk"))
+            else {
+              require(size > 0 && size <= Int.MaxValue,
+                s"v2-B-tree chunk size $size out of range")
+              g.scatter(offs,
+                g.defilterChain(rawChunk(addr, size, "v2-B-tree chunk"), mask))
+            }
+          }
+          r += 1
+        }
     }
     out
   }
@@ -1056,9 +1133,10 @@ object NetCdf4 {
             // the authoritative copies live in the EAHD header, which is
             // where the reader takes them from — then the header address
             LayoutChunked4(Chunk4(4, b.u64(q + 5), dims))
-          case 5 => throw new IllegalArgumentException(
-            "chunk index type 5 (version-2 B-tree) unsupported " +
-              "(subset reads single-chunk/implicit/fixed-array/extensible-array)")
+          case 5 => // v2 B-tree (several unlimited maxdims): node size
+            // (4), split/merge percents (1+1) — sizing hints the reader
+            // doesn't need — then the BTHD header address
+            LayoutChunked4(Chunk4(5, b.u64(q + 6), dims))
           case t => throw new IllegalArgumentException(s"chunk index type $t unknown")
         }
       case c => throw new IllegalArgumentException(s"data layout class $c unsupported")
@@ -1477,6 +1555,8 @@ object NetCdf4 {
               dataAt += align8(blobs.map(_._2.length.toLong).sum)
             case 4 => dataAt += eaSize(faEntrySize(d), blobs.size) +
               blobs.map(b => align8(b._2.length.toLong)).sum
+            case 5 => dataAt += bt2Size(d.shape.size, d.filters.nonEmpty, blobs.size) +
+              blobs.map(b => align8(b._2.length.toLong)).sum
             case _ => dataAt += align8(faSize(d, blobs.size)) +
               blobs.map(b => align8(b._2.length.toLong)).sum
           }
@@ -1560,6 +1640,17 @@ object NetCdf4 {
               out.position(dAt.toInt)
               out.put(extensibleArrayIndex(dAt, faEntrySize(d),
                 if (d.filters.isEmpty) 0 else 1, blobs, childAts))
+              blobs.zip(childAts).foreach { case ((_, blob), a) =>
+                out.position(a.toInt); out.put(blob)
+              }
+            case 5 => // v2 B-tree: BTHD + one BTLF leaf, blobs after
+              var cAt = dAt + bt2Size(d.shape.size, d.filters.nonEmpty, blobs.size)
+              val childAts = blobs.map { case (_, blob) =>
+                val a = cAt; cAt += align8(blob.length.toLong); a
+              }
+              out.position(dAt.toInt)
+              out.put(btree2Index(dAt, d.shape.size, d.filters.nonEmpty,
+                d.chunk.get, blobs, childAts))
               blobs.zip(childAts).foreach { case ((_, blob), a) =>
                 out.position(a.toInt); out.put(blob)
               }
@@ -1697,7 +1788,7 @@ object NetCdf4 {
     val ndims = cd.size + 1
     val flags = if (single.isDefined) 0x2 else 0x0
     val extra = (if (idxType == 3) 1 else 0) + (if (idxType == 4) 5 else 0) +
-      (if (single.isDefined) 12 else 0)
+      (if (idxType == 5) 6 else 0) + (if (single.isDefined) 12 else 0)
     val o = ByteBuffer.allocate(5 + ndims * 8 + 1 + extra + 8)
       .order(ByteOrder.LITTLE_ENDIAN)
     o.put(4.toByte).put(2.toByte).put(flags.toByte).put(ndims.toByte).put(8.toByte)
@@ -1712,6 +1803,11 @@ object NetCdf4 {
       // min elements, max data-block page bits (the EAHD carries the
       // authoritative copies the reader consumes)
       o.put(32.toByte).put(4.toByte).put(4.toByte).put(16.toByte).put(10.toByte)
+    }
+    if (idxType == 5) {
+      // node size + split/merge percents (the BTHD carries the
+      // authoritative copies the reader consumes)
+      o.putInt(2048); o.put(100.toByte).put(40.toByte)
     }
     o.putLong(addr)
     o.array()
@@ -1898,6 +1994,49 @@ object NetCdf4 {
       db.putInt(lookup3(db.array(), 0, sz - 4))
       o.position((dblkAts((u, j)) - headerAt).toInt); o.put(db.array())
     }
+    o.array()
+  }
+
+  private def bt2RecSize(rank: Int, filtered: Boolean): Int =
+    if (filtered) 12 + 8 + rank * 8 else 8 + rank * 8 // szLen pinned at 8
+
+  /** BTHD (38) + one BTLF (6 + records + 4), 8-aligned. */
+  private def bt2Size(rank: Int, filtered: Boolean, n: Int): Long =
+    align8(38L) + align8(6L + n.toLong * bt2RecSize(rank, filtered) + 4)
+
+  /** v2 B-tree chunk index in the single-leaf form: a BTHD header whose
+    * depth-0 root is one BTLF leaf holding every chunk record (type 10
+    * unfiltered: address + per-rank scaled offsets; type 11 filtered:
+    * + 8-byte chunk size + mask) — the several-unlimited-maxdims index
+    * [[readChunked4]]'s case 5 pins offline. Records are emitted in
+    * scaled-offset order (the blobs' row-major grid order, which IS
+    * that order). */
+  private def btree2Index(headerAt: Long, rank: Int, filtered: Boolean,
+      chunkDims: Seq[Int], blobs: Seq[(Seq[Long], Array[Byte])],
+      childAts: Seq[Long]): Array[Byte] = {
+    val n = blobs.size
+    val recSize = bt2RecSize(rank, filtered)
+    val recType = if (filtered) 11 else 10
+    val leafAt = headerAt + align8(38L)
+    val lfSize = 6 + n * recSize + 4
+    val o = ByteBuffer.allocate((bt2Size(rank, filtered, n)).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    o.put("BTHD".getBytes(US_ASCII)).put(0.toByte).put(recType.toByte)
+    o.putInt(2048) // node size (libhdf5 default)
+    o.putShort(recSize.toShort).putShort(0.toShort) // record size, depth
+    o.put(100.toByte).put(40.toByte) // split/merge percents (defaults)
+    o.putLong(leafAt)
+    o.putShort(n.toShort)
+    o.putLong(n.toLong)
+    o.putInt(lookup3(o.array(), 0, 34))
+    o.position((leafAt - headerAt).toInt)
+    o.put("BTLF".getBytes(US_ASCII)).put(0.toByte).put(recType.toByte)
+    blobs.zip(childAts).foreach { case ((offs, blob), at) =>
+      o.putLong(at)
+      if (filtered) { o.putLong(blob.length.toLong); o.putInt(0) } // size, mask
+      offs.zip(chunkDims).foreach { case (off, cd) => o.putLong(off / cd) }
+    }
+    o.putInt(lookup3(o.array(), (leafAt - headerAt).toInt, lfSize - 4))
     o.array()
   }
 

@@ -395,6 +395,49 @@ class NetCdf4Spec extends SparkSpec {
     }
   }
 
+  test("v4 v2-B-tree index (single-leaf) round-trips; leaf corruption rejects by checksum") {
+    // the several-unlimited-maxdims shape: chunked on BOTH the time and
+    // ensemble axes (libhdf5 picks the v2 B-tree when >1 maxdim is
+    // unlimited); 5x3 = 15 chunks fit one leaf
+    val vals = Array.tabulate(5 * 3 * 4)(i => i * 0.75 - 3.0)
+    for (filters <- Seq(Seq.empty[Int], Seq(2, 1))) {
+      val bytes = NetCdf4.write(Seq(
+        NetCdf4.WriteDs("temp", Seq(5L, 3L, 4L), vals,
+          chunk = Some(Seq(1, 1, 4)), filters = filters, idx4 = Some(5))),
+        latest = true)
+      val f = NetCdf4.parse(bytes)
+      val ds = f.dataset("temp").get
+      assert(ds.chunk4.exists(_.idxType == 5), s"filters=$filters")
+      assert(NetCdf4.readValues(f, ds).toSeq == vals.toSeq, s"filters=$filters")
+      // flip a byte inside a leaf record — the leaf checksum must fire
+      val lf = bytes.indices.find(i =>
+        i + 4 <= bytes.length && bytes(i) == 'B' && bytes(i + 1) == 'T' &&
+          bytes(i + 2) == 'L' && bytes(i + 3) == 'F').get
+      val corrupt = bytes.clone()
+      corrupt(lf + 10) = (corrupt(lf + 10) ^ 0x01).toByte
+      val cf = NetCdf4.parse(corrupt)
+      val e = intercept[IllegalArgumentException](
+        NetCdf4.readValues(cf, cf.dataset("temp").get))
+      assert(e.getMessage.contains("v2-B-tree leaf checksum mismatch"), e.getMessage)
+    }
+    // a deeper tree names its rejection: retag the header's depth field
+    val one = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("temp", Seq(5L, 3L, 4L), vals,
+        chunk = Some(Seq(1, 1, 4)), idx4 = Some(5))), latest = true)
+    val hd = one.indices.find(i =>
+      i + 4 <= one.length && one(i) == 'B' && one(i + 1) == 'T' &&
+        one(i + 2) == 'H' && one(i + 3) == 'D').get
+    val deep = one.clone()
+    deep(hd + 12) = 1.toByte // depth u16 -> 1
+    java.nio.ByteBuffer.wrap(deep, hd + 34, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(NetCdf4.lookup3(deep, hd, 34))
+    val df = NetCdf4.parse(deep)
+    val e = intercept[IllegalArgumentException](
+      NetCdf4.readValues(df, df.dataset("temp").get))
+    assert(e.getMessage.contains("depth 1 unsupported"), e.getMessage)
+  }
+
   test("v4 extensible-array index round-trips through every tier (VERDICT r16 #4)") {
     // chunk (1, 2, 2) over shape (nT, 2, 2) gives one chunk per time
     // step — the unlimited-time-append shape. Tiers: <=4 chunks live
@@ -476,19 +519,15 @@ class NetCdf4Spec extends SparkSpec {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(cs)
       ()
     }
-    locally {
-      val re = good.clone(); re(idxAt) = 5.toByte; fixOhdr(re)
-      assert(NetCdf4.probe(re).left.exists(_.contains("version-2 B-tree")))
-    }
-    // retag 3 -> 4 misparses the fixed-array info bytes as the extensible
-    // array's creation params, leaving a garbage header address: the
+    // retag 3 -> 4/5 misparses the fixed-array info bytes as the other
+    // index's creation params, leaving a garbage header address: the
     // parse-time index range check (or, were the address in range, the
-    // EAHD signature/checksum) rejects — never a misread
-    locally {
-      val re = good.clone(); re(idxAt) = 4.toByte; fixOhdr(re)
+    // target header's signature/checksum) rejects — never a misread
+    for ((t, name) <- Seq(4 -> "extensible-array", 5 -> "v2-B-tree")) {
+      val re = good.clone(); re(idxAt) = t.toByte; fixOhdr(re)
       assert(NetCdf4.probe(re).left.exists(m =>
-        m.contains("chunk index") || m.contains("extensible-array")),
-        NetCdf4.probe(re))
+        m.contains("chunk index") || m.contains(name)),
+        s"type $t: ${NetCdf4.probe(re)}")
     }
     // flip a byte inside the FAHD header (entry-size field) — the named
     // checksum rejection must fire before any element is trusted
