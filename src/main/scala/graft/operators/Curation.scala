@@ -178,16 +178,21 @@ object Curation {
     * sketch — boilerplate detection only needs the head, not exact
     * tails. The final top-20 is a TakeOrdered over the gram-aggregated
     * (vocabulary-sized) table, not a global sort of the corpus. */
-  def boilerplateCensus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val grams = docs.withColumn("toks", toks)
+  def boilerplateCensus(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCensusFrom(gramTable(Tables.documents(spark, dir)))
+
+  /** The exploded (doc_id, 3-token gram) table q68 and q97 share. */
+  private def gramTable(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(Dedup.shingleCol).as("gram"))
+
+  /** [[boilerplateCensus]] over an already-exploded gram table. */
+  private def boilerplateCensusFrom(grams: DataFrame): DataFrame =
     grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
       .orderBy(col("df").desc, col("occ").desc, col("gram"))
       .limit(20)
-  }
 
   // q97 CMS geometry: depth 4, width 2^16 → a 2 MB sketch holding the
   // sf0.1 shingle population at ~0.4 load per bucket. At deployment scale
@@ -218,10 +223,12 @@ object Curation {
     * estimates are deterministic (sha256 buckets), which is what keeps a
     * sketch operator hash-checkable across engines. */
   def cmsCensus(spark: SparkSession, dir: String): DataFrame = {
+    import Materialize.Stageable
     val docs = Tables.documents(spark, dir)
-    val ins = docs.withColumn("toks", toks)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(Dedup.shingleCol).as("gram"))
+    // ONE staged gram explode feeds both the sketch insertions and the
+    // exact top-20 census — they formerly re-tokenized the corpus each
+    val grams = gramTable(docs).staged
+    val ins = grams
       .distinct() // one insertion per (gram, doc): the sketch estimates df
     val cells = ins
       .select(explode(array((0 until CmsD).map(r =>
@@ -243,7 +250,7 @@ object Curation {
       coalesce(element_at(col("cms"),
         lit(r.toLong * CmsW) + cmsBucket(r, col("gram"))), lit(0L)))
       .reduce(least(_, _))
-    boilerplateCensus(spark, dir)
+    boilerplateCensusFrom(grams)
       .crossJoin(broadcast(cmsMap))
       .select(col("gram"), col("df"), col("occ"),
         est.as("cms_df"), (est - col("df")).as("overestimate"))
