@@ -238,10 +238,20 @@ object Bench {
       if (java.nio.file.Files.exists(p)) {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         "\"(q[0-9]+[A-Za-z0-9_]*)\":\\{".r.findAllMatchIn(txt).flatMap { m =>
-          // scan to the matching close brace of this query's object
+          // scan to the matching close brace of this query's object,
+          // skipping braces inside JSON string literals — an "err"
+          // message containing '{' would otherwise shift the boundary
+          // and pull a neighboring query's min into the wrong pin
           var depth = 0; var i = m.end - 1; var end = txt.length
+          var inStr = false; var esc = false
           while (i < txt.length && end == txt.length) {
-            txt.charAt(i) match {
+            val c = txt.charAt(i)
+            if (inStr) {
+              if (esc) esc = false
+              else if (c == '\\') esc = true
+              else if (c == '"') inStr = false
+            } else c match {
+              case '"' => inStr = true
               case '{' => depth += 1
               case '}' => depth -= 1; if (depth == 0) end = i
               case _ =>
@@ -514,8 +524,17 @@ object Bench {
       // gate_wait_sec rides BOTH lines (VERDICT r14 #1c): the settle wait
       // happens before any timed query, so `value` never includes it —
       // publishing it in the driver-captured short line makes that
-      // exclusion auditable from BENCH_r{N}.json alone
-      s"""{"metric":"total","value":$total,"unit":"sec","n_err":$nErr,"gate_wait_sec":$gateWaitSec,$adjud$guard"cpu_probe":[[${probeStart._1},${probeStart._2}],[${probeEnd._1},${probeEnd._2}]],"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":${entries(short)},"sf":"$sfDir"}"""
+      // exclusion auditable from BENCH_r{N}.json alone.
+      // Adjudication scalars come AFTER the queries map (VERDICT r17 #2):
+      // the driver keeps only the LAST ~2000 chars of stdout, which lands
+      // mid-queries for a 150-entry map — anything before the map is
+      // truncated out of BENCH_r{N}.json (the r17 artifact lost value/
+      // cpu_probe/raw_total this way). JSON object order is arbitrary, so
+      // emitting the few dozen scalar bytes at the end makes the driver's
+      // own artifact self-adjudicating.
+      val tailFields =
+        s""""value":$total,"n_err":$nErr,"gate_wait_sec":$gateWaitSec,$guard"cpu_probe":[[${probeStart._1},${probeStart._2}],[${probeEnd._1},${probeEnd._2}]],"sf":"$sfDir""""
+      s"""{"metric":"total","unit":"sec",$adjud"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":${entries(short)},$tailFields}"""
     }
     // Full query names → BENCH_LOCAL.json (committed per round); the stdout
     // line uses the qNN short keys and 3-decimal times so the whole line

@@ -118,12 +118,22 @@ object Geo {
     * against density skew exactly like [[Temporal.rangeJoinOn]] — the
     * overfull-cell table is tiny by construction (only cells > saltCap)
     * and broadcasts to both sides; a uniform corpus pays one
-    * column-pruned histogram scan and an empty broadcast. */
+    * column-pruned histogram scan and an empty broadcast.
+    *
+    * The bucketed point table is [[Materialize.stage]]d (VERDICT r16
+    * stretch #8 / r17 task #2): three consumers read it — the overfull
+    * histogram, the build side, and the 3×3-exploded probe side — and
+    * without the stage each re-ran the upstream projection math per
+    * consumer. One narrow (pid, x, y, cx, cy) stage computes it once;
+    * on a cluster the same stage point is where a deployment would
+    * persist the bucketed index across probe batches. */
   private[graft] def spatialNeighborsOn(points: DataFrame,
       r: Double = SpatialRadiusM, saltCap: Int = 256): DataFrame = {
+    import Materialize.Stageable
     val pts = points
       .withColumn("cx", floor(col("x") / r).cast("long"))
       .withColumn("cy", floor(col("y") / r).cast("long"))
+      .staged
     val overfull = pts.groupBy(col("cx"), col("cy"))
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > saltCap)
