@@ -39,9 +39,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     emits for a forecast cube under the latest file format (VERDICT
   *     r15 #5) — plus the EXTENSIBLE ARRAY (EAHD/EAIB/EASB/EADB), the
   *     index libhdf5 picks for one UNLIMITED maxdim: a growing forecast
-  *     archive's appendable time axis (VERDICT r16 #4) — and the
-  *     V2 B-TREE (BTHD/BTLF, several unlimited maxdims, e.g. appendable
-  *     time AND ensemble axes) in its single-leaf form;
+  *     archive's appendable time axis (VERDICT r16 #4; the unlimited
+  *     dim must be dim 0 — H5Dearray swizzles chunk order otherwise,
+  *     and a non-leading unlimited axis rejects by name) — and the
+  *     V2 B-TREE (BTHD/BTIN/BTLF, several unlimited maxdims, e.g.
+  *     appendable time AND ensemble axes) at ANY depth — BTIN
+  *     internal-node traversal included (VERDICT r17 #4);
   *   - v1/v2/v3 attribute messages with string and numeric scalars/
   *     arrays — enough for the CF attributes a forecast cube uses
   *     (`units`, `scale_factor`, `add_offset`, `_FillValue`); vlen/
@@ -49,10 +52,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     SKIPPED and axis mapping falls back to coordinate names + shape
   *     matching, the same convention [[NetCdf.decodeCube]] applies.
   * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
-  * …), multi-level v2 B-trees (past ~80 chunks at the 2048-byte node
-  * default), paged EXTENSIBLE-array data blocks (past ~65k chunks at
+  * …), paged EXTENSIBLE-array data blocks (past ~65k chunks at
   * libhdf5's default creation parameters — paged FIXED-array blocks,
-  * the >1024-chunk shape, ARE read), dense (fractal-heap) link
+  * the >1024-chunk shape, ARE read), extensible arrays whose unlimited
+  * maxdim is not the slowest-varying, dense (fractal-heap) link
   * storage, and nested groups are rejected with a message naming the
   * feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
@@ -102,8 +105,8 @@ object NetCdf4 {
     * addr in row-major grid order), 3 = fixed array (addr is the FAHD
     * header), 4 = extensible array (addr is the EAHD header — the
     * one-UNLIMITED-maxdim index of a growing time axis), 5 = v2 B-tree
-    * (addr is the BTHD header — several unlimited maxdims; read in its
-    * single-leaf form, deeper trees reject by name). */
+    * (addr is the BTHD header — several unlimited maxdims; read at any
+    * depth via BTIN internal-node traversal). */
   case class Chunk4(idxType: Int, addr: Long, dims: Seq[Int],
                     pageBits: Int = 0,
                     singleFiltered: Option[(Long, Long)] = None)
@@ -180,7 +183,7 @@ object NetCdf4 {
       val h = readHeader(b, at)
       require(h.stab.isEmpty,
         s"nested group '$name' unsupported (NetCDF-4 classic model is flat)")
-      val shape = h.dataspace.getOrElse(
+      val (shape, maxDims) = h.dataspace.getOrElse(
         throw new IllegalArgumentException(s"dataset '$name' has no dataspace"))
       val dt = h.datatype.getOrElse(
         throw new IllegalArgumentException(s"dataset '$name' has no datatype")) match {
@@ -224,6 +227,20 @@ object NetCdf4 {
           if (c4.idxType == 2) require(h.filters.isEmpty,
             s"dataset '$name' implicit chunk index with a filter pipeline " +
               "(implicit indexes address unfiltered chunks)")
+          if (c4.idxType == 4) {
+            // H5Dearray linearizes chunk coordinates SWIZZLED (unlimited
+            // dim first) when the unlimited maxdim is not dim 0; the
+            // reader's element-i = row-major-cell-i mapping only holds
+            // for a leading unlimited axis (the growing-time-archive
+            // shape), so a non-leading unlimited dim must reject by name
+            // rather than silently scatter chunks into the wrong cells.
+            val unlim = maxDims.zipWithIndex.collect {
+              case (m, i) if m == Undef => i }
+            require(unlim.forall(_ == 0),
+              s"dataset '$name' extensible-array chunk index with unlimited " +
+                s"dimension(s) ${unlim.mkString(",")} not leading (H5Dearray " +
+                "swizzles chunk order; subset reads dim-0-unlimited only)")
+          }
           if (c4.addr != Undef) {
             val minBytes = if (c4.idxType == 3) 28L else 1L
             checkedAt(c4.addr, minBytes, bytes.length, s"dataset '$name' chunk index")
@@ -533,12 +550,17 @@ object NetCdf4 {
           if (p == nPages - 1) maxEnt - p * pageNelmts else pageNelmts
         val pagesAt = dAt + dbSize // pages are laid out right after the FADB
         val pageChecked = scala.collection.mutable.Set.empty[Long]
-        // byte position of element i, or -1 while its page is uninitialized
+        // byte position of element i, or -1 while its page is uninitialized.
+        // Bitmap bits are MSB-FIRST within each byte — libhdf5's H5VM bit
+        // ops index bit k of a byte as `0x80 >> k` (H5VM_bit_get), not
+        // `1 << k`; an LSB-first read would see the trailing pages of any
+        // file whose page count is not a multiple of 8 as uninitialized
+        // and silently emit fill values (ADVICE r17).
         def faElementAt(i: Long): Long =
           if (!paged) dAt + 14 + i * entrySize
           else {
             val p = i / pageNelmts
-            if ((b.u8((dAt + 14 + p / 8).toInt) & (1 << (p % 8).toInt)) == 0) -1L
+            if ((b.u8((dAt + 14 + p / 8).toInt) & (0x80 >> (p % 8).toInt)) == 0) -1L
             else {
               var pAt = pagesAt
               var q = 0L
@@ -700,13 +722,15 @@ object NetCdf4 {
           i += 1
         }
       case 5 => // version-2 B-tree — the several-unlimited-maxdims index
-        // (e.g. appendable time AND ensemble axes). Subset reads the
-        // SINGLE-LEAF form (depth 0: BTHD header → one BTLF leaf whose
-        // records each carry a chunk address + the chunk's scaled grid
-        // offsets); a deeper tree (past ~nodeSize/recordSize ≈ 80 chunks
-        // at libhdf5's 2048-byte default) rejects by name. Record types
-        // per the public spec: 10 = non-filtered (address + scaled
-        // offsets), 11 = filtered (+ variable-width chunk size + mask).
+        // (e.g. appendable time AND ensemble axes). Reads the FULL tree:
+        // BTHD header → BTIN internal nodes (records interleaved with
+        // child pointers) → BTLF leaves; node geometry (max records per
+        // depth, child-pointer field widths) is derived from the declared
+        // node size exactly as H5B2hdr computes it, since the on-disk
+        // child pointers encode their record counts at those widths.
+        // Record types per the public spec: 10 = non-filtered (address +
+        // scaled offsets), 11 = filtered (+ variable-width chunk size +
+        // mask).
         val hAt = checkedAt(c4.addr, 38, b.bytes.length, "v2-B-tree header")
         require(b.ascii(hAt, 4) == "BTHD", "bad v2-B-tree header signature")
         require(b.u8(hAt + 4) == 0,
@@ -716,16 +740,13 @@ object NetCdf4 {
           s"v2-B-tree record type $recType unsupported (subset reads dataset chunks)")
         require((recType == 11) == ds.filters.nonEmpty,
           s"v2-B-tree record type $recType disagrees with the dataset's filter pipeline")
+        val nodeSize = b.u32(hAt + 6)
         val recSize = b.u16(hAt + 10)
         val depth = b.u16(hAt + 12)
         val rootAddr = b.u64(hAt + 16)
         val rootNrec = b.u16(hAt + 24)
         val totNrec = b.u64(hAt + 26)
         checkLookup3(b, hAt, 34, "v2-B-tree header")
-        require(depth == 0,
-          s"v2-B-tree depth $depth unsupported (subset reads the single-leaf form)")
-        require(totNrec == rootNrec,
-          s"v2-B-tree total records $totNrec != root records $rootNrec at depth 0")
         require(totNrec <= nChunks,
           s"v2-B-tree addresses $totNrec chunks for a $nChunks-cell grid")
         val rank = g.rank
@@ -734,16 +755,39 @@ object NetCdf4 {
           s"v2-B-tree record size $recSize != ${8 + rank * 8} for rank-$rank unfiltered chunks")
         else require(szLen >= 1 && szLen <= 8,
           s"v2-B-tree record size $recSize out of range for rank-$rank filtered chunks")
+        // Node capacities per depth (H5B2hdr geometry): a leaf holds
+        // (nodeSize − 10)/recSize records (10 = sig+ver+type+checksum);
+        // an internal node at depth d interleaves records with child
+        // pointers of width 8 (address) + encSize(leaf max) (child
+        // record count — the header-level width, sized off the LEAF max
+        // because it is the largest) + encSize(cumulative max at d−1)
+        // when d > 1 (child-subtree total record count).
+        def encSize(v: Long): Int =
+          (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))) / 8 + 1
+        val leafMax = (nodeSize - 10) / recSize
+        require(leafMax >= 1,
+          s"v2-B-tree node size $nodeSize cannot hold one $recSize-byte record")
+        require(depth <= 16,
+          s"v2-B-tree depth $depth implausible for a chunk index")
+        val maxNrecSize = encSize(leafMax)
+        val maxN = new Array[Long](depth + 1)
+        val cum = new Array[Long](depth + 1)
+        val cumSize = new Array[Int](depth + 1)
+        maxN(0) = leafMax; cum(0) = leafMax; cumSize(0) = 0
+        var d0 = 1
+        while (d0 <= depth) {
+          val ptr = 8 + maxNrecSize + (if (d0 > 1) cumSize(d0 - 1) else 0)
+          maxN(d0) = (nodeSize - (10 + ptr)) / (recSize + ptr)
+          require(maxN(d0) >= 1,
+            s"v2-B-tree node size $nodeSize cannot hold an internal record at depth $d0")
+          cum(d0) = (maxN(d0) + 1) * cum(d0 - 1) + maxN(d0)
+          cumSize(d0) = encSize(cum(d0))
+          d0 += 1
+        }
+        require(totNrec <= cum(depth),
+          s"v2-B-tree total records $totNrec beyond the depth-$depth capacity ${cum(depth)}")
         if (rootAddr == Undef || rootNrec == 0) return out
-        val lfSize = 6L + rootNrec.toLong * recSize + 4
-        val lAt = checkedAt(rootAddr, lfSize, b.bytes.length, "v2-B-tree leaf")
-        require(b.ascii(lAt, 4) == "BTLF", "bad v2-B-tree leaf signature")
-        require(b.u8(lAt + 4) == 0 && b.u8(lAt + 5) == recType,
-          "v2-B-tree leaf version/type mismatch")
-        checkLookup3(b, lAt, (lfSize - 4).toInt, "v2-B-tree leaf")
-        var r = 0
-        while (r < rootNrec) {
-          val rAt = lAt + 6 + r * recSize
+        def record(rAt: Int): Unit = {
           val addr = b.u64(rAt)
           val (size, mask, scaledAt) =
             if (recType == 10) (chunkBytes, 0L, rAt + 8)
@@ -770,8 +814,47 @@ object NetCdf4 {
                 g.defilterChain(rawChunk(addr, size, "v2-B-tree chunk"), mask))
             }
           }
-          r += 1
         }
+        var seen = 0L
+        def walk(addr: Long, nrec: Int, d: Int): Unit = {
+          require(nrec <= maxN(d),
+            s"v2-B-tree node holds $nrec records, beyond the depth-$d max ${maxN(d)}")
+          seen += nrec
+          if (d == 0) {
+            val lfSize = 6L + nrec.toLong * recSize + 4
+            val lAt = checkedAt(addr, lfSize, b.bytes.length, "v2-B-tree leaf")
+            require(b.ascii(lAt, 4) == "BTLF", "bad v2-B-tree leaf signature")
+            require(b.u8(lAt + 4) == 0 && b.u8(lAt + 5) == recType,
+              "v2-B-tree leaf version/type mismatch")
+            checkLookup3(b, lAt, (lfSize - 4).toInt, "v2-B-tree leaf")
+            var r = 0
+            while (r < nrec) { record(lAt + 6 + r * recSize); r += 1 }
+          } else {
+            val ptrSz = 8 + maxNrecSize + (if (d > 1) cumSize(d - 1) else 0)
+            val inSize = 6L + nrec.toLong * recSize + (nrec + 1).toLong * ptrSz + 4
+            val iAt = checkedAt(addr, inSize, b.bytes.length, "v2-B-tree internal node")
+            require(b.ascii(iAt, 4) == "BTIN", "bad v2-B-tree internal node signature")
+            require(b.u8(iAt + 4) == 0 && b.u8(iAt + 5) == recType,
+              "v2-B-tree internal node version/type mismatch")
+            checkLookup3(b, iAt, (inSize - 4).toInt, "v2-B-tree internal node")
+            var r = 0
+            while (r < nrec) { record(iAt + 6 + r * recSize); r += 1 }
+            val ptrsAt = iAt + 6 + nrec * recSize
+            var c = 0
+            while (c <= nrec) {
+              val pAt = ptrsAt + c * ptrSz
+              val cAddr = b.u64(pAt)
+              val cNrec = b.uvar(pAt + 8, maxNrecSize)
+              require(cAddr != Undef,
+                "v2-B-tree internal node has an unallocated child pointer")
+              walk(cAddr, cNrec.toInt, d - 1)
+              c += 1
+            }
+          }
+        }
+        walk(rootAddr, rootNrec, depth)
+        require(seen == totNrec,
+          s"v2-B-tree visited $seen records, header declares $totNrec")
     }
     out
   }
@@ -901,9 +984,9 @@ object NetCdf4 {
   private case class LayoutChunked(btree: Long, dims: Seq[Int]) extends Layout
   private case class LayoutChunked4(c4: Chunk4) extends Layout
 
-  // message-walk result for one object header
+  // message-walk result for one object header; dataspace = (dims, maxDims)
   private case class Header(
-      dataspace: Option[Seq[Long]],
+      dataspace: Option[(Seq[Long], Seq[Long])],
       datatype: Option[Either[Int, NumType]],
       layout: Option[Layout],
       attrs: Seq[H5Attr],
@@ -924,7 +1007,7 @@ object NetCdf4 {
     require(ver == 1,
       s"object header version $ver unsupported (subset reads v1 and v2/OHDR)")
     val nMsgs = b.u16(base + 2)
-    var dataspace: Option[Seq[Long]] = None
+    var dataspace: Option[(Seq[Long], Seq[Long])] = None
     var datatype: Option[Either[Int, NumType]] = None
     var layout: Option[Layout] = None
     var stab: Option[(Long, Long)] = None
@@ -982,7 +1065,7 @@ object NetCdf4 {
     // creation-order bytes ride between the message prefix and body when
     // the header tracks attribute creation order (flag bit 2)
     val orderBytes = if ((flags & 0x4) != 0) 2 else 0
-    var dataspace: Option[Seq[Long]] = None
+    var dataspace: Option[(Seq[Long], Seq[Long])] = None
     var datatype: Option[Either[Int, NumType]] = None
     var layout: Option[Layout] = None
     var filters: Seq[H5Filter] = Nil
@@ -1058,15 +1141,26 @@ object NetCdf4 {
     (name, b.u64(nameAt + nameLen.toInt))
   }
 
-  private def parseDataspace(b: Buf, p: Int): Seq[Long] = {
+  /** (dims, maxDims). When the max-dims flag is unset, maxDims == dims
+    * (fixed shape). An UNLIMITED max dim is the spec's all-ones value
+    * ([[Undef]]) — consumers need it to detect the extensible-array
+    * swizzle case (H5Dearray orders chunks unlimited-dim-first when the
+    * unlimited dimension is not dim 0). */
+  private def parseDataspace(b: Buf, p: Int): (Seq[Long], Seq[Long]) = {
     val ver = b.u8(p)
     val rank = b.u8(p + 1)
+    val flags = b.u8(p + 2)
     val dimsAt = ver match {
       case 1 => p + 8
       case 2 => p + 4
       case v => throw new IllegalArgumentException(s"dataspace version $v unsupported")
     }
-    Seq.tabulate(rank)(i => b.u64(dimsAt + i * 8))
+    val dims = Seq.tabulate(rank)(i => b.u64(dimsAt + i * 8))
+    val maxDims =
+      if ((flags & 0x1) != 0)
+        Seq.tabulate(rank)(i => b.u64(dimsAt + (rank + i) * 8))
+      else dims
+    (dims, maxDims)
   }
 
   /** Right(numeric) or Left(class id) for non-numeric (string attrs are
@@ -1192,7 +1286,7 @@ object NetCdf4 {
     at += pad(dtSize)
     val dsAt = at
     at += pad(dsSize)
-    val count = parseDataspace(b, dsAt).product.max(1L).toInt
+    val count = parseDataspace(b, dsAt)._1.product.max(1L).toInt
     val cls = b.u8(dtAt) & 0x0f
     if (cls == 3) { // string: value bytes are the declared datatype size
       val len = b.u32(dtAt + 4).toInt
@@ -1438,11 +1532,15 @@ object NetCdf4 {
     * write-order filter pipeline (1 = deflate, 2 = shuffle — e.g.
     * `Seq(2, 1)` is libnetcdf's shuffle-then-deflate default when both
     * are enabled). */
+  /** `maxDims`: per-dim maximums for the dataspace message (−1 = the
+    * spec's UNLIMITED value) — lets fixtures declare the unlimited axes
+    * that make libhdf5 pick the extensible-array / v2-B-tree chunk
+    * indexes, so the reader's maxdims-dependent guards are testable. */
   case class WriteDs(
       name: String, shape: Seq[Long], values: Array[Double],
       f32: Boolean = false, attrs: Seq[(String, Any)] = Nil,
       chunk: Option[Seq[Int]] = None, filters: Seq[Int] = Nil,
-      idx4: Option[Int] = None)
+      idx4: Option[Int] = None, maxDims: Option[Seq[Long]] = None)
 
   /** Serialize the subset: superblock v0, one flat symbol-table root
     * group, v1 object headers, contiguous little-endian data. Layout is
@@ -1523,7 +1621,7 @@ object NetCdf4 {
           Seq((0x000B, filterPipelineBody(d.filters, elem)))
         else Nil
       Seq(
-        (0x0001, dataspaceBody(d.shape)),
+        (0x0001, dataspaceBody(d.shape, d.maxDims)),
         (0x0003, datatypeBody(d.f32)),
         layoutMsg) ++ filterMsgs ++
         d.attrs.map { case (an, av) => (0x000C, attrBody(an, av)) }
@@ -1857,7 +1955,9 @@ object NetCdf4 {
       val nPages = (n + pageN - 1) / pageN
       val bitmapBytes = (nPages + 7) / 8
       val bitmap = new Array[Byte](bitmapBytes)
-      (0 until nPages).foreach(p => bitmap(p / 8) = (bitmap(p / 8) | (1 << (p % 8))).toByte)
+      // MSB-first within each byte (libhdf5's H5VM_bit_set convention —
+      // the reader documents why; NetCdf4Spec pins the byte value)
+      (0 until nPages).foreach(p => bitmap(p / 8) = (bitmap(p / 8) | (0x80 >> (p % 8))).toByte)
       o.put(bitmap)
       o.putInt(lookup3(o.array(), 28, 14 + bitmapBytes))
       var pAt = 28 + 14 + bitmapBytes + 4
@@ -2000,43 +2100,156 @@ object NetCdf4 {
   private def bt2RecSize(rank: Int, filtered: Boolean): Int =
     if (filtered) 12 + 8 + rank * 8 else 8 + rank * 8 // szLen pinned at 8
 
-  /** BTHD (38) + one BTLF (6 + records + 4), 8-aligned. */
-  private def bt2Size(rank: Int, filtered: Boolean, n: Int): Long =
-    align8(38L) + align8(6L + n.toLong * bt2RecSize(rank, filtered) + 4)
+  private val Bt2NodeSize = 2048 // libhdf5's v2-B-tree creation default
 
-  /** v2 B-tree chunk index in the single-leaf form: a BTHD header whose
-    * depth-0 root is one BTLF leaf holding every chunk record (type 10
-    * unfiltered: address + per-rank scaled offsets; type 11 filtered:
-    * + 8-byte chunk size + mask) — the several-unlimited-maxdims index
-    * [[readChunked4]]'s case 5 pins offline. Records are emitted in
-    * scaled-offset order (the blobs' row-major grid order, which IS
-    * that order). */
+  /** One planned v2-B-tree node: the GLOBAL record indices it holds
+    * directly plus its children (empty at depth 0). Record indices are
+    * in comparator order (scaled-offset order = the blobs' row-major
+    * grid order), interleaved child₀ r₀ child₁ r₁ … child_k. */
+  private final case class Bt2Node(depth: Int, recs: Seq[Int], children: Seq[Bt2Node]) {
+    def total: Int = recs.size + children.map(_.total).sum
+  }
+
+  /** v2-B-tree node geometry at the declared node size — the same
+    * H5B2hdr arithmetic [[readChunked4]]'s case 5 derives, so writer
+    * fixtures and reader agree by construction: (header-level record-
+    * count field width, per-depth max records, per-depth cumulative
+    * capacity, per-depth cumulative-count field width). */
+  private def bt2Geom(recSize: Int, maxDepth: Int): (Int, Array[Long], Array[Long], Array[Int]) = {
+    def encSize(v: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))) / 8 + 1
+    val maxN = new Array[Long](maxDepth + 1)
+    val cum = new Array[Long](maxDepth + 1)
+    val cumSize = new Array[Int](maxDepth + 1)
+    maxN(0) = (Bt2NodeSize - 10) / recSize
+    cum(0) = maxN(0); cumSize(0) = 0
+    val maxNrecSize = encSize(maxN(0))
+    var d = 1
+    while (d <= maxDepth) {
+      val ptr = 8 + maxNrecSize + (if (d > 1) cumSize(d - 1) else 0)
+      maxN(d) = (Bt2NodeSize - (10 + ptr)) / (recSize + ptr)
+      cum(d) = (maxN(d) + 1) * cum(d - 1) + maxN(d)
+      cumSize(d) = encSize(cum(d))
+      d += 1
+    }
+    (maxNrecSize, maxN, cum, cumSize)
+  }
+
+  /** Plan a minimal-depth tree over n records: depth = smallest with
+    * capacity ≥ n, children per internal node = fewest whose subtrees
+    * stay within the depth-below capacity (which also bounds the node's
+    * own record count at maxN — k ≤ maxN+1 by the capacity recurrence). */
+  private def bt2Plan(n: Int, recSize: Int): (Bt2Node, Int, Array[Int]) = {
+    val maxDepth = 4 // 2048-byte nodes at depth 4 address millions of chunks
+    val (maxNrecSize, _, cum, cumSize) = bt2Geom(recSize, maxDepth)
+    val depth = (0 to maxDepth).find(d => cum(d) >= n).getOrElse(
+      throw new IllegalArgumentException(
+        s"writer subset caps the v2-B-tree at depth $maxDepth, $n records exceed it"))
+    def build(lo: Int, hi: Int, d: Int): Bt2Node =
+      if (d == 0) Bt2Node(0, lo until hi, Nil)
+      else {
+        val nn = hi - lo
+        val cap = cum(d - 1)
+        val k = (((nn + 1).toLong + cap) / (cap + 1)).toInt // ceil((nn+1)/(cap+1))
+        val totChild = nn - (k - 1)
+        val base = totChild / k; val rem = totChild % k
+        var at = lo
+        val children = Seq.newBuilder[Bt2Node]
+        val recs = Seq.newBuilder[Int]
+        (0 until k).foreach { i =>
+          val cnt = base + (if (i < rem) 1 else 0)
+          children += build(at, at + cnt, d - 1)
+          at += cnt
+          if (i < k - 1) { recs += at; at += 1 }
+        }
+        Bt2Node(d, recs.result(), children.result())
+      }
+    (build(0, n, depth), maxNrecSize, cumSize)
+  }
+
+  private def bt2NodeBytes(nd: Bt2Node, recSize: Int, maxNrecSize: Int,
+      cumSize: Array[Int]): Long =
+    if (nd.depth == 0) 6L + nd.recs.size.toLong * recSize + 4
+    else {
+      val ptr = 8 + maxNrecSize + (if (nd.depth > 1) cumSize(nd.depth - 1) else 0)
+      6L + nd.recs.size.toLong * recSize + (nd.recs.size + 1).toLong * ptr + 4
+    }
+
+  private def bt2Nodes(root: Bt2Node): Seq[Bt2Node] = {
+    def go(nd: Bt2Node): Seq[Bt2Node] = nd +: nd.children.flatMap(go)
+    go(root)
+  }
+
+  /** BTHD (38) + every planned BTIN/BTLF node, each 8-aligned. */
+  private def bt2Size(rank: Int, filtered: Boolean, n: Int): Long = {
+    val recSize = bt2RecSize(rank, filtered)
+    val (root, maxNrecSize, cumSize) = bt2Plan(n, recSize)
+    align8(38L) + bt2Nodes(root)
+      .map(nd => align8(bt2NodeBytes(nd, recSize, maxNrecSize, cumSize))).sum
+  }
+
+  /** v2 B-tree chunk index — BTHD header plus a SPEC-CONFORMANT tree at
+    * the declared 2048-byte node size: records beyond one leaf's
+    * capacity split across BTLF leaves under BTIN internal nodes whose
+    * records interleave with child pointers (type 10 unfiltered:
+    * address + per-rank scaled offsets; type 11 filtered: + 8-byte
+    * chunk size + mask) — the several-unlimited-maxdims index
+    * [[readChunked4]]'s case 5 pins offline, now including the
+    * multi-level form a >~46-chunk archive grows (the old single-leaf
+    * writer crammed every record into one leaf past the declared node
+    * capacity — ADVICE r17). */
   private def btree2Index(headerAt: Long, rank: Int, filtered: Boolean,
       chunkDims: Seq[Int], blobs: Seq[(Seq[Long], Array[Byte])],
       childAts: Seq[Long]): Array[Byte] = {
     val n = blobs.size
     val recSize = bt2RecSize(rank, filtered)
     val recType = if (filtered) 11 else 10
-    val leafAt = headerAt + align8(38L)
-    val lfSize = 6 + n * recSize + 4
-    val o = ByteBuffer.allocate((bt2Size(rank, filtered, n)).toInt)
-      .order(ByteOrder.LITTLE_ENDIAN)
+    val (root, maxNrecSize, cumSize) = bt2Plan(n, recSize)
+    val nodes = bt2Nodes(root)
+    // pre-order addresses, header first
+    val nodeAt = scala.collection.mutable.Map.empty[Bt2Node, Long]
+    var at = headerAt + align8(38L)
+    nodes.foreach { nd =>
+      nodeAt(nd) = at
+      at += align8(bt2NodeBytes(nd, recSize, maxNrecSize, cumSize))
+    }
+    val o = ByteBuffer.allocate((at - headerAt).toInt).order(ByteOrder.LITTLE_ENDIAN)
     o.put("BTHD".getBytes(US_ASCII)).put(0.toByte).put(recType.toByte)
-    o.putInt(2048) // node size (libhdf5 default)
-    o.putShort(recSize.toShort).putShort(0.toShort) // record size, depth
+    o.putInt(Bt2NodeSize)
+    o.putShort(recSize.toShort).putShort(root.depth.toShort)
     o.put(100.toByte).put(40.toByte) // split/merge percents (defaults)
-    o.putLong(leafAt)
-    o.putShort(n.toShort)
+    o.putLong(nodeAt(root))
+    o.putShort(root.recs.size.toShort)
     o.putLong(n.toLong)
     o.putInt(lookup3(o.array(), 0, 34))
-    o.position((leafAt - headerAt).toInt)
-    o.put("BTLF".getBytes(US_ASCII)).put(0.toByte).put(recType.toByte)
-    blobs.zip(childAts).foreach { case ((offs, blob), at) =>
-      o.putLong(at)
+    def putUvar(v: Long, bytes: Int): Unit = {
+      var x = v; var i = 0
+      while (i < bytes) { o.put((x & 0xff).toByte); x >>>= 8; i += 1 }
+    }
+    def putRec(i: Int): Unit = {
+      val (offs, blob) = blobs(i)
+      o.putLong(childAts(i))
       if (filtered) { o.putLong(blob.length.toLong); o.putInt(0) } // size, mask
       offs.zip(chunkDims).foreach { case (off, cd) => o.putLong(off / cd) }
     }
-    o.putInt(lookup3(o.array(), (leafAt - headerAt).toInt, lfSize - 4))
+    nodes.foreach { nd =>
+      val nAt = (nodeAt(nd) - headerAt).toInt
+      o.position(nAt)
+      if (nd.depth == 0) {
+        o.put("BTLF".getBytes(US_ASCII)).put(0.toByte).put(recType.toByte)
+        nd.recs.foreach(putRec)
+      } else {
+        o.put("BTIN".getBytes(US_ASCII)).put(0.toByte).put(recType.toByte)
+        nd.recs.foreach(putRec)
+        nd.children.foreach { ch =>
+          o.putLong(nodeAt(ch))
+          putUvar(ch.recs.size.toLong, maxNrecSize)
+          if (nd.depth > 1) putUvar(ch.total.toLong, cumSize(nd.depth - 1))
+        }
+      }
+      val sz = bt2NodeBytes(nd, recSize, maxNrecSize, cumSize).toInt
+      o.putInt(lookup3(o.array(), nAt, sz - 4))
+    }
     o.array()
   }
 
@@ -2124,11 +2337,17 @@ object NetCdf4 {
     o.array()
   }
 
-  private def dataspaceBody(shape: Seq[Long]): Array[Byte] = {
-    val o = ByteBuffer.allocate(8 + shape.size * 8).order(ByteOrder.LITTLE_ENDIAN)
-    o.put(1.toByte).put(shape.size.toByte).put(0.toByte)
+  private def dataspaceBody(shape: Seq[Long],
+      maxDims: Option[Seq[Long]] = None): Array[Byte] = {
+    maxDims.foreach(m => require(m.size == shape.size,
+      s"maxDims rank ${m.size} != shape rank ${shape.size}"))
+    val o = ByteBuffer.allocate(8 + shape.size * 8 * (if (maxDims.isDefined) 2 else 1))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    o.put(1.toByte).put(shape.size.toByte)
+      .put((if (maxDims.isDefined) 1 else 0).toByte)
     o.put(0.toByte).putInt(0)
     shape.foreach(o.putLong)
+    maxDims.foreach(_.foreach(o.putLong))
     o.array()
   }
 

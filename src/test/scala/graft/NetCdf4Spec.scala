@@ -383,6 +383,14 @@ class NetCdf4Spec extends SparkSpec {
       val fadb = bytes.indices.find(i =>
         i + 4 <= bytes.length && bytes(i) == 'F' && bytes(i + 1) == 'A' &&
           bytes(i + 2) == 'D' && bytes(i + 3) == 'B').get
+      // page-init bitmap convention pin (ADVICE r17): 2 initialized pages
+      // must set the two MOST-significant bits of the first bitmap byte
+      // (libhdf5's H5VM bit ops are MSB-first: bit k = 0x80 >> k) — the
+      // LSB-first reading 0x03 round-trips against an LSB writer but
+      // misreads every real libhdf5 file whose page count is not a
+      // multiple of 8
+      assert(bytes(fadb + 14) == 0xC0.toByte,
+        f"bitmap byte 0x${bytes(fadb + 14) & 0xff}%02x, expected 0xc0")
       val entry = if (filters.isEmpty) 8 else 20
       val page2 = fadb + 14 + 1 + 4 + 1024 * entry + 4 // hdr + bitmap + cksum + page1
       val corrupt = bytes.clone()
@@ -420,7 +428,8 @@ class NetCdf4Spec extends SparkSpec {
         NetCdf4.readValues(cf, cf.dataset("temp").get))
       assert(e.getMessage.contains("v2-B-tree leaf checksum mismatch"), e.getMessage)
     }
-    // a deeper tree names its rejection: retag the header's depth field
+    // a header whose depth lies (single leaf retagged depth 1) must
+    // reject by the internal-node signature, never misread the leaf
     val one = NetCdf4.write(Seq(
       NetCdf4.WriteDs("temp", Seq(5L, 3L, 4L), vals,
         chunk = Some(Seq(1, 1, 4)), idx4 = Some(5))), latest = true)
@@ -435,7 +444,88 @@ class NetCdf4Spec extends SparkSpec {
     val df = NetCdf4.parse(deep)
     val e = intercept[IllegalArgumentException](
       NetCdf4.readValues(df, df.dataset("temp").get))
-    assert(e.getMessage.contains("depth 1 unsupported"), e.getMessage)
+    assert(e.getMessage.contains("bad v2-B-tree internal node signature"),
+      e.getMessage)
+  }
+
+  test("v4 v2-B-tree MULTI-LEVEL index round-trips (BTIN traversal, VERDICT r17 #4)") {
+    def bthdDepth(bytes: Array[Byte]): Int = {
+      val hd = bytes.indices.find(i =>
+        i + 4 <= bytes.length && bytes(i) == 'B' && bytes(i + 1) == 'T' &&
+          bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
+      java.nio.ByteBuffer.wrap(bytes, hd + 12, 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort.toInt
+    }
+    def count(bytes: Array[Byte], sig: String): Int =
+      bytes.indices.count(i => i + 4 <= bytes.length &&
+        sig.indices.forall(j => bytes(i + j) == sig(j).toByte))
+    // depth 1: a (30, 4, 4) archive chunked on BOTH leading axes — 120
+    // chunks exceed one 2048-byte leaf (63 unfiltered / 46 filtered
+    // records); maxDims declares time AND ensemble unlimited, the shape
+    // libhdf5 picks the v2 B-tree for
+    for (filters <- Seq(Seq.empty[Int], Seq(2, 1))) {
+      val vals = Array.tabulate(30 * 4 * 4)(i => i * 0.25 - 9.0)
+      val bytes = NetCdf4.write(Seq(
+        NetCdf4.WriteDs("temp", Seq(30L, 4L, 4L), vals,
+          chunk = Some(Seq(1, 1, 4)), filters = filters, idx4 = Some(5),
+          maxDims = Some(Seq(-1L, -1L, 4L)))), latest = true)
+      assert(bthdDepth(bytes) == 1, s"filters=$filters")
+      assert(count(bytes, "BTIN") == 1 && count(bytes, "BTLF") >= 2,
+        s"filters=$filters")
+      val f = NetCdf4.parse(bytes)
+      val ds = f.dataset("temp").get
+      assert(ds.chunk4.exists(_.idxType == 5), s"filters=$filters")
+      assert(NetCdf4.readValues(f, ds).toSeq == vals.toSeq, s"filters=$filters")
+      // flip a byte inside an internal-node record — the BTIN checksum
+      // must reject before any child pointer is trusted
+      val in = bytes.indices.find(i =>
+        i + 4 <= bytes.length && bytes(i) == 'B' && bytes(i + 1) == 'T' &&
+          bytes(i + 2) == 'I' && bytes(i + 3) == 'N').get
+      val corrupt = bytes.clone()
+      corrupt(in + 10) = (corrupt(in + 10) ^ 0x01).toByte
+      val cf = NetCdf4.parse(corrupt)
+      val e = intercept[IllegalArgumentException](
+        NetCdf4.readValues(cf, cf.dataset("temp").get))
+      assert(e.getMessage.contains("v2-B-tree internal node checksum mismatch"),
+        e.getMessage)
+    }
+    // depth 2: chunk counts past the depth-1 capacity (3199 unfiltered /
+    // 1832 filtered at the 2048-byte node) grow a second internal level
+    for ((n, filters) <- Seq((3250, Seq.empty[Int]), (2000, Seq(2, 1)))) {
+      val vals = Array.tabulate(n)(i => (i % 211) * 0.5 - 13.0)
+      val bytes = NetCdf4.write(Seq(
+        NetCdf4.WriteDs("temp", Seq(n.toLong, 1L, 1L), vals,
+          chunk = Some(Seq(1, 1, 1)), filters = filters, idx4 = Some(5),
+          maxDims = Some(Seq(-1L, -1L, 1L)))), latest = true)
+      assert(bthdDepth(bytes) == 2, s"n=$n filters=$filters")
+      val f = NetCdf4.parse(bytes)
+      val ds = f.dataset("temp").get
+      assert(NetCdf4.readValues(f, ds).toSeq == vals.toSeq,
+        s"n=$n filters=$filters")
+    }
+  }
+
+  test("v4 extensible array with a non-leading unlimited dim rejects by name (ADVICE r17)") {
+    // H5Dearray swizzles chunk order when unlim_dim > 0 — the reader's
+    // row-major mapping would silently scatter chunks wrong, so the
+    // guard must fire at parse time, before any data is read
+    val vals = Array.tabulate(5 * 4)(_.toDouble)
+    def ea(maxDims: Seq[Long]) = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("temp", Seq(5L, 2L, 2L), vals,
+        chunk = Some(Seq(1, 2, 2)), filters = Seq(2, 1), idx4 = Some(4),
+        maxDims = Some(maxDims))), latest = true)
+    // leading unlimited (the growing-time-archive shape): accepted
+    val good = NetCdf4.parse(ea(Seq(-1L, 2L, 2L)))
+    assert(NetCdf4.readValues(good, good.dataset("temp").get).toSeq == vals.toSeq)
+    // fixed maxdims (fixture convention): also accepted
+    val fixed = NetCdf4.parse(ea(Seq(5L, 2L, 2L)))
+    assert(NetCdf4.readValues(fixed, fixed.dataset("temp").get).toSeq == vals.toSeq)
+    // non-leading unlimited: named rejection, and probe carries it
+    for (bad <- Seq(Seq(5L, -1L, 2L), Seq(-1L, 2L, -1L))) {
+      val e = intercept[IllegalArgumentException](NetCdf4.parse(ea(bad)))
+      assert(e.getMessage.contains("swizzles chunk order"), e.getMessage)
+      assert(NetCdf4.probe(ea(bad)).left.exists(_.contains("not leading")))
+    }
   }
 
   test("v4 extensible-array index round-trips through every tier (VERDICT r16 #4)") {
@@ -706,6 +796,42 @@ class NetCdf4Spec extends SparkSpec {
     assert(o.forall(_.ok), o.mkString(";"))
     assert(mf.nonEmpty)
     assert(spark.read.parquet(out).count() == 1200)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("fetch boundary: multi-level v2-B-tree cube passes the guard and ingests (VERDICT r17 #4)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc4bt2")
+    val out = tmp.resolve("out").toString
+    // the several-unlimited-maxdims archive past one leaf's capacity:
+    // 120 (1,1,2)-chunks over (30, 4, 2) need BTIN traversal — the shape
+    // the reference's xarray.open_dataset reads via libhdf5
+    // (ingestor.py:200) and the r17 reader rejected by depth
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("time", Seq(30L), Array.tabulate(30)(_ * 3600.0),
+        attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00")),
+      NetCdf4.WriteDs("y", Seq(4L), Array(54.0, 55.0, 56.0, 57.0)),
+      NetCdf4.WriteDs("x", Seq(2L), Array(11.0, 12.0)),
+      NetCdf4.WriteDs("wind-speed", Seq(30L, 4L, 2L),
+        Array.tabulate(240)(i => (i % 23).toDouble),
+        chunk = Some(Seq(1, 1, 2)), filters = Seq(2, 1), idx4 = Some(5),
+        maxDims = Some(Seq(-1L, -1L, 2L)))), latest = true)
+    val parsed = NetCdf4.parse(bytes)
+    assert(parsed.dataset("wind-speed")
+      .exists(_.chunk4.exists(_.idxType == 5)), "fixture must use a v2 B-tree")
+    assert(bytes.indices.exists(i => i + 4 <= bytes.length &&
+      bytes(i) == 'B' && bytes(i + 1) == 'T' &&
+      bytes(i + 2) == 'I' && bytes(i + 3) == 'N'),
+      "fixture must carry an internal node")
+    assert(Fetch.containerGuard(bytes).isEmpty) // in-subset since r18
+    val fixture = tmp.resolve("cube.nc4")
+    java.nio.file.Files.write(fixture, bytes)
+    val cfg = IngestConfig(bbox = (10.0, 53.0, 14.0, 58.0),
+      parameters = Seq("wind-speed"))
+    val (mf, o) = Fetch.fetchAndIngest(spark, cfg,
+      Seq("wind-speed" -> fixture.toUri.toString), out)
+    assert(o.forall(_.ok), o.mkString(";"))
+    assert(mf.nonEmpty)
+    assert(spark.read.parquet(out).count() == 240)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 }
