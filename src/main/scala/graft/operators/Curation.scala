@@ -1658,9 +1658,13 @@ object Curation {
   def spanDedupShardedGate(spark: SparkSession, dir: String,
                            broadcastIndex: Boolean = true): DataFrame = {
     val st = spanTable(spark, dir)
-    // staged like a deployment's refreshed index — the gate consumes
-    // the shard table, it doesn't rebuild it per query
-    val idx = spanIndexSharded(dupSpanIndexFrom(st), 4).staged
+    // the shard index is a STANDING artifact — one refresh serves every
+    // gate regime, so q101 and q103 share one build per session via the
+    // parquet-backed shared stage (Materialize.shared): whichever runs
+    // first pays the build + write, the other re-reads; the bench's
+    // fresh-session isolated pass still measures the full build
+    val idx = Materialize.shared(spark, s"spanShardIdx:4:$dir")(
+      spanIndexSharded(dupSpanIndexFrom(st), 4))
     spanGateShardedFrom(st, idx, 4, broadcastIndex)
       .select(col("doc_id"), col("n").as("n_tokens"),
         col("n_dup_spans"), col("n_covered"), col("keep_ratio"))
@@ -2838,6 +2842,15 @@ object Curation {
     * length r contributes +2 at its second element and +1 after, so
     * dup_occ sums exactly the occurrences inside runs ≥ 2. */
   private[graft] def ngramRepetitionFrom(docs: DataFrame): DataFrame =
+    ngramRepVerdict(docs).orderBy(col("doc_id"), col("n"))
+
+  /** [[ngramRepetitionFrom]] minus the presentation sort — the UNORDERED
+    * per-row verdict, ONE definition shared by batch q143 and the
+    * streaming gate ([[graft.streaming.StreamOps.ngramRepStream]]): a
+    * continuous sink has no global order, and everything else about the
+    * signal is per-row column math, so sharing this core is what pins the
+    * two sides to the same numbers (the [[spanVerdict]] convention). */
+  private[graft] def ngramRepVerdict(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 2)
@@ -2849,7 +2862,6 @@ object Curation {
         col("st.n_grams").as("n_grams"),
         trunc6(col("st.top_occ") * 1.0 / col("st.n_grams")).as("top_frac"),
         trunc6(col("st.dup_occ") * 1.0 / col("st.n_grams")).as("dup_frac"))
-      .orderBy(col("doc_id"), col("n"))
 
   /** The pre-kernel composed formulation, kept ONLY as the spec's
     * equality reference for `ngram_rep` (the subL2Composed convention):

@@ -64,10 +64,14 @@ object Materialize {
     * exactly what the ApplicationEnd listener runs at `spark.stop()`;
     * package-private so MaterializeSpec can drive it against the shared
     * test session without stopping it. */
-  private[graft] def releaseStages(appId: String): Unit =
+  private[graft] def releaseStages(appId: String): Unit = {
     Option(sessionDirs.remove(appId)).foreach(_.forEach { d =>
       rm(d); stageDirs.remove(d); ()
     })
+    // drop the dead session's shared-stage memo entries too — their dirs
+    // are gone, and a same-JVM successor session gets a fresh appId
+    sharedStages.keySet.removeIf(_._1 == appId)
+  }
   /** Stage dirs still pending for `appId` (spec observability). */
   private[graft] def pendingStages(appId: String): Seq[java.io.File] =
     Option(sessionDirs.get(appId))
@@ -111,6 +115,50 @@ object Materialize {
       case other => throw new IllegalArgumentException(
         s"graft.materialize=$other (expected localCheckpoint|persist|parquet)")
     }
+  }
+
+  // shared-stage dirs keyed by (applicationId, caller key) — see [[shared]]
+  private val sharedStages =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** A staged artifact shared ACROSS QUERIES within one session — the
+    * standing-index deployment story (a dup-span shard index is refreshed
+    * by one batch job and consumed by every gate regime), so two declared
+    * queries over the same artifact pay ONE build. First call per
+    * (session, key) computes `build`, writes it to a parquet stage dir
+    * and returns the re-read frame; every later call re-reads the same
+    * dir. Parquet deliberately, not [[stage]]'s localCheckpoint: the
+    * bench harness unpersists every persistent RDD between queries
+    * (block-manager hygiene), which would destroy cross-query checkpoint
+    * blocks — a parquet stage survives it, and its scan re-plans freshly
+    * per consumer (broadcast vs shuffle hints still apply). Dirs ride the
+    * same ApplicationEnd/exit cleanup as the parquet [[stage]] strategy;
+    * a fresh session (new applicationId) rebuilds, so the bench's
+    * isolated fresh-session pass still measures the full build. */
+  def shared(spark: org.apache.spark.sql.SparkSession, key: String)
+            (build: => DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    val appId = sc.applicationId
+    val dir = sharedStages.computeIfAbsent((appId, key), _ => {
+      val base = spark.conf.get("graft.materialize.dir",
+        sys.props("java.io.tmpdir"))
+      val d = s"$base/graft_shared_${java.util.UUID.randomUUID}"
+      cleanupHook
+      val f = new java.io.File(d)
+      stageDirs.add(f)
+      sessionDirs.computeIfAbsent(appId,
+        _ => java.util.Collections.synchronizedList(
+          new java.util.ArrayList[java.io.File]())).add(f)
+      if (listenerArmed.add(appId))
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            releaseStages(appId)
+        })
+      build.write.parquet(d)
+      d
+    })
+    spark.read.parquet(dir)
   }
 
   /** `df.staged` — [[stage]] as a chainable suffix, so call sites read

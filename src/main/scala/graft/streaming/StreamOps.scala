@@ -297,6 +297,22 @@ object StreamOps {
         (floor(size(col("covered")) / col("n") * 1e6) / 1e6).as("self_ratio"))
   }
 
+  /** Streaming within-document n-gram repetition — q143 at ingest rate,
+    * the second index-free span-family member after [[selfRepeatStream]]:
+    * top_frac/dup_frac for n ∈ {2,3,4} are properties of the document
+    * alone, computed by the native `ngram_rep` kernel per row inside
+    * whole-stage codegen. The column program IS batch q143's
+    * ([[graft.operators.Curation.ngramRepVerdict]] — one shared
+    * definition, the spanVerdict convention) minus only the presentation
+    * sort a continuous sink has no notion of. Zero shuffle, zero state,
+    * zero broadcast: the admission decision ("is this document
+    * degenerate repetition?") lands before any corpus-index gate needs
+    * to run, completing the within-doc-quality gate family at ingest
+    * rate. StreamingSpec pins replayed corpus docs row-for-row equal to
+    * batch q143. */
+  def ngramRepStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.ngramRepVerdict(docs)
+
   /** Streaming near-dup candidate flagging — the streaming dual of the
     * LSH banding join: each in-flight document computes its MinHash
     * signature PER ROW with the native `minhash_sig16` kernel (zero

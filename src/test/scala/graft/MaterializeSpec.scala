@@ -82,4 +82,36 @@ class MaterializeSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("shared stage builds once per (session, key) and survives unpersist-all") {
+    // the q101/q103 standing-index story: two queries share one build.
+    // Parquet-backed deliberately — the bench harness unpersists every
+    // persistent RDD between queries, which kills cross-query checkpoint
+    // blocks; the shared stage must survive exactly that.
+    val appId = spark.sparkContext.applicationId
+    val key = s"materialize-spec-shared-${System.nanoTime}"
+    var builds = 0
+    def consume(): Seq[String] = rows(
+      Materialize.shared(spark, key) {
+        builds += 1
+        spark.range(11).toDF("id")
+      })
+    val first = consume()
+    assert(first.size == 11)
+    assert(builds == 1)
+    // the bench's between-query hygiene: drop every persistent RDD
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    assert(consume() == first, "shared stage diverged after unpersist-all")
+    assert(builds == 1, "shared stage rebuilt on a warm key")
+    // a different key builds independently
+    assert(rows(Materialize.shared(spark, key + ".b")(
+      spark.range(2).toDF("id"))).size == 2)
+    assert(builds == 1)
+    // session end releases the memo: the key rebuilds afterwards.
+    // releaseStages also deletes OTHER pending stage dirs of this shared
+    // session — fine here, every spec consumes its stages eagerly.
+    Materialize.releaseStages(appId)
+    assert(consume() == first)
+    assert(builds == 2, "memo survived session release")
+  }
 }

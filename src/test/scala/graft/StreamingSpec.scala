@@ -905,6 +905,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ngram repetition equals batch q143 row for row, index-free") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Curation
+    import graft.streaming.StreamOps.Doc
+    import graft.sources.Tables
+    val docRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), ts(1), r.getString(1)))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.ngramRepStream(input.toDF())
+      .writeStream.format("memory").queryName("ngramrep_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docRows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("ngramrep_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4))).toSet
+      val want = Curation.ngramRepetition(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4))).toSet
+      assert(got == want,
+        s"ngram-rep stream diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(got.nonEmpty)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ml scorer equals batch q125 scores row for row, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
