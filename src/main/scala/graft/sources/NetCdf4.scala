@@ -41,7 +41,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     index libhdf5 picks for one UNLIMITED maxdim: a growing forecast
   *     archive's appendable time axis (VERDICT r16 #4; the unlimited
   *     dim must be dim 0 — H5Dearray swizzles chunk order otherwise,
-  *     and a non-leading unlimited axis rejects by name) — and the
+  *     and a non-leading unlimited axis rejects by name), including
+  *     PAGED data blocks (the past-~65k-chunk archive shape at default
+  *     creation parameters: super-block page-init bitmaps, prefix-only
+  *     data blocks, per-page checksums — r18) — and the
   *     V2 B-TREE (BTHD/BTIN/BTLF, several unlimited maxdims, e.g.
   *     appendable time AND ensemble axes) at ANY depth — BTIN
   *     internal-node traversal included (VERDICT r17 #4);
@@ -52,12 +55,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     SKIPPED and axis mapping falls back to coordinate names + shape
   *     matching, the same convention [[NetCdf.decodeCube]] applies.
   * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
-  * …), paged EXTENSIBLE-array data blocks (past ~65k chunks at
-  * libhdf5's default creation parameters — paged FIXED-array blocks,
-  * the >1024-chunk shape, ARE read), extensible arrays whose unlimited
-  * maxdim is not the slowest-varying, dense (fractal-heap) link
-  * storage, and nested groups are rejected with a message naming the
-  * feature;
+  * …), extensible arrays whose unlimited maxdim is not the
+  * slowest-varying, paged extensible-array data blocks addressed from
+  * the INDEX block (impossible at libhdf5's default creation
+  * parameters — the page-init bitmap lives in the owning super block),
+  * dense (fractal-heap) link storage, and nested groups are rejected
+  * with a message naming the feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
   * R17 skip-parameter semantics at the fetch boundary, so an
   * out-of-subset file skips cleanly instead of failing a job.
@@ -621,6 +624,8 @@ object NetCdf4 {
         val dblkPageBits = b.u8(hAt + 11)
         require(maxBits >= 1 && maxBits <= 64,
           s"extensible-array max-elements bits $maxBits out of range")
+        require(dblkPageBits >= 1 && dblkPageBits <= 62,
+          s"extensible-array data-block page bits $dblkPageBits out of range")
         require(minElmts >= 1 && (minElmts & (minElmts - 1)) == 0,
           s"extensible-array data-block min elements $minElmts not a power of two")
         require(minPtrs >= 2 && (minPtrs & (minPtrs - 1)) == 0,
@@ -644,15 +649,35 @@ object NetCdf4 {
         val ibElemsAt = ibAt + 14
         val ibDblkAt = ibElemsAt + idxBlkElmts * elmtSize
         val ibSblkAt = ibDblkAt + ea.ndblkAddrs * 8
+        // paging geometry (H5EA__sblock_alloc): a super block's data
+        // blocks split into pages when their element count exceeds
+        // 2^dblkPageBits; the SUPER BLOCK then carries one page-init
+        // buffer of ndblks × ceil(npages/8) BYTES between its block
+        // offset and its data-block addresses — but H5EA__lookup_elmt
+        // indexes it as a CONTINUOUS bit stream (dblk_idx·npages +
+        // page_idx, H5VM MSB-first within each byte): the buffer is
+        // per-dblk byte-PADDED, the bit indexing is not, so trailing
+        // pad bytes are simply never addressed.
+        val pageNelmts = 1L << dblkPageBits
+        def sbNpages(u: Int): Long = {
+          val nel = ea.dblkNelmts(u)
+          if (nel > pageNelmts) nel / pageNelmts else 0L
+        }
+        def sbBitmapBytes(u: Int): Long = {
+          val np = sbNpages(u)
+          if (np == 0) 0L else ea.ndblks(u) * ((np + 7) / 8)
+        }
         // validated-block caches: each EASB/EADB is signature/pointer/
         // checksum-verified once however many chunks it serves
         val sblkAt = scala.collection.mutable.Map.empty[Int, Int]
         val dblkAt = scala.collection.mutable.Map.empty[Long, Int]
+        val pagedDblkAt = scala.collection.mutable.Map.empty[Long, Int]
+        val pageChecked = scala.collection.mutable.Set.empty[(Long, Long)]
         def superBlock(u: Int): Int = sblkAt.getOrElseUpdate(u, {
           val addr = b.u64(ibSblkAt + (u - ea.s0) * 8)
           if (addr == Undef) -1
           else {
-            val size = 14L + arrOffSize + ea.ndblks(u) * 8L + 4L
+            val size = 14L + arrOffSize + sbBitmapBytes(u) + ea.ndblks(u) * 8L + 4L
             val at = checkedAt(addr, size, b.bytes.length, "extensible-array super block")
             require(b.ascii(at, 4) == "EASB", "bad extensible-array super block signature")
             require(b.u8(at + 4) == 0 && b.u8(at + 5) == client,
@@ -674,7 +699,26 @@ object NetCdf4 {
           checkLookup3(b, at, (size - 4).toInt, "extensible-array data block")
           at
         })
-        // byte position of element i, or -1 while its block is unallocated
+        // a PAGED data block's on-disk body is only its prefix —
+        // sig/version/client/header-pointer/block-offset plus the
+        // prefix's own checksum (H5EA_DBLOCK_PREFIX_SIZE); the pages
+        // (pageNelmts elements + a per-page checksum each) are laid out
+        // contiguously right after it and verified individually on
+        // first touch, exactly the paged fixed-array shape
+        def dataBlockPaged(addr: Long): Int = pagedDblkAt.getOrElseUpdate(addr, {
+          val prefix = 14L + arrOffSize + 4L
+          val at = checkedAt(addr, prefix, b.bytes.length,
+            "paged extensible-array data block")
+          require(b.ascii(at, 4) == "EADB", "bad extensible-array data block signature")
+          require(b.u8(at + 4) == 0 && b.u8(at + 5) == client,
+            "extensible-array data block version/client mismatch")
+          require(b.u64(at + 6) == c4.addr,
+            "extensible-array data block does not point back at its header")
+          checkLookup3(b, at, (prefix - 4).toInt, "paged extensible-array data block")
+          at
+        })
+        // byte position of element i, or -1 while its block (or page)
+        // is unallocated/uninitialized
         def elementAt(i: Long): Long = {
           if (i < idxBlkElmts) return ibElemsAt + i * elmtSize
           val e = i - idxBlkElmts
@@ -682,12 +726,38 @@ object NetCdf4 {
           require(u < ea.nsblks,
             s"extensible-array element $i beyond the declared 2^$maxBits capacity")
           val nelmts = ea.dblkNelmts(u)
-          require(nelmts <= (1L << dblkPageBits),
-            s"paged extensible-array data block (${nelmts} elements > " +
-              s"2^$dblkPageBits per page) unsupported")
           val rel = e - ea.startIdx(u)
           val dblkIdx = rel / nelmts
           val off = rel % nelmts
+          val npages = sbNpages(u)
+          if (npages > 0) {
+            // the page-init bitmap lives in the owning SUPER block; a
+            // paged data block hanging off the index block has nowhere
+            // to record page state (libhdf5's default creation
+            // parameters never produce one — paging starts at data
+            // blocks far larger than the index-block tier's)
+            require(u >= ea.s0,
+              "paged extensible-array data block addressed from the index block unsupported")
+            val sAt = superBlock(u)
+            if (sAt < 0) return -1L
+            val addr = b.u64((sAt.toLong + 14 + arrOffSize + sbBitmapBytes(u) +
+              dblkIdx * 8).toInt)
+            if (addr == Undef) return -1L
+            val pageIdx = off / pageNelmts
+            val bitIdx = dblkIdx * npages + pageIdx
+            if ((b.u8((sAt.toLong + 14 + arrOffSize + bitIdx / 8).toInt) &
+                (0x80 >> (bitIdx % 8).toInt)) == 0) return -1L
+            val dAt = dataBlockPaged(addr)
+            val pageSize = pageNelmts * elmtSize + 4
+            val pAt = dAt + 14L + arrOffSize + 4L + pageIdx * pageSize
+            if (pageChecked.add((addr, pageIdx))) {
+              checkedAt(pAt, pageSize, b.bytes.length,
+                "extensible-array data block page")
+              checkLookup3(b, pAt.toInt, (pageNelmts * elmtSize).toInt,
+                "extensible-array data block page")
+            }
+            return pAt + (off % pageNelmts) * elmtSize
+          }
           val addr =
             if (u < ea.s0)
               b.u64((ibDblkAt.toLong + (ea.startDblk(u) + dblkIdx) * 8).toInt)
@@ -1540,7 +1610,12 @@ object NetCdf4 {
       name: String, shape: Seq[Long], values: Array[Double],
       f32: Boolean = false, attrs: Seq[(String, Any)] = Nil,
       chunk: Option[Seq[Int]] = None, filters: Seq[Int] = Nil,
-      idx4: Option[Int] = None, maxDims: Option[Seq[Long]] = None)
+      idx4: Option[Int] = None, maxDims: Option[Seq[Long]] = None,
+      // extensible-array data-block page bits (creation parameter,
+      // recorded in the EAHD): libhdf5's default 10 pages nothing below
+      // ~65k chunks, so paged-EADB fixtures declare a smaller value —
+      // the file stays spec-conformant, paging just engages earlier
+      eaPageBits: Int = 10)
 
   /** Serialize the subset: superblock v0, one flat symbol-table root
     * group, v1 object headers, contiguous little-endian data. Layout is
@@ -1651,7 +1726,7 @@ object NetCdf4 {
             case 1 => dataAt += align8(blobs.head._2.length.toLong)
             case 2 => // implicit: chunks TIGHT (addr + i*chunkBytes)
               dataAt += align8(blobs.map(_._2.length.toLong).sum)
-            case 4 => dataAt += eaSize(faEntrySize(d), blobs.size) +
+            case 4 => dataAt += eaSize(faEntrySize(d), blobs.size, d.eaPageBits) +
               blobs.map(b => align8(b._2.length.toLong)).sum
             case 5 => dataAt += bt2Size(d.shape.size, d.filters.nonEmpty, blobs.size) +
               blobs.map(b => align8(b._2.length.toLong)).sum
@@ -1731,13 +1806,13 @@ object NetCdf4 {
               out.position(dAt.toInt)
               blobs.foreach(bl => out.put(bl._2))
             case 4 => // extensible array: EAHD + EAIB + EASB/EADBs, blobs after
-              var cAt = dAt + eaSize(faEntrySize(d), blobs.size)
+              var cAt = dAt + eaSize(faEntrySize(d), blobs.size, d.eaPageBits)
               val childAts = blobs.map { case (_, blob) =>
                 val a = cAt; cAt += align8(blob.length.toLong); a
               }
               out.position(dAt.toInt)
               out.put(extensibleArrayIndex(dAt, faEntrySize(d),
-                if (d.filters.isEmpty) 0 else 1, blobs, childAts))
+                if (d.filters.isEmpty) 0 else 1, blobs, childAts, d.eaPageBits))
               blobs.zip(childAts).foreach { case ((_, blob), a) =>
                 out.position(a.toInt); out.put(blob)
               }
@@ -1998,20 +2073,35 @@ object NetCdf4 {
     (dblks, dblks.map(_._1).distinct.filter(_ >= ea.s0))
   }
 
-  private def eaSblkSize(u: Int): Long =
-    14L + 4 + eaDefaults.ndblks(u) * 8L + 4L
-  private def eaDblkSize(u: Int, entrySize: Int): Long =
-    14L + 4 + eaDefaults.dblkNelmts(u) * entrySize + 4L
+  /** Pages per data block in super block u at the declared page bits —
+    * 0 when the block's element count fits one page (unpaged), the
+    * reader's `sbNpages` dual. */
+  private def eaNpages(u: Int, pageBits: Int): Long = {
+    val nel = eaDefaults.dblkNelmts(u)
+    if (nel > (1L << pageBits)) nel / (1L << pageBits) else 0L
+  }
+  private def eaSblkSize(u: Int, pageBits: Int): Long = {
+    val np = eaNpages(u, pageBits)
+    val bitmap = if (np == 0) 0L else eaDefaults.ndblks(u) * ((np + 7) / 8)
+    14L + 4 + bitmap + eaDefaults.ndblks(u) * 8L + 4L
+  }
+  private def eaDblkSize(u: Int, entrySize: Int, pageBits: Int): Long = {
+    val np = eaNpages(u, pageBits)
+    if (np == 0) 14L + 4 + eaDefaults.dblkNelmts(u) * entrySize + 4L
+    // paged: prefix (+ its own checksum), then npages pages of
+    // pageNelmts elements + a per-page checksum each
+    else 14L + 4 + 4 + np * ((1L << pageBits) * entrySize + 4)
+  }
 
   /** Total on-disk size of a dense n-chunk extensible-array index
     * (header + index block + super/data blocks, each 8-aligned). */
-  private def eaSize(entrySize: Int, n: Int): Long = {
+  private def eaSize(entrySize: Int, n: Int, pageBits: Int): Long = {
     val ea = eaDefaults
     val ib = 14L + ea.idxBlkElmts.toLong * entrySize +
       (ea.ndblkAddrs + ea.nsblkAddrs) * 8L + 4L
     val (dblks, sblks) = eaBlocks(n)
-    72L + align8(ib) + sblks.map(u => align8(eaSblkSize(u))).sum +
-      dblks.map { case (u, _) => align8(eaDblkSize(u, entrySize)) }.sum
+    72L + align8(ib) + sblks.map(u => align8(eaSblkSize(u, pageBits))).sum +
+      dblks.map { case (u, _) => align8(eaDblkSize(u, entrySize, pageBits)) }.sum
   }
 
   /** Extensible-array chunk index: EAHD header, EAIB index block
@@ -2025,7 +2115,8 @@ object NetCdf4 {
     * an UNLIMITED-maxdim dataset — a growing forecast archive's time
     * axis). */
   private def extensibleArrayIndex(headerAt: Long, entrySize: Int, client: Int,
-      blobs: Seq[(Seq[Long], Array[Byte])], childAts: Seq[Long]): Array[Byte] = {
+      blobs: Seq[(Seq[Long], Array[Byte])], childAts: Seq[Long],
+      pageBits: Int = 10): Array[Byte] = {
     val ea = eaDefaults
     val n = blobs.size
     val ibSize = (14L + ea.idxBlkElmts.toLong * entrySize +
@@ -2034,20 +2125,20 @@ object NetCdf4 {
     val ibAt = headerAt + 72
     var at = ibAt + align8(ibSize)
     val sblkAts = sblks.map { u =>
-      val a = at; at += align8(eaSblkSize(u)); u -> a
+      val a = at; at += align8(eaSblkSize(u, pageBits)); u -> a
     }.toMap
     val dblkAts = dblks.map { case (u, j) =>
-      val a = at; at += align8(eaDblkSize(u, entrySize)); (u, j) -> a
+      val a = at; at += align8(eaDblkSize(u, entrySize, pageBits)); (u, j) -> a
     }.toMap
     val o = ByteBuffer.allocate((at - headerAt).toInt).order(ByteOrder.LITTLE_ENDIAN)
     // EAHD: creation params, stats, index block address
     o.put("EAHD".getBytes(US_ASCII)).put(0.toByte).put(client.toByte)
       .put(entrySize.toByte).put(32.toByte).put(4.toByte).put(16.toByte)
-      .put(4.toByte).put(10.toByte)
+      .put(4.toByte).put(pageBits.toByte)
     o.putLong(sblks.size.toLong)
-    o.putLong(sblks.map(eaSblkSize).sum)
+    o.putLong(sblks.map(eaSblkSize(_, pageBits)).sum)
     o.putLong(dblks.size.toLong)
-    o.putLong(dblks.map { case (u, _) => eaDblkSize(u, entrySize) }.sum)
+    o.putLong(dblks.map { case (u, _) => eaDblkSize(u, entrySize, pageBits) }.sum)
     o.putLong(n.toLong) // max index set
     o.putLong(n.toLong) // nelements
     o.putLong(ibAt)
@@ -2071,27 +2162,58 @@ object NetCdf4 {
     (ea.s0 until ea.nsblks).foreach(u => ib.putLong(sblkAts.getOrElse(u, Undef)))
     ib.putInt(lookup3(ib.array(), 0, ibSize - 4))
     o.position((ibAt - headerAt).toInt); o.put(ib.array())
-    // EASBs (block offset = first element index the super block serves)
+    // EASBs (block offset = first element index the super block serves;
+    // when this super block's data blocks page, the page-init buffer —
+    // ndblks × ceil(npages/8) bytes, bits CONTINUOUS at dblk·npages +
+    // page, MSB-first (H5VM convention) — sits between the offset and
+    // the data block addresses; dense fixtures initialize every page of
+    // every allocated data block)
     sblks.foreach { u =>
-      val sz = eaSblkSize(u).toInt
+      val sz = eaSblkSize(u, pageBits).toInt
+      val np = eaNpages(u, pageBits)
       val sb = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
       sb.put("EASB".getBytes(US_ASCII)).put(0.toByte).put(client.toByte)
       sb.putLong(headerAt)
       sb.putInt((ea.idxBlkElmts + ea.startIdx(u)).toInt)
+      if (np > 0) {
+        val bm = new Array[Byte]((ea.ndblks(u) * ((np + 7) / 8)).toInt)
+        for {
+          j <- 0L until ea.ndblks(u)
+          if dblkAts.contains((u, j))
+          p <- 0L until np
+        } {
+          val bit = j * np + p
+          bm((bit / 8).toInt) =
+            (bm((bit / 8).toInt) | (0x80 >> (bit % 8).toInt)).toByte
+        }
+        sb.put(bm)
+      }
       (0L until ea.ndblks(u)).foreach(j => sb.putLong(dblkAts.getOrElse((u, j), Undef)))
       sb.putInt(lookup3(sb.array(), 0, sz - 4))
       o.position((sblkAts(u) - headerAt).toInt); o.put(sb.array())
     }
-    // EADBs
+    // EADBs — paged blocks carry only the checksummed prefix, then each
+    // page's elements + per-page checksum (H5EA__cache_dblk_page)
     dblks.foreach { case (u, j) =>
-      val sz = eaDblkSize(u, entrySize).toInt
+      val sz = eaDblkSize(u, entrySize, pageBits).toInt
+      val np = eaNpages(u, pageBits)
       val db = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
       db.put("EADB".getBytes(US_ASCII)).put(0.toByte).put(client.toByte)
       db.putLong(headerAt)
       val start = ea.idxBlkElmts + ea.startIdx(u) + j * ea.dblkNelmts(u)
       db.putInt(start.toInt)
-      (0L until ea.dblkNelmts(u)).foreach(k => putElement(db, start + k))
-      db.putInt(lookup3(db.array(), 0, sz - 4))
+      if (np == 0) {
+        (0L until ea.dblkNelmts(u)).foreach(k => putElement(db, start + k))
+        db.putInt(lookup3(db.array(), 0, sz - 4))
+      } else {
+        db.putInt(lookup3(db.array(), 0, 18)) // prefix checksum
+        val pageNel = 1L << pageBits
+        (0L until np).foreach { p =>
+          val pStart = db.position()
+          (0L until pageNel).foreach(k => putElement(db, start + p * pageNel + k))
+          db.putInt(lookup3(db.array(), pStart, (pageNel * entrySize).toInt))
+        }
+      }
       o.position((dblkAts((u, j)) - headerAt).toInt); o.put(db.array())
     }
     o.array()

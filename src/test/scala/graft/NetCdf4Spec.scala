@@ -584,6 +584,58 @@ class NetCdf4Spec extends SparkSpec {
       e.getMessage)
   }
 
+  test("v4 PAGED extensible-array data blocks round-trip (>65k-chunk archive shape, r18)") {
+    // eaPageBits=6 (64 elements/page) scales libhdf5's paging geometry
+    // down so the fixture stays small: super block u=5's 128-element
+    // data blocks split into 2 pages each, first paged element at
+    // index 4+496=500 — the same super-block page-init bitmap /
+    // prefix-only data block / per-page checksum layout a default-
+    // parameter file reaches past ~65k chunks
+    for (filters <- Seq(Seq.empty[Int], Seq(2, 1))) {
+      val nT = 560
+      val vals = Array.tabulate(nT * 4)(i => (i % 89) * 0.25 - 3.0)
+      val bytes = NetCdf4.write(Seq(
+        NetCdf4.WriteDs("temp", Seq(nT.toLong, 2L, 2L), vals,
+          chunk = Some(Seq(1, 2, 2)), filters = filters, idx4 = Some(4),
+          eaPageBits = 6)), latest = true)
+      val f = NetCdf4.parse(bytes)
+      val ds = f.dataset("temp").get
+      assert(ds.chunk4.exists(_.idxType == 4), s"filters=$filters")
+      assert(NetCdf4.readValues(f, ds).toSeq == vals.toSeq, s"filters=$filters")
+      // flip a byte inside the LAST data block's first page (blocks lay
+      // out in (u, j) order, so the last one is u=5 — paged): the
+      // PER-PAGE checksum must trip, proving the paged path actually
+      // served those chunks rather than falling back to unpaged decode
+      val lastDb = bytes.indices.filter(i =>
+        i + 4 <= bytes.length && bytes(i) == 'E' && bytes(i + 1) == 'A' &&
+          bytes(i + 2) == 'D' && bytes(i + 3) == 'B').max
+      val corrupt = bytes.clone()
+      corrupt(lastDb + 22 + 3) = (corrupt(lastDb + 22 + 3) ^ 0x01).toByte
+      val cf = NetCdf4.parse(corrupt)
+      val e = intercept[IllegalArgumentException](
+        NetCdf4.readValues(cf, cf.dataset("temp").get))
+      assert(e.getMessage.contains("extensible-array data block page checksum mismatch"),
+        s"filters=$filters: ${e.getMessage}")
+    }
+  }
+
+  test("v4 paged data block addressed from the INDEX block rejects by name") {
+    // only exotic creation parameters can page the index-block tier
+    // (the page-init bitmap lives in the owning SUPER block, so these
+    // blocks have nowhere to record page state): eaPageBits=4 pages
+    // u=1's 32-element blocks, which hang off the index block (s0=4)
+    val nT = 30
+    val vals = Array.tabulate(nT * 4)(_.toDouble)
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("temp", Seq(nT.toLong, 2L, 2L), vals,
+        chunk = Some(Seq(1, 2, 2)), idx4 = Some(4), eaPageBits = 4)),
+      latest = true)
+    val f = NetCdf4.parse(bytes)
+    val e = intercept[IllegalArgumentException](
+      NetCdf4.readValues(f, f.dataset("temp").get))
+    assert(e.getMessage.contains("addressed from the index block"), e.getMessage)
+  }
+
   test("v4 index out-of-subset layouts reject by name; fixed-array corruption by checksum") {
     val good = NetCdf4.write(Seq(
       NetCdf4.WriteDs("temp", Seq(2L, 3L, 4L), Array.tabulate(24)(_.toDouble),
