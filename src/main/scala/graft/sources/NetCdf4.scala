@@ -23,8 +23,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     version-2 "OHDR" headers (1-byte message types, checksummed
   *     chunks, OCHK continuations) — the `libver='latest'` framing;
   *     groups via symbol tables (v1 B-tree + local heap) or compact
-  *     hard-link messages; a FLAT root group either way (the NetCDF-4
-  *     classic data model — a nested group is rejected, not misread);
+  *     hard-link messages, NESTED to depth 8 with path-prefixed
+  *     dataset names (r18 — see the traversal note below);
   *   - dataspace v1/v2, fixed-point and IEEE-float datatypes in either
   *     byte order, data layout v3 contiguous, compact, or CHUNKED
   *     (version-1 chunk B-tree index) with the deflate, shuffle, and
@@ -54,13 +54,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     reference attributes (`DIMENSION_LIST`, `REFERENCE_LIST`) are
   *     SKIPPED and axis mapping falls back to coordinate names + shape
   *     matching, the same convention [[NetCdf.decodeCube]] applies.
+  * NESTED GROUPS are traversed (r18): a grouped product's variable
+  * reads under its path ("grp/var", xarray's group addressing minus
+  * the leading slash), for both v1 symbol-table and latest-format
+  * link-message groups, with named rejections for hard-link cycles,
+  * nesting beyond depth 8, and dense storage.
   * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
   * …), extensible arrays whose unlimited maxdim is not the
   * slowest-varying, paged extensible-array data blocks addressed from
   * the INDEX block (impossible at libhdf5's default creation
   * parameters — the page-init bitmap lives in the owning super block),
-  * dense (fractal-heap) link storage, and nested groups are rejected
-  * with a message naming the feature;
+  * and dense (fractal-heap) link storage are rejected with a message
+  * naming the feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
   * R17 skip-parameter semantics at the fetch boundary, so an
   * out-of-subset file skips cleanly instead of failing a job.
@@ -182,10 +187,44 @@ object NetCdf4 {
             "(dense/fractal-heap link storage unsupported)")
         root.links.sortBy(_._1)
     }
-    val datasets = links.map { case (name, at) =>
-      val h = readHeader(b, at)
-      require(h.stab.isEmpty,
-        s"nested group '$name' unsupported (NetCDF-4 classic model is flat)")
+    val datasets = collectDatasets(b, links, "", Set(rootOhdr), 0)
+    H5File(datasets, bytes)
+  }
+
+  /** Depth-first dataset collection across NESTED GROUPS: a child that
+    * is itself a group — a v1 symbol-table header, or a new-style
+    * header carrying link/link-info/group-info messages — recurses with
+    * its name as a path prefix, so a grouped product's variable reads
+    * as `"grp/var"` (xarray's `group=` addressing, minus the leading
+    * slash; root-level names are unchanged). Hard-link cycles and
+    * nesting beyond depth 8 reject by name, as do DENSE (fractal-heap)
+    * link groups — [[parseLinkInfo]] keeps those from masquerading as
+    * empty groups. */
+  private def collectDatasets(b: Buf, links: Seq[(String, Long)],
+      prefix: String, visited: Set[Long], depth: Int): Seq[H5Dataset] =
+    links.flatMap { case (short, addr) =>
+      val name = prefix + short
+      val h = readHeader(b, addr)
+      val isGroup = h.stab.isDefined || h.links.nonEmpty || h.denseLinks ||
+        (h.groupish && h.dataspace.isEmpty)
+      if (isGroup) {
+        require(!h.denseLinks,
+          s"group '$name' uses dense (fractal-heap) link storage, unsupported")
+        require(depth < 8, s"group '$name' nested beyond depth 8")
+        require(!visited.contains(addr), s"group '$name' closes a hard-link cycle")
+        val children = h.stab match {
+          case Some((bt, hp)) => readGroupLinks(b, bt, hp)
+          case None => h.links.sortBy(_._1)
+        }
+        collectDatasets(b, children, name + "/", visited + addr, depth + 1)
+      } else Seq(datasetOf(b, name, h))
+    }
+
+  /** One dataset from its walked header: dataspace/datatype/layout
+    * validation, the edge-decode budget, and the per-layout rejections. */
+  private def datasetOf(b: Buf, name: String, h: Header): H5Dataset = {
+    val bytes = b.bytes;
+    {
       val (shape, maxDims) = h.dataspace.getOrElse(
         throw new IllegalArgumentException(s"dataset '$name' has no dataspace"))
       val dt = h.datatype.getOrElse(
@@ -252,7 +291,6 @@ object NetCdf4 {
             filters = h.filters, chunk4 = Some(c4))
       }
     }
-    H5File(datasets, bytes)
   }
 
   private def filterName(id: Int): String = id match {
@@ -1054,7 +1092,11 @@ object NetCdf4 {
   private case class LayoutChunked(btree: Long, dims: Seq[Int]) extends Layout
   private case class LayoutChunked4(c4: Chunk4) extends Layout
 
-  // message-walk result for one object header; dataspace = (dims, maxDims)
+  // message-walk result for one object header; dataspace = (dims, maxDims);
+  // groupish = a link-info/group-info message was present (marks a
+  // new-style GROUP even when it holds no links at all); denseLinks = the
+  // link-info message points at a fractal heap (dense storage — out of
+  // subset, but it must reject by name, never read as an empty group)
   private case class Header(
       dataspace: Option[(Seq[Long], Seq[Long])],
       datatype: Option[Either[Int, NumType]],
@@ -1062,7 +1104,9 @@ object NetCdf4 {
       attrs: Seq[H5Attr],
       stab: Option[(Long, Long)],
       filters: Seq[H5Filter],
-      links: Seq[(String, Long)] = Nil)
+      links: Seq[(String, Long)] = Nil,
+      groupish: Boolean = false,
+      denseLinks: Boolean = false)
 
   private def readHeader(b: Buf, addr: Long): Header = {
     val base = checkedAt(addr, 16, b.bytes.length, "object header")
@@ -1082,7 +1126,10 @@ object NetCdf4 {
     var layout: Option[Layout] = None
     var stab: Option[(Long, Long)] = None
     var filters: Seq[H5Filter] = Nil
+    var groupish = false
+    var denseLinks = false
     val attrs = Seq.newBuilder[H5Attr]
+    val links = Seq.newBuilder[(String, Long)]
     var p = base + 16 // 12-byte v1 prefix + 4 alignment pad
     var seen = 0
     while (seen < nMsgs) {
@@ -1094,8 +1141,11 @@ object NetCdf4 {
       var next = body + sz
       typ match {
         case 0x0001 => dataspace = Some(parseDataspace(b, body))
+        case 0x0002 => groupish = true; denseLinks |= parseLinkInfo(b, body)
         case 0x0003 => datatype = Some(parseDatatype(b, body))
+        case 0x0006 => links += parseLinkMsg(b, body)
         case 0x0008 => layout = Some(parseLayout(b, body))
+        case 0x000A => groupish = true // group info
         case 0x000B => filters = parseFilters(b, body)
         case 0x000C => parseAttr(b, body).foreach(attrs += _)
         case 0x0010 => // continuation block
@@ -1106,7 +1156,8 @@ object NetCdf4 {
       p = next
       seen += 1
     }
-    Header(dataspace, datatype, layout, attrs.result(), stab, filters)
+    Header(dataspace, datatype, layout, attrs.result(), stab, filters,
+      links.result(), groupish, denseLinks)
   }
 
   /** Version-2 ("latest format") object header: OHDR prefix, 1-byte
@@ -1139,6 +1190,8 @@ object NetCdf4 {
     var datatype: Option[Either[Int, NumType]] = None
     var layout: Option[Layout] = None
     var filters: Seq[H5Filter] = Nil
+    var groupish = false
+    var denseLinks = false
     val attrs = Seq.newBuilder[H5Attr]
     val links = Seq.newBuilder[(String, Long)]
     // chunk 0 + any continuation (OCHK) regions, walked in order
@@ -1158,9 +1211,11 @@ object NetCdf4 {
         require(body + sz <= end, s"v2 message body at $body+$sz beyond chunk end $end")
         typ match {
           case 0x01 => dataspace = Some(parseDataspace(b, body))
+          case 0x02 => groupish = true; denseLinks |= parseLinkInfo(b, body)
           case 0x03 => datatype = Some(parseDatatype(b, body))
           case 0x06 => links += parseLinkMsg(b, body)
           case 0x08 => layout = Some(parseLayout(b, body))
+          case 0x0A => groupish = true // group info
           case 0x0B => filters = parseFilters(b, body)
           case 0x0C => parseAttr(b, body).foreach(attrs += _)
           case 0x10 =>
@@ -1172,12 +1227,27 @@ object NetCdf4 {
               "header continuation block missing OCHK signature")
             checkLookup3(b, cAt, cLen.toInt - 4, "header continuation")
             regions = regions :+ (cAt + 4, cAt + cLen.toInt - 4)
-          case _ => () // NIL, link info, group info, fill value, mtime, …
+          case _ => () // NIL, fill value, mtime, …
         }
         q = body + sz
       }
     }
-    Header(dataspace, datatype, layout, attrs.result(), None, filters, links.result())
+    Header(dataspace, datatype, layout, attrs.result(), None, filters,
+      links.result(), groupish, denseLinks)
+  }
+
+  /** Link Info message (0x0002): the new-style group's link-storage
+    * descriptor. The subset never follows fractal heaps — this is
+    * parsed only to (a) mark the object as a GROUP even when it holds
+    * no link messages and (b) tell an EMPTY group from a DENSE one,
+    * which must reject by name instead of silently reading as empty.
+    * Returns whether link storage is dense (fractal heap allocated). */
+  private def parseLinkInfo(b: Buf, p0: Int): Boolean = {
+    val ver = b.u8(p0)
+    require(ver == 0, s"link info version $ver unsupported")
+    val fl = b.u8(p0 + 1)
+    val fheapAt = p0 + 2 + (if ((fl & 1) != 0) 8 else 0)
+    b.u64(fheapAt) != Undef
   }
 
   /** Link message (0x0006), version 1 — the "latest format" group entry.
@@ -1650,14 +1720,47 @@ object NetCdf4 {
 
     val sbSize = if (latest) 48L else 96L
     val rootOhdrAt = sbSize
-    // latest-format root: one hard-link message per dataset (size is
-    // address-independent, so a placeholder measures it)
+    // NESTED GROUPS (latest only): a '/' in a dataset name places it
+    // under intermediate groups, each its own v2 header of a link-info
+    // message (compact storage, no fractal heap — what libhdf5 writes
+    // below the dense threshold) plus one hard link per child
+    val groupPaths: Seq[String] = sorted.flatMap { d =>
+      val segs = d.name.split('/')
+      (1 until segs.length).map(i => segs.take(i).mkString("/"))
+    }.distinct.sorted
+    require(groupPaths.isEmpty || latest,
+      "nested-group fixtures require latest = true (v1 writer emits one flat SNOD)")
+    def parentOf(path: String): String = {
+      val i = path.lastIndexOf('/'); if (i < 0) "" else path.substring(0, i)
+    }
+    def shortOf(path: String): String = path.substring(path.lastIndexOf('/') + 1)
+    // children (link name, full path) of group `g` ("" = root)
+    def childrenOf(g: String): Seq[(String, String)] =
+      (groupPaths.filter(parentOf(_) == g).map(p => (shortOf(p), p)) ++
+        sorted.map(_.name).filter(parentOf(_) == g).map(n => (shortOf(n), n)))
+        .sortBy(_._1)
+    // link info: version 0, flags 0, fractal heap + name btree undefined
+    val linkInfoBody: Array[Byte] = {
+      val o = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      o.put(0.toByte).put(0.toByte).putLong(Undef).putLong(Undef)
+      o.array()
+    }
+    def groupV2(g: String, addrs: Map[String, Long]): Array[Byte] =
+      ohdrV2((0x0002, linkInfoBody) +: childrenOf(g).map { case (s, p) =>
+        (0x0006, linkBody(s, addrs.getOrElse(p, 0L)))
+      })
+    // latest-format root: one hard-link message per root-level child
+    // (size is address-independent, so a placeholder measures it)
     def rootV2(addrs: Map[String, Long]): Array[Byte] =
-      ohdrV2(sorted.map(d => (0x0006, linkBody(d.name, addrs.getOrElse(d.name, 0L)))))
+      ohdrV2(childrenOf("").map { case (s, p) =>
+        (0x0006, linkBody(s, addrs.getOrElse(p, 0L)))
+      })
     val rootOhdr =
       if (latest) rootV2(Map.empty)
       else ohdrBytes(Seq(msg(0x0011, new Array[Byte](16)))) // patched later
-    val btreeAt = rootOhdrAt + rootOhdr.length
+    val groupSizes = groupPaths.map(g => groupV2(g, Map.empty).length.toLong)
+    val groupAts = groupSizes.scanLeft(rootOhdrAt + rootOhdr.length)(_ + _).init
+    val btreeAt = rootOhdrAt + rootOhdr.length + groupSizes.sum
     val btreeSize = if (latest) 0L else 24L + 8 + 16 // header + key0 + (child0, key1)
     val heapAt = btreeAt + btreeSize
     val heapHdrSize = if (latest) 0L else 32L
@@ -1750,9 +1853,15 @@ object NetCdf4 {
       out.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
       out.putLong(0L).putLong(Undef).putLong(eof).putLong(rootOhdrAt)
       out.putInt(lookup3(out.array(), 0, 44))
-      // root object header: link messages with the real addresses
+      // root + group object headers: link messages with the real addresses
+      val addrs = sorted.map(_.name).zip(ohdrAts).toMap ++
+        groupPaths.zip(groupAts).toMap
       out.position(rootOhdrAt.toInt)
-      out.put(rootV2(sorted.map(_.name).zip(ohdrAts).toMap))
+      out.put(rootV2(addrs))
+      groupPaths.zip(groupAts).foreach { case (g, at) =>
+        out.position(at.toInt)
+        out.put(groupV2(g, addrs))
+      }
     } else {
       // superblock v0
       out.put(Magic)

@@ -619,6 +619,75 @@ class NetCdf4Spec extends SparkSpec {
     }
   }
 
+  test("nested groups: datasets read under their path (r18)") {
+    // grouped product: a root coordinate plus two group levels — the
+    // xarray group= shape; names are path-prefixed without the leading
+    // slash, root-level names unchanged
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("fc/inner/q", Seq(3L), Array(7.0, 8.0, 9.0)),
+      NetCdf4.WriteDs("fc/temp", Seq(2L, 2L), Array.tabulate(4)(_ * 1.5),
+        attrs = Seq("units" -> "K"), chunk = Some(Seq(1, 2)), filters = Seq(2, 1)),
+      NetCdf4.WriteDs("time", Seq(2L), Array(0.0, 1.0))), latest = true)
+    val f = NetCdf4.parse(bytes)
+    assert(f.datasets.map(_.name).sorted == Seq("fc/inner/q", "fc/temp", "time"))
+    assert(NetCdf4.readValues(f, f.dataset("fc/inner/q").get).toSeq == Seq(7.0, 8.0, 9.0))
+    assert(NetCdf4.readValues(f, f.dataset("fc/temp").get).toSeq ==
+      Seq(0.0, 1.5, 3.0, 4.5))
+    assert(f.dataset("fc/temp").get.attr("units").isDefined)
+    assert(NetCdf4.readValues(f, f.dataset("time").get).toSeq == Seq(0.0, 1.0))
+  }
+
+  test("nested groups: cycle, dense storage, and over-deep nesting reject by name") {
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("fc/temp", Seq(2L), Array(1.0, 2.0)),
+      NetCdf4.WriteDs("time", Seq(2L), Array(0.0, 1.0))), latest = true)
+    // object headers lay out root first, then groups, then datasets —
+    // the second OHDR is group "fc"
+    def ohdrAts(bs: Array[Byte]): Seq[Int] = bs.indices.filter(i =>
+      i + 4 <= bs.length && bs(i) == 'O' && bs(i + 1) == 'H' &&
+        bs(i + 2) == 'D' && bs(i + 3) == 'R')
+    def fixOhdr(bs: Array[Byte], ohdrAt: Int): Unit = {
+      val size = java.nio.ByteBuffer.wrap(bs, ohdrAt + 6, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val cs = NetCdf4.lookup3(bs, ohdrAt, 10 + size)
+      java.nio.ByteBuffer.wrap(bs, ohdrAt + 10 + size, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(cs)
+      ()
+    }
+    val rootAt :: fcAt :: _ = ohdrAts(bytes).toList: @unchecked
+    // cycle: re-point root's "fc" hard link at the root header itself
+    val cyc = bytes.clone()
+    val fcAddr = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(fcAt.toLong).array()
+    val linkAddrAt = (rootAt until fcAt).find(i =>
+      fcAddr.indices.forall(j => cyc(i + j) == fcAddr(j))).get
+    java.nio.ByteBuffer.wrap(cyc, linkAddrAt, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(rootAt.toLong)
+    fixOhdr(cyc, rootAt)
+    assert(NetCdf4.probe(cyc).left.exists(_.contains("hard-link cycle")),
+      NetCdf4.probe(cyc))
+    // dense: set group fc's link-info fractal-heap address (the first
+    // 8-byte undefined-address run in its header) to a real-looking one
+    val dense = bytes.clone()
+    val fheapAt = (fcAt until fcAt + 100).find(i =>
+      (0 until 8).forall(j => dense(i + j) == -1)).get
+    dense(fheapAt) = 0x30
+    dense(fheapAt + 1) = 0x00
+    fixOhdr(dense, fcAt)
+    assert(NetCdf4.probe(dense).left.exists(_.contains("dense (fractal-heap)")),
+      NetCdf4.probe(dense))
+    // nesting depth: 9 group levels reject by name at level 9
+    val deep = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("a/b/c/d/e/f/g/h/i/x", Seq(1L), Array(1.0))), latest = true)
+    assert(NetCdf4.probe(deep).left.exists(_.contains("nested beyond depth 8")),
+      NetCdf4.probe(deep))
+    // the v1 writer stays flat — a nested name must be refused, not
+    // silently emitted as a literal "a/b" SNOD entry
+    val e = intercept[IllegalArgumentException](NetCdf4.write(Seq(
+      NetCdf4.WriteDs("a/b", Seq(1L), Array(1.0)))))
+    assert(e.getMessage.contains("latest"), e.getMessage)
+  }
+
   test("v4 paged data block addressed from the INDEX block rejects by name") {
     // only exotic creation parameters can page the index-block tier
     // (the page-init bitmap lives in the owning SUPER block, so these
