@@ -57,15 +57,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * NESTED GROUPS are traversed (r18): a grouped product's variable
   * reads under its path ("grp/var", xarray's group addressing minus
   * the leading slash), for both v1 symbol-table and latest-format
-  * link-message groups, with named rejections for hard-link cycles,
-  * nesting beyond depth 8, and dense storage.
+  * link-message groups, with named rejections for hard-link cycles
+  * and nesting beyond depth 8. DENSE LINK STORAGE is read too (r18):
+  * past max_compact (default 8) links a latest-format group's link
+  * messages live as managed objects in a fractal heap enumerated via
+  * the name-index v2 B-tree — the many-variable `libver='latest'`
+  * file shape ([[readDenseLinks]]).
   * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
   * …), extensible arrays whose unlimited maxdim is not the
   * slowest-varying, paged extensible-array data blocks addressed from
   * the INDEX block (impossible at libhdf5's default creation
   * parameters — the page-init bitmap lives in the owning super block),
-  * and dense (fractal-heap) link storage are rejected with a message
-  * naming the feature;
+  * and fractal heaps with filtered/huge/tiny objects or indirect child
+  * rows are rejected with a message naming the feature;
   * [[graft.operators.Fetch.containerGuard]] turns that rejection into
   * R17 skip-parameter semantics at the fetch boundary, so an
   * out-of-subset file skips cleanly instead of failing a job.
@@ -181,11 +185,13 @@ object NetCdf4 {
     val root = readHeader(b, rootOhdr)
     val links = root.stab match {
       case Some((bt, hp)) => readGroupLinks(b, bt, hp)
-      case None =>
-        require(root.links.nonEmpty,
-          "root group has neither a symbol-table message nor link messages " +
-            "(dense/fractal-heap link storage unsupported)")
-        root.links.sortBy(_._1)
+      case None => root.dense match {
+        case Some((fh, bt2)) => readDenseLinks(b, fh, bt2)
+        case None =>
+          require(root.links.nonEmpty,
+            "root group has neither a symbol-table message nor link storage")
+          root.links.sortBy(_._1)
+      }
     }
     val datasets = collectDatasets(b, links, "", Set(rootOhdr), 0)
     H5File(datasets, bytes)
@@ -205,16 +211,17 @@ object NetCdf4 {
     links.flatMap { case (short, addr) =>
       val name = prefix + short
       val h = readHeader(b, addr)
-      val isGroup = h.stab.isDefined || h.links.nonEmpty || h.denseLinks ||
+      val isGroup = h.stab.isDefined || h.links.nonEmpty || h.dense.isDefined ||
         (h.groupish && h.dataspace.isEmpty)
       if (isGroup) {
-        require(!h.denseLinks,
-          s"group '$name' uses dense (fractal-heap) link storage, unsupported")
         require(depth < 8, s"group '$name' nested beyond depth 8")
         require(!visited.contains(addr), s"group '$name' closes a hard-link cycle")
         val children = h.stab match {
           case Some((bt, hp)) => readGroupLinks(b, bt, hp)
-          case None => h.links.sortBy(_._1)
+          case None => h.dense match {
+            case Some((fh, bt2)) => readDenseLinks(b, fh, bt2)
+            case None => h.links.sortBy(_._1)
+          }
         }
         collectDatasets(b, children, name + "/", visited + addr, depth + 1)
       } else Seq(datasetOf(b, name, h))
@@ -1094,9 +1101,9 @@ object NetCdf4 {
 
   // message-walk result for one object header; dataspace = (dims, maxDims);
   // groupish = a link-info/group-info message was present (marks a
-  // new-style GROUP even when it holds no links at all); denseLinks = the
-  // link-info message points at a fractal heap (dense storage — out of
-  // subset, but it must reject by name, never read as an empty group)
+  // new-style GROUP even when it holds no links at all); dense = the
+  // link-info message points at a fractal heap — DENSE link storage,
+  // (fractal heap address, name-index v2 B-tree address)
   private case class Header(
       dataspace: Option[(Seq[Long], Seq[Long])],
       datatype: Option[Either[Int, NumType]],
@@ -1106,7 +1113,7 @@ object NetCdf4 {
       filters: Seq[H5Filter],
       links: Seq[(String, Long)] = Nil,
       groupish: Boolean = false,
-      denseLinks: Boolean = false)
+      dense: Option[(Long, Long)] = None)
 
   private def readHeader(b: Buf, addr: Long): Header = {
     val base = checkedAt(addr, 16, b.bytes.length, "object header")
@@ -1127,7 +1134,7 @@ object NetCdf4 {
     var stab: Option[(Long, Long)] = None
     var filters: Seq[H5Filter] = Nil
     var groupish = false
-    var denseLinks = false
+    var dense: Option[(Long, Long)] = None
     val attrs = Seq.newBuilder[H5Attr]
     val links = Seq.newBuilder[(String, Long)]
     var p = base + 16 // 12-byte v1 prefix + 4 alignment pad
@@ -1141,7 +1148,7 @@ object NetCdf4 {
       var next = body + sz
       typ match {
         case 0x0001 => dataspace = Some(parseDataspace(b, body))
-        case 0x0002 => groupish = true; denseLinks |= parseLinkInfo(b, body)
+        case 0x0002 => groupish = true; dense = parseLinkInfo(b, body).orElse(dense)
         case 0x0003 => datatype = Some(parseDatatype(b, body))
         case 0x0006 => links += parseLinkMsg(b, body)
         case 0x0008 => layout = Some(parseLayout(b, body))
@@ -1157,7 +1164,7 @@ object NetCdf4 {
       seen += 1
     }
     Header(dataspace, datatype, layout, attrs.result(), stab, filters,
-      links.result(), groupish, denseLinks)
+      links.result(), groupish, dense)
   }
 
   /** Version-2 ("latest format") object header: OHDR prefix, 1-byte
@@ -1191,7 +1198,7 @@ object NetCdf4 {
     var layout: Option[Layout] = None
     var filters: Seq[H5Filter] = Nil
     var groupish = false
-    var denseLinks = false
+    var dense: Option[(Long, Long)] = None
     val attrs = Seq.newBuilder[H5Attr]
     val links = Seq.newBuilder[(String, Long)]
     // chunk 0 + any continuation (OCHK) regions, walked in order
@@ -1211,7 +1218,7 @@ object NetCdf4 {
         require(body + sz <= end, s"v2 message body at $body+$sz beyond chunk end $end")
         typ match {
           case 0x01 => dataspace = Some(parseDataspace(b, body))
-          case 0x02 => groupish = true; denseLinks |= parseLinkInfo(b, body)
+          case 0x02 => groupish = true; dense = parseLinkInfo(b, body).orElse(dense)
           case 0x03 => datatype = Some(parseDatatype(b, body))
           case 0x06 => links += parseLinkMsg(b, body)
           case 0x08 => layout = Some(parseLayout(b, body))
@@ -1233,21 +1240,22 @@ object NetCdf4 {
       }
     }
     Header(dataspace, datatype, layout, attrs.result(), None, filters,
-      links.result(), groupish, denseLinks)
+      links.result(), groupish, dense)
   }
 
   /** Link Info message (0x0002): the new-style group's link-storage
-    * descriptor. The subset never follows fractal heaps — this is
-    * parsed only to (a) mark the object as a GROUP even when it holds
-    * no link messages and (b) tell an EMPTY group from a DENSE one,
-    * which must reject by name instead of silently reading as empty.
-    * Returns whether link storage is dense (fractal heap allocated). */
-  private def parseLinkInfo(b: Buf, p0: Int): Boolean = {
+    * descriptor — it marks the object as a GROUP even when it holds no
+    * link messages, and when the fractal heap address is allocated it
+    * carries the DENSE storage pointers: (fractal heap address,
+    * name-index v2 B-tree address), the layout libhdf5 switches to when
+    * a latest-format group passes max_compact (default 8) links. */
+  private def parseLinkInfo(b: Buf, p0: Int): Option[(Long, Long)] = {
     val ver = b.u8(p0)
     require(ver == 0, s"link info version $ver unsupported")
     val fl = b.u8(p0 + 1)
     val fheapAt = p0 + 2 + (if ((fl & 1) != 0) 8 else 0)
-    b.u64(fheapAt) != Undef
+    val fheap = b.u64(fheapAt)
+    if (fheap == Undef) None else Some((fheap, b.u64(fheapAt + 8)))
   }
 
   /** Link message (0x0006), version 1 — the "latest format" group entry.
@@ -1480,6 +1488,222 @@ object NetCdf4 {
     walk(btreeAddr)
   }
 
+  /** DENSE link storage (r18): the layout libhdf5 switches a
+    * latest-format group to past max_compact (default 8) links — each
+    * link message becomes a managed object in a FRACTAL HEAP (FRHP
+    * header; FHDB direct blocks, optionally under one FHIB root
+    * indirect block), enumerated through the name-index v2 B-tree
+    * (record type 5: 4-byte lookup3 name hash + managed heap ID).
+    * This is the many-variable `libver='latest'` file shape. The
+    * subset reads UNFILTERED heaps with managed objects in DIRECT
+    * blocks: huge/tiny objects, filtered heaps, and indirect child
+    * rows reject by name (a link message is ~40 bytes — far below the
+    * huge threshold — and the default doubling table's direct rows
+    * cover ~526 KB ≈ 10⁴ links). Every structure is signature- and
+    * checksum-verified like the chunk indexes; FHDB checksums cover
+    * the whole block with the checksum field zeroed (H5HF's rule,
+    * unlike the trailing-field convention everywhere else). */
+  private def readDenseLinks(b: Buf, fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    // --- fractal heap header (FRHP), public spec layout ---
+    val hAt = checkedAt(fheapAddr, 146, b.bytes.length, "fractal heap header")
+    require(b.ascii(hAt, 4) == "FRHP", "bad fractal heap header signature")
+    require(b.u8(hAt + 4) == 0,
+      s"fractal heap version ${b.u8(hAt + 4)} unsupported")
+    val heapIdLen = b.u16(hAt + 5)
+    require(b.u16(hAt + 7) == 0, "filtered fractal heap unsupported")
+    val flags = b.u8(hAt + 9)
+    val allocated = b.u64(hAt + 54)
+    val nManaged = b.u64(hAt + 70)
+    require(b.u64(hAt + 86) == 0 && b.u64(hAt + 102) == 0,
+      "fractal heap huge/tiny objects unsupported (subset reads managed link messages)")
+    val width = b.u16(hAt + 110)
+    val startBlk = b.u64(hAt + 112)
+    val maxDirect = b.u64(hAt + 120)
+    val maxHeapBits = b.u16(hAt + 128)
+    val rootAddr = b.u64(hAt + 132)
+    val curRows = b.u16(hAt + 140)
+    checkLookup3(b, hAt, 142, "fractal heap header")
+    require(width >= 1 && width <= 1024, s"fractal heap table width $width out of range")
+    require(startBlk >= 1 && (startBlk & (startBlk - 1)) == 0 &&
+      maxDirect >= startBlk && (maxDirect & (maxDirect - 1)) == 0 &&
+      maxDirect <= (1L << 40),
+      s"fractal heap block sizes $startBlk/$maxDirect out of subset range")
+    require(maxHeapBits >= 1 && maxHeapBits <= 64,
+      s"fractal heap max-size bits $maxHeapBits out of range")
+    val offSize = (maxHeapBits + 7) / 8
+    val lenSize = heapIdLen - 1 - offSize
+    require(lenSize >= 1 && lenSize <= 8,
+      s"fractal heap id length $heapIdLen inconsistent with $maxHeapBits-bit offsets")
+    val chksumDblocks = (flags & 0x2) != 0
+    val dbHdrSize = 13 + offSize + (if (chksumDblocks) 4 else 0)
+    // doubling table: rows 0 and 1 are startBlk-sized, row r≥2 doubles
+    def rowSize(r: Int): Long = if (r < 2) startBlk else startBlk << (r - 1)
+    val maxDirectRows =
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startBlk)).toInt + 2
+    // root block map: curRows == 0 → the root IS one direct block whose
+    // size is the heap's entire allocated managed space; otherwise an
+    // FHIB indirect root whose first maxDirectRows rows point at direct
+    // blocks (indirect children are beyond the subset)
+    require(curRows <= maxDirectRows,
+      s"fractal heap root with $curRows rows has indirect child rows, unsupported")
+    val ibAt: Int =
+      if (curRows == 0) -1
+      else {
+        val ibSize = 13L + offSize + curRows.toLong * width * 8 + 4
+        val at = checkedAt(rootAddr, ibSize, b.bytes.length, "fractal heap indirect block")
+        require(b.ascii(at, 4) == "FHIB", "bad fractal heap indirect block signature")
+        require(b.u8(at + 4) == 0 && b.u64(at + 5) == fheapAddr,
+          "fractal heap indirect block version/owner mismatch")
+        require(b.uvar(at + 13, offSize) == 0L,
+          "fractal heap root indirect block offset nonzero")
+        checkLookup3(b, at, (ibSize - 4).toInt, "fractal heap indirect block")
+        at
+      }
+    // validated direct blocks, keyed by (row, col); -1 rows = root direct
+    val dblkAt = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    def directBlock(row: Int, col: Int, blockOff: Long, size: Long): Int =
+      dblkAt.getOrElseUpdate((row, col), {
+        val addr =
+          if (curRows == 0) rootAddr
+          else {
+            val a = b.u64(ibAt + 13 + offSize + (row * width + col) * 8)
+            require(a != Undef,
+              "fractal heap object in an unallocated direct block")
+            a
+          }
+        val at = checkedAt(addr, size, b.bytes.length, "fractal heap direct block")
+        require(b.ascii(at, 4) == "FHDB", "bad fractal heap direct block signature")
+        require(b.u8(at + 4) == 0 && b.u64(at + 5) == fheapAddr,
+          "fractal heap direct block version/owner mismatch")
+        require(b.uvar(at + 13, offSize) == blockOff,
+          "fractal heap direct block offset mismatch")
+        if (chksumDblocks) {
+          val copy = java.util.Arrays.copyOfRange(b.bytes, at, at + size.toInt)
+          val stored = b.u32(at + 13 + offSize)
+          copy(13 + offSize) = 0; copy(14 + offSize) = 0
+          copy(15 + offSize) = 0; copy(16 + offSize) = 0
+          require((lookup3(copy, 0, size.toInt) & 0xffffffffL) == stored,
+            "fractal heap direct block checksum mismatch")
+        }
+        at
+      })
+    // managed object at heap offset `off`, `len` bytes → absolute position
+    def objectAt(off: Long, len: Long): Int = {
+      require(len >= 1 && len <= Int.MaxValue, s"fractal heap object length $len out of range")
+      if (curRows == 0) {
+        // subtraction form: a hostile offset near Long.MAX cannot wrap
+        require(off >= dbHdrSize && len <= allocated && off <= allocated - len,
+          s"fractal heap object at $off (+$len) outside the root direct block")
+        directBlock(-1, 0, 0L, allocated) + off.toInt
+      } else {
+        var row = 0
+        var rowStart = 0L
+        while (row < curRows && off >= rowStart + width * rowSize(row)) {
+          rowStart += width * rowSize(row); row += 1
+        }
+        require(row < curRows, s"fractal heap object at $off beyond the root's $curRows rows")
+        val col = ((off - rowStart) / rowSize(row)).toInt
+        val blockOff = rowStart + col * rowSize(row)
+        val within = off - blockOff
+        require(within >= dbHdrSize && within + len <= rowSize(row),
+          s"fractal heap object at $off (+$len) crosses its direct block")
+        directBlock(row, col, blockOff, rowSize(row)) + within.toInt
+      }
+    }
+    // --- name-index v2 B-tree (record type 5), same H5B2hdr geometry
+    // as the chunk-index walk in readChunked4 case 5 ---
+    val tAt = checkedAt(btreeAddr, 38, b.bytes.length, "link-index v2-B-tree header")
+    require(b.ascii(tAt, 4) == "BTHD", "bad link-index v2-B-tree header signature")
+    require(b.u8(tAt + 4) == 0, "link-index v2-B-tree version unsupported")
+    val recType = b.u8(tAt + 5)
+    require(recType == 5,
+      s"v2-B-tree record type $recType unsupported for a link name index")
+    val nodeSize = b.u32(tAt + 6)
+    val recSize = b.u16(tAt + 10)
+    val depth = b.u16(tAt + 12)
+    val rootNode = b.u64(tAt + 16)
+    val rootNrec = b.u16(tAt + 24)
+    val totNrec = b.u64(tAt + 26)
+    checkLookup3(b, tAt, 34, "link-index v2-B-tree header")
+    require(recSize == 4 + heapIdLen,
+      s"link-index record size $recSize != 4 + heap id length $heapIdLen")
+    require(totNrec == nManaged,
+      s"link index holds $totNrec records but the heap declares $nManaged objects")
+    def encSize(v: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))) / 8 + 1
+    val leafMax = (nodeSize - 10) / recSize
+    require(leafMax >= 1,
+      s"link-index node size $nodeSize cannot hold one $recSize-byte record")
+    require(depth <= 16, s"link-index depth $depth implausible")
+    val maxNrecSize = encSize(leafMax)
+    val maxN = new Array[Long](depth + 1)
+    val cumSize = new Array[Int](depth + 1)
+    maxN(0) = leafMax
+    var cum = leafMax
+    cumSize(0) = 0
+    var d0 = 1
+    while (d0 <= depth) {
+      val ptr = 8 + maxNrecSize + (if (d0 > 1) cumSize(d0 - 1) else 0)
+      maxN(d0) = (nodeSize - (10 + ptr)) / (recSize + ptr)
+      require(maxN(d0) >= 1,
+        s"link-index node size $nodeSize cannot hold an internal record at depth $d0")
+      cum = (maxN(d0) + 1) * cum + maxN(d0)
+      cumSize(d0) = encSize(cum)
+      d0 += 1
+    }
+    val out = Seq.newBuilder[(String, Long)]
+    def record(rAt: Int): Unit = {
+      // 4-byte name hash (unused for enumeration), then the heap ID:
+      // flag byte (version 0, type 0 = managed), offset, length
+      val fl = b.u8(rAt + 4)
+      require((fl & 0xf0) == 0,
+        s"fractal heap id flags 0x${fl.toHexString} unsupported (subset reads managed objects)")
+      val off = b.uvar(rAt + 5, offSize)
+      val len = b.uvar(rAt + 5 + offSize, lenSize)
+      out += parseLinkMsg(b, objectAt(off, len))
+    }
+    var seen = 0L
+    def walk(addr: Long, nrec: Int, d: Int): Unit = {
+      require(nrec <= maxN(d),
+        s"link-index node holds $nrec records, beyond the depth-$d max ${maxN(d)}")
+      seen += nrec
+      if (d == 0) {
+        val lfSize = 6L + nrec.toLong * recSize + 4
+        val lAt = checkedAt(addr, lfSize, b.bytes.length, "link-index leaf")
+        require(b.ascii(lAt, 4) == "BTLF", "bad link-index leaf signature")
+        require(b.u8(lAt + 4) == 0 && b.u8(lAt + 5) == recType,
+          "link-index leaf version/type mismatch")
+        checkLookup3(b, lAt, (lfSize - 4).toInt, "link-index leaf")
+        var r = 0
+        while (r < nrec) { record(lAt + 6 + r * recSize); r += 1 }
+      } else {
+        val ptrSz = 8 + maxNrecSize + (if (d > 1) cumSize(d - 1) else 0)
+        val inSize = 6L + nrec.toLong * recSize + (nrec + 1).toLong * ptrSz + 4
+        val iAt = checkedAt(addr, inSize, b.bytes.length, "link-index internal node")
+        require(b.ascii(iAt, 4) == "BTIN", "bad link-index internal node signature")
+        require(b.u8(iAt + 4) == 0 && b.u8(iAt + 5) == recType,
+          "link-index internal node version/type mismatch")
+        checkLookup3(b, iAt, (inSize - 4).toInt, "link-index internal node")
+        var r = 0
+        while (r < nrec) { record(iAt + 6 + r * recSize); r += 1 }
+        val ptrsAt = iAt + 6 + nrec * recSize
+        var c = 0
+        while (c <= nrec) {
+          val pAt = ptrsAt + c * ptrSz
+          val cAddr = b.u64(pAt)
+          require(cAddr != Undef,
+            "link-index internal node has an unallocated child pointer")
+          walk(cAddr, b.uvar(pAt + 8, maxNrecSize).toInt, d - 1)
+          c += 1
+        }
+      }
+    }
+    if (rootNode != Undef && rootNrec > 0) walk(rootNode, rootNrec, depth)
+    require(seen == totNrec,
+      s"link index visited $seen records, header declares $totNrec")
+    out.result().sortBy(_._1)
+  }
+
   /** Overflow-safe address validation: `v` must address `need` bytes
     * inside a `len`-byte stream. Written as a subtraction (`v <= len -
     * need`) rather than `v + need <= len` so a hostile header carrying an
@@ -1697,11 +1921,13 @@ object NetCdf4 {
     * dual of [[readHeaderV2]] and what pins the v2 decode path offline. */
   def write(datasets: Seq[WriteDs], latest: Boolean = false): Array[Byte] = {
     require(datasets.nonEmpty, "empty HDF5 file")
-    // the superblock declares group-leaf K=4, which caps one symbol node
-    // at 2K=8 entries; a flat cube needs 4 (time/y/x/data), so one SNOD
-    // suffices — reject rather than emit a spec-violating oversized node
-    require(datasets.size <= 8,
-      s"writer subset emits one symbol node (max 8 datasets), got ${datasets.size}")
+    // the V1 superblock declares group-leaf K=4, which caps one symbol
+    // node at 2K=8 entries; a flat cube needs 4 (time/y/x/data), so one
+    // SNOD suffices — reject rather than emit a spec-violating oversized
+    // node. Latest-format groups have no such node: past 8 links they
+    // switch to DENSE storage below, exactly libhdf5's phase change.
+    require(latest || datasets.size <= 8,
+      s"v1 writer subset emits one symbol node (max 8 datasets), got ${datasets.size}")
     val sorted = datasets.sortBy(_.name) // SNOD entries are name-ordered
     // local heap data segment: offset 0 is the conventional empty string
     val nameOffsets = scala.collection.mutable.Map[String, Long]()
@@ -1739,28 +1965,105 @@ object NetCdf4 {
       (groupPaths.filter(parentOf(_) == g).map(p => (shortOf(p), p)) ++
         sorted.map(_.name).filter(parentOf(_) == g).map(n => (shortOf(n), n)))
         .sortBy(_._1)
-    // link info: version 0, flags 0, fractal heap + name btree undefined
-    val linkInfoBody: Array[Byte] = {
+    // link info: version 0, flags 0, fractal heap + name btree addresses
+    def linkInfoBodyAt(fheap: Long, bt2: Long): Array[Byte] = {
       val o = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
-      o.put(0.toByte).put(0.toByte).putLong(Undef).putLong(Undef)
+      o.put(0.toByte).put(0.toByte).putLong(fheap).putLong(bt2)
       o.array()
     }
-    def groupV2(g: String, addrs: Map[String, Long]): Array[Byte] =
-      ohdrV2((0x0002, linkInfoBody) +: childrenOf(g).map { case (s, p) =>
+    val linkInfoBody = linkInfoBodyAt(Undef, Undef)
+    // DENSE link storage (r18): past MaxCompact links a latest-format
+    // group's link messages move into a fractal heap + name-index v2
+    // B-tree, mirroring libhdf5's dense-link creation parameters
+    // (width 4, start 512, max direct 64K, 32-bit heap offsets,
+    // 4096-byte max managed object → 7-byte heap ids, CHECKSUMMED
+    // direct blocks, 512-byte index nodes, compact→dense at 8)
+    val MaxCompact = 8
+    def isDense(g: String): Boolean = latest && childrenOf(g).size > MaxCompact
+    val HeapW = 4; val HeapStart = 512L; val HeapMaxDirect = 65536L
+    val HeapOffSize = 4; val HeapLenSize = 2
+    val HeapIdLen = 1 + HeapOffSize + HeapLenSize
+    val HeapDbHdr = 13 + HeapOffSize + 4 // checksummed direct blocks
+    val LinkBt2NodeSize = 512
+    val LinkBt2RecSize = 4 + HeapIdLen
+    def heapRowSize(r: Int): Long = if (r < 2) HeapStart else HeapStart << (r - 1)
+    // greedy packing of one dense group's link bodies into direct
+    // blocks (objects never cross a block boundary — the H5HF rule)
+    case class DensePlan(offsets: Seq[Long], blocks: Seq[(Int, Long, Long)],
+                         rootRows: Int, freeSpace: Long) {
+      // blocks: (row, heap offset, size), enumerated row-major — heap
+      // offsets are contiguous in that order by construction
+      def allocated: Long = blocks.map(_._3).sum
+      def fhibSize: Long =
+        if (rootRows == 0) 0L else 13L + HeapOffSize + rootRows.toLong * HeapW * 8 + 4
+      def heapSize: Long = 146L + fhibSize + allocated
+      def bt2Size: Long = 38L + 6 + offsets.size * LinkBt2RecSize + 4
+    }
+    def densePlan(g: String): DensePlan = {
+      val sizes = childrenOf(g).map { case (s, _) => linkBody(s, 0L).length }
+      require(sizes.size <= (LinkBt2NodeSize - 10) / LinkBt2RecSize,
+        s"dense fixture subset caps links at one index leaf, got ${sizes.size}")
+      var blocks = Vector.empty[(Int, Long, Long)]
+      var idx = -1
+      var cur = 0L; var curEnd = 0L; var free = 0L
+      def newBlock(): Unit = {
+        idx += 1
+        val row = idx / HeapW
+        require(heapRowSize(row) <= HeapMaxDirect,
+          "dense fixture outgrew the direct-block rows")
+        val off = blocks.lastOption.map(b => b._2 + b._3).getOrElse(0L)
+        blocks = blocks :+ ((row, off, heapRowSize(row)))
+        free += curEnd - cur
+        cur = off + HeapDbHdr
+        curEnd = off + heapRowSize(row)
+      }
+      newBlock()
+      val offsets = sizes.map { s =>
+        require(HeapDbHdr + s <= HeapStart, s"link message of $s bytes exceeds a direct block")
+        if (cur + s > curEnd) newBlock()
+        val at = cur; cur += s; at
+      }
+      free += curEnd - cur
+      DensePlan(offsets, blocks,
+        if (blocks.size == 1) 0 else blocks.last._1 + 1, free)
+    }
+    val denseOrder: Seq[String] = ("" +: groupPaths).filter(isDense)
+    val densePlans: Map[String, DensePlan] =
+      denseOrder.map(g => g -> densePlan(g)).toMap
+    def groupMsgs(g: String, addrs: Map[String, Long],
+                  dense: Map[String, (Long, Long)]): Seq[(Int, Array[Byte])] =
+      if (isDense(g)) {
+        val (fh, bt) = dense.getOrElse(g, (0L, 0L))
+        Seq((0x0002, linkInfoBodyAt(fh, bt)))
+      } else (0x0002, linkInfoBody) +: childrenOf(g).map { case (s, p) =>
         (0x0006, linkBody(s, addrs.getOrElse(p, 0L)))
-      })
-    // latest-format root: one hard-link message per root-level child
-    // (size is address-independent, so a placeholder measures it)
-    def rootV2(addrs: Map[String, Long]): Array[Byte] =
-      ohdrV2(childrenOf("").map { case (s, p) =>
+      }
+    def groupV2(g: String, addrs: Map[String, Long],
+                dense: Map[String, (Long, Long)]): Array[Byte] =
+      ohdrV2(groupMsgs(g, addrs, dense))
+    // latest-format root: hard-link messages per root-level child (or
+    // the dense link-info alone); sizes are address-independent, so a
+    // placeholder measures them
+    def rootV2(addrs: Map[String, Long],
+               dense: Map[String, (Long, Long)]): Array[Byte] =
+      if (isDense("")) ohdrV2(groupMsgs("", addrs, dense))
+      else ohdrV2(childrenOf("").map { case (s, p) =>
         (0x0006, linkBody(s, addrs.getOrElse(p, 0L)))
       })
     val rootOhdr =
-      if (latest) rootV2(Map.empty)
+      if (latest) rootV2(Map.empty, Map.empty)
       else ohdrBytes(Seq(msg(0x0011, new Array[Byte](16)))) // patched later
-    val groupSizes = groupPaths.map(g => groupV2(g, Map.empty).length.toLong)
+    val groupSizes = groupPaths.map(g => groupV2(g, Map.empty, Map.empty).length.toLong)
     val groupAts = groupSizes.scanLeft(rootOhdrAt + rootOhdr.length)(_ + _).init
-    val btreeAt = rootOhdrAt + rootOhdr.length + groupSizes.sum
+    val denseSizes = denseOrder.map(g =>
+      densePlans(g).heapSize + densePlans(g).bt2Size)
+    val denseAts = denseSizes
+      .scanLeft(rootOhdrAt + rootOhdr.length + groupSizes.sum)(_ + _).init
+    val denseAddrs: Map[String, (Long, Long)] =
+      denseOrder.zip(denseAts).map { case (g, at) =>
+        g -> ((at, at + densePlans(g).heapSize))
+      }.toMap
+    val btreeAt = rootOhdrAt + rootOhdr.length + groupSizes.sum + denseSizes.sum
     val btreeSize = if (latest) 0L else 24L + 8 + 16 // header + key0 + (child0, key1)
     val heapAt = btreeAt + btreeSize
     val heapHdrSize = if (latest) 0L else 32L
@@ -1857,10 +2160,93 @@ object NetCdf4 {
       val addrs = sorted.map(_.name).zip(ohdrAts).toMap ++
         groupPaths.zip(groupAts).toMap
       out.position(rootOhdrAt.toInt)
-      out.put(rootV2(addrs))
+      out.put(rootV2(addrs, denseAddrs))
       groupPaths.zip(groupAts).foreach { case (g, at) =>
         out.position(at.toInt)
-        out.put(groupV2(g, addrs))
+        out.put(groupV2(g, addrs, denseAddrs))
+      }
+      // dense groups: fractal heap (FRHP + FHIB/FHDBs with the link
+      // messages as managed objects) + name-index v2 B-tree
+      def denseBytes(g: String, plan: DensePlan, heapAt: Long): Array[Byte] = {
+        val ch = childrenOf(g)
+        val bodies = ch.map { case (s, p) => linkBody(s, addrs(p)) }
+        val o = ByteBuffer.allocate((plan.heapSize + plan.bt2Size).toInt)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        o.put("FRHP".getBytes(US_ASCII)).put(0.toByte)
+        o.putShort(HeapIdLen.toShort).putShort(0.toShort).put(0x2.toByte)
+        o.putInt(4096) // max managed object size
+        o.putLong(0L).putLong(Undef) // next huge id, huge-object bt2
+        o.putLong(plan.freeSpace).putLong(Undef) // free space, fs manager
+        o.putLong(plan.allocated).putLong(plan.allocated) // managed, allocated
+        o.putLong(plan.allocated) // direct block iterator offset
+        o.putLong(bodies.size.toLong) // managed object count
+        o.putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny stats
+        o.putShort(HeapW.toShort).putLong(HeapStart).putLong(HeapMaxDirect)
+        o.putShort(32.toShort) // max heap size (bits)
+        o.putShort(1.toShort)  // starting rows in a root indirect block
+        o.putLong(heapAt + 146) // root block address
+        o.putShort(plan.rootRows.toShort)
+        o.putInt(lookup3(o.array(), 0, 142))
+        val blocksFileAt = plan.blocks.scanLeft(146L + plan.fhibSize) {
+          case (at, (_, _, sz)) => at + sz
+        }.init
+        if (plan.rootRows > 0) {
+          o.position(146)
+          o.put("FHIB".getBytes(US_ASCII)).put(0.toByte).putLong(heapAt)
+          o.putInt(0) // root block heap offset
+          (0 until plan.rootRows * HeapW).foreach { k =>
+            o.putLong(if (k < plan.blocks.size) heapAt + blocksFileAt(k) else Undef)
+          }
+          o.putInt(lookup3(o.array(), 146, (plan.fhibSize - 4).toInt))
+        }
+        // direct blocks: objects land at (heap offset − block offset);
+        // the checksum covers the WHOLE block with its field zeroed
+        // (H5HF's rule), so compute over the zero placeholder
+        plan.blocks.zipWithIndex.foreach { case ((_, blkOff, sz), k) =>
+          val at = blocksFileAt(k).toInt
+          o.position(at)
+          o.put("FHDB".getBytes(US_ASCII)).put(0.toByte).putLong(heapAt)
+          o.putInt(blkOff.toInt).putInt(0)
+          bodies.zip(plan.offsets).foreach { case (body, off) =>
+            if (off >= blkOff && off < blkOff + sz) {
+              o.position(at + (off - blkOff).toInt); o.put(body)
+            }
+          }
+          val cs = lookup3(o.array(), at, sz.toInt)
+          o.position(at + 13 + HeapOffSize); o.putInt(cs)
+        }
+        // name index: BTHD + one BTLF of (lookup3 name hash, heap id)
+        // records in unsigned-hash order
+        val bthdAt = plan.heapSize.toInt
+        o.position(bthdAt)
+        o.put("BTHD".getBytes(US_ASCII)).put(0.toByte).put(5.toByte)
+        o.putInt(LinkBt2NodeSize)
+        o.putShort(LinkBt2RecSize.toShort).putShort(0.toShort)
+        o.put(100.toByte).put(40.toByte) // split/merge percents
+        o.putLong(heapAt + plan.heapSize + 38)
+        o.putShort(bodies.size.toShort)
+        o.putLong(bodies.size.toLong)
+        o.putInt(lookup3(o.array(), bthdAt, 34))
+        val lfAt = bthdAt + 38
+        o.position(lfAt)
+        o.put("BTLF".getBytes(US_ASCII)).put(0.toByte).put(5.toByte)
+        val recs = ch.lazyZip(bodies).lazyZip(plan.offsets).map { (c, body, off) =>
+          val nb = c._1.getBytes(US_ASCII)
+          (lookup3(nb, 0, nb.length) & 0xffffffffL, off, body.length)
+        }.toSeq.sortBy(_._1)
+        recs.foreach { case (hash, off, len) =>
+          o.putInt(hash.toInt)
+          o.put(0.toByte)         // managed heap id, version 0
+          o.putInt(off.toInt)     // 4-byte heap offset
+          o.putShort(len.toShort) // 2-byte length
+        }
+        o.putInt(lookup3(o.array(), lfAt, 6 + recs.size * LinkBt2RecSize))
+        o.array()
+      }
+      denseOrder.foreach { g =>
+        val at = denseAddrs(g)._1
+        out.position(at.toInt)
+        out.put(denseBytes(g, densePlans(g), at))
       }
     } else {
       // superblock v0

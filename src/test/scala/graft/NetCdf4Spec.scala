@@ -666,15 +666,16 @@ class NetCdf4Spec extends SparkSpec {
     fixOhdr(cyc, rootAt)
     assert(NetCdf4.probe(cyc).left.exists(_.contains("hard-link cycle")),
       NetCdf4.probe(cyc))
-    // dense: set group fc's link-info fractal-heap address (the first
-    // 8-byte undefined-address run in its header) to a real-looking one
+    // a garbage dense pointer: set group fc's link-info fractal-heap
+    // address (the first 8-byte undefined-address run in its header) to
+    // an out-of-stream value — the heap header bounds check must name it
     val dense = bytes.clone()
     val fheapAt = (fcAt until fcAt + 100).find(i =>
       (0 until 8).forall(j => dense(i + j) == -1)).get
     dense(fheapAt) = 0x30
     dense(fheapAt + 1) = 0x00
     fixOhdr(dense, fcAt)
-    assert(NetCdf4.probe(dense).left.exists(_.contains("dense (fractal-heap)")),
+    assert(NetCdf4.probe(dense).left.exists(_.contains("fractal heap header")),
       NetCdf4.probe(dense))
     // nesting depth: 9 group levels reject by name at level 9
     val deep = NetCdf4.write(Seq(
@@ -686,6 +687,47 @@ class NetCdf4Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException](NetCdf4.write(Seq(
       NetCdf4.WriteDs("a/b", Seq(1L), Array(1.0)))))
     assert(e.getMessage.contains("latest"), e.getMessage)
+  }
+
+  test("dense link storage: >8 links move into the fractal heap and read back (r18)") {
+    // 40 tiny root datasets → link bodies overflow one 512-byte direct
+    // block, so the heap grows a root FHIB over two FHDBs — the
+    // many-variable libver='latest' file shape past libhdf5's
+    // max_compact=8 phase change
+    val many = (0 until 40).map(i =>
+      NetCdf4.WriteDs(f"v$i%02d", Seq(1L), Array(i * 1.0)))
+    val bytes = NetCdf4.write(many, latest = true)
+    val f = NetCdf4.parse(bytes)
+    assert(f.datasets.size == 40)
+    (0 until 40).foreach { i =>
+      assert(NetCdf4.readValues(f, f.dataset(f"v$i%02d").get).toSeq == Seq(i * 1.0))
+    }
+    // 9 links: dense (past 8) but small enough for a single ROOT direct
+    // block (no indirect block at all — the other root shape)
+    val nine = (0 until 9).map(i =>
+      NetCdf4.WriteDs(s"w$i", Seq(1L), Array(i + 0.5)))
+    val f9 = NetCdf4.parse(NetCdf4.write(nine, latest = true))
+    assert(f9.datasets.size == 9)
+    assert(NetCdf4.readValues(f9, f9.dataset("w7").get).toSeq == Seq(7.5))
+    // a dense SUBGROUP under a compact root, next to a root-level coord
+    val grouped = (0 until 10).map(i =>
+      NetCdf4.WriteDs(s"g/v$i", Seq(1L), Array(i * 2.0))) :+
+      NetCdf4.WriteDs("time", Seq(1L), Array(0.0))
+    val fg = NetCdf4.parse(NetCdf4.write(grouped, latest = true))
+    assert(fg.datasets.map(_.name).count(_.startsWith("g/")) == 10)
+    assert(NetCdf4.readValues(fg, fg.dataset("g/v9").get).toSeq == Seq(18.0))
+    assert(NetCdf4.readValues(fg, fg.dataset("time").get).toSeq == Seq(0.0))
+    // flip one byte inside the first direct block's object region: the
+    // whole-block checksum (computed with its field zeroed — H5HF's
+    // rule) must trip with the named rejection
+    val corrupt = bytes.clone()
+    val db = corrupt.indices.find(i => i + 4 <= corrupt.length &&
+      corrupt(i) == 'F' && corrupt(i + 1) == 'H' &&
+      corrupt(i + 2) == 'D' && corrupt(i + 3) == 'B').get
+    corrupt(db + 25) = (corrupt(db + 25) ^ 0x01).toByte
+    assert(NetCdf4.probe(corrupt).left.exists(
+      _.contains("fractal heap direct block checksum mismatch")),
+      NetCdf4.probe(corrupt))
   }
 
   test("v4 paged data block addressed from the INDEX block rejects by name") {
