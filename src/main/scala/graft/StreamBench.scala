@@ -85,6 +85,7 @@ object StreamBench {
       ("gate_quality", nDocs, () => StreamOps.gateStream(docStream)),
       ("gate_ml_score", nDocs, () => StreamOps.mlScoreStream(docStream, weights)),
       ("gate_self_repeat", nDocs, () => StreamOps.selfRepeatStream(docStream)),
+      ("gate_ngram_rep", nDocs, () => StreamOps.ngramRepStream(docStream)),
       ("gate_bloom_dedup", nDocs, () => StreamOps.bloomGateStream(docStream, bloom)),
       ("gate_span", nDocs, () => StreamOps.spanGateStream(docStream, spanIdx)),
       ("gate_neardup_cand", nDocs,
