@@ -697,6 +697,9 @@ class NetCdf4Spec extends SparkSpec {
     val many = (0 until 40).map(i =>
       NetCdf4.WriteDs(f"v$i%02d", Seq(1L), Array(i * 1.0)))
     val bytes = NetCdf4.write(many, latest = true)
+    def hasSig(bs: Array[Byte], sig: String): Boolean = bs.indices.exists(i =>
+      i + 4 <= bs.length && sig.indices.forall(j => bs(i + j) == sig(j)))
+    assert(hasSig(bytes, "FHIB"), "40-link fixture must grow a root indirect block")
     val f = NetCdf4.parse(bytes)
     assert(f.datasets.size == 40)
     (0 until 40).foreach { i =>
@@ -706,7 +709,9 @@ class NetCdf4Spec extends SparkSpec {
     // block (no indirect block at all — the other root shape)
     val nine = (0 until 9).map(i =>
       NetCdf4.WriteDs(s"w$i", Seq(1L), Array(i + 0.5)))
-    val f9 = NetCdf4.parse(NetCdf4.write(nine, latest = true))
+    val nineBytes = NetCdf4.write(nine, latest = true)
+    assert(!hasSig(nineBytes, "FHIB"), "9-link fixture must stay a root direct block")
+    val f9 = NetCdf4.parse(nineBytes)
     assert(f9.datasets.size == 9)
     assert(NetCdf4.readValues(f9, f9.dataset("w7").get).toSeq == Seq(7.5))
     // a dense SUBGROUP under a compact root, next to a root-level coord
