@@ -117,9 +117,18 @@ object Materialize {
     }
   }
 
-  // shared-stage dirs keyed by (applicationId, caller key) — see [[shared]]
+  // shared-stage cells keyed by (applicationId, caller key) — see
+  // [[shared]]. The map holds lazy CELLS rather than results so
+  // computeIfAbsent only allocates (never runs a Spark job inside the
+  // map's bin lock — a build that itself called shared() would
+  // otherwise deadlock, and unrelated keys in one bin would serialize);
+  // forcing the cell's lazy val outside the map blocks only same-key
+  // callers, which is the wanted build-once semantics.
+  private final class SharedCell(build: () => String) {
+    lazy val dir: String = build()
+  }
   private val sharedStages =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), SharedCell]()
 
   /** A staged artifact shared ACROSS QUERIES within one session — the
     * standing-index deployment story (a dup-span shard index is refreshed
@@ -134,12 +143,19 @@ object Materialize {
     * per consumer (broadcast vs shuffle hints still apply). Dirs ride the
     * same ApplicationEnd/exit cleanup as the parquet [[stage]] strategy;
     * a fresh session (new applicationId) rebuilds, so the bench's
-    * isolated fresh-session pass still measures the full build. */
+    * isolated fresh-session pass still measures the full build.
+    *
+    * The key OWNS the artifact for the session's lifetime: the build is
+    * a SNAPSHOT, and mutating the underlying source files mid-session
+    * keeps serving the standing index built before the mutation —
+    * exactly a deployment's refresh cadence (an index refresh is a new
+    * job/session, not an implicit re-read). A caller that needs
+    * per-query freshness wants [[stage]], not this. */
   def shared(spark: org.apache.spark.sql.SparkSession, key: String)
             (build: => DataFrame): DataFrame = {
     val sc = spark.sparkContext
     val appId = sc.applicationId
-    val dir = sharedStages.computeIfAbsent((appId, key), _ => {
+    val cell = sharedStages.computeIfAbsent((appId, key), _ => new SharedCell(() => {
       val base = spark.conf.get("graft.materialize.dir",
         sys.props("java.io.tmpdir"))
       val d = s"$base/graft_shared_${java.util.UUID.randomUUID}"
@@ -157,8 +173,8 @@ object Materialize {
         })
       build.write.parquet(d)
       d
-    })
-    spark.read.parquet(dir)
+    }))
+    spark.read.parquet(cell.dir)
   }
 
   /** `df.staged` — [[stage]] as a chainable suffix, so call sites read

@@ -202,10 +202,11 @@ object NetCdf4 {
     * header carrying link/link-info/group-info messages — recurses with
     * its name as a path prefix, so a grouped product's variable reads
     * as `"grp/var"` (xarray's `group=` addressing, minus the leading
-    * slash; root-level names are unchanged). Hard-link cycles and
-    * nesting beyond depth 8 reject by name, as do DENSE (fractal-heap)
-    * link groups — [[parseLinkInfo]] keeps those from masquerading as
-    * empty groups. */
+    * slash; root-level names are unchanged). Children come from the
+    * symbol table, the DENSE fractal-heap store ([[readDenseLinks]] —
+    * [[parseLinkInfo]] routes there, so a dense group never reads as
+    * empty), or the compact link messages. Hard-link cycles and nesting
+    * beyond depth 8 reject by name. */
   private def collectDatasets(b: Buf, links: Seq[(String, Long)],
       prefix: String, visited: Set[Long], depth: Int): Seq[H5Dataset] =
     links.flatMap { case (short, addr) =>
@@ -870,38 +871,6 @@ object NetCdf4 {
           s"v2-B-tree record size $recSize != ${8 + rank * 8} for rank-$rank unfiltered chunks")
         else require(szLen >= 1 && szLen <= 8,
           s"v2-B-tree record size $recSize out of range for rank-$rank filtered chunks")
-        // Node capacities per depth (H5B2hdr geometry): a leaf holds
-        // (nodeSize − 10)/recSize records (10 = sig+ver+type+checksum);
-        // an internal node at depth d interleaves records with child
-        // pointers of width 8 (address) + encSize(leaf max) (child
-        // record count — the header-level width, sized off the LEAF max
-        // because it is the largest) + encSize(cumulative max at d−1)
-        // when d > 1 (child-subtree total record count).
-        def encSize(v: Long): Int =
-          (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))) / 8 + 1
-        val leafMax = (nodeSize - 10) / recSize
-        require(leafMax >= 1,
-          s"v2-B-tree node size $nodeSize cannot hold one $recSize-byte record")
-        require(depth <= 16,
-          s"v2-B-tree depth $depth implausible for a chunk index")
-        val maxNrecSize = encSize(leafMax)
-        val maxN = new Array[Long](depth + 1)
-        val cum = new Array[Long](depth + 1)
-        val cumSize = new Array[Int](depth + 1)
-        maxN(0) = leafMax; cum(0) = leafMax; cumSize(0) = 0
-        var d0 = 1
-        while (d0 <= depth) {
-          val ptr = 8 + maxNrecSize + (if (d0 > 1) cumSize(d0 - 1) else 0)
-          maxN(d0) = (nodeSize - (10 + ptr)) / (recSize + ptr)
-          require(maxN(d0) >= 1,
-            s"v2-B-tree node size $nodeSize cannot hold an internal record at depth $d0")
-          cum(d0) = (maxN(d0) + 1) * cum(d0 - 1) + maxN(d0)
-          cumSize(d0) = encSize(cum(d0))
-          d0 += 1
-        }
-        require(totNrec <= cum(depth),
-          s"v2-B-tree total records $totNrec beyond the depth-$depth capacity ${cum(depth)}")
-        if (rootAddr == Undef || rootNrec == 0) return out
         def record(rAt: Int): Unit = {
           val addr = b.u64(rAt)
           val (size, mask, scaledAt) =
@@ -930,48 +899,92 @@ object NetCdf4 {
             }
           }
         }
-        var seen = 0L
-        def walk(addr: Long, nrec: Int, d: Int): Unit = {
-          require(nrec <= maxN(d),
-            s"v2-B-tree node holds $nrec records, beyond the depth-$d max ${maxN(d)}")
-          seen += nrec
-          if (d == 0) {
-            val lfSize = 6L + nrec.toLong * recSize + 4
-            val lAt = checkedAt(addr, lfSize, b.bytes.length, "v2-B-tree leaf")
-            require(b.ascii(lAt, 4) == "BTLF", "bad v2-B-tree leaf signature")
-            require(b.u8(lAt + 4) == 0 && b.u8(lAt + 5) == recType,
-              "v2-B-tree leaf version/type mismatch")
-            checkLookup3(b, lAt, (lfSize - 4).toInt, "v2-B-tree leaf")
-            var r = 0
-            while (r < nrec) { record(lAt + 6 + r * recSize); r += 1 }
-          } else {
-            val ptrSz = 8 + maxNrecSize + (if (d > 1) cumSize(d - 1) else 0)
-            val inSize = 6L + nrec.toLong * recSize + (nrec + 1).toLong * ptrSz + 4
-            val iAt = checkedAt(addr, inSize, b.bytes.length, "v2-B-tree internal node")
-            require(b.ascii(iAt, 4) == "BTIN", "bad v2-B-tree internal node signature")
-            require(b.u8(iAt + 4) == 0 && b.u8(iAt + 5) == recType,
-              "v2-B-tree internal node version/type mismatch")
-            checkLookup3(b, iAt, (inSize - 4).toInt, "v2-B-tree internal node")
-            var r = 0
-            while (r < nrec) { record(iAt + 6 + r * recSize); r += 1 }
-            val ptrsAt = iAt + 6 + nrec * recSize
-            var c = 0
-            while (c <= nrec) {
-              val pAt = ptrsAt + c * ptrSz
-              val cAddr = b.u64(pAt)
-              val cNrec = b.uvar(pAt + 8, maxNrecSize)
-              require(cAddr != Undef,
-                "v2-B-tree internal node has an unallocated child pointer")
-              walk(cAddr, cNrec.toInt, d - 1)
-              c += 1
-            }
-          }
-        }
-        walk(rootAddr, rootNrec, depth)
-        require(seen == totNrec,
-          s"v2-B-tree visited $seen records, header declares $totNrec")
+        walkBt2(b, recType, nodeSize, recSize, depth, rootAddr, rootNrec,
+          totNrec, "v2-B-tree")(record)
     }
     out
+  }
+
+  /** Shared v2-B-tree traversal — the H5B2hdr node geometry derived
+    * from the declared node size: a leaf holds (nodeSize − 10)/recSize
+    * records (10 = sig+ver+type+checksum); an internal node at depth d
+    * interleaves records with child pointers of width 8 (address) +
+    * encSize(leaf max) (child record count — the header-level width,
+    * sized off the LEAF max because it is the largest) +
+    * encSize(cumulative max at d−1) when d > 1 (child-subtree total
+    * record count). Walks BTIN internal nodes and BTLF leaves at any
+    * depth, verifying signatures, types, checksums, per-node record
+    * bounds, and that the visited total equals the header's count (so
+    * an empty/undefined root with a nonzero declared total rejects
+    * instead of silently yielding nothing). Used by BOTH the chunk
+    * index ([[readChunked4]] case 5) and the dense-link name index
+    * ([[readDenseLinks]]); `label` prefixes every rejection. */
+  private def walkBt2(b: Buf, recType: Int, nodeSize: Long, recSize: Int,
+      depth: Int, rootAddr: Long, rootNrec: Int, totNrec: Long,
+      label: String)(onRecord: Int => Unit): Unit = {
+    def encSize(v: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))) / 8 + 1
+    val leafMax = (nodeSize - 10) / recSize
+    require(leafMax >= 1,
+      s"$label node size $nodeSize cannot hold one $recSize-byte record")
+    require(depth <= 16, s"$label depth $depth implausible")
+    val maxNrecSize = encSize(leafMax)
+    val maxN = new Array[Long](depth + 1)
+    val cumSize = new Array[Int](depth + 1)
+    maxN(0) = leafMax
+    var cum = leafMax
+    cumSize(0) = 0
+    var d0 = 1
+    while (d0 <= depth) {
+      val ptr = 8 + maxNrecSize + (if (d0 > 1) cumSize(d0 - 1) else 0)
+      maxN(d0) = (nodeSize - (10 + ptr)) / (recSize + ptr)
+      require(maxN(d0) >= 1,
+        s"$label node size $nodeSize cannot hold an internal record at depth $d0")
+      cum = (maxN(d0) + 1) * cum + maxN(d0)
+      cumSize(d0) = encSize(cum)
+      d0 += 1
+    }
+    require(totNrec <= cum,
+      s"$label total records $totNrec beyond the depth-$depth capacity $cum")
+    var seen = 0L
+    def walk(addr: Long, nrec: Int, d: Int): Unit = {
+      require(nrec <= maxN(d),
+        s"$label node holds $nrec records, beyond the depth-$d max ${maxN(d)}")
+      seen += nrec
+      if (d == 0) {
+        val lfSize = 6L + nrec.toLong * recSize + 4
+        val lAt = checkedAt(addr, lfSize, b.bytes.length, s"$label leaf")
+        require(b.ascii(lAt, 4) == "BTLF", s"bad $label leaf signature")
+        require(b.u8(lAt + 4) == 0 && b.u8(lAt + 5) == recType,
+          s"$label leaf version/type mismatch")
+        checkLookup3(b, lAt, (lfSize - 4).toInt, s"$label leaf")
+        var r = 0
+        while (r < nrec) { onRecord(lAt + 6 + r * recSize); r += 1 }
+      } else {
+        val ptrSz = 8 + maxNrecSize + (if (d > 1) cumSize(d - 1) else 0)
+        val inSize = 6L + nrec.toLong * recSize + (nrec + 1).toLong * ptrSz + 4
+        val iAt = checkedAt(addr, inSize, b.bytes.length, s"$label internal node")
+        require(b.ascii(iAt, 4) == "BTIN", s"bad $label internal node signature")
+        require(b.u8(iAt + 4) == 0 && b.u8(iAt + 5) == recType,
+          s"$label internal node version/type mismatch")
+        checkLookup3(b, iAt, (inSize - 4).toInt, s"$label internal node")
+        var r = 0
+        while (r < nrec) { onRecord(iAt + 6 + r * recSize); r += 1 }
+        val ptrsAt = iAt + 6 + nrec * recSize
+        var c = 0
+        while (c <= nrec) {
+          val pAt = ptrsAt + c * ptrSz
+          val cAddr = b.u64(pAt)
+          require(cAddr != Undef,
+            s"$label internal node has an unallocated child pointer")
+          walk(cAddr, b.uvar(pAt + 8, maxNrecSize).toInt, d - 1)
+          c += 1
+        }
+      }
+    }
+    if (rootAddr != Undef && rootNrec > 0) walk(rootAddr, rootNrec, depth)
+    require(seen == totNrec,
+      s"$label visited $seen records, header declares $totNrec")
   }
 
   /** Extensible-array geometry (public HDF5 format spec / the H5EA
@@ -1629,30 +1642,9 @@ object NetCdf4 {
       s"link-index record size $recSize != 4 + heap id length $heapIdLen")
     require(totNrec == nManaged,
       s"link index holds $totNrec records but the heap declares $nManaged objects")
-    def encSize(v: Long): Int =
-      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))) / 8 + 1
-    val leafMax = (nodeSize - 10) / recSize
-    require(leafMax >= 1,
-      s"link-index node size $nodeSize cannot hold one $recSize-byte record")
-    require(depth <= 16, s"link-index depth $depth implausible")
-    val maxNrecSize = encSize(leafMax)
-    val maxN = new Array[Long](depth + 1)
-    val cumSize = new Array[Int](depth + 1)
-    maxN(0) = leafMax
-    var cum = leafMax
-    cumSize(0) = 0
-    var d0 = 1
-    while (d0 <= depth) {
-      val ptr = 8 + maxNrecSize + (if (d0 > 1) cumSize(d0 - 1) else 0)
-      maxN(d0) = (nodeSize - (10 + ptr)) / (recSize + ptr)
-      require(maxN(d0) >= 1,
-        s"link-index node size $nodeSize cannot hold an internal record at depth $d0")
-      cum = (maxN(d0) + 1) * cum + maxN(d0)
-      cumSize(d0) = encSize(cum)
-      d0 += 1
-    }
     val out = Seq.newBuilder[(String, Long)]
-    def record(rAt: Int): Unit = {
+    walkBt2(b, recType, nodeSize, recSize, depth, rootNode, rootNrec,
+      totNrec, "link-index") { rAt =>
       // 4-byte name hash (unused for enumeration), then the heap ID:
       // flag byte (version 0, type 0 = managed), offset, length
       val fl = b.u8(rAt + 4)
@@ -1661,46 +1653,8 @@ object NetCdf4 {
       val off = b.uvar(rAt + 5, offSize)
       val len = b.uvar(rAt + 5 + offSize, lenSize)
       out += parseLinkMsg(b, objectAt(off, len))
+      ()
     }
-    var seen = 0L
-    def walk(addr: Long, nrec: Int, d: Int): Unit = {
-      require(nrec <= maxN(d),
-        s"link-index node holds $nrec records, beyond the depth-$d max ${maxN(d)}")
-      seen += nrec
-      if (d == 0) {
-        val lfSize = 6L + nrec.toLong * recSize + 4
-        val lAt = checkedAt(addr, lfSize, b.bytes.length, "link-index leaf")
-        require(b.ascii(lAt, 4) == "BTLF", "bad link-index leaf signature")
-        require(b.u8(lAt + 4) == 0 && b.u8(lAt + 5) == recType,
-          "link-index leaf version/type mismatch")
-        checkLookup3(b, lAt, (lfSize - 4).toInt, "link-index leaf")
-        var r = 0
-        while (r < nrec) { record(lAt + 6 + r * recSize); r += 1 }
-      } else {
-        val ptrSz = 8 + maxNrecSize + (if (d > 1) cumSize(d - 1) else 0)
-        val inSize = 6L + nrec.toLong * recSize + (nrec + 1).toLong * ptrSz + 4
-        val iAt = checkedAt(addr, inSize, b.bytes.length, "link-index internal node")
-        require(b.ascii(iAt, 4) == "BTIN", "bad link-index internal node signature")
-        require(b.u8(iAt + 4) == 0 && b.u8(iAt + 5) == recType,
-          "link-index internal node version/type mismatch")
-        checkLookup3(b, iAt, (inSize - 4).toInt, "link-index internal node")
-        var r = 0
-        while (r < nrec) { record(iAt + 6 + r * recSize); r += 1 }
-        val ptrsAt = iAt + 6 + nrec * recSize
-        var c = 0
-        while (c <= nrec) {
-          val pAt = ptrsAt + c * ptrSz
-          val cAddr = b.u64(pAt)
-          require(cAddr != Undef,
-            "link-index internal node has an unallocated child pointer")
-          walk(cAddr, b.uvar(pAt + 8, maxNrecSize).toInt, d - 1)
-          c += 1
-        }
-      }
-    }
-    if (rootNode != Undef && rootNrec > 0) walk(rootNode, rootNrec, depth)
-    require(seen == totNrec,
-      s"link index visited $seen records, header declares $totNrec")
     out.result().sortBy(_._1)
   }
 
@@ -2311,7 +2265,7 @@ object NetCdf4 {
               blobs.zip(childAts).foreach { case ((_, blob), a) =>
                 out.position(a.toInt); out.put(blob)
               }
-            case 5 => // v2 B-tree: BTHD + one BTLF leaf, blobs after
+            case 5 => // v2 B-tree: BTHD + BTIN/BTLF node tree, blobs after
               var cAt = dAt + bt2Size(d.shape.size, d.filters.nonEmpty, blobs.size)
               val childAts = blobs.map { case (_, blob) =>
                 val a = cAt; cAt += align8(blob.length.toLong); a

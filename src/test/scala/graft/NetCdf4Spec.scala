@@ -446,6 +446,18 @@ class NetCdf4Spec extends SparkSpec {
       NetCdf4.readValues(df, df.dataset("temp").get))
     assert(e.getMessage.contains("bad v2-B-tree internal node signature"),
       e.getMessage)
+    // an empty root under a nonzero declared total must reject, never
+    // silently yield an all-fill cube (review r18): zero the root's
+    // record count, re-checksum the BTHD
+    val empt = one.clone()
+    empt(hd + 24) = 0; empt(hd + 25) = 0
+    java.nio.ByteBuffer.wrap(empt, hd + 34, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(NetCdf4.lookup3(empt, hd, 34))
+    val ef = NetCdf4.parse(empt)
+    val e2 = intercept[IllegalArgumentException](
+      NetCdf4.readValues(ef, ef.dataset("temp").get))
+    assert(e2.getMessage.contains("visited 0 records"), e2.getMessage)
   }
 
   test("v4 v2-B-tree MULTI-LEVEL index round-trips (BTIN traversal, VERDICT r17 #4)") {
