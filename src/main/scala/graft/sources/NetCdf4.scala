@@ -1754,6 +1754,11 @@ object NetCdf4 {
   private val XNames = Set("x", "lon", "longitude")
   private val YNames = Set("y", "lat", "latitude")
   private def coordNames = TimeNames ++ XNames ++ YNames
+  // nested-group names are path-prefixed ("fc/temp") — CF-name matching
+  // goes by the LEAF segment, so a grouped cube's variables and
+  // coordinates resolve exactly like a flat one's
+  private def leafName(n: String): String =
+    n.substring(n.lastIndexOf('/') + 1).toLowerCase
 
   /** Decode staged NetCDF-4 cube bytes to the pipeline's long format —
     * schema- and semantics-identical to [[NetCdf.decodeCube]] (shared
@@ -1767,9 +1772,11 @@ object NetCdf4 {
       bytes: Array[Byte]): DataFrame = {
     val f = parse(bytes)
     val gridded = f.datasets.filter(d =>
-      !coordNames.contains(d.name.toLowerCase) && d.shape.size >= 2)
+      !coordNames.contains(leafName(d.name)) && d.shape.size >= 2)
     require(gridded.nonEmpty, "no gridded data variable in NetCDF-4 stream")
-    gridded.find(_.name.equalsIgnoreCase(parameter)).foreach { v =>
+    def isParam(v: H5Dataset): Boolean =
+      v.name.equalsIgnoreCase(parameter) || leafName(v.name) == parameter.toLowerCase
+    gridded.find(isParam).foreach { v =>
       require(v.shape.size <= 3,
         s"variable '$parameter' has rank ${v.shape.size}; decodeCube " +
           "supports rank 2 (y,x) and rank 3 (time,y,x)")
@@ -1779,13 +1786,20 @@ object NetCdf4 {
       s"only rank-${gridded.map(_.shape.size).max} data variables " +
         "present; decodeCube supports rank 2 (y,x) and rank 3 (time,y,x)")
     val data = candidates
-      .sortBy(v => (if (v.name.equalsIgnoreCase(parameter)) 0 else 1, -v.shape.size))
+      .sortBy(v => (if (isParam(v)) 0 else 1, -v.shape.size))
       .head
     val rank = data.shape.size
     val shape = data.shape.map(_.toInt)
 
+    // coordinates resolve inside the data variable's own group first
+    // (xarray's group= shape: coords live with their variables), then
+    // fall back to any group — root-level shared coords included
+    val groupPrefix = data.name.substring(0, data.name.lastIndexOf('/') + 1)
     def coord(names: Set[String]): Option[H5Dataset] =
-      f.datasets.find(d => d.shape.size == 1 && names.contains(d.name.toLowerCase))
+      f.datasets.find(d => d.shape.size == 1 &&
+          d.name.startsWith(groupPrefix) && names.contains(leafName(d.name)))
+        .orElse(f.datasets.find(d =>
+          d.shape.size == 1 && names.contains(leafName(d.name))))
     val timeDs = if (rank == 3) coord(TimeNames) else None
     val yDs = coord(YNames)
     val xDs = coord(XNames)

@@ -979,6 +979,34 @@ class NetCdf4Spec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("fetch boundary: GROUPED cube (variable + coords in a subgroup) ingests (r18)") {
+    // the xarray group= product shape: the forecast lives under /fc with
+    // its own coordinates; leaf-name CF matching must resolve the axes
+    // and the EDR parameter name addresses the leaf
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc4grp")
+    val out = tmp.resolve("out").toString
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("fc/time", Seq(3L), Array(0.0, 3600.0, 7200.0),
+        attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00")),
+      NetCdf4.WriteDs("fc/y", Seq(2L), Array(55.0, 56.0)),
+      NetCdf4.WriteDs("fc/x", Seq(2L), Array(11.0, 12.0)),
+      NetCdf4.WriteDs("fc/wind-speed", Seq(3L, 2L, 2L),
+        Array.tabulate(12)(i => i * 1.5),
+        chunk = Some(Seq(1, 2, 2)), filters = Seq(2, 1))),
+      latest = true)
+    assert(Fetch.containerGuard(bytes).isEmpty)
+    val fixture = tmp.resolve("cube.nc4")
+    java.nio.file.Files.write(fixture, bytes)
+    val cfg = IngestConfig(bbox = (10.0, 54.0, 14.0, 57.0),
+      parameters = Seq("wind-speed"))
+    val (mf, o) = Fetch.fetchAndIngest(spark, cfg,
+      Seq("wind-speed" -> fixture.toUri.toString), out)
+    assert(o.forall(_.ok), o.mkString(";"))
+    assert(mf.nonEmpty)
+    assert(spark.read.parquet(out).count() == 12)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("fetch boundary: multi-level v2-B-tree cube passes the guard and ingests (VERDICT r17 #4)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_nc4bt2")
     val out = tmp.resolve("out").toString
