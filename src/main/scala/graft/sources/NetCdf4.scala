@@ -58,11 +58,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads under its path ("grp/var", xarray's group addressing minus
   * the leading slash), for both v1 symbol-table and latest-format
   * link-message groups, with named rejections for hard-link cycles
-  * and nesting beyond depth 8. DENSE LINK STORAGE is read too (r18):
-  * past max_compact (default 8) links a latest-format group's link
-  * messages live as managed objects in a fractal heap enumerated via
-  * the name-index v2 B-tree — the many-variable `libver='latest'`
-  * file shape ([[readDenseLinks]]).
+  * and nesting beyond depth 8. DENSE storage is read too (r18): past
+  * max_compact (default 8) a latest-format group's LINKS and an
+  * object's ATTRIBUTES live as managed objects in fractal heaps
+  * enumerated via name-index v2 B-trees — the many-variable and
+  * many-attribute `libver='latest'` shapes ([[readDenseLinks]],
+  * [[readDenseAttrs]]; the latter guards the silent-CF-attribute-loss
+  * failure mode, not just a skip).
   * Filters beyond deflate/shuffle/fletcher32 (szip, nbit, scaleoffset,
   * …), extensible arrays whose unlimited maxdim is not the
   * slowest-varying, paged extensible-array data blocks addressed from
@@ -231,7 +233,11 @@ object NetCdf4 {
   /** One dataset from its walked header: dataspace/datatype/layout
     * validation, the edge-decode budget, and the per-layout rejections. */
   private def datasetOf(b: Buf, name: String, h: Header): H5Dataset = {
-    val bytes = b.bytes;
+    val bytes = b.bytes
+    // compact attribute messages + any DENSE-stored ones (the >8-attr
+    // latest-format shape — see readDenseAttrs)
+    val attrs = h.attrs ++ h.denseAttrs
+      .map { case (fh, bt) => readDenseAttrs(b, fh, bt) }.getOrElse(Nil);
     {
       val (shape, maxDims) = h.dataspace.getOrElse(
         throw new IllegalArgumentException(s"dataset '$name' has no dataspace"))
@@ -259,18 +265,18 @@ object NetCdf4 {
         throw new IllegalArgumentException(s"dataset '$name' has no data layout"))
       layout match {
         case LayoutCompact(inline) =>
-          H5Dataset(name, shape, dt, Undef, inline.length.toLong, Some(inline), h.attrs)
+          H5Dataset(name, shape, dt, Undef, inline.length.toLong, Some(inline), attrs)
         case LayoutContiguous(addr, size) =>
           if (addr != Undef) {
             checkedAt(addr, size, bytes.length, s"dataset '$name' data")
             require(size == nElems * dt.size,
               s"dataset '$name' size $size != ${nElems}x${dt.size} elements")
           }
-          H5Dataset(name, shape, dt, addr, size, None, h.attrs)
+          H5Dataset(name, shape, dt, addr, size, None, attrs)
         case LayoutChunked(btree, dims) =>
           validateChunkDims(name, shape, dt, dims, h.filters)
           if (btree != Undef) checkedAt(btree, 24, bytes.length, s"dataset '$name' chunk btree")
-          H5Dataset(name, shape, dt, Undef, 0L, None, h.attrs,
+          H5Dataset(name, shape, dt, Undef, 0L, None, attrs,
             chunk = Some((btree, dims)), filters = h.filters)
         case LayoutChunked4(c4) =>
           validateChunkDims(name, shape, dt, c4.dims, h.filters)
@@ -295,7 +301,7 @@ object NetCdf4 {
             val minBytes = if (c4.idxType == 3) 28L else 1L
             checkedAt(c4.addr, minBytes, bytes.length, s"dataset '$name' chunk index")
           }
-          H5Dataset(name, shape, dt, Undef, 0L, None, h.attrs,
+          H5Dataset(name, shape, dt, Undef, 0L, None, attrs,
             filters = h.filters, chunk4 = Some(c4))
       }
     }
@@ -1126,7 +1132,8 @@ object NetCdf4 {
       filters: Seq[H5Filter],
       links: Seq[(String, Long)] = Nil,
       groupish: Boolean = false,
-      dense: Option[(Long, Long)] = None)
+      dense: Option[(Long, Long)] = None,
+      denseAttrs: Option[(Long, Long)] = None)
 
   private def readHeader(b: Buf, addr: Long): Header = {
     val base = checkedAt(addr, 16, b.bytes.length, "object header")
@@ -1148,6 +1155,7 @@ object NetCdf4 {
     var filters: Seq[H5Filter] = Nil
     var groupish = false
     var dense: Option[(Long, Long)] = None
+    var denseAttrs: Option[(Long, Long)] = None
     val attrs = Seq.newBuilder[H5Attr]
     val links = Seq.newBuilder[(String, Long)]
     var p = base + 16 // 12-byte v1 prefix + 4 alignment pad
@@ -1171,13 +1179,14 @@ object NetCdf4 {
         case 0x0010 => // continuation block
           next = checkedAt(b.u64(body), 8, b.bytes.length, "header continuation")
         case 0x0011 => stab = Some((b.u64(body), b.u64(body + 8)))
+        case 0x0015 => denseAttrs = parseAttrInfo(b, body).orElse(denseAttrs)
         case _ => () // NIL, fill value, mtime, _NCProperties carriers, …
       }
       p = next
       seen += 1
     }
     Header(dataspace, datatype, layout, attrs.result(), stab, filters,
-      links.result(), groupish, dense)
+      links.result(), groupish, dense, denseAttrs)
   }
 
   /** Version-2 ("latest format") object header: OHDR prefix, 1-byte
@@ -1212,6 +1221,7 @@ object NetCdf4 {
     var filters: Seq[H5Filter] = Nil
     var groupish = false
     var dense: Option[(Long, Long)] = None
+    var denseAttrs: Option[(Long, Long)] = None
     val attrs = Seq.newBuilder[H5Attr]
     val links = Seq.newBuilder[(String, Long)]
     // chunk 0 + any continuation (OCHK) regions, walked in order
@@ -1238,6 +1248,7 @@ object NetCdf4 {
           case 0x0A => groupish = true // group info
           case 0x0B => filters = parseFilters(b, body)
           case 0x0C => parseAttr(b, body).foreach(attrs += _)
+          case 0x15 => denseAttrs = parseAttrInfo(b, body).orElse(denseAttrs)
           case 0x10 =>
             val cAddr = b.u64(body)
             val cLen = b.u64(body + 8)
@@ -1253,7 +1264,7 @@ object NetCdf4 {
       }
     }
     Header(dataspace, datatype, layout, attrs.result(), None, filters,
-      links.result(), groupish, dense)
+      links.result(), groupish, dense, denseAttrs)
   }
 
   /** Link Info message (0x0002): the new-style group's link-storage
@@ -1267,6 +1278,22 @@ object NetCdf4 {
     require(ver == 0, s"link info version $ver unsupported")
     val fl = b.u8(p0 + 1)
     val fheapAt = p0 + 2 + (if ((fl & 1) != 0) 8 else 0)
+    val fheap = b.u64(fheapAt)
+    if (fheap == Undef) None else Some((fheap, b.u64(fheapAt + 8)))
+  }
+
+  /** Attribute Info message (0x0015): dense attribute storage pointers
+    * — (fractal heap address, name-index v2 B-tree address) when the
+    * heap is allocated (attributes moved dense past max_compact), None
+    * while attributes are still compact 0x000C messages. netCDF-4
+    * tracks attribute creation order by default, so the message is
+    * routinely present with undefined pointers; the max-creation-index
+    * field, when tracked, is 2 bytes (unlike link info's 8). */
+  private def parseAttrInfo(b: Buf, p0: Int): Option[(Long, Long)] = {
+    val ver = b.u8(p0)
+    require(ver == 0, s"attribute info version $ver unsupported")
+    val fl = b.u8(p0 + 1)
+    val fheapAt = p0 + 2 + (if ((fl & 1) != 0) 2 else 0)
     val fheap = b.u64(fheapAt)
     if (fheap == Undef) None else Some((fheap, b.u64(fheapAt + 8)))
   }
@@ -1501,34 +1528,31 @@ object NetCdf4 {
     walk(btreeAddr)
   }
 
-  /** DENSE link storage (r18): the layout libhdf5 switches a
-    * latest-format group to past max_compact (default 8) links — each
-    * link message becomes a managed object in a FRACTAL HEAP (FRHP
-    * header; FHDB direct blocks, optionally under one FHIB root
-    * indirect block), enumerated through the name-index v2 B-tree
-    * (record type 5: 4-byte lookup3 name hash + managed heap ID).
-    * This is the many-variable `libver='latest'` file shape. The
-    * subset reads UNFILTERED heaps with managed objects in DIRECT
-    * blocks: huge/tiny objects, filtered heaps, and indirect child
-    * rows reject by name (a link message is ~40 bytes — far below the
+  /** FRACTAL HEAP reader (FRHP header; FHDB direct blocks, optionally
+    * under one FHIB root indirect block) — the managed-object store
+    * behind BOTH dense link storage ([[readDenseLinks]]) and dense
+    * attribute storage ([[readDenseAttrs]]). The subset reads
+    * UNFILTERED heaps with managed objects in DIRECT blocks: huge/tiny
+    * objects, filtered heaps, and indirect child rows reject by name
+    * (a link or attribute message is tens of bytes — far below the
     * huge threshold — and the default doubling table's direct rows
-    * cover ~526 KB ≈ 10⁴ links). Every structure is signature- and
+    * cover ~526 KB ≈ 10⁴ objects). Every structure is signature- and
     * checksum-verified like the chunk indexes; FHDB checksums cover
     * the whole block with the checksum field zeroed (H5HF's rule,
     * unlike the trailing-field convention everywhere else). */
-  private def readDenseLinks(b: Buf, fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+  private final class FHeap(b: Buf, fheapAddr: Long) {
     // --- fractal heap header (FRHP), public spec layout ---
-    val hAt = checkedAt(fheapAddr, 146, b.bytes.length, "fractal heap header")
+    private val hAt = checkedAt(fheapAddr, 146, b.bytes.length, "fractal heap header")
     require(b.ascii(hAt, 4) == "FRHP", "bad fractal heap header signature")
     require(b.u8(hAt + 4) == 0,
       s"fractal heap version ${b.u8(hAt + 4)} unsupported")
-    val heapIdLen = b.u16(hAt + 5)
+    val heapIdLen: Int = b.u16(hAt + 5)
     require(b.u16(hAt + 7) == 0, "filtered fractal heap unsupported")
-    val flags = b.u8(hAt + 9)
-    val allocated = b.u64(hAt + 54)
-    val nManaged = b.u64(hAt + 70)
+    private val flags = b.u8(hAt + 9)
+    private val allocated = b.u64(hAt + 54)
+    val nManaged: Long = b.u64(hAt + 70)
     require(b.u64(hAt + 86) == 0 && b.u64(hAt + 102) == 0,
-      "fractal heap huge/tiny objects unsupported (subset reads managed link messages)")
+      "fractal heap huge/tiny objects unsupported (subset reads managed objects)")
     val width = b.u16(hAt + 110)
     val startBlk = b.u64(hAt + 112)
     val maxDirect = b.u64(hAt + 120)
@@ -1543,8 +1567,8 @@ object NetCdf4 {
       s"fractal heap block sizes $startBlk/$maxDirect out of subset range")
     require(maxHeapBits >= 1 && maxHeapBits <= 64,
       s"fractal heap max-size bits $maxHeapBits out of range")
-    val offSize = (maxHeapBits + 7) / 8
-    val lenSize = heapIdLen - 1 - offSize
+    val offSize: Int = (maxHeapBits + 7) / 8
+    val lenSize: Int = heapIdLen - 1 - offSize
     require(lenSize >= 1 && lenSize <= 8,
       s"fractal heap id length $heapIdLen inconsistent with $maxHeapBits-bit offsets")
     val chksumDblocks = (flags & 0x2) != 0
@@ -1623,39 +1647,81 @@ object NetCdf4 {
         directBlock(row, col, blockOff, rowSize(row)) + within.toInt
       }
     }
-    // --- name-index v2 B-tree (record type 5), same H5B2hdr geometry
-    // as the chunk-index walk in readChunked4 case 5 ---
-    val tAt = checkedAt(btreeAddr, 38, b.bytes.length, "link-index v2-B-tree header")
-    require(b.ascii(tAt, 4) == "BTHD", "bad link-index v2-B-tree header signature")
-    require(b.u8(tAt + 4) == 0, "link-index v2-B-tree version unsupported")
-    val recType = b.u8(tAt + 5)
-    require(recType == 5,
-      s"v2-B-tree record type $recType unsupported for a link name index")
-    val nodeSize = b.u32(tAt + 6)
-    val recSize = b.u16(tAt + 10)
-    val depth = b.u16(tAt + 12)
-    val rootNode = b.u64(tAt + 16)
-    val rootNrec = b.u16(tAt + 24)
-    val totNrec = b.u64(tAt + 26)
-    checkLookup3(b, tAt, 34, "link-index v2-B-tree header")
-    require(recSize == 4 + heapIdLen,
-      s"link-index record size $recSize != 4 + heap id length $heapIdLen")
-    require(totNrec == nManaged,
-      s"link index holds $totNrec records but the heap declares $nManaged objects")
-    val out = Seq.newBuilder[(String, Long)]
-    walkBt2(b, recType, nodeSize, recSize, depth, rootNode, rootNrec,
-      totNrec, "link-index") { rAt =>
-      // 4-byte name hash (unused for enumeration), then the heap ID:
-      // flag byte (version 0, type 0 = managed), offset, length
-      val fl = b.u8(rAt + 4)
+
+    /** Resolve a managed heap ID at `idAt` — flag byte (version 0,
+      * type 0 = managed), offset, length — to the object's absolute
+      * byte position. */
+    def managedObjectAt(idAt: Int): Int = {
+      val fl = b.u8(idAt)
       require((fl & 0xf0) == 0,
         s"fractal heap id flags 0x${fl.toHexString} unsupported (subset reads managed objects)")
-      val off = b.uvar(rAt + 5, offSize)
-      val len = b.uvar(rAt + 5 + offSize, lenSize)
-      out += parseLinkMsg(b, objectAt(off, len))
+      objectAt(b.uvar(idAt + 1, offSize), b.uvar(idAt + 1 + offSize, lenSize))
+    }
+
+    /** Parse the heap-enumeration v2 B-tree header at `btreeAddr`
+      * (record type must be `expectType`), then walk every record. */
+    def walkIndex(btreeAddr: Long, expectType: Int, expectRecSize: Int,
+                  label: String)(onRecord: Int => Unit): Unit = {
+      val tAt = checkedAt(btreeAddr, 38, b.bytes.length, s"$label v2-B-tree header")
+      require(b.ascii(tAt, 4) == "BTHD", s"bad $label v2-B-tree header signature")
+      require(b.u8(tAt + 4) == 0, s"$label v2-B-tree version unsupported")
+      val recType = b.u8(tAt + 5)
+      require(recType == expectType,
+        s"v2-B-tree record type $recType unsupported for a $label")
+      val nodeSize = b.u32(tAt + 6)
+      val recSize = b.u16(tAt + 10)
+      val depth = b.u16(tAt + 12)
+      val rootNode = b.u64(tAt + 16)
+      val rootNrec = b.u16(tAt + 24)
+      val totNrec = b.u64(tAt + 26)
+      checkLookup3(b, tAt, 34, s"$label v2-B-tree header")
+      require(recSize == expectRecSize,
+        s"$label record size $recSize != expected $expectRecSize")
+      require(totNrec == nManaged,
+        s"$label holds $totNrec records but the heap declares $nManaged objects")
+      walkBt2(b, recType, nodeSize, recSize, depth, rootNode, rootNrec,
+        totNrec, label)(onRecord)
+    }
+  }
+
+  /** DENSE link storage (r18): the layout libhdf5 switches a
+    * latest-format group to past max_compact (default 8) links — each
+    * link message becomes a managed object in a fractal heap
+    * ([[FHeap]]), enumerated through the name-index v2 B-tree (record
+    * type 5: 4-byte lookup3 name hash + managed heap ID). This is the
+    * many-variable `libver='latest'` file shape. */
+  private def readDenseLinks(b: Buf, fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    val heap = new FHeap(b, fheapAddr)
+    val out = Seq.newBuilder[(String, Long)]
+    heap.walkIndex(btreeAddr, 5, 4 + heap.heapIdLen, "link-index") { rAt =>
+      // 4-byte name hash (unused for enumeration), then the heap ID
+      out += parseLinkMsg(b, heap.managedObjectAt(rAt + 4))
       ()
     }
     out.result().sortBy(_._1)
+  }
+
+  /** DENSE attribute storage (r18): netCDF-4 tracks attribute creation
+    * order, so past max_compact (default 8) attributes a latest-format
+    * object's attribute messages move into a fractal heap announced by
+    * the Attribute Info message — an object the compact-only reader
+    * would have silently decoded WITHOUT its CF attributes (units /
+    * scale_factor / add_offset), the wrong-values failure mode, not a
+    * skip. Enumerated via the name-index v2 B-tree (record type 8:
+    * 8-byte managed heap ID + message flags + creation order + name
+    * hash); shared attribute messages (flag bit) reject by name. */
+  private def readDenseAttrs(b: Buf, fheapAddr: Long, btreeAddr: Long): Seq[H5Attr] = {
+    val heap = new FHeap(b, fheapAddr)
+    require(heap.heapIdLen == 8,
+      s"attribute fractal heap id length ${heap.heapIdLen} != 8")
+    val out = Seq.newBuilder[H5Attr]
+    heap.walkIndex(btreeAddr, 8, 8 + 1 + 4 + 4, "attribute-index") { rAt =>
+      val msgFlags = b.u8(rAt + 8)
+      require(msgFlags == 0,
+        s"shared attribute message (flags 0x${msgFlags.toHexString}) unsupported")
+      parseAttr(b, heap.managedObjectAt(rAt)).foreach(out += _)
+    }
+    out.result()
   }
 
   /** Overflow-safe address validation: `v` must address `need` bytes
@@ -1958,19 +2024,18 @@ object NetCdf4 {
     // greedy packing of one dense group's link bodies into direct
     // blocks (objects never cross a block boundary — the H5HF rule)
     case class DensePlan(offsets: Seq[Long], blocks: Seq[(Int, Long, Long)],
-                         rootRows: Int, freeSpace: Long) {
+                         rootRows: Int, freeSpace: Long, recSize: Int) {
       // blocks: (row, heap offset, size), enumerated row-major — heap
       // offsets are contiguous in that order by construction
       def allocated: Long = blocks.map(_._3).sum
       def fhibSize: Long =
         if (rootRows == 0) 0L else 13L + HeapOffSize + rootRows.toLong * HeapW * 8 + 4
       def heapSize: Long = 146L + fhibSize + allocated
-      def bt2Size: Long = 38L + 6 + offsets.size * LinkBt2RecSize + 4
+      def bt2Size: Long = 38L + 6 + offsets.size * recSize + 4
     }
-    def densePlan(g: String): DensePlan = {
-      val sizes = childrenOf(g).map { case (s, _) => linkBody(s, 0L).length }
-      require(sizes.size <= (LinkBt2NodeSize - 10) / LinkBt2RecSize,
-        s"dense fixture subset caps links at one index leaf, got ${sizes.size}")
+    def densePack(sizes: Seq[Int], recSize: Int): DensePlan = {
+      require(sizes.size <= (LinkBt2NodeSize - 10) / recSize,
+        s"dense fixture subset caps objects at one index leaf, got ${sizes.size}")
       var blocks = Vector.empty[(Int, Long, Long)]
       var idx = -1
       var cur = 0L; var curEnd = 0L; var free = 0L
@@ -1987,17 +2052,34 @@ object NetCdf4 {
       }
       newBlock()
       val offsets = sizes.map { s =>
-        require(HeapDbHdr + s <= HeapStart, s"link message of $s bytes exceeds a direct block")
+        require(HeapDbHdr + s <= HeapStart, s"dense object of $s bytes exceeds a direct block")
         if (cur + s > curEnd) newBlock()
         val at = cur; cur += s; at
       }
       free += curEnd - cur
       DensePlan(offsets, blocks,
-        if (blocks.size == 1) 0 else blocks.last._1 + 1, free)
+        if (blocks.size == 1) 0 else blocks.last._1 + 1, free, recSize)
     }
+    def densePlan(g: String): DensePlan =
+      densePack(childrenOf(g).map { case (sn, _) => linkBody(sn, 0L).length },
+        LinkBt2RecSize)
     val denseOrder: Seq[String] = ("" +: groupPaths).filter(isDense)
     val densePlans: Map[String, DensePlan] =
       denseOrder.map(g => g -> densePlan(g)).toMap
+    // dense ATTRIBUTE stores: a latest-format dataset past MaxCompact
+    // attributes moves its 0x000C messages into a fractal heap too
+    // (netCDF-4 tracks attribute creation order, so libhdf5's attribute
+    // phase change applies) — same machinery, 8-byte heap ids (offset 4
+    // + length 3), record type 8 of 17 bytes (id + flags + creation
+    // order + name hash)
+    val AttrIdLen = 8
+    val AttrBt2RecSize = AttrIdLen + 1 + 4 + 4
+    def attrBodies(d: WriteDs): Seq[Array[Byte]] =
+      d.attrs.map { case (an, av) => attrBody(an, av) }
+    def isDenseAttr(d: WriteDs): Boolean = latest && d.attrs.size > MaxCompact
+    val denseAttrOrder: Seq[WriteDs] = sorted.filter(isDenseAttr)
+    val denseAttrPlans: Map[String, DensePlan] = denseAttrOrder.map(d =>
+      d.name -> densePack(attrBodies(d).map(_.length), AttrBt2RecSize)).toMap
     def groupMsgs(g: String, addrs: Map[String, Long],
                   dense: Map[String, (Long, Long)]): Seq[(Int, Array[Byte])] =
       if (isDense(g)) {
@@ -2031,7 +2113,16 @@ object NetCdf4 {
       denseOrder.zip(denseAts).map { case (g, at) =>
         g -> ((at, at + densePlans(g).heapSize))
       }.toMap
-    val btreeAt = rootOhdrAt + rootOhdr.length + groupSizes.sum + denseSizes.sum
+    val denseAttrSizes = denseAttrOrder.map(d =>
+      denseAttrPlans(d.name).heapSize + denseAttrPlans(d.name).bt2Size)
+    val denseAttrAts = denseAttrSizes
+      .scanLeft(rootOhdrAt + rootOhdr.length + groupSizes.sum + denseSizes.sum)(_ + _).init
+    val denseAttrAddrs: Map[String, (Long, Long)] =
+      denseAttrOrder.zip(denseAttrAts).map { case (d, at) =>
+        d.name -> ((at, at + denseAttrPlans(d.name).heapSize))
+      }.toMap
+    val btreeAt = rootOhdrAt + rootOhdr.length + groupSizes.sum +
+      denseSizes.sum + denseAttrSizes.sum
     val btreeSize = if (latest) 0L else 24L + 8 + 16 // header + key0 + (child0, key1)
     val heapAt = btreeAt + btreeSize
     val heapHdrSize = if (latest) 0L else 32L
@@ -2051,7 +2142,8 @@ object NetCdf4 {
     // dataset object headers: size-stable w.r.t. the data/btree address,
     // so measure with a placeholder then re-emit with the real address
     def dsMsgs(d: WriteDs, plan: Option[Seq[(Seq[Long], Array[Byte])]],
-               dataAddr: Long): Seq[(Int, Array[Byte])] = {
+               dataAddr: Long,
+               denseAttr: Option[(Long, Long)]): Seq[(Int, Array[Byte])] = {
       val n = d.shape.product.max(1L)
       val elem = if (d.f32) 4 else 8
       val layoutMsg = (d.chunk, plan) match {
@@ -2069,15 +2161,22 @@ object NetCdf4 {
         if (d.chunk.isDefined && d.filters.nonEmpty)
           Seq((0x000B, filterPipelineBody(d.filters, elem)))
         else Nil
+      // past MaxCompact attributes (latest): ONE attribute-info message
+      // pointing at the dense store instead of the 0x000C messages —
+      // the body layout matches link info at flags 0, so it is reused
+      val attrMsgs = denseAttr match {
+        case Some((fh, bt)) => Seq((0x0015, linkInfoBodyAt(fh, bt)))
+        case None => d.attrs.map { case (an, av) => (0x000C, attrBody(an, av)) }
+      }
       Seq(
         (0x0001, dataspaceBody(d.shape, d.maxDims)),
         (0x0003, datatypeBody(d.f32)),
-        layoutMsg) ++ filterMsgs ++
-        d.attrs.map { case (an, av) => (0x000C, attrBody(an, av)) }
+        layoutMsg) ++ filterMsgs ++ attrMsgs
     }
     def dsOhdr(d: WriteDs, plan: Option[Seq[(Seq[Long], Array[Byte])]],
-               dataAddr: Long): Array[Byte] = {
-      val ms = dsMsgs(d, plan, dataAddr)
+               dataAddr: Long,
+               denseAttr: Option[(Long, Long)]): Array[Byte] = {
+      val ms = dsMsgs(d, plan, dataAddr, denseAttr)
       if (latest) ohdrV2(ms)
       else ohdrBytes(ms.map { case (t, body) => msg(t, body) })
     }
@@ -2089,7 +2188,10 @@ object NetCdf4 {
     // known before addresses are assigned (the one-forward-pass rule)
     val plans: Seq[Option[Seq[(Seq[Long], Array[Byte])]]] =
       sorted.map(d => d.chunk.map(_ => chunkBlobs(d, latestCap = latest)))
-    val ohdrSizes = sorted.zip(plans).map { case (d, pl) => dsOhdr(d, pl, 0L).length.toLong }
+    val ohdrSizes = sorted.zip(plans).map { case (d, pl) =>
+      dsOhdr(d, pl, 0L,
+        if (isDenseAttr(d)) Some((0L, 0L)) else None).length.toLong
+    }
     val ohdrAts = ohdrSizes.scanLeft(snodAt + snodSize)(_ + _).init
     var dataAt = align8(snodAt + snodSize + ohdrSizes.sum)
     val dataAts = sorted.zip(plans).map { case (d, plan) =>
@@ -2133,15 +2235,17 @@ object NetCdf4 {
         out.position(at.toInt)
         out.put(groupV2(g, addrs, denseAddrs))
       }
-      // dense groups: fractal heap (FRHP + FHIB/FHDBs with the link
-      // messages as managed objects) + name-index v2 B-tree
-      def denseBytes(g: String, plan: DensePlan, heapAt: Long): Array[Byte] = {
-        val ch = childrenOf(g)
-        val bodies = ch.map { case (s, p) => linkBody(s, addrs(p)) }
+      // dense stores: fractal heap (FRHP + FHIB/FHDBs with the link or
+      // attribute messages as managed objects) + name-index v2 B-tree;
+      // putRec writes one (hash-sorted) index record given
+      // (buf, name hash, heap offset, object length, original index)
+      def denseStoreBytes(plan: DensePlan, heapAt: Long, idLen: Int,
+          names: Seq[String], bodies: Seq[Array[Byte]], recType: Int,
+          putRec: (ByteBuffer, Long, Long, Int, Int) => Unit): Array[Byte] = {
         val o = ByteBuffer.allocate((plan.heapSize + plan.bt2Size).toInt)
           .order(ByteOrder.LITTLE_ENDIAN)
         o.put("FRHP".getBytes(US_ASCII)).put(0.toByte)
-        o.putShort(HeapIdLen.toShort).putShort(0.toShort).put(0x2.toByte)
+        o.putShort(idLen.toShort).putShort(0.toShort).put(0x2.toByte)
         o.putInt(4096) // max managed object size
         o.putLong(0L).putLong(Undef) // next huge id, huge-object bt2
         o.putLong(plan.freeSpace).putLong(Undef) // free space, fs manager
@@ -2187,9 +2291,9 @@ object NetCdf4 {
         // records in unsigned-hash order
         val bthdAt = plan.heapSize.toInt
         o.position(bthdAt)
-        o.put("BTHD".getBytes(US_ASCII)).put(0.toByte).put(5.toByte)
+        o.put("BTHD".getBytes(US_ASCII)).put(0.toByte).put(recType.toByte)
         o.putInt(LinkBt2NodeSize)
-        o.putShort(LinkBt2RecSize.toShort).putShort(0.toShort)
+        o.putShort(plan.recSize.toShort).putShort(0.toShort)
         o.put(100.toByte).put(40.toByte) // split/merge percents
         o.putLong(heapAt + plan.heapSize + 38)
         o.putShort(bodies.size.toShort)
@@ -2197,24 +2301,48 @@ object NetCdf4 {
         o.putInt(lookup3(o.array(), bthdAt, 34))
         val lfAt = bthdAt + 38
         o.position(lfAt)
-        o.put("BTLF".getBytes(US_ASCII)).put(0.toByte).put(5.toByte)
-        val recs = ch.lazyZip(bodies).lazyZip(plan.offsets).map { (c, body, off) =>
-          val nb = c._1.getBytes(US_ASCII)
-          (lookup3(nb, 0, nb.length) & 0xffffffffL, off, body.length)
-        }.toSeq.sortBy(_._1)
-        recs.foreach { case (hash, off, len) =>
-          o.putInt(hash.toInt)
-          o.put(0.toByte)         // managed heap id, version 0
-          o.putInt(off.toInt)     // 4-byte heap offset
-          o.putShort(len.toShort) // 2-byte length
-        }
-        o.putInt(lookup3(o.array(), lfAt, 6 + recs.size * LinkBt2RecSize))
+        o.put("BTLF".getBytes(US_ASCII)).put(0.toByte).put(recType.toByte)
+        val recs = names.indices.map { i =>
+          val nb = names(i).getBytes(US_ASCII)
+          (lookup3(nb, 0, nb.length) & 0xffffffffL,
+            plan.offsets(i), bodies(i).length, i)
+        }.sortBy(_._1)
+        recs.foreach { case (hash, off, len, i) => putRec(o, hash, off, len, i) }
+        o.putInt(lookup3(o.array(), lfAt, 6 + recs.size * plan.recSize))
         o.array()
       }
       denseOrder.foreach { g =>
         val at = denseAddrs(g)._1
+        val ch = childrenOf(g)
         out.position(at.toInt)
-        out.put(denseBytes(g, densePlans(g), at))
+        out.put(denseStoreBytes(densePlans(g), at, HeapIdLen,
+          ch.map(_._1), ch.map { case (sn, p) => linkBody(sn, addrs(p)) }, 5,
+          // record type 5: name hash, then the 7-byte managed heap id
+          (o, hash, off, len, _) => {
+            o.putInt(hash.toInt)
+            o.put(0.toByte)         // managed heap id, version 0
+            o.putInt(off.toInt)     // 4-byte heap offset
+            o.putShort(len.toShort) // 2-byte length
+            ()
+          }))
+      }
+      denseAttrOrder.foreach { d =>
+        val at = denseAttrAddrs(d.name)._1
+        out.position(at.toInt)
+        out.put(denseStoreBytes(denseAttrPlans(d.name), at, AttrIdLen,
+          d.attrs.map(_._1), attrBodies(d), 8,
+          // record type 8: 8-byte managed heap id (offset 4 + length 3),
+          // message flags, creation order, name hash
+          (o, hash, off, len, i) => {
+            o.put(0.toByte)     // managed heap id, version 0
+            o.putInt(off.toInt) // 4-byte heap offset
+            o.put((len & 0xff).toByte).put(((len >> 8) & 0xff).toByte)
+              .put(((len >> 16) & 0xff).toByte) // 3-byte length
+            o.put(0.toByte)     // message flags: not shared
+            o.putInt(i)         // creation order
+            o.putInt(hash.toInt)
+            ()
+          }))
       }
     } else {
       // superblock v0
@@ -2258,7 +2386,7 @@ object NetCdf4 {
     // latest-format chunk index + blobs)
     sorted.lazyZip(ohdrAts).lazyZip(dataAts).lazyZip(plans).foreach { (d, hdrAt, dAt, plan) =>
       out.position(hdrAt.toInt)
-      out.put(dsOhdr(d, plan, dAt))
+      out.put(dsOhdr(d, plan, dAt, denseAttrAddrs.get(d.name)))
       plan match {
         case Some(blobs) if latest =>
           chunkIndexType(d, blobs.size) match {

@@ -747,6 +747,46 @@ class NetCdf4Spec extends SparkSpec {
       NetCdf4.probe(corrupt))
   }
 
+  test("dense attribute storage: >8 attributes move into the fractal heap and read back (r18)") {
+    // netCDF-4 tracks attribute creation order, so past max_compact=8
+    // attributes a latest-format variable's 0x000C messages move into a
+    // fractal heap behind the Attribute Info message — previously those
+    // attributes (units/scale_factor included) would have been SILENTLY
+    // dropped, the wrong-values failure mode rather than a skip
+    val manyAttrs: Seq[(String, Any)] =
+      (0 until 10).map(i => s"meta$i" -> (i * 3.0: Any)) ++
+        Seq("units" -> "K", "scale_factor" -> 0.5)
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("temp", Seq(4L), Array(2.0, 4.0, 6.0, 8.0),
+        attrs = manyAttrs)), latest = true)
+    val f = NetCdf4.parse(bytes)
+    val ds = f.dataset("temp").get
+    assert(ds.attrs.size == 12, ds.attrs.map(_.name))
+    assert(ds.attr("units").exists(_.text == "K"))
+    assert(ds.attr("meta7").exists(_.nums == Seq(21.0)))
+    assert(ds.attr("scale_factor").exists(_.nums == Seq(0.5)))
+    assert(NetCdf4.readValues(f, ds).toSeq == Seq(2.0, 4.0, 6.0, 8.0))
+    // exactly 8 attributes stay compact — no heap in the file at all
+    val compact = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("temp", Seq(1L), Array(1.0),
+        attrs = manyAttrs.take(8))), latest = true)
+    assert(!compact.indices.exists(i => i + 4 <= compact.length &&
+      compact(i) == 'F' && compact(i + 1) == 'R' &&
+      compact(i + 2) == 'H' && compact(i + 3) == 'P'))
+    assert(NetCdf4.parse(compact).dataset("temp").get.attrs.size == 8)
+    // corrupt a byte inside the attribute heap's direct block: the
+    // field-zeroed whole-block checksum must trip by name
+    val db = bytes.indices.find(i => i + 4 <= bytes.length &&
+      bytes(i) == 'F' && bytes(i + 1) == 'H' &&
+      bytes(i + 2) == 'D' && bytes(i + 3) == 'B').get
+    val corrupt = bytes.clone()
+    corrupt(db + 25) = (corrupt(db + 25) ^ 0x01).toByte
+    // attrs resolve at parse time (datasetOf), so probe carries it
+    assert(NetCdf4.probe(corrupt).left.exists(
+      _.contains("fractal heap direct block checksum mismatch")),
+      NetCdf4.probe(corrupt))
+  }
+
   test("v4 paged data block addressed from the INDEX block rejects by name") {
     // only exotic creation parameters can page the index-block tier
     // (the page-init bitmap lives in the owning SUPER block, so these
