@@ -217,14 +217,30 @@ object Dedup {
     * MinHash practice — a within-pair hash collision perturbs both
     * engines identically because the oracle hashes the same way; see
     * Oracles.lshPairCtes). */
-  /** The staged per-doc hash-array table (doc_id, hs, n, sig) THE shared
-    * LSH input: one materialization feeds every consumer (banding + both
-    * verify sides), so the sha256-per-shingle pipeline runs once; the
-    * staging strategy is the graft.materialize setting
-    * ([[Materialize.stage]]). ONE definition for q37/q80/q82/q87's
-    * pipeline, the capped variant, and the q121 audit — they can never
-    * disagree on what a document's hash set is. */
-  private[graft] def hashedDocTable(docsRaw: DataFrame): DataFrame =
+  /** The per-doc hash-array table (doc_id, hs, n, sig) THE shared LSH
+    * input: one materialization feeds every consumer (banding + both
+    * verify sides), so the sha256-per-shingle pipeline runs once. ONE
+    * definition for q37/q80/q82/q87's pipeline, the capped variant, and
+    * the q121 audit — they can never disagree on what a document's hash
+    * set is.
+    *
+    * Deployed as a STANDING index ([[Materialize.shared]], the q101/q103
+    * span-shard precedent): ten-plus declared queries (q37, q80, q82,
+    * q87, q121, q123, q133, q134, q137, q145, …) each start from
+    * tokenize→shingle→minhash, so within one session the table is built
+    * once, parquet-staged, and every later consumer re-reads it — each
+    * consumer's own banding/verify still plans per-query off the scan.
+    * A fresh session rebuilds (the bench's isolated pass measures the
+    * full build); mid-session source mutation serves the snapshot, the
+    * standing-index refresh cadence [[Materialize.shared]] documents. */
+  private[graft] def hashedDocTable(spark: SparkSession, dir: String): DataFrame =
+    Materialize.shared(spark, s"lshHashTable:$dir")(
+      hashedDocTableFrom(Tables.documents(spark, dir)))
+
+  /** The [[hashedDocTable]] pipeline itself, un-staged — the build body
+    * of the shared cell (and the direct path for callers holding a
+    * non-standard document frame). */
+  private[graft] def hashedDocTableFrom(docsRaw: DataFrame): DataFrame =
     docsRaw
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
@@ -232,7 +248,6 @@ object Dedup {
         array_sort(array_distinct(transform(shingleCol, s => Hashing.h32p(s)))))
       .withColumn("sig", call_function("minhash_sig16", col("hs")))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"), col("sig"))
-      .staged
 
   /** Banding candidate pairs (d1 < d2) over a [[hashedDocTable]] —
     * optionally skipping (band, sig) buckets holding more than
@@ -264,7 +279,7 @@ object Dedup {
   }
 
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = hashedDocTable(Tables.documents(spark, dir))
+    val docs = hashedDocTable(spark, dir)
     lshVerify(bandCandidates(docs), docs)
   }
 
@@ -301,7 +316,7 @@ object Dedup {
     * otherwise. */
   def lshNearDupCapped(spark: SparkSession, dir: String,
                        bucketCap: Int = BandBucketCap): DataFrame = {
-    val docs = hashedDocTable(Tables.documents(spark, dir))
+    val docs = hashedDocTable(spark, dir)
     lshVerify(bandCandidates(docs, bucketCap), docs)
   }
 
@@ -321,7 +336,7 @@ object Dedup {
     * audit join is the verified exact pairs against the raw band
     * candidate set (both ≪ corpus). */
   def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = hashedDocTable(Tables.documents(spark, dir))
+    val docs = hashedDocTable(spark, dir)
     // exact side: df-blocked shared-shingle candidates, verified ONCE
     val ds = docs.select(col("doc_id"), explode(col("hs")).as("hp"))
     val blocked = ds
