@@ -49,11 +49,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     appendable time AND ensemble axes) at ANY depth — BTIN
   *     internal-node traversal included (VERDICT r17 #4);
   *   - v1/v2/v3 attribute messages with string and numeric scalars/
-  *     arrays — enough for the CF attributes a forecast cube uses
-  *     (`units`, `scale_factor`, `add_offset`, `_FillValue`); vlen/
-  *     reference attributes (`DIMENSION_LIST`, `REFERENCE_LIST`) are
-  *     SKIPPED and axis mapping falls back to coordinate names + shape
-  *     matching, the same convention [[NetCdf.decodeCube]] applies.
+  *     arrays — the CF attributes a forecast cube uses (`units`,
+  *     `scale_factor`, `add_offset`, `_FillValue`) — plus the
+  *     vlen-of-object-reference `DIMENSION_LIST` (r19): axis mapping
+  *     resolves through netCDF-4's dimension scales the way
+  *     `xarray.open_dataset` does, global-heap-stored references
+  *     included, so a cube whose coordinate variables are RENAMED
+  *     (leaf names matching none of time/y/x) still decodes with the
+  *     right axes; `REFERENCE_LIST` (vlen of compound) keeps its named
+  *     skip, and files without `DIMENSION_LIST` fall back to
+  *     coordinate names + shape matching, the same convention
+  *     [[NetCdf.decodeCube]] applies.
   * NESTED GROUPS are traversed (r18): a grouped product's variable
   * reads under its path ("grp/var", xarray's group addressing minus
   * the leading slash), for both v1 symbol-table and latest-format
@@ -101,8 +107,12 @@ object NetCdf4 {
   /** Numeric on-disk type. `signed` only meaningful for fixed-point. */
   case class NumType(float: Boolean, size: Int, bigEndian: Boolean, signed: Boolean)
 
-  /** Attribute: string attrs carry `text`, numeric attrs carry `nums`. */
-  case class H5Attr(name: String, text: String, nums: Seq[Double]) {
+  /** Attribute: string attrs carry `text`, numeric attrs carry `nums`;
+    * vlen-of-object-reference attrs (netCDF-4's `DIMENSION_LIST`) carry
+    * `refs` — per dataspace element, the referenced object-header
+    * addresses resolved through the global heap. */
+  case class H5Attr(name: String, text: String, nums: Seq[Double],
+                    refs: Seq[Seq[Long]] = Nil) {
     def first: Option[Double] = nums.headOption
   }
 
@@ -138,7 +148,10 @@ object NetCdf4 {
       attrs: Seq[H5Attr],
       chunk: Option[(Long, Seq[Int])] = None,
       filters: Seq[H5Filter] = Nil,
-      chunk4: Option[Chunk4] = None) {
+      chunk4: Option[Chunk4] = None,
+      // the dataset's own object-header address — the identity an
+      // object REFERENCE (DIMENSION_LIST) resolves against
+      headerAddr: Long = Undef) {
     def attr(n: String): Option[H5Attr] = attrs.find(_.name == n)
   }
 
@@ -227,7 +240,7 @@ object NetCdf4 {
           }
         }
         collectDatasets(b, children, name + "/", visited + addr, depth + 1)
-      } else Seq(datasetOf(b, name, h))
+      } else Seq(datasetOf(b, name, h).copy(headerAddr = addr))
     }
 
   /** One dataset from its walked header: dataspace/datatype/layout
@@ -1479,6 +1492,27 @@ object NetCdf4 {
     if (cls == 3) { // string: value bytes are the declared datatype size
       val len = b.u32(dtAt + 4).toInt
       Some(H5Attr(name, b.ascii(at, len).takeWhile(_ != '\u0000'), Nil))
+    } else if (cls == 9 && (b.u8(dtAt + 1) & 0x0f) == 0 &&
+        (b.u8(dtAt + 8) & 0x0f) == 7 && (b.u8(dtAt + 9) & 0x0f) == 0) {
+      // vlen SEQUENCE of OBJECT references — netCDF-4's `DIMENSION_LIST`
+      // (one vlen of dimension-scale references per axis). Each in-file
+      // element is a 16-byte (length, global-heap collection address,
+      // object index) descriptor; the reference addresses themselves
+      // live in the global heap (spec §III.E). REFERENCE_LIST (vlen of
+      // COMPOUND base) fails the base-class check and keeps its named
+      // skip, as does vlen-of-region-reference (base bit-field type 1).
+      val refs = Seq.tabulate(count) { i =>
+        val q = at + i * 16
+        val n = b.u32(q)
+        require(n <= 64, s"DIMENSION_LIST vlen length $n out of range")
+        val gaddr = b.u64(q + 4)
+        if (n == 0) Seq.empty[Long]
+        else {
+          val dAt = globalHeapObject(b, gaddr, b.u32(q + 12).toInt, n * 8)
+          Seq.tabulate(n.toInt)(j => b.u64(dAt + j * 8))
+        }
+      }
+      Some(H5Attr(name, "", Nil, refs))
     } else parseDatatype(b, dtAt) match {
       case Right(t) =>
         val bb = ByteBuffer.wrap(b.bytes, at, count * t.size)
@@ -1732,6 +1766,41 @@ object NetCdf4 {
     * (0 <= v <= len <= Int.MAX) BEFORE it happens, so corrupted streams
     * reject with this named reason instead of a raw
     * IndexOutOfBoundsException from a silent `.toInt`. */
+  /** Resolve one GLOBAL HEAP object (GCOL collection, spec §III.E) —
+    * the store behind vlen attribute data ([[parseAttr]]'s
+    * `DIMENSION_LIST` branch). Returns the object's data offset after
+    * verifying it carries at least `need` bytes. Objects are walked in
+    * file order (16-byte headers, data padded to 8); index 0 is the
+    * free-space terminator. */
+  private def globalHeapObject(b: Buf, collAddr: Long, index: Int,
+                               need: Long): Int = {
+    val at = checkedAt(collAddr, 16, b.bytes.length, "global heap collection")
+    require(b.ascii(at, 4) == "GCOL", "bad global heap collection signature")
+    require(b.u8(at + 4) == 1,
+      s"global heap version ${b.u8(at + 4)} unsupported")
+    val collSize = b.u64(at + 8)
+    require(collSize >= 16 && collSize <= b.bytes.length - at,
+      s"global heap collection size $collSize outside stream")
+    val end = at + collSize.toInt
+    var p = at + 16
+    while (p + 16 <= end) {
+      val idx = b.u16(p)
+      val size = b.u64(p + 8)
+      if (idx == 0) p = end // free-space object: no objects follow
+      else if (idx == index) {
+        require(size >= need && p + 16 + size <= end,
+          s"global heap object $index carries $size bytes, need $need")
+        return p + 16
+      } else {
+        require(size >= 0 && size <= end - p - 16,
+          s"global heap object $idx size $size outside collection")
+        p += 16 + ((size + 7) / 8 * 8).toInt
+      }
+    }
+    throw new IllegalArgumentException(
+      s"global heap object $index not found in collection at $collAddr")
+  }
+
   private def checkedAt(v: Long, need: Long, len: Int, what: String): Int = {
     require(v >= 0 && need >= 0 && v <= len.toLong - need,
       s"$what at $v (+$need bytes) outside stream length $len")
@@ -1857,37 +1926,94 @@ object NetCdf4 {
     val rank = data.shape.size
     val shape = data.shape.map(_.toInt)
 
-    // coordinates resolve inside the data variable's own group first
-    // (xarray's group= shape: coords live with their variables), then
-    // fall back to any group — root-level shared coords included
-    val groupPrefix = data.name.substring(0, data.name.lastIndexOf('/') + 1)
-    def coord(names: Set[String]): Option[H5Dataset] =
-      f.datasets.find(d => d.shape.size == 1 &&
-          d.name.startsWith(groupPrefix) && names.contains(leafName(d.name)))
-        .orElse(f.datasets.find(d =>
-          d.shape.size == 1 && names.contains(leafName(d.name))))
-    val timeDs = if (rank == 3) coord(TimeNames) else None
-    val yDs = coord(YNames)
-    val xDs = coord(XNames)
+    // netCDF-4 writes a phony dimension-scale dataset for every dim
+    // that has no coordinate variable; its values are meaningless, so
+    // the axis falls back to an index coordinate — xarray's behavior.
+    def phony(d: H5Dataset): Boolean =
+      d.attr("NAME").exists(_.text.startsWith(
+        "This is a netCDF dimension but not a netCDF variable"))
 
-    // Axis positions: every permutation consistent with the real coords'
-    // lengths, preferring conventional (time, y, x) order — shape ties
-    // (e.g. a square grid) resolve conventionally rather than failing.
-    val axes: Seq[(Option[H5Dataset], Int)] = // (coord, conventional position)
-      (timeDs, yDs, xDs) match {
-        case _ if rank == 2 => Seq((yDs, 0), (xDs, 1))
-        case _ => Seq((timeDs, 0), (yDs, 1), (xDs, 2))
+    // Axis resolution, DIMENSION_LIST first (xarray's dimension-scale
+    // semantics, ingestor.py:200 `xarray.open_dataset`): when the data
+    // variable carries the vlen-of-object-reference attribute, axis i's
+    // coordinate IS the dimension-scale dataset its i-th element
+    // references — whatever the scale is NAMED, which is exactly the
+    // shape (renamed coords) name matching cannot see. Classification
+    // of which referenced axis is time/y/x goes by leaf name or CF
+    // units (" since " / degrees_east / degrees_north), then falls to
+    // conventional (time, y, x) position on unclassifiable scales.
+    val dimScales: Option[Seq[Option[H5Dataset]]] =
+      data.attr("DIMENSION_LIST").filter(_.refs.size == rank).map { a =>
+        val byAddr = f.datasets.map(d => d.headerAddr -> d).toMap
+        val scales = a.refs.map(_.headOption.flatMap(byAddr.get).filterNot(phony))
+        scales.zipWithIndex.foreach { case (ds, i) =>
+          ds.foreach(sc => require(
+            sc.shape.size == 1 && sc.shape.head == shape(i),
+            s"DIMENSION_LIST scale '${sc.name}' shape ${sc.shape.mkString("x")} " +
+              s"does not match axis $i of data shape ${shape.mkString("x")}"))
+        }
+        scales
       }
-    val perm = (0 until rank).permutations
-      .map(ps => ps.zip(axes))
-      .find(_.forall { case (pos, (ds, conv)) =>
-        ds.forall(_.shape.head == shape(pos)) && (ds.nonEmpty || pos == conv)
-      })
-      .getOrElse(throw new IllegalArgumentException(
-        s"coordinate lengths do not match data shape ${shape.mkString("x")}"))
-      .map(_._1)
-    val (tPos, yPos, xPos) =
-      if (rank == 2) (None, perm(0), perm(1)) else (Some(perm(0)), perm(1), perm(2))
+    val (tPos, yPos, xPos, timeDs, yDs, xDs) = dimScales match {
+      case Some(scales) =>
+        def unitsOf(d: H5Dataset) = d.attr("units").map(_.text).getOrElse("")
+        def isTime(d: H5Dataset) =
+          TimeNames.contains(leafName(d.name)) || unitsOf(d).contains(" since ")
+        def isX(d: H5Dataset) =
+          XNames.contains(leafName(d.name)) || unitsOf(d).startsWith("degrees_east")
+        def isY(d: H5Dataset) =
+          YNames.contains(leafName(d.name)) || unitsOf(d).startsWith("degrees_north")
+        val tP =
+          if (rank == 3)
+            Some(scales.indexWhere(_.exists(isTime)) match {
+              case -1 => 0
+              case i => i
+            })
+          else None
+        val rest = (0 until rank).filterNot(tP.contains)
+        // an X-classified scale pins x; else the LAST non-Y axis is x
+        // (conventional row-major (…, y, x) order) — so a transposed
+        // (x, y) grid with classified scales decodes correctly too
+        val xP = rest.find(i => scales(i).exists(isX))
+          .orElse(rest.reverse.find(i => !scales(i).exists(isY)))
+          .getOrElse(rest.last)
+        val yP = rest.filterNot(_ == xP).head
+        (tP, yP, xP, tP.flatMap(scales(_)), scales(yP), scales(xP))
+      case None =>
+        // coordinates resolve inside the data variable's own group
+        // first (xarray's group= shape: coords live with their
+        // variables), then fall back to any group — root-level shared
+        // coords included
+        val groupPrefix = data.name.substring(0, data.name.lastIndexOf('/') + 1)
+        def coord(names: Set[String]): Option[H5Dataset] =
+          f.datasets.find(d => d.shape.size == 1 &&
+              d.name.startsWith(groupPrefix) && names.contains(leafName(d.name)))
+            .orElse(f.datasets.find(d =>
+              d.shape.size == 1 && names.contains(leafName(d.name))))
+        val timeDs0 = if (rank == 3) coord(TimeNames) else None
+        val yDs0 = coord(YNames)
+        val xDs0 = coord(XNames)
+
+        // Axis positions: every permutation consistent with the real
+        // coords' lengths, preferring conventional (time, y, x) order —
+        // shape ties (e.g. a square grid) resolve conventionally rather
+        // than failing.
+        val axes: Seq[(Option[H5Dataset], Int)] = // (coord, conventional position)
+          (timeDs0, yDs0, xDs0) match {
+            case _ if rank == 2 => Seq((yDs0, 0), (xDs0, 1))
+            case _ => Seq((timeDs0, 0), (yDs0, 1), (xDs0, 2))
+          }
+        val perm = (0 until rank).permutations
+          .map(ps => ps.zip(axes))
+          .find(_.forall { case (pos, (ds, conv)) =>
+            ds.forall(_.shape.head == shape(pos)) && (ds.nonEmpty || pos == conv)
+          })
+          .getOrElse(throw new IllegalArgumentException(
+            s"coordinate lengths do not match data shape ${shape.mkString("x")}"))
+          .map(_._1)
+        if (rank == 2) (None, perm(0), perm(1), None, yDs0, xDs0)
+        else (Some(perm(0)), perm(1), perm(2), timeDs0, yDs0, xDs0)
+    }
 
     val strides = Array.fill(rank)(1)
     var s = rank - 2
@@ -1934,6 +2060,19 @@ object NetCdf4 {
     * spec's UNLIMITED value) — lets fixtures declare the unlimited axes
     * that make libhdf5 pick the extensible-array / v2-B-tree chunk
     * indexes, so the reader's maxdims-dependent guards are testable. */
+  /** `DIMENSION_LIST` attribute value for [[WriteDs.attrs]]: per-axis
+    * dimension-scale dataset NAMES (one scale per axis — the libnetcdf
+    * shape), emitted as the vlen-of-object-reference attribute with the
+    * reference addresses in a trailing global heap collection — the
+    * writer dual of [[parseAttr]]'s vlen branch, which is what pins the
+    * renamed-coords decode path offline. */
+  case class DimList(dims: Seq[String])
+
+  // internal resolved form: (global heap collection address, first heap
+  // object index, axis count) — size-stable w.r.t. the address, so ohdr
+  // measurement passes encode it with a placeholder address
+  private case class DimListEnc(gheapAt: Long, firstIdx: Int, n: Int)
+
   case class WriteDs(
       name: String, shape: Seq[Long], values: Array[Double],
       f32: Boolean = false, attrs: Seq[(String, Any)] = Nil,
@@ -2074,8 +2213,34 @@ object NetCdf4 {
     // order + name hash)
     val AttrIdLen = 8
     val AttrBt2RecSize = AttrIdLen + 1 + 4 + 4
+    // DIMENSION_LIST attrs: one global-heap object per (dataset, axis)
+    // in declaration order, holding that axis' dimension-scale object
+    // reference; the GCOL collection itself lands after the data blobs,
+    // so its address reaches the encoder through `gcolAddr`, set before
+    // final emission (attr bodies are size-stable w.r.t. it — the ohdr
+    // measurement passes encode a placeholder address)
+    val dimRefNames: Seq[String] = sorted.flatMap(_.attrs.collect {
+      case (_, DimList(dims)) => dims
+    }).flatten
+    dimRefNames.foreach(dn => require(datasets.exists(_.name == dn),
+      s"DIMENSION_LIST references unknown dataset '$dn'"))
+    require(sorted.forall(_.attrs.count(_._2.isInstanceOf[DimList]) <= 1),
+      "at most one DIMENSION_LIST attribute per dataset")
+    val nDimRefs = dimRefNames.size
+    val dimListBase: Map[String, Int] = {
+      var next = 1
+      sorted.flatMap(d => d.attrs.collectFirst { case (_, DimList(dims)) =>
+        val base = next; next += dims.size; d.name -> base
+      }).toMap
+    }
+    var gcolAddr = 0L
+    def resolveAttr(dsName: String)(a: (String, Any)): (String, Any) = a match {
+      case (an, DimList(dims)) =>
+        (an, DimListEnc(gcolAddr, dimListBase(dsName), dims.size))
+      case other => other
+    }
     def attrBodies(d: WriteDs): Seq[Array[Byte]] =
-      d.attrs.map { case (an, av) => attrBody(an, av) }
+      d.attrs.map(resolveAttr(d.name)).map { case (an, av) => attrBody(an, av) }
     def isDenseAttr(d: WriteDs): Boolean = latest && d.attrs.size > MaxCompact
     val denseAttrOrder: Seq[WriteDs] = sorted.filter(isDenseAttr)
     val denseAttrPlans: Map[String, DensePlan] = denseAttrOrder.map(d =>
@@ -2166,7 +2331,8 @@ object NetCdf4 {
       // the body layout matches link info at flags 0, so it is reused
       val attrMsgs = denseAttr match {
         case Some((fh, bt)) => Seq((0x0015, linkInfoBodyAt(fh, bt)))
-        case None => d.attrs.map { case (an, av) => (0x000C, attrBody(an, av)) }
+        case None => d.attrs.map(resolveAttr(d.name))
+          .map { case (an, av) => (0x000C, attrBody(an, av)) }
       }
       Seq(
         (0x0001, dataspaceBody(d.shape, d.maxDims)),
@@ -2217,7 +2383,13 @@ object NetCdf4 {
       }
       at
     }
-    val eof = dataAt
+    // global heap collection (GCOL) for DIMENSION_LIST references: one
+    // 24-byte object (16-byte header + one padded 8-byte object
+    // reference) per (dataset, axis) + a 16-byte free-space terminator
+    val gcolAt = dataAt
+    val gcolSize = if (nDimRefs == 0) 0L else 16L + 24L * nDimRefs + 16L
+    gcolAddr = if (nDimRefs == 0) 0L else gcolAt
+    val eof = gcolAt + gcolSize
 
     val out = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
     if (latest) {
@@ -2444,6 +2616,26 @@ object NetCdf4 {
           out.position(dAt.toInt)
           d.values.foreach(v => if (d.f32) out.putFloat(v.toFloat) else out.putDouble(v))
       }
+    }
+    if (nDimRefs > 0) {
+      val dsAddr = sorted.map(_.name).zip(ohdrAts).toMap
+      out.position(gcolAt.toInt)
+      out.put("GCOL".getBytes(US_ASCII)).put(1.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      out.putLong(gcolSize)
+      var idx = 1
+      sorted.foreach(_.attrs.foreach {
+        case (_, DimList(dims)) => dims.foreach { dn =>
+          out.putShort(idx.toShort).putShort(0.toShort).putInt(0)
+          out.putLong(8L) // object size: one object reference
+          out.putLong(dsAddr(dn))
+          idx += 1
+        }
+        case _ => ()
+      })
+      // free-space terminator: index 0, size covers the rest (16 bytes
+      // including its own header — the spec's object-0 convention)
+      out.putShort(0.toShort).putShort(0.toShort).putInt(0).putLong(16L)
     }
     out.array()
   }
@@ -3087,6 +3279,34 @@ object NetCdf4 {
   private def attrBody(name: String, value: Any): Array[Byte] = {
     val pad8 = (n: Int) => (n + 7) / 8 * 8
     val nb = name.getBytes(US_ASCII) :+ 0.toByte
+    value match {
+      case DimListEnc(gheapAt, firstIdx, n) =>
+        // vlen(sequence) of object references, one element per axis;
+        // each 16-byte element is (length=1, collection addr, index)
+        val dt = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        dt.put(0x19.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // vlen sequence
+        dt.putInt(16)
+        dt.put(0x17.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // object ref base
+        dt.putInt(8)
+        val ds = dataspaceBody(Seq(n.toLong))
+        val data = ByteBuffer.allocate(n * 16).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until n).foreach { i =>
+          data.putInt(1).putLong(gheapAt).putInt(firstIdx + i)
+        }
+        val o = ByteBuffer.allocate(
+          8 + pad8(nb.length) + pad8(16) + pad8(ds.length) + n * 16)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        o.put(1.toByte).put(0.toByte)
+        o.putShort(nb.length.toShort).putShort(16.toShort).putShort(ds.length.toShort)
+        o.put(nb).position(o.position() + pad8(nb.length) - nb.length)
+        o.put(dt.array())
+        o.put(ds).position(o.position() + pad8(ds.length) - ds.length)
+        o.put(data.array())
+        return o.array()
+      case DimList(_) => throw new IllegalArgumentException(
+        "DimList must be resolved to DimListEnc by write()")
+      case _ => ()
+    }
     val (dt, data) = value match {
       case s: String =>
         val vb = s.getBytes(US_ASCII)

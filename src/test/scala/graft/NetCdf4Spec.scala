@@ -1082,4 +1082,113 @@ class NetCdf4Spec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 240)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
+
+  /** A (2 time, 2 y, 3 x) cube whose coordinate variables are RENAMED —
+    * no leaf matches the time/y/x name sets — so only the
+    * `DIMENSION_LIST` dimension scales can resolve the axes. */
+  private def renamedCoordCube(withDimList: Boolean, latest: Boolean): Array[Byte] = {
+    val dl: Seq[(String, Any)] =
+      if (withDimList)
+        Seq("DIMENSION_LIST" -> NetCdf4.DimList(Seq("record", "rows", "cols")))
+      else Nil
+    NetCdf4.write(Seq(
+      NetCdf4.WriteDs("record", Seq(2L), Array(0.0, 3600.0),
+        attrs = Seq("units" -> "seconds since 1970-01-01 00:00:00",
+          "CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("rows", Seq(2L), Array(55.0, 56.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("cols", Seq(3L), Array(11.0, 12.0, 13.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("temp", Seq(2L, 2L, 3L),
+        Array.tabulate(12)(_.toDouble), attrs = dl)), latest)
+  }
+
+  test("DIMENSION_LIST: renamed coordinates resolve through dimension scales (r19)") {
+    for (latest <- Seq(false, true)) {
+      val back = NetCdf4.decodeCube(spark, "c", "temp",
+        renamedCoordCube(withDimList = true, latest)).collect()
+      assert(back.length == 12)
+      // real coordinate values, not index fallbacks — the xarray
+      // dimension-scale semantics (ingestor.py:200)
+      assert(back.map(_.getDouble(3)).toSet == Set(11.0, 12.0, 13.0))
+      assert(back.map(_.getDouble(4)).toSet == Set(55.0, 56.0))
+      assert(back.map(_.getTimestamp(2).getTime).toSet == Set(0L, 3600L * 1000))
+      // cell identity: value = t*6 + yi*3 + xi under (time, y, x) layout
+      assert(back.forall { r =>
+        val t = (r.getTimestamp(2).getTime / 3600000L).toInt
+        val yi = (r.getDouble(4) - 55.0).toInt
+        val xi = (r.getDouble(3) - 11.0).toInt
+        r.getDouble(5) == t * 6 + yi * 3 + xi
+      })
+    }
+    // withOUT the attribute the renamed coords are invisible to name
+    // matching and every axis falls back to index coordinates — the
+    // decode divergence DIMENSION_LIST closes
+    val fb = NetCdf4.decodeCube(spark, "c", "temp",
+      renamedCoordCube(withDimList = false, latest = false)).collect()
+    assert(fb.map(_.getDouble(3)).toSet == Set(0.0, 1.0, 2.0))
+    assert(fb.map(_.getDouble(4)).toSet == Set(0.0, 1.0))
+  }
+
+  test("DIMENSION_LIST: phony dimension scales fall back to index coordinates (r19)") {
+    // netCDF-4 writes a phony scale for a dim with no coordinate
+    // variable; its values are meaningless and must be ignored
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("phony_dim_0", Seq(2L), Array(9e9, 9e9),
+        attrs = Seq("NAME" ->
+          "This is a netCDF dimension but not a netCDF variable.         2")),
+      NetCdf4.WriteDs("cols", Seq(3L), Array(11.0, 12.0, 13.0),
+        attrs = Seq("units" -> "degrees_east")),
+      NetCdf4.WriteDs("temp", Seq(2L, 3L), Array.tabulate(6)(_.toDouble),
+        attrs = Seq("DIMENSION_LIST" ->
+          NetCdf4.DimList(Seq("phony_dim_0", "cols"))))))
+    val back = NetCdf4.decodeCube(spark, "c", "temp", bytes).collect()
+    assert(back.map(_.getDouble(3)).toSet == Set(11.0, 12.0, 13.0)) // real x
+    assert(back.map(_.getDouble(4)).toSet == Set(0.0, 1.0))         // index y
+    assert(back.forall(r => r.getDouble(5) ==
+      r.getDouble(4) * 3 + (r.getDouble(3) - 11.0)))
+  }
+
+  test("DIMENSION_LIST: a transposed (x, y) grid decodes through units classification (r19)") {
+    // data laid out (x, y) — axis order the scales declare, which pure
+    // name+shape matching would only get right by shape accident
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("eastings", Seq(3L), Array(11.0, 12.0, 13.0),
+        attrs = Seq("units" -> "degrees_east")),
+      NetCdf4.WriteDs("northings", Seq(2L), Array(55.0, 56.0),
+        attrs = Seq("units" -> "degrees_north")),
+      NetCdf4.WriteDs("temp", Seq(3L, 2L),
+        Array.tabulate(6)(i => (i / 2) * 10.0 + i % 2), // value = xi*10 + yi
+        attrs = Seq("DIMENSION_LIST" ->
+          NetCdf4.DimList(Seq("eastings", "northings"))))))
+    val back = NetCdf4.decodeCube(spark, "c", "temp", bytes).collect()
+    assert(back.length == 6)
+    assert(back.forall { r =>
+      val xi = (r.getDouble(3) - 11.0).toInt
+      val yi = (r.getDouble(4) - 55.0).toInt
+      r.getDouble(5) == xi * 10 + yi
+    })
+  }
+
+  test("fetch boundary: DIMENSION_LIST renamed-coord cube passes the guard and ingests (r19)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc4dl")
+    val out = tmp.resolve("out").toString
+    val bytes = renamedCoordCube(withDimList = true, latest = true)
+    assert(Fetch.containerGuard(bytes).isEmpty) // in-subset since r19
+    val fixture = tmp.resolve("cube.nc4")
+    java.nio.file.Files.write(fixture, bytes)
+    val cfg = IngestConfig(bbox = (10.0, 54.0, 14.0, 57.0),
+      parameters = Seq("temp"))
+    val (mf, o) = Fetch.fetchAndIngest(spark, cfg,
+      Seq("temp" -> fixture.toUri.toString), out)
+    assert(o.forall(_.ok), o.mkString(";"))
+    assert(mf.nonEmpty)
+    val published = spark.read.parquet(out)
+    assert(published.count() == 12)
+    // the renamed coords published REAL lon/lat, not index fallbacks —
+    // inside the request bbox
+    assert(published.filter(col("lon") >= 11.0 && col("lon") <= 13.0 &&
+      col("lat") >= 55.0 && col("lat") <= 56.0).count() == 12)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }
