@@ -1061,27 +1061,38 @@ object Similarity {
   def pqDriftAudit(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     pqDriftAuditFrom(emb, gridProbes(emb), nlist = 16, nprobe = 4,
-      m = 8, dsub = 8, nCodes = 16)
+      m = 8, dsub = 8, nCodes = 16, standingKey = Some(s"pqDriftIndex:$dir"))
   }
 
-  /** [[pqDriftAudit]] over explicit probes. */
+  /** [[pqDriftAudit]] over explicit probes. With `standingKey`, the
+    * artifacts that EXIST BEFORE the audit runs — the probe panel, the
+    * deployed quantizer, the residual table, and the stale (deployed)
+    * codebook — are session-standing ([[Materialize.shared]], the
+    * q101/q103 deployment cadence: an index refresh is a new session,
+    * not an implicit re-read); the audit's own work (fresh retrain,
+    * exact ground truth, both score chains) stays per-query. */
   def pqDriftAuditFrom(emb: DataFrame, probes0: DataFrame, nlist: Int,
-      nprobe: Int, m: Int, dsub: Int, nCodes: Int): DataFrame = {
+      nprobe: Int, m: Int, dsub: Int, nCodes: Int,
+      standingKey: Option[String] = None): DataFrame = {
+    def standing(sub: String)(df: => DataFrame): DataFrame = standingKey match {
+      case Some(k) => Materialize.shared(emb.sparkSession, s"$k:$sub")(df)
+      case None => Materialize.stage(df)
+    }
     // probes (4 consumers: exact ground truth, the output spine, both
     // score chains) and the quantizer (3) are staged like the other
     // index artifacts — unstaged, each use re-runs its corpus filter
     // scan (review finding r14)
-    val probes = Materialize.stage(probes0)
+    val probes = standing("probes")(probes0)
     val en = emb.withColumn("nrm", norm(col("embedding")))
-    val cent = Materialize.stage(en.filter(col("vec_id") < nlist)
+    val cent = standing("cent")(en.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
         col("nrm").as("cnrm")))
-    val resid = Materialize.stage(residualsWith(emb, cent))
+    val resid = standing("resid")(residualsWith(emb, cent))
     val tcbFresh = Materialize.stage(trainedSubCodebook(resid, m, dsub, nCodes))
     // the stale codebook's training set is the even-id half playing
     // "yesterday's corpus"; trainedSubCodebook seeds from the first
     // nCodes ids PRESENT in the slice (0,2,…,2·nCodes−2 here)
-    val tcbStale = Materialize.stage(trainedSubCodebook(
+    val tcbStale = standing("tcbStale")(trainedSubCodebook(
       resid.filter(col("vec_id") % 2 === 0), m, dsub, nCodes))
     val exact5 = Materialize.stage(cosineTopKFrom(emb, probes, k = 5)
       .select(col("probe_id"), col("cand_id")))
