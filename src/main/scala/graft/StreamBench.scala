@@ -52,6 +52,7 @@ object StreamBench {
 
     val nDocs = Tables.documents(spark, sfDir).count()
     val nVecs = Tables.embeddings(spark, sfDir).count()
+    val nEvents = Tables.events(spark, sfDir).count()
     // each table is ONE parquet file in the SF dir; a non-glob file path
     // makes the file source set basePath to the file itself and reject
     // it, so stream via a glob that matches exactly that file (a
@@ -64,6 +65,14 @@ object StreamBench {
       .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
     def vecStream: DataFrame = spark.readStream
       .schema(Tables.embeddingsSchema).parquet(s"$sfDir/embeddings.parque[t]")
+    // events carry their own event time; the physical ts unit rides the
+    // same footer sniff the batch reader uses
+    def evStream: DataFrame = {
+      val (readSchema, finish) = Tables.tsReadPlan(spark,
+        s"$sfDir/events.parquet", Tables.eventsSchema, Seq("ts"))
+      finish(spark.readStream.schema(readSchema)
+        .parquet(s"$sfDir/events.parque[t]"))
+    }
 
     // static sides, built batch-side and forced OUTSIDE the timed window
     def eager(df: DataFrame): DataFrame = {
@@ -95,7 +104,18 @@ object StreamBench {
       ("gate_frame", nDocs, () => StreamOps.frameGateStream(docStream, frameIdx)),
       ("gate_sq8", nVecs, () => StreamOps.sq8ScoreStream(vecStream, sq8Idx)),
       ("gate_semantic", nVecs,
-        () => StreamOps.semanticGateStream(vecStream, evalIdx)))
+        () => StreamOps.semanticGateStream(vecStream, evalIdx)),
+      // the two STATEFUL sessionizers (r19): engine-managed
+      // session_window state vs the custom flatMapGroupsWithState
+      // machine, same 30-min gap semantics over the events feed
+      ("session_window", nEvents,
+        () => StreamOps.sessionWindowStream(evStream)),
+      ("session_custom", nEvents, () => {
+        import spark.implicits._
+        StreamOps.sessionizeStream(evStream.select(
+          "event_id", "ts", "user_id", "event_type", "value")
+          .as[StreamOps.Ev]).toDF()
+      }))
 
     def drain(mk: () => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -110,7 +130,7 @@ object StreamBench {
       name -> math.rint(rows / ts(1))
     }
     println(timed.map { case (k, v) => "\"" + k + "\":" + v.toLong }
-      .mkString(s"""{"n_docs":$nDocs,"n_vecs":$nVecs,""", ",",
+      .mkString(s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,""", ",",
         s""","unit":"rows_per_sec","sf":"$sfDir"}"""))
     spark.stop()
   }

@@ -113,6 +113,44 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Gap-based session windows on Spark's NATIVE `session_window` +
+    * `withWatermark` (r19) — engine-managed session state (gap
+    * extension, window merge, watermark expiry) instead of
+    * [[sessionizeStream]]'s explicit flatMapGroupsWithState machine.
+    * In Append mode a session emits exactly once, when the event-time
+    * watermark passes its end (last event + gap) — the same closure
+    * rule the custom machine applies — and its state is evicted, so
+    * state stays O(open sessions), independent of stream length.
+    * Output schema matches the batch q22 row minus the global
+    * session_seq (a per-user ordinal over ALL sessions is only
+    * assignable once no earlier session can still close).
+    *
+    * The same expression runs in BATCH over the same frame (Spark
+    * evaluates `session_window` in both modes), which is what the spec
+    * pins row-equal to the stream and to q22's window-function
+    * formulation. Boundary semantics: `session_window` merges a new
+    * event whose window start EQUALS the open session's end (inclusive
+    * merge), the same call q22's `diff > gap` test makes on an
+    * exact-1800 s follower — pinned by the spec's synthetic boundary
+    * event so an engine version changing the comparison surfaces as a
+    * test failure, not a silent batch-vs-stream fork. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        floor(min(col("ts").cast("double"))).cast("long").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"),
+        floor(max(col("ts").cast("double")) - min(col("ts").cast("double"))).cast("long")
+          .as("duration_s"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("sum_value"), col("duration_s"))
+
+  /** [[sessionWindowAgg]] with the streaming watermark — the
+    * engine-managed dual of [[sessionizeStream]]. */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    sessionWindowAgg(events.withWatermark("ts", "1 hour"))
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (broadcast to every microbatch — the static side is planned once and
     * reused; no stream-side state). */

@@ -1147,4 +1147,82 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("builtin session_window stream equals batch q22 closed sessions (r19)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Events
+    import graft.sources.Tables
+    val evRows = Tables.events(spark, sfDir).collect().map(r =>
+      Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val maxTs = evRows.map(_.ts.getTime).max
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionWindowStream(input.toDF())
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(evRows.toSeq: _*)
+      q.processAllAvailable()
+      // a far-future sentinel pushes the watermark past every real
+      // session's end + gap, closing them all; its own session stays
+      // open (append emits only watermark-closed sessions)
+      input.addData(Ev(-1, new Timestamp(maxTs + 10 * 3600 * 1000L), -1, "x", 0.0))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      val got = spark.table("sw_out").collect().filter(_.getLong(0) >= 0)
+        .map(key).toSet
+      // batch q22, minus the global session_seq ordinal
+      val want = Events.sessionize(spark, sfDir)
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("sum_value"), col("duration_s"))
+        .collect().map(key).toSet
+      assert(got == want,
+        s"session_window stream diverged from batch q22: " +
+          s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(got.nonEmpty)
+      // the SAME expression in batch mode agrees too (one definition,
+      // two execution modes)
+      val batchSw = StreamOps.sessionWindowAgg(Tables.events(spark, sfDir))
+        .collect().map(key).toSet
+      assert(batchSw == want, "batch session_window diverged from q22")
+      // engine-managed state: present, and only the sentinel's open
+      // session survives the watermark
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal < 10,
+        s"session state not evicted: ${st.map(_.numRowsTotal).mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("session_window boundary: an exact-gap event MERGES, matching q22's inclusive rule") {
+    // `session_window` merges a new event whose window START equals the
+    // open session's end (inclusive boundary) — the same call batch
+    // q22's `diff > gap` test makes on an exact-1800 s follower. Pinned
+    // so an engine version changing the merge comparison surfaces here
+    // rather than as a silent q22-vs-stream divergence.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, new Timestamp(60000L), 7L, "click", 1.0),
+      (2L, new Timestamp(60000L + 1800 * 1000L), 7L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sw = StreamOps.sessionWindowAgg(df).collect()
+    assert(sw.length == 1 && sw.head.getLong(2) == 2L &&
+      sw.head.getLong(4) == 1800L,
+      s"exact-gap pair must merge into one session: ${sw.mkString(";")}")
+    // the q22 window formulation over the same two rows agrees
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lag, sum, when}
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val q22Sessions = df
+      .withColumn("prev_ts", lag(col("ts").cast("double"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("double") - col("prev_ts")) > 1800.0, 1L).otherwise(0L))
+      .agg(sum(col("new_session")))
+      .collect().head.getLong(0)
+    assert(q22Sessions == 1L)
+  }
 }
