@@ -1148,9 +1148,26 @@ object Curation {
     * explode because the driver benches them in isolation (~5.4 s of the
     * r8 profile was exactly this recomputation); a deployment composing
     * them calls this once and passes the result to the `*From` variants,
-    * which CurationSpec asserts equivalent to the isolation results. */
+    * which CurationSpec asserts equivalent to the isolation results.
+    *
+    * SESSION-STANDING since r19 ([[Materialize.shared]], the LSH
+    * hash-table precedent): the deployment-path regimes that start here
+    * — q99's staged marker, q113's sketch-phase marker, q101/q103's
+    * sharded gates (probe side AND the standing shard index's build) —
+    * together re-exploded the same corpus once per query; one refresh
+    * per session now serves all of them, which IS the deployment
+    * cadence the q99/q113 scaladocs describe. The in-query q95/q96/q98
+    * baselines keep their own explodes (the declared isolation
+    * regimes), and a fresh session rebuilds, so the bench's isolated
+    * passes still measure the full build. */
   def spanTable(spark: SparkSession, dir: String): DataFrame =
-    Materialize.stage(spanRows(Tables.documents(spark, dir)))
+    // hybrid: the EXPLODE is session-standing (shared parquet), but each
+    // query re-stages the scan — markers like q113's sketch phase read
+    // the table several times per plan, and repeated parquet decodes of
+    // the string-keyed span rows measured SLOWER than one scan +
+    // localCheckpoint re-reads (span-family subset bench, r19)
+    Materialize.stage(Materialize.shared(spark, s"spanTable:$dir")(
+      spanRows(Tables.documents(spark, dir))))
 
   /** [[spanTable]], durably: write the span table to a parquet sink and
     * return the re-read frame — the [[persistPairTable]] dual. Unlike the
