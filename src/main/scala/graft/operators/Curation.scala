@@ -1381,7 +1381,7 @@ object Curation {
     * within-doc repeats before the wire; coverage is the q95
     * aggregation shape keyed by doc. */
   def selfRepeat(spark: SparkSession, dir: String): DataFrame =
-    selfRepeatFrom(spanRows(Tables.documents(spark, dir)))
+    selfRepeatFrom(spanTable(spark, dir)) // rides the standing table (r19)
 
   /** [[selfRepeat]] over an existing span table ([[spanTable]]). */
   def selfRepeatFrom(spans: DataFrame): DataFrame = {
@@ -1425,7 +1425,7 @@ object Curation {
     * gaps-and-islands window partitions by doc_id, so per-task work is
     * bounded by one document's hit count, never the corpus. */
   def spanRuns(spark: SparkSession, dir: String): DataFrame =
-    spanRunsFrom(spanRows(Tables.documents(spark, dir)))
+    spanRunsFrom(spanTable(spark, dir)) // rides the standing table (r19)
 
   /** [[spanRuns]] over an existing span table ([[spanTable]]). */
   def spanRunsFrom(spans: DataFrame): DataFrame = {
@@ -1505,7 +1505,7 @@ object Curation {
     * naive occurrence-level join would risk cannot happen. One
     * materialization feeds both join sides. */
   def spanProvenance(spark: SparkSession, dir: String): DataFrame =
-    spanProvenanceFrom(spanRows(Tables.documents(spark, dir)))
+    spanProvenanceFrom(spanTable(spark, dir)) // rides the standing table (r19)
 
   /** [[spanProvenance]] over an existing span table ([[spanTable]]). */
   def spanProvenanceFrom(spans: DataFrame): DataFrame = {
