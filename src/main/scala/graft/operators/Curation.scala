@@ -1085,9 +1085,14 @@ object Curation {
                             broadcastDupVerify: Boolean = true): DataFrame = {
     val (corpusIdx, batch) = incrementSplit(spark, dir)
     val corpusFp = corpusIdx.staged
+    // the sharded corpus sketch is a STANDING artifact (its own scaladoc:
+    // "amortized across every batch of the day") — one refresh per
+    // session serves both gate regimes (q100/q105), the spanShardIdx
+    // precedent; the exact verify against the live index stays per-query
+    val shards = Materialize.shared(spark, s"bloomShardIdx:4:$dir")(
+      bloomWordsSharded(corpusFp, 4))
     val candidates =
-      bloomHitSharded(batch, bloomWordsSharded(corpusFp, 4), 4,
-        broadcastShards)
+      bloomHitSharded(batch, shards, 4, broadcastShards)
         .select(col("doc_id"), col("fp"))
         .staged // the same reorder barrier bloomIncrement documents
     admitList(batch, corpusFp, candidates, broadcastDupVerify)
