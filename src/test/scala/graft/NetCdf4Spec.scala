@@ -880,6 +880,26 @@ class NetCdf4Spec extends SparkSpec {
     }
   }
 
+  test("fuzz: DIMENSION_LIST/global-heap corruptions never escape probe (r19)") {
+    // same harness as the other fuzz passes, over the renamed-coord
+    // fixture — mutations land in the vlen attr descriptors and the
+    // trailing GCOL collection too, so the global-heap walk's bounds/
+    // index/size checks are exercised, not just the header paths
+    val good = renamedCoordCube(withDimList = true, latest = false)
+    val rnd = new scala.util.Random(314159)
+    (0 until good.length by 7).foreach { n =>
+      NetCdf4.probe(good.take(n)) // must return, not throw
+    }
+    (1 to 300).foreach { _ =>
+      val mutated = good.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      NetCdf4.probe(mutated) // must return, not throw
+      scala.util.Try(NetCdf4.decodeCube(spark, "c", "temp", mutated).count())
+    }
+  }
+
   test("fuzz: truncations and corruptions never escape probe") {
     val good = NetCdf4.encodeCube(cubeDf(), "p")
     val rnd = new scala.util.Random(42)
