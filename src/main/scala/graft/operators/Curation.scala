@@ -1084,11 +1084,16 @@ object Curation {
                             broadcastShards: Boolean = true,
                             broadcastDupVerify: Boolean = true): DataFrame = {
     val (corpusIdx, batch) = incrementSplit(spark, dir)
-    val corpusFp = corpusIdx.staged
     // the sharded corpus sketch is a STANDING artifact (its own scaladoc:
     // "amortized across every batch of the day") — one refresh per
     // session serves both gate regimes (q100/q105), the spanShardIdx
-    // precedent; the exact verify against the live index stays per-query
+    // precedent. The corpus fingerprint INDEX is standing too, and the
+    // sketch is built FROM it: bloom negatives skip the exact verify
+    // entirely, so gate and verify must agree on what the corpus is —
+    // a standing sketch over a live index would silently admit
+    // duplicates of corpus docs ingested after the sketch snapshot.
+    // One snapshot per session feeds both; a refresh is a new session.
+    val corpusFp = Materialize.shared(spark, s"bloomCorpusFp:$dir")(corpusIdx)
     val shards = Materialize.shared(spark, s"bloomShardIdx:4:$dir")(
       bloomWordsSharded(corpusFp, 4))
     val candidates =

@@ -1074,8 +1074,13 @@ object Similarity {
   def pqDriftAuditFrom(emb: DataFrame, probes0: DataFrame, nlist: Int,
       nprobe: Int, m: Int, dsub: Int, nCodes: Int,
       standingKey: Option[String] = None): DataFrame = {
+    // the build parameters are folded into the cell key: cent depends on
+    // nlist, resid on cent, tcbStale on m/dsub/nCodes — a caller reusing
+    // one standingKey with different parameters must get a rebuild, not
+    // another parameterization's cached artifacts
     def standing(sub: String)(df: => DataFrame): DataFrame = standingKey match {
-      case Some(k) => Materialize.shared(emb.sparkSession, s"$k:$sub")(df)
+      case Some(k) => Materialize.shared(emb.sparkSession,
+        s"$k:$sub:$nlist:$m:$dsub:$nCodes")(df)
       case None => Materialize.stage(df)
     }
     // probes (4 consumers: exact ground truth, the output spine, both
