@@ -1466,9 +1466,12 @@ object NetCdf4 {
     }
   }
 
-  /** v1/v2/v3 attribute messages. Returns None for attr datatypes outside
-    * the subset (vlen `DIMENSION_LIST`, reference `REFERENCE_LIST`, …) —
-    * skipped, not fatal, because axis mapping uses names + shapes. */
+  /** v1/v2/v3 attribute messages. Vlen-of-object-reference attrs —
+    * netCDF-4's `DIMENSION_LIST` — are PARSED (the references land in
+    * [[H5Attr.refs]] and drive axis mapping); `REFERENCE_LIST` and
+    * region-reference vlens keep their named skip (returns None —
+    * skipped, not fatal; xarray also ignores them for decode), as do
+    * attr datatypes outside the subset. */
   private def parseAttr(b: Buf, p: Int): Option[H5Attr] = {
     val ver = b.u8(p)
     require(ver >= 1 && ver <= 3, s"attribute message version $ver unsupported")
@@ -1898,16 +1901,24 @@ object NetCdf4 {
   /** Decode staged NetCDF-4 cube bytes to the pipeline's long format —
     * schema- and semantics-identical to [[NetCdf.decodeCube]] (shared
     * [[NetCdf.cubeFrame]] builder): same data-variable selection, CF time
-    * units, packing and fill masking. Axis positions resolve by matching
-    * coordinate-dataset lengths against the data shape (conventional
-    * (time, y, x) order on ties) because the subset skips the vlen
-    * `DIMENSION_LIST` attribute. */
+    * units, packing and fill masking, and the same CF
+    * `coordinates`-attribute handling (2-D lat/lon auxiliary coordinates
+    * become extra `lat`/`lon` columns). Axis positions resolve through
+    * the data variable's `DIMENSION_LIST` dimension scales where present
+    * (r19 — xarray's semantics, covering renamed/phony/transposed
+    * coords), else by matching coordinate-dataset lengths against the
+    * data shape (conventional (time, y, x) order on ties). */
   def decodeCube(
       spark: SparkSession, collection: String, parameter: String,
       bytes: Array[Byte]): DataFrame = {
     val f = parse(bytes)
+    // variables listed in any CF `coordinates` attribute are coordinates,
+    // not data — a 2-D lat(y,x) must never be picked as the data variable
+    val auxListed = f.datasets.flatMap(_.attr("coordinates"))
+      .flatMap(_.text.trim.split("\\s+")).map(_.toLowerCase).toSet
     val gridded = f.datasets.filter(d =>
-      !coordNames.contains(leafName(d.name)) && d.shape.size >= 2)
+      !coordNames.contains(leafName(d.name)) &&
+        !auxListed.contains(leafName(d.name)) && d.shape.size >= 2)
     require(gridded.nonEmpty, "no gridded data variable in NetCDF-4 stream")
     def isParam(v: H5Dataset): Boolean =
       v.name.equalsIgnoreCase(parameter) || leafName(v.name) == parameter.toLowerCase
@@ -1966,7 +1977,12 @@ object NetCdf4 {
         val tP =
           if (rank == 3)
             Some(scales.indexWhere(_.exists(isTime)) match {
-              case -1 => 0
+              // no time-classifiable scale: take the first axis whose
+              // scale is NOT X/Y-classified rather than blindly axis 0 —
+              // a (y, x, time) cube whose time scale is renamed and
+              // unitless must not map latitudes into timestamps
+              case -1 => (0 until rank).find(i =>
+                  !scales(i).exists(d => isX(d) || isY(d))).getOrElse(0)
               case i => i
             })
           else None
@@ -2015,6 +2031,57 @@ object NetCdf4 {
         else (Some(perm(0)), perm(1), perm(2), timeDs0, yDs0, xDs0)
     }
 
+    // CF `coordinates` auxiliary coordinates — the [[NetCdf.decodeCube]]
+    // dual (xarray attaches these as non-dimension coords,
+    // ingestor.py:200): a curvilinear native-CRS cube — exactly what a
+    // `harmonie_*` grid looks like before the reference reprojects it —
+    // carries 2-D lat(y,x)/lon(y,x) beside its 1-D projection coords.
+    // Each listed variable that is a 2-D grid over the (y, x) axes
+    // becomes an extra `lat`/`lon` output column. Axis order resolves
+    // through the aux variable's own DIMENSION_LIST where present
+    // (exact), else by shape against (ny, nx) — square grids default to
+    // conventional (y, x) order. Named skips: non-geographic aux names
+    // and grids whose shape matches neither order.
+    val aux: Seq[NetCdf.AuxCoord] = {
+      val listed = data.attr("coordinates").map(_.text.trim).filter(_.nonEmpty)
+        .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+      val groupPrefix = data.name.substring(0, data.name.lastIndexOf('/') + 1)
+      val byAddr = f.datasets.map(d => d.headerAddr -> d).toMap
+      val nYd = shape(yPos); val nXd = shape(xPos)
+      listed.flatMap { nm =>
+        f.datasets.find(_.name == groupPrefix + nm)
+          .orElse(f.datasets.find(d => leafName(d.name) == nm.toLowerCase))
+          .filter(_.shape.size == 2).flatMap { v =>
+            val u = v.attr("units").map(_.text).getOrElse("")
+            val ln = nm.toLowerCase
+            val outCol =
+              if (ln.startsWith("lat") || u.startsWith("degrees_north")) Some("lat")
+              else if (ln.startsWith("lon") || u.startsWith("degrees_east")) Some("lon")
+              else None
+            outCol.flatMap { c =>
+              val sh = v.shape.map(_.toInt)
+              val yMajor: Option[Boolean] =
+                v.attr("DIMENSION_LIST").filter(_.refs.size == 2).flatMap { a =>
+                  val s0 = a.refs.head.headOption.flatMap(byAddr.get).map(_.headerAddr)
+                  if (s0.isDefined && s0 == yDs.map(_.headerAddr)) Some(true)
+                  else if (s0.isDefined && s0 == xDs.map(_.headerAddr)) Some(false)
+                  else None
+                }.orElse {
+                  if (sh == Seq(nYd, nXd)) Some(true) // square: conventional
+                  else if (sh == Seq(nXd, nYd)) Some(false)
+                  else None
+                }
+              yMajor
+                .filter(m => sh == (if (m) Seq(nYd, nXd) else Seq(nXd, nYd)))
+                .map {
+                  case true  => NetCdf.AuxCoord(c, readValues(f, v), sh(1), 1)
+                  case false => NetCdf.AuxCoord(c, readValues(f, v), 1, sh(1))
+                }
+            }
+          }
+      }.distinctBy(_.name)
+    }
+
     val strides = Array.fill(rank)(1)
     var s = rank - 2
     while (s >= 0) { strides(s) = strides(s + 1) * shape(s + 1); s -= 1 }
@@ -2037,7 +2104,7 @@ object NetCdf4 {
     NetCdf.cubeFrame(spark, collection, parameter, timeVals, yVals, xVals,
       readValues(f, data),
       tPos.map(strides(_)).getOrElse(0), strides(yPos), strides(xPos),
-      scale, offset, fill, toEpochSec)
+      scale, offset, fill, toEpochSec, aux)
   }
 
   // -- writer (fixture + sink side) -----------------------------------

@@ -1190,6 +1190,98 @@ class NetCdf4Spec extends SparkSpec {
     })
   }
 
+  test("DIMENSION_LIST: trailing unclassifiable time scale is not mistaken for axis 0 (r20)") {
+    // a (y, x, time) layout whose time scale is renamed AND unitless —
+    // nothing classifies it as time, but axes 0/1 classify as Y/X, so
+    // the time position must fall to the first NON-X/Y axis (2), not
+    // blindly to 0 (which would map latitudes into timestamps)
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("northings", Seq(2L), Array(55.0, 56.0),
+        attrs = Seq("units" -> "degrees_north")),
+      NetCdf4.WriteDs("eastings", Seq(3L), Array(11.0, 12.0, 13.0),
+        attrs = Seq("units" -> "degrees_east")),
+      NetCdf4.WriteDs("steps", Seq(2L), Array(0.0, 3600.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("temp", Seq(2L, 3L, 2L),
+        Array.tabulate(12)(_.toDouble), // value = yi*6 + xi*2 + t
+        attrs = Seq("DIMENSION_LIST" ->
+          NetCdf4.DimList(Seq("northings", "eastings", "steps"))))))
+    val back = NetCdf4.decodeCube(spark, "c", "temp", bytes).collect()
+    assert(back.length == 12)
+    assert(back.map(_.getTimestamp(2).getTime).toSet == Set(0L, 3600L * 1000))
+    assert(back.map(_.getDouble(3)).toSet == Set(11.0, 12.0, 13.0))
+    assert(back.map(_.getDouble(4)).toSet == Set(55.0, 56.0))
+    assert(back.forall { r =>
+      val t = (r.getTimestamp(2).getTime / 3600000L).toInt
+      val xi = (r.getDouble(3) - 11.0).toInt
+      val yi = (r.getDouble(4) - 55.0).toInt
+      r.getDouble(5) == yi * 6 + xi * 2 + t
+    })
+  }
+
+  test("CF coordinates: curvilinear 2-D aux lat/lon become extra columns (r20)") {
+    // the harmonie-shaped case (ingestor.py:201 reprojects only
+    // harmonie*; other native-CRS collections pass through): projection
+    // coords yc/xc, 2-D lat(yc,xc) / lon(xc,yc) listed in `coordinates`
+    // — lon TRANSPOSED, its own DIMENSION_LIST declaring the order
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("yc", Seq(2L), Array(1000.0, 2000.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("xc", Seq(3L), Array(100.0, 200.0, 300.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("lat", Seq(2L, 3L),
+        Array(55.0, 55.1, 55.2, 56.0, 56.1, 56.2), // 55 + yi + 0.1*xi
+        attrs = Seq("units" -> "degrees_north",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("yc", "xc")))),
+      NetCdf4.WriteDs("lon", Seq(3L, 2L),
+        Array(11.0, 11.5, 12.0, 12.5, 13.0, 13.5), // 11 + xi + 0.5*yi
+        attrs = Seq("units" -> "degrees_east",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("xc", "yc")))),
+      NetCdf4.WriteDs("temp", Seq(2L, 3L), Array.tabulate(6)(_.toDouble),
+        attrs = Seq("coordinates" -> "lat lon",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("yc", "xc"))))))
+    assert(Fetch.containerGuard(bytes).isEmpty) // in-subset at the gate
+    val df = NetCdf4.decodeCube(spark, "c", "temp", bytes)
+    assert(df.columns.toSeq == Seq("collection", "parameter", "time",
+      "x", "y", "value", "lat", "lon"))
+    val back = df.collect()
+    assert(back.length == 6)
+    assert(back.forall { r =>
+      val xi = (r.getDouble(3) / 100.0 - 1).round.toInt
+      val yi = (r.getDouble(4) / 1000.0 - 1).round.toInt
+      r.getDouble(5) == yi * 3 + xi &&
+        math.abs(r.getDouble(6) - (55.0 + yi + 0.1 * xi)) < 1e-9 &&
+        math.abs(r.getDouble(7) - (11.0 + xi + 0.5 * yi)) < 1e-9
+    })
+    // coordinates-listed datasets are never picked AS the data variable
+    val anon = NetCdf4.decodeCube(spark, "c", "grid", bytes).collect()
+    assert(anon.map(_.getDouble(5)).sorted.toSeq == (0 until 6).map(_.toDouble))
+  }
+
+  test("CF coordinates: square grid needs the aux DIMENSION_LIST to disambiguate (r20)") {
+    // on a 2x2 grid shape matching cannot tell (y,x) from (x,y); the
+    // transposed lon(x,y) must decode correctly through its OWN
+    // DIMENSION_LIST references
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("yc", Seq(2L), Array(1000.0, 2000.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("xc", Seq(2L), Array(100.0, 200.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("lon", Seq(2L, 2L),
+        Array(11.0, 11.5, 12.0, 12.5), // x-major: 11 + xi + 0.5*yi
+        attrs = Seq("units" -> "degrees_east",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("xc", "yc")))),
+      NetCdf4.WriteDs("temp", Seq(2L, 2L), Array.tabulate(4)(_.toDouble),
+        attrs = Seq("coordinates" -> "lon",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("yc", "xc"))))))
+    val back = NetCdf4.decodeCube(spark, "c", "temp", bytes).collect()
+    assert(back.forall { r =>
+      val xi = (r.getDouble(3) / 100.0 - 1).round.toInt
+      val yi = (r.getDouble(4) / 1000.0 - 1).round.toInt
+      math.abs(r.getDouble(6) - (11.0 + xi + 0.5 * yi)) < 1e-9
+    })
+  }
+
   test("fetch boundary: DIMENSION_LIST renamed-coord cube passes the guard and ingests (r19)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_nc4dl")
     val out = tmp.resolve("out").toString
