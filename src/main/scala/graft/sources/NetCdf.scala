@@ -6,8 +6,9 @@ import java.sql.Timestamp
 import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 import java.time.format.DateTimeFormatter
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType, TimestampType}
 
 /** Pure-JVM classic NetCDF codec (CDF-1 / CDF-2 / CDF-5), written against
   * the public NetCDF classic-format specification — the engine-side dual of
@@ -371,8 +372,13 @@ object NetCdf {
       bytes: Array[Byte]): DataFrame = {
     val f = parse(bytes)
     val dimNames = f.dims.map(_.name).toSet
+    // variables listed in any CF `coordinates` attribute are coordinates,
+    // not data — a 2-D lat(y,x) must never be picked as the data variable
+    val auxNames = f.vars.flatMap(_.attr("coordinates"))
+      .flatMap(_.text.trim.split("\\s+")).toSet
     val gridded = f.vars.filter(v =>
-      v.ncType != NcChar && !dimNames.contains(v.name) && v.dimIds.size >= 2)
+      v.ncType != NcChar && !dimNames.contains(v.name) &&
+        !auxNames.contains(v.name) && v.dimIds.size >= 2)
     require(gridded.nonEmpty, "no gridded data variable in NetCDF stream")
     // a rank-4+ variable (e.g. pressure-level output with a level axis)
     // cannot be flattened to the (time, x, y, value) frame — reject it
@@ -439,7 +445,42 @@ object NetCdf {
     val raw = readValues(f, data)
     cubeFrame(spark, collection, parameter, timeVals, yVals, xVals, raw,
       tPos.map(strides(_)).getOrElse(0), strides(yPos), strides(xPos),
-      scale, offset, fill, toEpochSec)
+      scale, offset, fill, toEpochSec, auxCoords(f, data, yPos, xPos))
+  }
+
+  /** CF `coordinates`-attribute auxiliary coordinates (CF §5.2 — what
+    * `xarray.open_dataset` attaches as non-dimension coords,
+    * ingestor.py:200): a curvilinear native-CRS grid carries 2-D
+    * `lat(y,x)` / `lon(y,x)` variables beside its 1-D projection coords.
+    * Each listed variable that is a 2-D grid over the data variable's
+    * (y, x) dims becomes an extra `lat` / `lon` output column; the aux
+    * variable's OWN dim order drives the strides, so a transposed
+    * `lon(x,y)` decodes correctly. Named skips: non-geographic aux names
+    * (time bounds, cell measures, scalar coords) and aux grids over other
+    * dims — the long row model carries geography, not arbitrary extra
+    * rasters. */
+  private def auxCoords(f: NcFile, data: NcVar, yPos: Int, xPos: Int): Seq[AuxCoord] = {
+    val listed = data.attr("coordinates").map(_.text.trim).filter(_.nonEmpty)
+      .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+    val yDim = data.dimIds(yPos); val xDim = data.dimIds(xPos)
+    listed.flatMap { nm =>
+      f.variable(nm).filter(v => v.dimIds.size == 2 && v.ncType != NcChar).flatMap { v =>
+        val u = v.attr("units").map(_.text).getOrElse("")
+        val ln = nm.toLowerCase
+        val outCol =
+          if (ln.startsWith("lat") || u.startsWith("degrees_north")) Some("lat")
+          else if (ln.startsWith("lon") || u.startsWith("degrees_east")) Some("lon")
+          else None
+        outCol.flatMap { c =>
+          val sh = f.shape(v).map(_.toInt)
+          if (v.dimIds == Seq(yDim, xDim))
+            Some(AuxCoord(c, readValues(f, v), sh(1), 1))
+          else if (v.dimIds == Seq(xDim, yDim))
+            Some(AuxCoord(c, readValues(f, v), 1, sh(1)))
+          else None
+        }
+      }
+    }.distinctBy(_.name)
   }
 
   /** Shared long-frame builder for both container formats (classic here,
@@ -447,14 +488,23 @@ object NetCdf {
     * caller-resolved axis strides, apply CF packing/fill/time semantics,
     * and return the pipeline's `(collection, parameter, time, x, y,
     * value)` frame. */
+  /** One 2-D auxiliary coordinate (CF `coordinates` attribute, e.g. a
+    * curvilinear grid's `lat(y,x)` / `lon(y,x)`): an extra double output
+    * column `name` whose value at output cell (y, x) is
+    * `vals(y*yStride + x*xStride)` — the caller resolves the aux
+    * variable's own axis order into the strides. */
+  private[sources] case class AuxCoord(name: String, vals: Array[Double],
+                                       yStride: Int, xStride: Int)
+
   private[sources] def cubeFrame(
       spark: SparkSession, collection: String, parameter: String,
       timeVals: Array[Double], yVals: Array[Double], xVals: Array[Double],
       raw: Array[Double], tStride: Int, yStride: Int, xStride: Int,
       scale: Double, offset: Double, fill: Option[Double],
-      toEpochSec: Double => Double): DataFrame = {
+      toEpochSec: Double => Double, aux: Seq[AuxCoord] = Nil): DataFrame = {
     val nT = timeVals.length; val nY = yVals.length; val nX = xVals.length
-    val rows = new Array[(Timestamp, Double, Double, java.lang.Double)](nT * nY * nX)
+    val nAux = aux.size
+    val rows = new Array[Row](nT * nY * nX)
     var k = 0
     var t = 0
     while (t < nT) {
@@ -466,18 +516,33 @@ object NetCdf {
           val v = raw(t * tStride + y * yStride + x * xStride)
           val unpacked: java.lang.Double =
             if (fill.contains(v) || v.isNaN) null else v * scale + offset
-          rows(k) = (ts, xVals(x), yVals(y), unpacked)
+          val vs = new Array[Any](4 + nAux)
+          vs(0) = ts; vs(1) = xVals(x); vs(2) = yVals(y); vs(3) = unpacked
+          var a = 0
+          while (a < nAux) {
+            val ac = aux(a)
+            vs(4 + a) = ac.vals(y * ac.yStride + x * ac.xStride)
+            a += 1
+          }
+          rows(k) = Row.fromSeq(vs.toIndexedSeq)
           k += 1; x += 1
         }
         y += 1
       }
       t += 1
     }
-    import spark.implicits._
-    spark.createDataset(rows.toIndexedSeq).toDF("time", "x", "y", "value")
+    val schema = StructType(
+      StructField("time", TimestampType, nullable = false) ::
+        StructField("x", DoubleType, nullable = false) ::
+        StructField("y", DoubleType, nullable = false) ::
+        StructField("value", DoubleType, nullable = true) ::
+        aux.map(a => StructField(a.name, DoubleType, nullable = false)).toList)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toIndexedSeq.asJava, schema)
       .select(
-        lit(collection).as("collection"), lit(parameter).as("parameter"),
-        col("time"), col("x"), col("y"), col("value"))
+        lit(collection).as("collection") +: lit(parameter).as("parameter") +:
+          col("time") +: col("x") +: col("y") +: col("value") +:
+          aux.map(a => col(a.name)): _*)
   }
 
   /** Encode a long-format cube back to classic NetCDF bytes — the engine

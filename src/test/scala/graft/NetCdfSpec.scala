@@ -283,6 +283,44 @@ class NetCdfSpec extends SparkSpec {
     assert(m((3600L, 12.0, 56.0)) == 121.0)
   }
 
+  test("CF coordinates: 2-D auxiliary lat/lon become extra output columns (r20)") {
+    // a curvilinear native-CRS grid: 1-D projection coords x/y plus 2-D
+    // lat(y,x) / lon(x,y) attached via the data variable's CF
+    // `coordinates` attribute — lon deliberately TRANSPOSED so the aux
+    // variable's own dim order (not the data variable's) drives strides
+    val bytes = NetCdf.write(
+      dims = Seq("y" -> 2L, "x" -> 3L),
+      gattrs = Nil,
+      vars = Seq(
+        WriteVar("y", Seq("y"), NcDouble, Nil, Array(1000.0, 2000.0)),
+        WriteVar("x", Seq("x"), NcDouble, Nil, Array(100.0, 200.0, 300.0)),
+        WriteVar("lat", Seq("y", "x"), NcDouble,
+          Seq("units" -> "degrees_north"),
+          Array(55.0, 55.1, 55.2, 56.0, 56.1, 56.2)), // 55 + yi + 0.1*xi
+        WriteVar("lon", Seq("x", "y"), NcDouble,
+          Seq("units" -> "degrees_east"),
+          Array(11.0, 11.5, 12.0, 12.5, 13.0, 13.5)), // 11 + xi + 0.5*yi
+        WriteVar("temp", Seq("y", "x"), NcDouble,
+          Seq("coordinates" -> "lat lon"), Array.tabulate(6)(_.toDouble))),
+      version = 1, numRecs = 0L)
+    val df = NetCdf.decodeCube(spark, "c", "temp", bytes)
+    assert(df.columns.toSeq == Seq("collection", "parameter", "time",
+      "x", "y", "value", "lat", "lon"))
+    val back = df.collect()
+    assert(back.length == 6)
+    assert(back.forall { r =>
+      val xi = (r.getDouble(3) / 100.0 - 1).round.toInt
+      val yi = (r.getDouble(4) / 1000.0 - 1).round.toInt
+      r.getDouble(5) == yi * 3 + xi &&
+        math.abs(r.getDouble(6) - (55.0 + yi + 0.1 * xi)) < 1e-9 &&
+        math.abs(r.getDouble(7) - (11.0 + xi + 0.5 * yi)) < 1e-9
+    })
+    // coordinates-listed variables are never picked AS the data variable:
+    // with no name match, selection must land on temp, not the 2-D lat
+    val anon = NetCdf.decodeCube(spark, "c", "grid", bytes).collect()
+    assert(anon.map(_.getDouble(5)).sorted.toSeq == (0 until 6).map(_.toDouble))
+  }
+
   test("decodeCube rejects rank-4 variables instead of mis-decoding") {
     val bytes = NetCdf.write(
       dims = Seq("time" -> 1L, "level" -> 2L, "y" -> 2L, "x" -> 2L),
