@@ -107,6 +107,17 @@ object Dedup {
   /** Exact 3-shingle Jaccard near-dup pairs (threshold 0.6) via a
     * distinct-shingle equality self-join — the brute-force baseline.
     *
+    * Since r20 the DECLARED query rides the session-standing
+    * [[hashedDocTable]], whose `fps` column carries exactly the sorted
+    * distinct shingle-fingerprint set [[jaccardPairs]] builds in-query —
+    * same xxhash64 space, same df-cap window, same join tail
+    * ([[jaccardOverShingleSets]] is ONE definition for both), so the
+    * output is row-identical (DedupSpec pins it) and the oracle is
+    * untouched. The standing path skips the tokenize scan AND the
+    * distinct shuffle (`explode(fps)` is already per-doc distinct).
+    * [[jaccardPairs]] remains the direct single-pass formulation for
+    * callers holding a non-standard frame (skew spec, ad-hoc corpora).
+    *
     * Formulation note (measured at sf0.1): the hashed-array + broadcast
     * pair-merge formulation that wins for char 4-grams
     * ([[chargramNearDup]], dense vocabulary, df²/2 join explosion) was
@@ -116,7 +127,10 @@ object Dedup {
     * hash/array work plus a repartition is pure overhead. Pick the
     * formulation by vocabulary density, not by habit. */
   def jaccardNearDup(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, dir), 0.6, ShingleDfCap)
+    jaccardOverShingleSets(
+      hashedDocTable(spark, dir)
+        .select(col("doc_id"), explode(col("fps")).as("s")),
+      0.6, ShingleDfCap)
 
   /** Core of [[jaccardNearDup]], parameterized for the skew spec: Jaccard
     * over the set of shingles whose document frequency is ≤ dfCap. The df
@@ -139,12 +153,23 @@ object Dedup {
     // Shingle identity is the [[shingleFps]] fingerprint (8-byte shuffle
     // keys, no per-shingle string construction); the oracle keeps the raw
     // string — equality-classes-only, see the shingleFps scaladoc.
-    val ds0 = docs
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) >= 3)
-      .withColumn("tokh", Curation.tokHashes)
-      .select(col("doc_id"), explode(shingleFps).as("s"))
-      .distinct()
+    jaccardOverShingleSets(
+      docs
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 3)
+        .withColumn("tokh", Curation.tokHashes)
+        .select(col("doc_id"), explode(shingleFps).as("s"))
+        .distinct(),
+      threshold, dfCap)
+  }
+
+  /** The shared Jaccard tail over a DISTINCT (doc_id, s) shingle-set
+    * frame: df-cap window → set sizes → equality self-join → Jaccard
+    * threshold. ONE definition for the in-query pipeline
+    * ([[jaccardPairs]]) and the standing-table path ([[jaccardNearDup]])
+    * so the two formulations can never drift. */
+  private def jaccardOverShingleSets(ds0: DataFrame, threshold: Double,
+                                     dfCap: Int): DataFrame = {
     // Materialized once: feeds three branches (sizes ×2 via join, self-join).
     // Strategy is the graft.materialize setting (Materialize.stage):
     // localCheckpoint on local[n], persist/parquet for cluster fault modes.
@@ -244,10 +269,16 @@ object Dedup {
     docsRaw
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 3)
+      .withColumn("tokh", Curation.tokHashes)
       .withColumn("hs",
         array_sort(array_distinct(transform(shingleCol, s => Hashing.h32p(s)))))
       .withColumn("sig", call_function("minhash_sig16", col("hs")))
-      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"), col("sig"))
+      // fps: the xxhash64 shingle-fingerprint SET (q35's space — distinct
+      // from the sha256-derived 32-bit `hs` the MinHash/verify side needs
+      // for oracle reproducibility), carried so the exact-Jaccard
+      // baseline rides the same standing build as its scale path
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"),
+        col("sig"), array_sort(array_distinct(shingleFps)).as("fps"))
 
   /** Banding candidate pairs (d1 < d2) over a [[hashedDocTable]] —
     * optionally skipping (band, sig) buckets holding more than

@@ -62,6 +62,17 @@ class DedupSpec extends SparkSpec {
     assert(high.subsetOf(lsh), s"missed high-sim pairs: ${high.diff(lsh)}")
   }
 
+  test("q35 standing-table formulation is row-identical to the direct pipeline (r20)") {
+    // the declared query rides hashedDocTable's fps column; the direct
+    // single-pass pipeline is the independent formulation — identical
+    // shingle sets by construction, pinned here row-for-row
+    val direct = Dedup.jaccardPairs(
+      sources.Tables.documents(spark, sfDir), 0.6, Dedup.ShingleDfCap)
+      .collect().toSeq
+    val standing = Dedup.jaccardNearDup(spark, sfDir).collect().toSeq
+    assert(standing == direct)
+  }
+
   test("jaccard df-cap drops hot boilerplate shingles, keeps rare-shingle pairs") {
     import spark.implicits._
     // 10 docs all sharing one boilerplate shingle ("the same header"), plus
