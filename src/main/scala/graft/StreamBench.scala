@@ -129,7 +129,50 @@ object StreamBench {
       val ts = (1 to 3).map(_ => drain(mk)).sorted
       name -> math.rint(rows / ts(1))
     }
-    println(timed.map { case (k, v) => "\"" + k + "\":" + v.toLong }
+
+    // r20: per-MICROBATCH latency for the two STATEFUL session
+    // formulations. State-heavy operators are latency-bound at
+    // deployment (a slow microbatch delays every admission behind it),
+    // so the single-drain throughput rows above are completed by
+    // p50/p95 triggerExecution over a 16-microbatch drain: the events
+    // feed pre-split to 16 files, maxFilesPerTrigger=1, so each batch
+    // carries ~1/16 of the feed plus the session state store's
+    // incremental merge/evict cost. Stateless gates are deliberately
+    // not re-measured — their per-batch cost IS the throughput row.
+    val splitDir = s"${sys.props("java.io.tmpdir")}/graft_stream_split_" +
+      java.util.UUID.randomUUID
+    Tables.events(spark, sfDir).repartition(16).write.parquet(splitDir)
+    val evSplitSchema = spark.read.parquet(splitDir).schema
+    def evSplitStream: DataFrame = spark.readStream.schema(evSplitSchema)
+      .option("maxFilesPerTrigger", "1").parquet(splitDir)
+    def batchLatency(mk: () => DataFrame): Seq[(String, Double)] = {
+      def drainDurs(): Seq[Double] = {
+        val q = mk().writeStream.format("noop").start()
+        try q.processAllAvailable() finally q.stop()
+        q.recentProgress.toSeq.filter(_.numInputRows > 0)
+          .map(_.durationMs.get("triggerExecution").toDouble).sorted
+      }
+      drainDurs() // warmup: codegen + state-store init
+      val durs = drainDurs()
+      def pct(f: Double): Double =
+        durs((math.ceil(f * durs.size).toInt - 1).max(0).min(durs.size - 1))
+      Seq("p50_ms" -> pct(0.5), "p95_ms" -> pct(0.95),
+        "batches" -> durs.size.toDouble)
+    }
+    val latency: Seq[(String, Double)] = Seq(
+      "session_window" -> (() => StreamOps.sessionWindowStream(evSplitStream)),
+      "session_custom" -> (() => {
+        import spark.implicits._
+        StreamOps.sessionizeStream(evSplitStream.select(
+          "event_id", "ts", "user_id", "event_type", "value")
+          .as[StreamOps.Ev]).toDF()
+      })).flatMap { case (name, mk) =>
+      batchLatency(mk).map { case (stat, v) => s"${name}_$stat" -> v }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(splitDir))
+
+    println((timed.map { case (k, v) => "\"" + k + "\":" + v.toLong } ++
+      latency.map { case (k, v) => "\"" + k + "\":" + math.rint(v).toLong })
       .mkString(s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,""", ",",
         s""","unit":"rows_per_sec","sf":"$sfDir"}"""))
     spark.stop()

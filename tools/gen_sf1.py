@@ -24,8 +24,15 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-OUT = "/tmp/sf1"
-SCALE = 10
+# Defaults build the sf1 smoke slice; the r20 two-decade scaling table
+# reuses the same resampler for sf10 via:
+#   GRAFT_GEN_SCALE=100 GRAFT_GEN_OUT=/tmp/sf10 GRAFT_GEN_DOCS_ONLY=1
+# DOCS_ONLY symlinks the fact tables instead of replicating them — the
+# doc/embedding families under measurement never read them, and a 100x
+# lineitem is ~1 GB of parquet the smoke would pay for nothing.
+OUT = os.environ.get("GRAFT_GEN_OUT", "/tmp/sf1")
+SCALE = int(os.environ.get("GRAFT_GEN_SCALE", "10"))
+DOCS_ONLY = os.environ.get("GRAFT_GEN_DOCS_ONLY", "") == "1"
 SEED = 42
 
 con = duckdb.connect()
@@ -49,6 +56,11 @@ for _, text, lang, _ in rows:
 
 vocab = sorted(tok_freq)
 weights = [tok_freq[t] for t in vocab]
+# random.choices re-accumulates `weights` on every call (O(|vocab|) per
+# doc — fine at 50k docs, hours at 500k); precompute the cumulative form
+import itertools
+
+cum_weights = list(itertools.accumulate(weights))
 langs = sorted(lang_freq)
 lang_w = [lang_freq[l] for l in langs]
 sources = sorted({r[3] for r in rows})
@@ -69,11 +81,11 @@ for i in range(n_docs):
     elif texts and u < p_exact + p_near:
         toks = rng.choice(texts).split(" ")
         for _ in range(2):  # mutate 2 tokens -> high-Jaccard near-dup
-            toks[rng.randrange(len(toks))] = rng.choices(vocab, weights)[0]
+            toks[rng.randrange(len(toks))] = rng.choices(vocab, cum_weights=cum_weights)[0]
         text = " ".join(toks)
     else:
         n = rng.choice(doc_lens)
-        text = " ".join(rng.choices(vocab, weights, k=n))
+        text = " ".join(rng.choices(vocab, cum_weights=cum_weights, k=n))
     texts.append(text)
     doc_rows.append(
         (i, text, rng.choices(langs, lang_w)[0], f"src{i % len(sources)}", len(text))
@@ -154,25 +166,33 @@ def _shift_col(tbl, name, delta):
     return tbl.set_column(i, tbl.schema.field(i), shifted)
 
 
-ORDER_SPAN = 1 + con.execute(
-    f"SELECT max(o_orderkey) FROM '{SRC}/orders.parquet'"
-).fetchone()[0]
-_replicate("orders", lambda t, k: _shift_col(t, "o_orderkey", k * ORDER_SPAN))
-_replicate("lineitem", lambda t, k: _shift_col(t, "l_orderkey", k * ORDER_SPAN))
+if DOCS_ONLY:
+    facts_note = "facts symlinked at sf0.1 (DOCS_ONLY)"
+    for t in ["orders", "lineitem", "events"]:
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+else:
+    ORDER_SPAN = 1 + con.execute(
+        f"SELECT max(o_orderkey) FROM '{SRC}/orders.parquet'"
+    ).fetchone()[0]
+    _replicate("orders", lambda t, k: _shift_col(t, "o_orderkey", k * ORDER_SPAN))
+    _replicate("lineitem", lambda t, k: _shift_col(t, "l_orderkey", k * ORDER_SPAN))
 
-EVENT_SPAN = 1 + con.execute(
-    f"SELECT max(event_id) FROM '{SRC}/events.parquet'"
-).fetchone()[0]
-ts_lo, ts_hi = con.execute(
-    f"SELECT min(ts), max(ts) FROM '{SRC}/events.parquet'"
-).fetchone()
-TS_STEP_NS = int((ts_hi - ts_lo).total_seconds() * 1e9) + 3_600_000_000_000
-_replicate(
-    "events",
-    lambda t, k: _shift_col(
-        _shift_col(t, "event_id", k * EVENT_SPAN), "ts", k * TS_STEP_NS
-    ),
-)
+    EVENT_SPAN = 1 + con.execute(
+        f"SELECT max(event_id) FROM '{SRC}/events.parquet'"
+    ).fetchone()[0]
+    ts_lo, ts_hi = con.execute(
+        f"SELECT min(ts), max(ts) FROM '{SRC}/events.parquet'"
+    ).fetchone()
+    TS_STEP_NS = int((ts_hi - ts_lo).total_seconds() * 1e9) + 3_600_000_000_000
+    _replicate(
+        "events",
+        lambda t, k: _shift_col(
+            _shift_col(t, "event_id", k * EVENT_SPAN), "ts", k * TS_STEP_NS
+        ),
+    )
+    facts_note = f"facts {SCALE}x: orders/lineitem (key shift {ORDER_SPAN}), events (ts step {TS_STEP_NS} ns)"
 
 # ---- the dimension tables stay at sf0.1 ---------------------------------
 for t in ["region", "nation", "customer", "supplier", "part"]:
@@ -181,8 +201,6 @@ for t in ["region", "nation", "customer", "supplier", "part"]:
         os.symlink(f"{SRC}/{t}.parquet", dst)
 
 print(
-    f"sf1: {n_docs} docs (p_exact={p_exact:.4f}, p_near={p_near}), "
-    f"{n_vecs} vecs, mean_len={statistics.mean(doc_lens):.1f}, "
-    f"facts 10x: orders/lineitem (key shift {ORDER_SPAN}), "
-    f"events (ts step {TS_STEP_NS} ns)"
+    f"{OUT}: {n_docs} docs (p_exact={p_exact:.4f}, p_near={p_near}), "
+    f"{n_vecs} vecs, mean_len={statistics.mean(doc_lens):.1f}, {facts_note}"
 )
