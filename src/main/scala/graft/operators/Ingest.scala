@@ -54,7 +54,10 @@ object Ingest {
     * time, x, y, value) — the engine-side dual of xarray.open_dataset.
     * Applies, in one plan:
     *  - R7 conditional reproject: harmonie_* rows carry source-CRS meters →
-    *    inverse-LCC to (lon, lat); others already carry degrees;
+    *    inverse-LCC to (lon, lat); others already carry degrees; a cube
+    *    whose decode resolved CF `coordinates` aux coordinates (2-D
+    *    lat/lon columns) keeps THOSE — file-carried geography wins over
+    *    the derived mapping (r20);
     *  - R2 bbox predicate + parameter projection (Catalyst pushes both
     *    into the scan when the input is a parquet source);
     *  - R11 time key formatting;
@@ -63,13 +66,23 @@ object Ingest {
   def cubeToLong(cube: DataFrame, cfg: IngestConfig): DataFrame = {
     val (lonInv, latInv) = Geo.inverseCols(col("x"), col("y"))
     val (x0, y0, x1, y1) = cfg.bbox
+    // a curvilinear cube that resolved CF `coordinates` aux coordinates
+    // already carries true geographic lon/lat columns (NetCdf.decodeCube)
+    // — file-carried geography beats anything derived here, and the
+    // `withColumn` below would otherwise clobber it with projection
+    // meters and bbox-filter degrees against meters (r20)
+    val hasAux = cube.columns.contains("lon") && cube.columns.contains("lat")
+    val lonExpr =
+      if (hasAux) col("lon")
+      else when(col("collection").startsWith("harmonie"), lonInv).otherwise(col("x"))
+    val latExpr =
+      if (hasAux) col("lat")
+      else when(col("collection").startsWith("harmonie"), latInv).otherwise(col("y"))
     cube
       .filter(col("value").isNotNull)
       .filter(col("parameter").isin(cfg.parameters: _*))
-      .withColumn("lon",
-        when(col("collection").startsWith("harmonie"), lonInv).otherwise(col("x")))
-      .withColumn("lat",
-        when(col("collection").startsWith("harmonie"), latInv).otherwise(col("y")))
+      .withColumn("lon", lonExpr)
+      .withColumn("lat", latExpr)
       .filter(col("lon").between(x0, x1) && col("lat").between(y0, y1))
       .withColumn("time_key", date_format(col("time"), Manifest.TimeKeyFormat))
       .select("collection", "parameter", "time_key", "lon", "lat", "value")

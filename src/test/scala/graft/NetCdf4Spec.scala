@@ -1282,6 +1282,46 @@ class NetCdf4Spec extends SparkSpec {
     })
   }
 
+  test("fetch boundary: curvilinear CF-coordinates cube ingests with TRUE geographic lon/lat (r20)") {
+    // end-to-end R2-R12 over a curvilinear cube: the projection coords
+    // are NOT degrees (1000/2000, 100/200/300), so the published rows
+    // are inside the bbox only if cubeToLong kept the aux lat/lon
+    // instead of clobbering them with the projection mapping
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc4cf")
+    val out = tmp.resolve("out").toString
+    val bytes = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("yc", Seq(2L), Array(1000.0, 2000.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("xc", Seq(3L), Array(100.0, 200.0, 300.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("lat", Seq(2L, 3L),
+        Array(55.0, 55.1, 55.2, 56.0, 56.1, 56.2),
+        attrs = Seq("units" -> "degrees_north",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("yc", "xc")))),
+      NetCdf4.WriteDs("lon", Seq(2L, 3L),
+        Array(11.0, 12.0, 13.0, 11.5, 12.5, 13.5),
+        attrs = Seq("units" -> "degrees_east",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("yc", "xc")))),
+      NetCdf4.WriteDs("temp", Seq(2L, 3L), Array.tabulate(6)(_.toDouble),
+        attrs = Seq("coordinates" -> "lat lon",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("yc", "xc"))))), latest = true)
+    assert(Fetch.containerGuard(bytes).isEmpty)
+    val fixture = tmp.resolve("cube.nc4")
+    java.nio.file.Files.write(fixture, bytes)
+    val cfg = IngestConfig(bbox = (10.0, 54.0, 14.0, 57.0),
+      parameters = Seq("temp"))
+    val (mf, o) = Fetch.fetchAndIngest(spark, cfg,
+      Seq("temp" -> fixture.toUri.toString), out)
+    assert(o.forall(_.ok), o.mkString(";"))
+    assert(mf.nonEmpty)
+    val published = spark.read.parquet(out)
+    assert(published.count() == 6)
+    // true aux geography, not projection meters (which the bbox would drop)
+    assert(published.filter(col("lon").between(11.0, 13.5) &&
+      col("lat").between(55.0, 56.2)).count() == 6)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("fetch boundary: DIMENSION_LIST renamed-coord cube passes the guard and ingests (r19)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_nc4dl")
     val out = tmp.resolve("out").toString
