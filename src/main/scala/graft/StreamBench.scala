@@ -141,40 +141,49 @@ object StreamBench {
     // not re-measured — their per-batch cost IS the throughput row.
     val splitDir = s"${sys.props("java.io.tmpdir")}/graft_stream_split_" +
       java.util.UUID.randomUUID
-    Tables.events(spark, sfDir).repartition(16).write.parquet(splitDir)
-    val evSplitSchema = spark.read.parquet(splitDir).schema
-    def evSplitStream: DataFrame = spark.readStream.schema(evSplitSchema)
-      .option("maxFilesPerTrigger", "1").parquet(splitDir)
-    def batchLatency(mk: () => DataFrame): Seq[(String, Double)] = {
-      def drainDurs(): Seq[Double] = {
-        val q = mk().writeStream.format("noop").start()
-        try q.processAllAvailable() finally q.stop()
-        q.recentProgress.toSeq.filter(_.numInputRows > 0)
-          .map(_.durationMs.get("triggerExecution").toDouble).sorted
-      }
-      drainDurs() // warmup: codegen + state-store init
-      val durs = drainDurs()
-      def pct(f: Double): Double =
-        durs((math.ceil(f * durs.size).toInt - 1).max(0).min(durs.size - 1))
-      Seq("p50_ms" -> pct(0.5), "p95_ms" -> pct(0.95),
-        "batches" -> durs.size.toDouble)
-    }
-    val latency: Seq[(String, Double)] = Seq(
-      "session_window" -> (() => StreamOps.sessionWindowStream(evSplitStream)),
-      "session_custom" -> (() => {
-        import spark.implicits._
-        StreamOps.sessionizeStream(evSplitStream.select(
-          "event_id", "ts", "user_id", "event_type", "value")
-          .as[StreamOps.Ev]).toDF()
-      })).flatMap { case (name, mk) =>
-      batchLatency(mk).map { case (stat, v) => s"${name}_$stat" -> v }
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(splitDir))
+    // try/finally: a failed drain must not leak the full split copy of
+    // the events feed in tmpdir
+    val latency: Seq[(String, Seq[(String, Double)])] =
+      try {
+        Tables.events(spark, sfDir).repartition(16).write.parquet(splitDir)
+        val evSplitSchema = spark.read.parquet(splitDir).schema
+        def evSplitStream: DataFrame = spark.readStream.schema(evSplitSchema)
+          .option("maxFilesPerTrigger", "1").parquet(splitDir)
+        def batchLatency(mk: () => DataFrame): Seq[(String, Double)] = {
+          def drainDurs(): Seq[Double] = {
+            val q = mk().writeStream.format("noop").start()
+            try q.processAllAvailable() finally q.stop()
+            q.recentProgress.toSeq.filter(_.numInputRows > 0)
+              .map(_.durationMs.get("triggerExecution").toDouble).sorted
+          }
+          drainDurs() // warmup: codegen + state-store init
+          val durs = drainDurs()
+          def pct(f: Double): Double =
+            durs((math.ceil(f * durs.size).toInt - 1).max(0).min(durs.size - 1))
+          Seq("p50_ms" -> pct(0.5), "p95_ms" -> pct(0.95),
+            "batches" -> durs.size.toDouble)
+        }
+        Seq(
+          "session_window" ->
+            (() => StreamOps.sessionWindowStream(evSplitStream)),
+          "session_custom" -> (() => {
+            import spark.implicits._
+            StreamOps.sessionizeStream(evSplitStream.select(
+              "event_id", "ts", "user_id", "event_type", "value")
+              .as[StreamOps.Ev]).toDF()
+          })).map { case (name, mk) => name -> batchLatency(mk) }
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(splitDir))
 
-    println((timed.map { case (k, v) => "\"" + k + "\":" + v.toLong } ++
-      latency.map { case (k, v) => "\"" + k + "\":" + math.rint(v).toLong })
+    // latency stats nest under their own object with their own unit —
+    // the top-level "unit" describes only the flat gate rate keys
+    val latencyJson = latency.map { case (name, stats) =>
+      "\"" + name + "\":{" + stats.map { case (k, v) =>
+        "\"" + k + "\":" + math.rint(v).toLong }.mkString(",") + "}"
+    }.mkString("\"latency\":{", ",", "}")
+    println(timed.map { case (k, v) => "\"" + k + "\":" + v.toLong }
       .mkString(s"""{"n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,""", ",",
-        s""","unit":"rows_per_sec","sf":"$sfDir"}"""))
+        s""",$latencyJson,"unit":"rows_per_sec","sf":"$sfDir"}"""))
     spark.stop()
   }
 }

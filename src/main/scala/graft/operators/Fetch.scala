@@ -151,6 +151,15 @@ object Fetch {
     val outcomes = decoded.map(_._1)
     val staged = decoded.flatMap(_._2)
     if (staged.isEmpty) (None, outcomes)
-    else (Some(Ingest.ingest(staged.reduce(_ union _), cfg, outPath)), outcomes)
+    else (Some(Ingest.ingest(
+      // by NAME with missing-column fill, not positional: cube schemas
+      // vary since r20 (CF aux lat/lon columns appear only when the file
+      // carries them), so a positional union of a curvilinear and a
+      // regular cube would crash — or, with two aux cubes whose
+      // `coordinates` lists order lat/lon differently, silently swap
+      // them. Missing aux fills null; cubeToLong's per-row coalesce
+      // falls back to the derived mapping exactly for those rows.
+      staged.reduce(_.unionByName(_, allowMissingColumns = true)),
+      cfg, outPath)), outcomes)
   }
 }

@@ -70,14 +70,21 @@ object Ingest {
     // already carries true geographic lon/lat columns (NetCdf.decodeCube)
     // — file-carried geography beats anything derived here, and the
     // `withColumn` below would otherwise clobber it with projection
-    // meters and bbox-filter degrees against meters (r20)
-    val hasAux = cube.columns.contains("lon") && cube.columns.contains("lat")
+    // meters and bbox-filter degrees against meters (r20). PER COLUMN
+    // and PER ROW (coalesce): a cube may resolve only one aux coordinate
+    // (the other keeps the derived mapping), and a multi-parameter union
+    // of aux and non-aux cubes carries nulls in the aux columns for the
+    // non-aux rows (Fetch unions by name with missing-column fill).
+    val derivedLon =
+      when(col("collection").startsWith("harmonie"), lonInv).otherwise(col("x"))
+    val derivedLat =
+      when(col("collection").startsWith("harmonie"), latInv).otherwise(col("y"))
     val lonExpr =
-      if (hasAux) col("lon")
-      else when(col("collection").startsWith("harmonie"), lonInv).otherwise(col("x"))
+      if (cube.columns.contains("lon")) coalesce(col("lon"), derivedLon)
+      else derivedLon
     val latExpr =
-      if (hasAux) col("lat")
-      else when(col("collection").startsWith("harmonie"), latInv).otherwise(col("y"))
+      if (cube.columns.contains("lat")) coalesce(col("lat"), derivedLat)
+      else derivedLat
     cube
       .filter(col("value").isNotNull)
       .filter(col("parameter").isin(cfg.parameters: _*))

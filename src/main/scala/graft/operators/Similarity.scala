@@ -1074,10 +1074,16 @@ object Similarity {
   def pqDriftAuditFrom(emb: DataFrame, probes0: DataFrame, nlist: Int,
       nprobe: Int, m: Int, dsub: Int, nCodes: Int,
       standingKey: Option[String] = None): DataFrame = {
-    // the build parameters are folded into the cell key: cent depends on
-    // nlist, resid on cent, tcbStale on m/dsub/nCodes — a caller reusing
-    // one standingKey with different parameters must get a rebuild, not
-    // another parameterization's cached artifacts
+    // the NUMERIC build parameters are folded into the cell key: cent
+    // depends on nlist, resid on cent, tcbStale on m/dsub/nCodes — a
+    // caller reusing one standingKey with different numbers gets a
+    // rebuild, not another parameterization's cached artifacts. The
+    // DATA inputs (emb, probes0) are NOT hashable into the key: the
+    // standingKey owner owns their identity — a key must name the
+    // corpus/probe source it was built from (pqDriftAudit derives it
+    // from `dir`, which pins both), and a caller pairing one key with
+    // different frames gets the first call's panel by design (the
+    // Materialize.shared snapshot contract).
     def standing(sub: String)(df: => DataFrame): DataFrame = standingKey match {
       case Some(k) => Materialize.shared(emb.sparkSession,
         s"$k:$sub:$nlist:$m:$dsub:$nCodes")(df)

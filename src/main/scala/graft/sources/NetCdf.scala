@@ -480,7 +480,7 @@ object NetCdf {
           else None
         }
       }
-    }.distinctBy(_.name)
+    }.distinctBy(_.name).sortBy(_.name) // canonical column order: lat, lon
   }
 
   /** Shared long-frame builder for both container formats (classic here,
@@ -524,7 +524,10 @@ object NetCdf {
             vs(4 + a) = ac.vals(y * ac.yStride + x * ac.xStride)
             a += 1
           }
-          rows(k) = Row.fromSeq(vs.toIndexedSeq)
+          // zero-copy wraps: a large cube (tens of millions of cells)
+          // must not duplicate its row array on the driver
+          rows(k) = Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(vs))
           k += 1; x += 1
         }
         y += 1
@@ -537,8 +540,7 @@ object NetCdf {
         StructField("y", DoubleType, nullable = false) ::
         StructField("value", DoubleType, nullable = true) ::
         aux.map(a => StructField(a.name, DoubleType, nullable = false)).toList)
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.toIndexedSeq.asJava, schema)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .select(
         lit(collection).as("collection") +: lit(parameter).as("parameter") +:
           col("time") +: col("x") +: col("y") +: col("value") +:

@@ -2079,7 +2079,7 @@ object NetCdf4 {
                 }
             }
           }
-      }.distinctBy(_.name)
+      }.distinctBy(_.name).sortBy(_.name) // canonical column order: lat, lon
     }
 
     val strides = Array.fill(rank)(1)

@@ -1322,6 +1322,56 @@ class NetCdf4Spec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("fetch boundary: mixed curvilinear + regular cubes union by name through ingest (r20)") {
+    // two parameters in one plan, DIFFERENT decode schemas: temp is the
+    // curvilinear aux-lat/lon cube (8 columns), wind a regular
+    // degrees-coordinate cube (6 columns). The union must align by name
+    // (positional would crash or swap), and the aux-less wind rows must
+    // fall back per-row to the derived mapping, not inherit nulls.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc4mix")
+    val out = tmp.resolve("out").toString
+    val curvi = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("yc", Seq(2L), Array(1000.0, 2000.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("xc", Seq(3L), Array(100.0, 200.0, 300.0),
+        attrs = Seq("CLASS" -> "DIMENSION_SCALE")),
+      NetCdf4.WriteDs("lat", Seq(2L, 3L),
+        Array(55.0, 55.1, 55.2, 56.0, 56.1, 56.2),
+        attrs = Seq("units" -> "degrees_north",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("yc", "xc")))),
+      NetCdf4.WriteDs("lon", Seq(2L, 3L),
+        Array(11.0, 12.0, 13.0, 11.5, 12.5, 13.5),
+        attrs = Seq("units" -> "degrees_east",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("yc", "xc")))),
+      NetCdf4.WriteDs("temp", Seq(2L, 3L), Array.tabulate(6)(_.toDouble),
+        attrs = Seq("coordinates" -> "lat lon",
+          "DIMENSION_LIST" -> NetCdf4.DimList(Seq("yc", "xc"))))), latest = true)
+    val regular = NetCdf4.write(Seq(
+      NetCdf4.WriteDs("y", Seq(2L), Array(55.25, 56.25)),
+      NetCdf4.WriteDs("x", Seq(3L), Array(11.25, 12.25, 13.25)),
+      NetCdf4.WriteDs("wind", Seq(2L, 3L),
+        Array.tabulate(6)(i => 100.0 + i))), latest = true)
+    val fTemp = tmp.resolve("temp.nc4"); java.nio.file.Files.write(fTemp, curvi)
+    val fWind = tmp.resolve("wind.nc4"); java.nio.file.Files.write(fWind, regular)
+    val cfg = IngestConfig(bbox = (10.0, 54.0, 14.0, 57.0),
+      parameters = Seq("temp", "wind"))
+    val (mf, o) = Fetch.fetchAndIngest(spark, cfg,
+      Seq("temp" -> fTemp.toUri.toString, "wind" -> fWind.toUri.toString), out)
+    assert(o.forall(_.ok), o.mkString(";"))
+    assert(mf.nonEmpty)
+    val published = spark.read.parquet(out)
+    assert(published.count() == 12)
+    // temp rows carry the aux geography; wind rows the derived degrees —
+    // no nulls, no swapped axes, everything inside the bbox
+    assert(published.filter(col("lon").isNull || col("lat").isNull).count() == 0)
+    assert(published.filter(col("parameter") === "temp" &&
+      col("lat").isin(55.0, 55.1, 55.2, 56.0, 56.1, 56.2)).count() == 6)
+    assert(published.filter(col("parameter") === "wind" &&
+      col("lat").isin(55.25, 56.25) &&
+      col("lon").isin(11.25, 12.25, 13.25)).count() == 6)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("fetch boundary: DIMENSION_LIST renamed-coord cube passes the guard and ingests (r19)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_nc4dl")
     val out = tmp.resolve("out").toString
