@@ -289,6 +289,13 @@ object ScaleCheck {
       (s"semdedup_k$k", () =>
         Curation.semDedupK(spark, sfDir, k)
           .write.format("noop").mode("overwrite").save()),
+      // the r20 ROUTED E-step at the corpus-proportional k — the scale
+      // path for the quadratic-assign term the sf10 smoke exposed
+      // (flat semdedup_declared measured 109x at the second decade)
+      ("semdedup_routed", () =>
+        Curation.semDedupRoutedK(spark, sfDir,
+          Curation.semDedupClusterCount(n))
+          .write.format("noop").mode("overwrite").save()),
       ("span_mark_window", () =>
         Curation.dupHitsWindow(spans)
           .write.format("noop").mode("overwrite").save()),

@@ -417,6 +417,64 @@ object Curation {
           col("nrm").as("cnrm")))
   }
 
+  /** Two-level ROUTED E-step — the corpus-proportional-k scale path the
+    * r20 sf10 smoke showed [[assignmentsK]] needs: with k ∝ n (the q83
+    * blocking rule) the flat E-step is O(n·k) = O(n²/256) dots AND an
+    * n·k-row window shuffle — measured 109× for 10× data at sf10. Here
+    * each vector routes to its `nprobe` nearest of ~√k coarse cells
+    * (n·√k work), then argmaxes only over the fine centroids routed to
+    * those cells (n·nprobe·√k) — O(n·√k) total, and the within-cluster
+    * pair step (Σ c_i² ≈ 256·n, the dominant term) is unchanged. At
+    * 100 TB the same operator applies recursively (per-level branching
+    * ~256, depth log₂₅₆ k) once the fine-centroid broadcast outgrows one
+    * executor — the L-level generalization of this two-level shape.
+    * Routing is the standard IVF approximation: a vector whose true
+    * nearest fine centroid lives outside its `nprobe` coarse cells gets
+    * a neighboring cluster, so cluster SHAPES differ from the flat
+    * E-step — harmless for dedup blocking, because near-duplicates have
+    * near-identical embeddings and route TOGETHER (CurationSpec pins the
+    * dedup totals within 10% of the flat baseline at nprobe=2). */
+  def assignmentsRouted(emb0: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val kCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val emb = emb0.withColumn("nrm", Similarity.norm(col("embedding")))
+    val fine = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val coarse = emb.filter(col("vec_id") < kCoarse)
+      .select(col("vec_id").as("ccell"), col("embedding").as("ccvec"),
+        col("nrm").as("ccnrm"))
+    // each FINE centroid routes to its one nearest coarse cell (k×√k —
+    // tiny); the routed table is k rows and broadcasts
+    val fineRouted = fine.crossJoin(broadcast(coarse))
+      .withColumn("cos",
+        Similarity.dot(col("cvec"), col("ccvec")) / (col("cnrm") * col("ccnrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("cos").desc, col("ccell"))))
+      .filter(col("rn") === 1)
+      .select(col("ccell"), col("cluster_id"), col("cvec"), col("cnrm"))
+    // each vector routes to its nprobe nearest coarse cells (n×√k)
+    val vecRouted = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("cos",
+        Similarity.dot(col("embedding"), col("ccvec")) / (col("nrm") * col("ccnrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("ccell"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccell"))
+    // fine argmax over the routed cells only (n×nprobe×(k/√k))
+    vecRouted.join(broadcast(fineRouted), Seq("ccell"))
+      .withColumn("cos",
+        Similarity.dot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster_id"),
+        col("cos"))
+  }
+
   /** The E-step against an ARBITRARY centroid table (cluster_id, cvec,
     * cnrm) — seeded ([[assignmentsK]]) or trained (feed q77's M-step
     * means back in); `emb` must carry a precomputed `nrm`. This is what
@@ -2034,10 +2092,21 @@ object Curation {
     * ([[assignmentsK]]): larger k ⇒ smaller c_i ⇒ less Σ c_i² pair work
     * per corpus row. The declared q83 pins k=8 for the oracle; a
     * deployment sizes k so each within-cluster block fits one executor. */
-  def semDedupK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  def semDedupK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    semDedupOver(assignmentsK(Tables.embeddings(spark, dir), k))
+
+  /** [[semDedupK]] over the ROUTED E-step ([[assignmentsRouted]]) — the
+    * corpus-proportional-k deployment path; same pair/prune tail, dedup
+    * totals pinned within 10% of the flat assignment's. */
+  def semDedupRoutedK(spark: SparkSession, dir: String, k: Int,
+                      nprobe: Int = 2): DataFrame =
+    semDedupOver(assignmentsRouted(Tables.embeddings(spark, dir), k, nprobe))
+
+  /** The shared SemDeDup pair/prune tail over any assignment table. */
+  private def semDedupOver(asg: DataFrame): DataFrame = {
     // Materialize the assignment once — it feeds both self-join sides and
     // the member count (3 subtree reuses); strategy via graft.materialize.
-    val m = assignmentsK(Tables.embeddings(spark, dir), k)
+    val m = asg
       .select(col("cluster_id"), col("vec_id"), col("embedding"), col("nrm"))
       .staged
     val a = m.select(col("cluster_id"), col("vec_id").as("v1"),

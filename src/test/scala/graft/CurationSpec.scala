@@ -93,6 +93,34 @@ class CurationSpec extends SparkSpec {
     assert(work32 < work8, s"expected less pair work at k=32: $work32 !< $work8")
   }
 
+  test("routed SemDeDup preserves the dedup signal of the flat assignment (r20)") {
+    // the routed two-level assign is the corpus-proportional-k scale
+    // path (flat is O(n·k) = quadratic when k ∝ n — the r20 sf10 smoke).
+    // Routing is the IVF approximation: cluster SHAPES legitimately
+    // differ from the flat E-step (a vector near a routing boundary
+    // lands in a neighboring cluster), but near-duplicate pairs have
+    // near-identical embeddings and therefore route TOGETHER — so the
+    // dedup totals (pairs found, vectors pruned) must stay within a
+    // tight band of the flat baseline, and every vector must still land
+    // in exactly one cluster.
+    val n = Tables.embeddings(spark, sfDir).count()
+    for (k <- Seq(8, Curation.semDedupClusterCount(n))) {
+      def totals(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val rows = df.collect()
+        (rows.map(_.getAs[Long]("n_members")).sum,
+          rows.map(_.getAs[Long]("n_dup_pairs")).sum,
+          rows.map(_.getAs[Long]("n_pruned")).sum)
+      }
+      val (fm, fp, fpr) = totals(Curation.semDedupK(spark, sfDir, k))
+      val (rm, rp, rpr) = totals(Curation.semDedupRoutedK(spark, sfDir, k))
+      assert(rm == n && fm == n, s"k=$k membership not total: $rm/$fm vs $n")
+      assert(math.abs(rp - fp) <= math.max(2L, fp / 10),
+        s"k=$k dup pairs drifted: routed $rp vs flat $fp")
+      assert(math.abs(rpr - fpr) <= math.max(2L, fpr / 10),
+        s"k=$k pruned drifted: routed $rpr vs flat $fpr")
+    }
+  }
+
   test("weighted sample is deterministic and biased toward quality") {
     val q = graft.operators.Text.textQuality(spark, sfDir)
       .select(col("doc_id"), col("quality"))
