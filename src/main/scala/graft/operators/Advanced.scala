@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.MoneySum
 import graft.sources.Tables
 
 /** Second relational wave: multi-dimensional aggregates, pivot, subquery
@@ -17,7 +18,7 @@ object Advanced {
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("total"))
+        round(MoneySum.sumAsDouble(col("o_totalprice"), 1e2), 2).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -48,7 +49,7 @@ object Advanced {
     // decimal-exact sum so both engines derive the identical average double
     val navg = Tables.customer(spark, dir)
       .groupBy(col("c_nationkey").as("nk"))
-      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+      .agg((MoneySum.sumAsDouble(col("c_acctbal"), 1e2) / count(lit(1)))
         .as("nation_avg"))
     Tables.customer(spark, dir)
       .join(broadcast(navg), col("c_nationkey") === col("nk"))
@@ -138,7 +139,7 @@ object Advanced {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_sampled"),
-        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("sampled_total"))
+        round(MoneySum.sumAsDouble(col("o_totalprice"), 1e2), 2).as("sampled_total"))
       .orderBy(col("o_orderstatus"))
 
   /** Top-2 parts per brand via the typed bounded-heap

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.MoneySum
 import graft.sources.Tables
 
 /** Third relational wave (round 2): the remaining ranking-window family,
@@ -48,7 +49,7 @@ object Analytic {
         col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty"))
+        round(MoneySum.sumAsDouble(col("l_quantity"), 1e2), 2).as("qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -73,7 +74,7 @@ object Analytic {
       .groupBy(col("measure"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("val").cast("decimal(18,4)")).cast("double"), 4).as("total"),
+        round(MoneySum.sumAsDouble(col("val"), 1e4), 4).as("total"),
         round(min(col("val")), 4).as("lo"),
         round(max(col("val")), 4).as("hi"))
       .orderBy(col("measure"))

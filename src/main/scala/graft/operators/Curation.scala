@@ -374,7 +374,7 @@ object Curation {
     import Materialize.Stageable
     val feats = dsirFeats(docs).staged
     val (lr, _, _) = dsirLrParts(feats, targetIds)
-    val cost = floor(col("llr") * 1e9).cast("decimal(28,9)")
+    val cost = floor(col("llr") * 1e9).cast("long")
     val u = (Hashing.h32(col("doc_id").cast("string")) + 0.5) / lit(4294967296.0)
     feats.join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
@@ -657,7 +657,7 @@ object Curation {
       .crossJoin(broadcast(total)) // 1-row scalar subquery shape
       .select(col("token"),
         (-log(col("occ") * 1.0 / col("total_toks"))).as("nll"))
-    val cost = floor(col("nll") * 1e9).cast("decimal(28,9)")
+    val cost = floor(col("nll") * 1e9).cast("long")
     tok.join(broadcast(lm), "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(cost).as("nll_sum"))
@@ -723,7 +723,7 @@ object Curation {
       .select(col("ph"), col("wh"),
         (-log(lit(0.75) * (col("c2") * 1.0 / col("cp")) +
           lit(0.25) * (col("c1") * 1.0 / col("ntot")))).as("nll"))
-    val cost = floor(col("nll") * 1e9).cast("decimal(28,9)")
+    val cost = floor(col("nll") * 1e9).cast("long")
     bg.join(lm, Seq("ph", "wh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(cost).as("s"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.MoneySum
 import graft.sources.Tables
 
 /** Event-time operators over the `events` table — the batch expression of
@@ -31,7 +32,7 @@ object Events {
       .groupBy(col("window_start"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+        round(MoneySum.sumAsDouble(col("value"), 1e2), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
   /** Sliding windows: 10-minute width, 5-minute slide. Each event lands in
@@ -45,7 +46,7 @@ object Events {
       .groupBy(col("window_start"))
       .agg(
         count(lit(1)).as("n_events"),
-        (floor(sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)) * 1e6) / 1e6).as("avg_value"))
+        (floor(MoneySum.sumAsDouble(col("value"), 1e2) / count(lit(1)) * 1e6) / 1e6).as("avg_value"))
       .orderBy(col("window_start"))
 
   /** Gap-based sessionization (30-minute inactivity gap): the classic
@@ -64,7 +65,7 @@ object Events {
       .agg(
         floor(min(col("ts").cast("double"))).cast("long").as("session_start"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"),
+        round(MoneySum.sumAsDouble(col("value"), 1e2), 2).as("sum_value"),
         floor(max(col("ts").cast("double")) - min(col("ts").cast("double"))).cast("long")
           .as("duration_s"))
       .orderBy(col("user_id"), col("session_seq"))

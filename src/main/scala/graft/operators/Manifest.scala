@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.MoneySum
 import graft.sources.Tables
 
 /** Reference-parity ingestion sink ops (SURVEY.md §2 R3, R10-R14).
@@ -28,7 +29,7 @@ object Manifest {
       .groupBy(col("time_key"))
       .agg(
         count(lit(1)).as("n_rows"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+        round(MoneySum.sumAsDouble(col("value"), 1e2), 2).as("sum_value"))
       .orderBy(col("time_key"))
 
   /** R13+R14 manifest aggregation: per collection (event_type stands in),

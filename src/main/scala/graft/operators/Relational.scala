@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.MoneySum
 import graft.sources.Tables
 
 /** Relational query surface — SURVEY.md §2 Table B rows Projection..JSON fns.
@@ -32,12 +33,15 @@ object Relational {
       .agg(
         // decimal-exact sums: both engines then round the IDENTICAL double,
         // immune to accumulation-order ulps (source values are 2-dp; the
-        // discount product is an exact 4-dp value)
+        // discount product is an exact 4-dp value). Scaled-long
+        // formulation — [[MoneySum]] proves it equals the former
+        // decimal(18,s) casts on these grid-exact columns; the decimal
+        // path's per-row BigDecimal was 60% of this query's runtime (r21).
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_base_price"),
-        (floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")).cast("double") * 100) / 100).as("sum_disc_price"),
+        round(MoneySum.sumAsDouble(col("l_extendedprice"), 1e2), 2).as("sum_base_price"),
+        (floor(MoneySum.sumAsDouble(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1e6) * 100) / 100).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
-        (floor(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1)) * 1e6) / 1e6).as("avg_price"),
+        (floor(MoneySum.sumAsDouble(col("l_extendedprice"), 1e2) / count(lit(1)) * 1e6) / 1e6).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -58,7 +62,7 @@ object Relational {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("total_acctbal"))
+        round(MoneySum.sumAsDouble(col("c_acctbal"), 1e2), 2).as("total_acctbal"))
       .orderBy(col("r_name"), col("n_name"))
 
   /** Fact-fact join: lineitem ⋈ orders on orderkey. At 100 TB this is a
@@ -70,7 +74,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_lines"),
-        (floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")).cast("double") * 100) / 100).as("revenue"))
+        (floor(MoneySum.sumAsDouble(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1e6) * 100) / 100).as("revenue"))
       .orderBy(col("o_orderpriority"))
 
   /** Left-semi join: customers that have at least one order. Semi joins
@@ -174,7 +178,8 @@ object Relational {
       .rowsBetween(-2, 0)
     Tables.orders(spark, dir)
       .withColumn("moving_avg", floor(
-        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
+        (sum(MoneySum.term(col("o_totalprice"), 1e2)).over(w)
+          .cast("double") / 1e2) /
           count(lit(1)).over(w) * 1e4) / 1e4)
       .filter(col("o_custkey") < 100)
       .select(col("o_custkey"), col("o_orderkey"), col("moving_avg"))

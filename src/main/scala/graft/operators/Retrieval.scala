@@ -180,7 +180,7 @@ object Retrieval {
       .groupBy(col("probe_id"), col("cand_id"))
       .agg(
         count(lit(1)).as("n_terms"),
-        (sum(floor(col("term_score") * 1e9).cast("decimal(28,9)")).cast("double") / 1e9)
+        (sum(floor(col("term_score") * 1e9).cast("long")).cast("double") / 1e9)
           .as("score"))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)

@@ -626,7 +626,7 @@ object Similarity {
         col("sub") === col("l_sub") && col("code") === col("l_code") &&
           (if (excludeSelf) col("probe_id") =!= col("vec_id") else lit(true)))
       .groupBy(col("probe_id"), col("vec_id"))
-      .agg((sum(floor(col("d") * 1e9).cast("decimal(28,9)")).cast("double") / 1e9)
+      .agg((sum(floor(col("d") * 1e9).cast("long")).cast("double") / 1e9)
         .as("adc"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("adc").asc, col("vec_id"))
     scored
@@ -688,7 +688,7 @@ object Similarity {
         col("probe_id") === col("l_probe") &&
           col("sub") === col("l_sub") && col("code") === col("l_code"))
       .groupBy(col("probe_id"), col("vec_id"), col("cell"))
-      .agg((sum(floor(col("d") * 1e9).cast("decimal(28,9)")).cast("double") / 1e9)
+      .agg((sum(floor(col("d") * 1e9).cast("long")).cast("double") / 1e9)
         .as("adc"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("adc").asc, col("vec_id"))
     scored
@@ -906,7 +906,7 @@ object Similarity {
         col("probe_id") === col("l_probe") && col("cell") === col("l_cell") &&
           col("sub") === col("l_sub") && col("code") === col("l_code"))
       .groupBy(col("probe_id"), col("vec_id"), col("cell"))
-      .agg((sum(floor(col("d") * 1e9).cast("decimal(28,9)")).cast("double") / 1e9)
+      .agg((sum(floor(col("d") * 1e9).cast("long")).cast("double") / 1e9)
         .as("adc"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("adc").asc, col("vec_id"))
     scored
@@ -980,9 +980,9 @@ object Similarity {
         col("probe_id") === col("b_probe") && col("cell") === col("b_cell") &&
           col("sub") === col("b_sub") && col("code_b") === col("b_code"))
       .groupBy(col("probe_id"), col("vec_id"), col("cell"))
-      .agg((sum(floor(col("lda") * 1e9).cast("decimal(28,9)"))
+      .agg((sum(floor(col("lda") * 1e9).cast("long"))
           .cast("double") / 1e9).as("adc_a"),
-        (sum(floor(col("ldb") * 1e9).cast("decimal(28,9)"))
+        (sum(floor(col("ldb") * 1e9).cast("long"))
           .cast("double") / 1e9).as("adc_b"))
     val wa = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_a").asc, col("vec_id"))

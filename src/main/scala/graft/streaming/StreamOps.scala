@@ -140,7 +140,7 @@ object StreamOps {
       .agg(
         floor(min(col("ts").cast("double"))).cast("long").as("session_start"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"),
+        round(graft.functions.MoneySum.sumAsDouble(col("value"), 1e2), 2).as("sum_value"),
         floor(max(col("ts").cast("double")) - min(col("ts").cast("double"))).cast("long")
           .as("duration_s"))
       .select(col("user_id"), col("session_start"), col("n_events"),
